@@ -1,0 +1,141 @@
+"""Relational operator surface (SURVEY.md §2.2–§2.7).
+
+Thin, composable wrappers over the DataFrame API that pin down the
+reference's semantics (broadcast build sides, anti-join validity
+splits, deterministic dedup, duplicate marking). Everything here is
+declarative — Catalyst owns physical strategy; we only add broadcast
+hints where the build side is known dim-sized.
+
+Scale posture: every join helper takes ``broadcast_build`` — at
+100 TB the fact side never moves for dim joins; the only shuffles in
+the reference workload are the group-by aggregation and the
+duplicate-marking window, both keyed on high-cardinality composite
+keys (no skew concern; AQE skew-join covers residual hot keys).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def normalize_types(
+    df: DataFrame,
+    string_cols: Sequence[str] = (),
+    status_cols: Sequence[str] = (),
+    long_cols: Sequence[str] = (),
+) -> DataFrame:
+    """The reference's type-normalization pass (SL_SPK_Cleansing.py:63-70,
+    Status_Cleansing.py:55-71): keys/codes → string, statuses through
+    the double→long→string chain, quantities → long.
+    """
+    exprs = []
+    string_set, status_set, long_set = set(string_cols), set(status_cols), set(long_cols)
+    for c in df.columns:
+        if c in status_set:
+            exprs.append(F.col(c).cast("long").cast("string").alias(c))
+        elif c in string_set:
+            exprs.append(F.col(c).cast("string").alias(c))
+        elif c in long_set:
+            exprs.append(F.col(c).cast("long").alias(c))
+        else:
+            exprs.append(F.col(c))
+    return df.select(*exprs)
+
+
+def left_join(
+    probe: DataFrame,
+    build: DataFrame,
+    on: str | Sequence[str] | Column,
+    broadcast_build: bool = True,
+) -> DataFrame:
+    """Left outer equi-join, build side broadcast by default.
+
+    Every join in the reference is a left outer merge of a fact
+    against a small dim/slice (SURVEY.md §2.5 J1–J12) → broadcast
+    hash join, no shuffle of the probe side. The build side is NOT
+    deduplicated: J5's row multiplication on dual-source materials is
+    load-bearing (SL_SPK_Cleansing.py:153, SURVEY.md §4.4.5).
+    """
+    b = F.broadcast(build) if broadcast_build else build
+    return probe.join(b, on=on, how="left")
+
+
+def semi_join(
+    probe: DataFrame, build: DataFrame, on: str | Sequence[str] | Column, broadcast_build: bool = True
+) -> DataFrame:
+    """EXISTS — the reference's ``isin(dim.column)`` membership filters
+    (SL_SPK_Cleansing.py:96-97,102-103; SURVEY.md SJ1–SJ3)."""
+    b = F.broadcast(build) if broadcast_build else build
+    return probe.join(b, on=on, how="left_semi")
+
+
+def anti_join(
+    probe: DataFrame, build: DataFrame, on: str | Sequence[str] | Column, broadcast_build: bool = True
+) -> DataFrame:
+    """NOT EXISTS — the reference's ``~isin`` validity splits
+    (SL_SPK_Cleansing.py:107-110,249-253; SURVEY.md AJ1/AJ2)."""
+    b = F.broadcast(build) if broadcast_build else build
+    return probe.join(b, on=on, how="left_anti")
+
+
+def union_all(*dfs: DataFrame) -> DataFrame:
+    """``pd.concat`` — SL_SPK_Cleansing.py:91,108,224 (SURVEY.md U1)."""
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = out.unionByName(d)
+    return out
+
+
+def dedup_first(
+    df: DataFrame, keys: Sequence[str], order_by: Sequence[Column] | None = None
+) -> DataFrame:
+    """``drop_duplicates(subset=keys)`` — SL_SPK_Cleansing.py:91,108
+    (SURVEY.md D1).
+
+    With ``order_by`` the winner is deterministic (row_number over a
+    window) — required for hash-based oracle comparison. Without it,
+    falls back to Spark's ``dropDuplicates`` (arbitrary winner, like
+    pandas' dependence on row order; value-stable when non-key columns
+    agree within a key group, which is the reference's situation).
+    """
+    if order_by is None:
+        return df.dropDuplicates(list(keys))
+    w = Window.partitionBy(*keys).orderBy(*order_by)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def mark_duplicates(df: DataFrame, keys: Sequence[str], flag_col: str = "is_dup") -> DataFrame:
+    """``duplicated(keys, keep=False)`` — every member of a >1 group is
+    flagged (SL_SPK_Cleansing.py:128; SURVEY.md D2). One shuffle on
+    ``keys``; the reference's only window-shaped operator.
+    """
+    w = Window.partitionBy(*keys)
+    return df.withColumn(flag_col, F.count(F.lit(1)).over(w) > 1)
+
+
+def group_sum(df: DataFrame, keys: Sequence[str], numeric_cols: Sequence[str]) -> DataFrame:
+    """``groupby(keys).sum()`` over the numeric columns —
+    Status_Cleansing.py:104 (SURVEY.md A1). Hash aggregate with
+    map-side partial aggregation for free.
+    """
+    aggs = [F.sum(c).alias(c) for c in numeric_cols]
+    return df.groupBy(*keys).agg(*aggs)
+
+
+def top_k_per_group(
+    df: DataFrame, keys: Sequence[str], order_by: Sequence[Column], k: int, rank_col: str = "rank"
+) -> DataFrame:
+    """Top-K per group via row_number window. ``order_by`` must be a
+    total order (include a unique tiebreak) for deterministic output."""
+    w = Window.partitionBy(*keys).orderBy(*order_by)
+    return (
+        df.withColumn(rank_col, F.row_number().over(w))
+        .filter(F.col(rank_col) <= k)
+    )

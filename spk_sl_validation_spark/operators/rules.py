@@ -1,0 +1,186 @@
+"""Rule-cascade compiler — the engine's signature component.
+
+The reference's core operator is an *ordered cascade of conditional
+masked assignments* on a mutable ``Comment`` column
+(``df.loc[mask, "Comment"] = "literal"`` ~34 times across
+SL_SPK_Cleansing.py:119-303, Status_Cleansing.py:112-161; see
+SURVEY.md §2.8). Semantics:
+
+- rules run in program order;
+- a rule with guard ``IF_NULL`` only fires where the comment is still
+  null (first-match-wins);
+- a rule with guard ``ALWAYS`` overwrites any earlier comment
+  (e.g. the dual-source rule SL_SPK_Cleansing.py:128);
+- a rule with guard ``SENTINEL(v)`` only fires where the current
+  comment equals the sentinel string ``v`` (the Apex cascade,
+  SL_SPK_Cleansing.py:165-202, guards every rule on the sentinel
+  comment planted by an earlier cascade).
+
+Because Spark columns are immutable, a cascade compiles to a single
+Column expression by left-folding::
+
+    expr_0 = initial (lit(None) or an existing column)
+    expr_i = when(cond_i & guard_i(expr_{i-1}), lit(msg_i)).otherwise(expr_{i-1})
+
+Catalyst collapses the nested CaseWhen chain; no custom optimizer rule
+is needed. The whole cascade evaluates inside whole-stage codegen with
+zero shuffles — at 100 TB it is a pure map stage.
+
+``compile_to_sql`` emits an equivalent *flat* ANSI-SQL expression (the
+nested fold would blow up exponentially when guards reference the
+running expression) using the closed form: the final value is the
+message of the LAST matching ALWAYS rule if any matches, else the
+initial value if non-null, else the message of the FIRST matching
+IF_NULL rule. SENTINEL guards are not SQL-flattenable in general and
+raise; pipelines that use them are verified by golden fixture tests
+instead (SURVEY.md §5.2.2).
+
+Null-semantics note (SURVEY.md §4.4.1): pandas ``NaN != 'x'`` is True,
+Spark ``null != 'x'`` is null (treated false by ``when``). Conditions
+that need pandas semantics must be built with the null-safe helpers in
+``functions.scalar`` (``neq`` → ``NOT (a <=> b)`` / SQL
+``IS DISTINCT FROM``).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Sequence
+from dataclasses import dataclass, field
+from enum import Enum
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+class Guard(Enum):
+    """When a rule is allowed to fire, relative to the running value."""
+
+    IF_NULL = "if_null"  # fire only where the running comment is null
+    ALWAYS = "always"  # fire regardless; overwrites earlier matches
+    SENTINEL = "sentinel"  # fire only where running comment == sentinel value
+
+
+@dataclass(frozen=True)
+class Rule:
+    """One step of a cascade.
+
+    ``condition`` is a Spark Column (or a callable taking the running
+    comment expression, for conditions that reference the comment
+    itself). ``condition_sql`` is the equivalent ANSI-SQL predicate
+    used by :func:`compile_to_sql` for oracle generation — optional,
+    only needed when the cascade is part of a DuckDB-checked query.
+    """
+
+    rule_id: str
+    condition: Column | Callable[[Column], Column]
+    message: str | None  # None → rule only performs extra_assignments (e.g. A0a)
+    guard: Guard = Guard.IF_NULL
+    sentinel: str | None = None
+    condition_sql: str | None = None
+    extra_assignments: dict[str, Column] = field(default_factory=dict)
+
+    def fire_condition(self, running: Column) -> Column:
+        cond = self.condition(running) if callable(self.condition) else self.condition
+        if self.guard is Guard.IF_NULL:
+            return cond & running.isNull()
+        if self.guard is Guard.SENTINEL:
+            if self.sentinel is None:
+                raise ValueError(f"rule {self.rule_id}: SENTINEL guard needs a sentinel value")
+            return cond & (running == F.lit(self.sentinel))
+        return cond
+
+
+def compile_to_column(rules: Sequence[Rule], initial: Column | None = None) -> Column:
+    """Fold an ordered rule list into one Column expression.
+
+    Exactly reproduces sequential masked assignment: each step
+    overwrites the running value where its (condition AND guard)
+    holds, else keeps the previous value.
+    """
+    expr = initial if initial is not None else F.lit(None).cast("string")
+    for rule in rules:
+        if rule.message is None:
+            continue
+        expr = F.when(rule.fire_condition(expr), F.lit(rule.message)).otherwise(expr)
+    return expr
+
+
+def _sql_quote(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+def compile_to_sql(rules: Sequence[Rule], initial_sql: str | None = None) -> str:
+    """Flat ANSI-SQL equivalent of :func:`compile_to_column`.
+
+    Closed form (proof sketch): messages are never null, so once any
+    rule fires the value stays non-null and IF_NULL rules are blocked
+    forever after. Hence the final value is
+    - the message of the LAST matching ALWAYS rule, if any ALWAYS rule
+      matches (it overwrites whatever came before, and later IF_NULL
+      rules cannot fire);
+    - else the initial value if non-null (IF_NULL rules blocked);
+    - else the message of the FIRST matching IF_NULL rule;
+    - else null.
+    Which is exactly
+    ``COALESCE(CASE <always, reversed>, <initial>, CASE <if_null, in order>)``.
+    """
+    parts: list[str] = []
+
+    commenting = [r for r in rules if r.message is not None]
+    always = [r for r in commenting if r.guard is Guard.ALWAYS]
+    if_null = [r for r in commenting if r.guard is Guard.IF_NULL]
+    if any(r.guard is Guard.SENTINEL for r in commenting):
+        raise NotImplementedError(
+            "SENTINEL-guarded cascades are not SQL-flattenable; "
+            "verify via golden fixture tests instead"
+        )
+    for r in commenting:
+        if r.condition_sql is None:
+            raise ValueError(f"rule {r.rule_id}: condition_sql required for SQL compilation")
+
+    if always:
+        whens = " ".join(
+            f"WHEN {r.condition_sql} THEN {_sql_quote(r.message)}" for r in reversed(always)
+        )
+        parts.append(f"CASE {whens} END")
+    if initial_sql is not None:
+        parts.append(initial_sql)
+    if if_null:
+        whens = " ".join(f"WHEN {r.condition_sql} THEN {_sql_quote(r.message)}" for r in if_null)
+        parts.append(f"CASE {whens} END")
+
+    if not parts:
+        return "CAST(NULL AS VARCHAR)"
+    if len(parts) == 1:
+        return parts[0]
+    return "COALESCE(" + ", ".join(parts) + ")"
+
+
+def apply_cascade(df, rules: Sequence[Rule], target: str = "Comment", initial_from_target: bool = True):
+    """Apply a cascade to ``df``, writing the result into ``target``.
+
+    If ``target`` already exists and ``initial_from_target`` is True,
+    the existing column seeds the fold (matching the reference, where
+    later cascades continue mutating the same Comment column).
+
+    Rules may carry ``extra_assignments``: additional columns to set
+    where the rule fires (e.g. rule A0b sets BOTH ``Vendor to SPK``
+    and ``Comment`` — SL_SPK_Cleansing.py:120-121). Extra assignments
+    are applied with the same fire condition, evaluated against the
+    running comment expression at that step.
+    """
+    initial = F.col(target) if (initial_from_target and target in df.columns) else None
+    expr = initial if initial is not None else F.lit(None).cast("string")
+
+    extra_exprs: dict[str, Column] = {c: F.col(c) for r in rules for c in r.extra_assignments}
+    for rule in rules:
+        fire = rule.fire_condition(expr)
+        for col_name, value in rule.extra_assignments.items():
+            extra_exprs[col_name] = F.when(fire, value).otherwise(extra_exprs[col_name])
+        if rule.message is not None:
+            expr = F.when(fire, F.lit(rule.message)).otherwise(expr)
+
+    out = df
+    for col_name, e in extra_exprs.items():
+        out = out.withColumn(col_name, e)
+    return out.withColumn(target, expr)
