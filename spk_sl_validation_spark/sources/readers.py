@@ -1,0 +1,52 @@
+"""Table readers (SURVEY.md §2.1 S1).
+
+The reference eagerly loads Excel extracts with inferred schemas
+(SL_SPK_Cleansing.py:40-55); our engine reads columnar parquet with
+declared schemas (schemas.py) — scans get predicate pushdown, column
+pruning, and vectorized decoding from Spark for free. CSV/xlsx ingest
+is an edge converter, not an engine concern.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from spk_sl_validation_spark import schemas
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one driver-testdata table with its declared schema.
+
+    Passing the explicit schema (rather than letting parquet supply
+    it) validates the contract and lets Catalyst prune columns that a
+    query never touches.
+
+    ``events.ts`` is stored as parquet TIMESTAMP(NANOS), which Spark's
+    vectorized reader rejects; we read it as raw nanos
+    (``nanosAsLong``) and convert to a microsecond timestamp
+    (``ts div 1000`` — matches DuckDB's truncation of ns → µs).
+    """
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        physical = T.StructType(
+            [
+                f if f.name != "ts" else T.StructField("ts", T.LongType(), True)
+                for f in schemas.EVENTS.fields
+            ]
+        )
+        df = spark.read.schema(physical).parquet(f"{sf_dir}/{name}.parquet")
+        return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)")).select(
+            *[f.name for f in schemas.EVENTS.fields]
+        )
+    schema = schemas.TESTDATA_SCHEMAS.get(name)
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_all(spark: SparkSession, sf_dir: str, names: list[str] | None = None) -> dict[str, DataFrame]:
+    names = names or list(schemas.TESTDATA_SCHEMAS)
+    return {n: load_table(spark, sf_dir, n) for n in names}

@@ -1,0 +1,64 @@
+"""Registry-wide differential tests: every registered query vs its
+DuckDB oracle at sf0.001 (the driver does the same at sf0.01)."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from spk_sl_validation_spark.plans.registry import REGISTRY, _ensure_loaded
+from tools.check_contract import TABLES, frame_fingerprint
+
+
+@pytest.fixture(scope="module")
+def duck(sf_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return con
+
+
+def _specs():
+    _ensure_loaded()
+    return sorted(REGISTRY.values(), key=lambda s: s.name)
+
+
+@pytest.mark.parametrize("spec", _specs(), ids=lambda s: s.name)
+def test_query_matches_oracle(spec, spark, sf_dir, duck):
+    spdf = spec.builder(spark, sf_dir).toPandas()
+    if spec.oracle is None:
+        assert len(spdf) >= 0  # rows-only check (driver does the same)
+        return
+    ddf = duck.execute(spec.oracle).df()
+    s = frame_fingerprint(spdf)
+    d = frame_fingerprint(ddf)
+    assert s[0] == d[0], f"row count: spark={s[0]} duck={d[0]}"
+    assert s[1] == d[1], f"columns: spark={s[1]} duck={d[1]}"
+    assert s[2] == d[2], "value hash mismatch"
+
+
+def test_cascade_oracle_in_sync(spark):
+    """The hand-inlined SQL in the rule_cascade_comment oracle must
+    equal what compile_to_sql generates from the same rule list."""
+    from spk_sl_validation_spark.operators.rules import compile_to_sql
+    from spk_sl_validation_spark.plans.relational_queries import _lineitem_rules
+
+    generated = compile_to_sql(_lineitem_rules())
+    oracle = REGISTRY["rule_cascade_comment"].oracle
+    assert "".join(generated.split()) in "".join(oracle.split())
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as contract
+
+    df = contract.entry(spark)
+    assert df.count() > 0
+    assert "Comment" in df.columns
+
+
+def test_queries_and_oracles_contract():
+    import __spark_entry__ as contract
+
+    qs, os_ = contract.queries(), contract.oracle_sql()
+    assert set(os_) <= set(qs)
+    assert len(qs) >= 19
