@@ -15,6 +15,13 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
+def c(name: str) -> Column:
+    """Column reference that tolerates SAP-style names with dots
+    (e.g. ``Plant-sp.matl status``, ``In Quality Insp.``) — plain
+    ``F.col`` would parse the dot as a struct-field access."""
+    return F.col(f"`{name}`") if "." in name else F.col(name)
+
+
 def slash_key(*cols: str | Column) -> Column:
     """Derived join key ``a/b[/c]`` — SL_SPK_Cleansing.py:73-77.
 

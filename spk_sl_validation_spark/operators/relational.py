@@ -20,6 +20,8 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from spk_sl_validation_spark.functions.scalar import c as _c
+
 
 def normalize_types(
     df: DataFrame,
@@ -125,8 +127,8 @@ def group_sum(df: DataFrame, keys: Sequence[str], numeric_cols: Sequence[str]) -
     Status_Cleansing.py:104 (SURVEY.md A1). Hash aggregate with
     map-side partial aggregation for free.
     """
-    aggs = [F.sum(c).alias(c) for c in numeric_cols]
-    return df.groupBy(*keys).agg(*aggs)
+    aggs = [F.sum(_c(col)).alias(col) for col in numeric_cols]
+    return df.groupBy(*[_c(k) for k in keys]).agg(*aggs)
 
 
 def top_k_per_group(

@@ -49,12 +49,14 @@ MARC = T.StructType(
     ]
 )
 
-# MARA general material master — SL_SPK_Cleansing.py:41,279; Status_Cleansing.py:57-59
+# MARA general material master — SL_SPK_Cleansing.py:41,279; Status_Cleansing.py:57-59.
+# X-plant status is string-typed: SC stringifies it directly (astype str,
+# SC:57) with no int chain, so fixture values arrive as "50"/"80" strings.
 MARA = T.StructType(
     [
         T.StructField("Material", T.StringType(), False),
         T.StructField("Material Type", T.StringType(), True),
-        T.StructField("X-plant matl status", T.DoubleType(), True),
+        T.StructField("X-plant matl status", T.StringType(), True),
         T.StructField("X-distr.chain status", T.StringType(), True),
         T.StructField("Valid from", T.TimestampType(), True),
     ]

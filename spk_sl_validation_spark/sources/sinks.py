@@ -1,0 +1,75 @@
+"""Report sinks & phase timing (SURVEY.md §2.1 S3/S4).
+
+The reference writes multi-sheet Excel workbooks
+(SL_SPK_Cleansing.py:328-338) and logs per-phase wall-clock
+(SL_SPK_Cleansing.py:28-33,47-58). Our engine's report = a dict of
+named DataFrames:
+
+- ``write_report``: one parquet directory per sheet — the scalable
+  path (a 100 TB sheet is just a partitioned parquet dataset).
+- ``write_report_xlsx``: optional edge converter for small,
+  human-facing output (collects to pandas — guarded by a row cap).
+- ``PhaseTimer``: the S4 log sink, driver-side.
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from collections.abc import Iterator
+from contextlib import contextmanager
+
+from pyspark.sql import DataFrame
+
+logger = logging.getLogger("spk_sl_validation_spark")
+
+
+def write_report(
+    sheets: dict[str, DataFrame], out_dir: str, mode: str = "overwrite", partition_by: list[str] | None = None
+) -> None:
+    """Write each sheet as parquet under ``out_dir/<sheet-name>/``."""
+    for name, df in sheets.items():
+        safe = name.replace("/", "_").replace(" ", "_")
+        writer = df.write.mode(mode)
+        if partition_by:
+            cols = [c for c in partition_by if c in df.columns]
+            if cols:
+                writer = writer.partitionBy(*cols)
+        writer.parquet(f"{out_dir}/{safe}")
+
+
+def write_report_xlsx(sheets: dict[str, DataFrame], path: str, max_rows: int = 1_000_000) -> None:
+    """Edge converter: collect each sheet and write one xlsx workbook.
+
+    Mirrors the reference's xlsxwriter sink; only sane for human-scale
+    output, hence the row cap. Requires an xlsx engine (openpyxl or
+    xlsxwriter) — import-guarded since the engine core never needs it.
+    """
+    try:
+        import pandas as pd  # noqa: F401
+    except ImportError as e:  # pragma: no cover
+        raise RuntimeError("pandas required for xlsx report") from e
+
+    frames = {}
+    for name, df in sheets.items():
+        n = df.count()
+        if n > max_rows:
+            raise ValueError(f"sheet {name!r} has {n} rows > xlsx cap {max_rows}")
+        frames[name[:31]] = df.toPandas()  # 31-char Excel sheet-name limit
+
+    import pandas as pd
+
+    with pd.ExcelWriter(path) as writer:
+        for name, pdf in frames.items():
+            pdf.to_excel(writer, index=False, sheet_name=name)
+
+
+@contextmanager
+def phase(name: str) -> Iterator[None]:
+    """Per-phase wall-clock logging — the reference's S4 pattern."""
+    t0 = time.time()
+    logger.info("phase %s: start", name)
+    try:
+        yield
+    finally:
+        logger.info("phase %s: %.3fs", name, time.time() - t0)

@@ -1,0 +1,153 @@
+"""Golden rule-coverage tests (SURVEY.md §5.2.2): run the full
+reference-domain pipelines on hand-crafted fixtures and assert the
+exact Comment/Analysis per rule id."""
+
+from __future__ import annotations
+
+import pytest
+
+from spk_sl_validation_spark.plans import rule_strings as RS
+from spk_sl_validation_spark.plans import spk_sl_cleansing, status_cleansing
+from spk_sl_validation_spark.sources import fixtures as FX
+
+
+@pytest.fixture(scope="module")
+def tables(spark):
+    return FX.build_tables(spark)
+
+
+@pytest.fixture(scope="module")
+def cl_sheets(spark, tables):
+    return spk_sl_cleansing.run(tables, run_ts=FX.RUN_TS, variant=spk_sl_cleansing.CL)
+
+
+@pytest.fixture(scope="module")
+def v1_sheets(spark, tables):
+    return spk_sl_cleansing.run(tables, run_ts=FX.RUN_TS, variant=spk_sl_cleansing.V1)
+
+
+def _by_key(df, key="Material/Plant/Number", cols=("Comment",)):
+    rows = df.select(key, *cols).collect()
+    out: dict[str, list] = {}
+    for r in rows:
+        out.setdefault(r[key], []).append(tuple(r[c] for c in cols))
+    return out
+
+
+class TestCLMainSheet:
+    def test_expected_comments(self, cl_sheets):
+        got = _by_key(cl_sheets["Valid SL with SPK"])
+        for key, want in FX.EXPECTED_MAIN_COMMENT.items():
+            assert key in got, f"{key} missing from main sheet"
+            for (comment,) in got[key]:
+                assert comment == want, f"{key}: got {comment!r}, want {want!r}"
+
+    def test_no_unexpected_rows(self, cl_sheets):
+        got = _by_key(cl_sheets["Valid SL with SPK"])
+        # invalid/blocked/OOS rows must not appear
+        for bad in ["M001/1000/1", "M002/1000/1", "M002/1000/2", "M003/2000/1"]:
+            assert bad not in got
+        assert set(got) == set(FX.EXPECTED_MAIN_COMMENT)
+
+    def test_analysis_coalesce(self, cl_sheets):
+        got = _by_key(cl_sheets["Valid SL with SPK"], cols=("Comment", "Analysis"))
+        for key, rows in got.items():
+            want = FX.EXPECTED_ANALYSIS_OVERRIDES.get(
+                key, FX.EXPECTED_MAIN_COMMENT[key]
+            )
+            for _, analysis in rows:
+                assert analysis == want, f"{key}: Analysis={analysis!r}, want {want!r}"
+
+    def test_j5_row_multiplication(self, cl_sheets):
+        # M015's apex row joins two EORD@3090 records → backfill doubles it
+        got = _by_key(cl_sheets["Valid SL with SPK"])
+        assert len(got["M015/1000/1"]) == 2
+
+    def test_swissco_vendor_to_spk_overwrite(self, cl_sheets):
+        rows = (
+            cl_sheets["Valid SL with SPK"]
+            .filter("`Material/Plant/Number` = 'M004/1000/1'")
+            .select("Vendor to SPK")
+            .collect()
+        )
+        assert rows[0][0] == RS.A0B_SWISSCO
+
+    def test_a0a_prefix_vendor_spk(self, cl_sheets):
+        rows = (
+            cl_sheets["Valid SL with SPK"]
+            .filter("`Material/Plant/Number` = 'M022/1000/1'")
+            .select("Vendor to SPK")
+            .collect()
+        )
+        assert rows[0][0] == "20"
+
+
+class TestCLBranchSheets:
+    def test_apex_sheet(self, cl_sheets):
+        got = _by_key(cl_sheets["SKU via APEX SPK"])
+        assert set(got) == set(FX.EXPECTED_APEX_COMMENT)
+        for key, want in FX.EXPECTED_APEX_COMMENT.items():
+            for (comment,) in got[key]:
+                assert comment == want, f"{key}: got {comment!r}, want {want!r}"
+        assert len(got["M015/1000/1"]) == 2  # J5 multiplication inside the sheet
+
+    def test_intra_sheet(self, cl_sheets):
+        got = _by_key(cl_sheets["CN_JP_Intra"])
+        assert set(got) == set(FX.EXPECTED_INTRA_COMMENT)
+        for key, want in FX.EXPECTED_INTRA_COMMENT.items():
+            assert got[key] == [(want,)]
+
+    def test_missing_sl_sheet(self, cl_sheets):
+        rows = cl_sheets["SKU missing SL"].select("Material/Plant").collect()
+        assert {r[0] for r in rows} == FX.EXPECTED_MISSING_SL
+
+
+class TestV1Variant:
+    def test_main_comments(self, v1_sheets):
+        got = _by_key(v1_sheets["Valid SL with SPK"])
+        assert set(got) == set(FX.EXPECTED_MAIN_COMMENT_V1)
+        for key, want in FX.EXPECTED_MAIN_COMMENT_V1.items():
+            for (comment,) in got[key]:
+                assert comment == want, f"{key}: got {comment!r}, want {want!r}"
+
+    def test_apex_sheet(self, v1_sheets):
+        got = _by_key(v1_sheets["SKU via APEX SPK"])
+        assert set(got) == set(FX.EXPECTED_APEX_COMMENT_V1)
+        for key, want in FX.EXPECTED_APEX_COMMENT_V1.items():
+            for (comment,) in got[key]:
+                assert comment == want, f"{key}: got {comment!r}, want {want!r}"
+
+    def test_no_missing_sl_and_no_analysis(self, v1_sheets):
+        assert "SKU missing SL" not in v1_sheets
+        assert "Analysis" not in v1_sheets["Valid SL with SPK"].columns
+
+
+class TestStatusCleansing:
+    @pytest.fixture(scope="class")
+    def sc_sheets(self, spark, tables):
+        return status_cleansing.run(tables)
+
+    def test_cascade_d(self, sc_sheets):
+        got = _by_key(sc_sheets["MARC"], key="Material/Plant")
+        for key, want in FX.EXPECTED_SC_COMMENT.items():
+            assert got[key] == [(want,)], f"{key}: got {got.get(key)}, want {want!r}"
+
+    def test_inventory_sums(self, sc_sheets):
+        got = _by_key(sc_sheets["MARC"], key="Material/Plant", cols=("Sum of Inventory",))
+        for key, want in FX.EXPECTED_SC_INVENTORY.items():
+            assert got[key] == [(want,)]
+
+    def test_out_of_scope_plant_filtered(self, sc_sheets):
+        rows = sc_sheets["MB52"].select("Plant").distinct().collect()
+        assert {r[0] for r in rows} <= {"1000", "2000", "3401", "3402"}
+
+    def test_groupby_sums_all_numeric(self, sc_sheets):
+        row = (
+            sc_sheets["MB52_groupby"]
+            .filter("`Material/Plant` = 'M032/1000'")
+            .collect()[0]
+        )
+        assert row["Unrestricted"] == 15
+        assert row["In Quality Insp."] == 1
+        assert row["Blocked"] == 2
+        assert row["Sum of Inventory"] == 18
