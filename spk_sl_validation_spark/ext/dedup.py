@@ -1,0 +1,255 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+North-star extension (not in the reference, whose only dedup is
+key-based ``drop_duplicates`` — SURVEY.md §2.7). These are the
+document-level dedup strategies a 100 TB training-corpus pipeline
+needs, designed Spark-first:
+
+- **Signatures are narrow maps.** MinHash/SimHash signatures are pure
+  array expressions over the tokenized text (no explode, no Python,
+  no shuffle) — at scale this is a single codegen'd projection per
+  document, embarrassingly parallel.
+- **Candidate generation is one banded shuffle.** LSH banding turns
+  the O(n²) all-pairs problem into a join keyed on (band, band-hash):
+  high-cardinality keys, well-distributed; AQE skew-join absorbs any
+  hot bucket (e.g. boilerplate documents sharing a band).
+- **Exact verification only on candidates.** n-gram Jaccard is
+  computed only for LSH survivors at scale; the standalone
+  ``ngram_jaccard_pairs`` exists as the exact/oracle path.
+
+All hashes are the 60-bit md5 family (hashing.py) — deterministic
+across engines so the DuckDB oracle can replay every step in SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from spk_sl_validation_spark.ext.hashing import md5_long, word_shingles, ws_tokens
+from spk_sl_validation_spark.ext.text import md5_fingerprint
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_dup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Hash-groupBy exact dedup on normalized text.
+
+    Returns one row per document with its fingerprint, the group size,
+    the group representative (min id), and an ``is_dup`` flag. One
+    shuffle on the 128-bit fingerprint — uniformly distributed by
+    construction, no skew.
+    """
+    fp = df.select(F.col(id_col), md5_fingerprint(text_col).alias("exact_fp"))
+    groups = fp.groupBy("exact_fp").agg(
+        F.count(F.lit(1)).alias("group_size"), F.min(id_col).alias("rep_id")
+    )
+    return (
+        fp.join(groups, "exact_fp")
+        .select(
+            id_col,
+            "exact_fp",
+            "group_size",
+            "rep_id",
+            (F.col("group_size") > 1).alias("is_dup"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def _tokens_sql_expr(text_col: str) -> str:
+    return f"split(trim({text_col}), '\\\\s+')"
+
+
+def with_minhash_signature(
+    df: DataFrame, text_col: str = "text", num_hashes: int = 12, shingle_n: int = 3
+) -> DataFrame:
+    """Append ``sig`` (array<bigint>, length num_hashes): per seed i,
+    the min 60-bit hash over word n-gram shingles.
+
+    min() over a multiset equals min() over the set, so shingles need
+    no dedup. Pure array transform — narrow, no shuffle.
+    """
+    sh = word_shingles(_tokens_sql_expr(text_col), shingle_n)
+
+    # NB: the lambda must be unary — PySpark inspects lambda arity and a
+    # second parameter (even defaulted) would be bound to the array index.
+    def _hasher(seed: int):
+        return lambda s: md5_long(s, seed=seed)
+
+    sig = F.array(*[F.array_min(F.transform(sh, _hasher(i))) for i in range(num_hashes)])
+    return df.withColumn("sig", sig)
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    num_hashes: int = 12,
+    bands: int = 6,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """MinHash-LSH candidate pairs: (id_a, id_b, est_jaccard).
+
+    Signature → split into ``bands`` bands of ``num_hashes/bands``
+    rows → self-join on (band index, band hashes) → distinct pairs,
+    with the Jaccard estimate (fraction of agreeing signature slots)
+    computed from the carried signatures. With r=2 rows/band and
+    b=6 bands the S-curve threshold is (1/b)^(1/r) ≈ 0.41.
+
+    Scale: the join key (band, h1, h2) is effectively unique per
+    near-dup cluster — the shuffle is uniform; distinct() collapses
+    multi-band matches. The probe is sig-only (id + 2 longs + the
+    signature array), so shuffled bytes ≈ 8·(k+3) per doc per band,
+    independent of document size.
+    """
+    assert num_hashes % bands == 0
+    rows_per_band = num_hashes // bands
+    sig_df = with_minhash_signature(df, text_col, num_hashes, shingle_n).select(id_col, "sig")
+
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                *[F.col("sig")[b * rows_per_band + r].alias(f"h{r}") for r in range(rows_per_band)],
+            )
+            for b in range(bands)
+        ]
+    )
+    hcols = [f"h{r}" for r in range(rows_per_band)]
+    exploded = sig_df.select(id_col, "sig", F.explode(band_structs).alias("bk")).select(
+        id_col, "sig", "bk.band", *[F.col(f"bk.{h}").alias(h) for h in hcols]
+    )
+    a, b = exploded.alias("a"), exploded.alias("b")
+    join_cond = (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")) & (F.col("a.band") == F.col("b.band"))
+    for h in hcols:
+        join_cond = join_cond & (F.col(f"a.{h}") == F.col(f"b.{h}"))
+    matches = F.size(F.filter(F.zip_with("asig", "bsig", lambda x, y: x == y), lambda v: v))
+    return (
+        a.join(b, join_cond)
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.sig").alias("asig"),
+            F.col("b.sig").alias("bsig"),
+        )
+        .distinct()
+        .select(
+            "id_a",
+            "id_b",
+            (matches.cast("double") / F.lit(float(num_hashes))).alias("est_jaccard"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def with_simhash(df: DataFrame, text_col: str = "text", bits: int = 32, out: str = "simhash") -> DataFrame:
+    """Append a ``bits``-wide SimHash fingerprint of the token stream.
+
+    Frequency-weighted: bit p is set iff a strict majority of tokens
+    (with multiplicity) have bit p set in their 60-bit hash. One
+    hash per token, then ``bits`` array filters — still a narrow map.
+    """
+    toks = ws_tokens(text_col)
+    hashes = F.transform(toks, lambda t: md5_long(t))
+    n = F.size(toks)
+    def _bit_test(p: int):
+        # Unary lambda on purpose — see with_minhash_signature.
+        return lambda h: F.shiftright(h, p).bitwiseAND(F.lit(1)) == 1
+
+    fp = F.lit(0).cast("long")
+    for p in range(bits):
+        ones = F.size(F.filter(hashes, _bit_test(p)))
+        fp = fp + F.when(ones * 2 > n, F.lit(1 << p).cast("long")).otherwise(F.lit(0).cast("long"))
+    return df.withColumn(out, fp)
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame, id_col: str, text_col: str = "text", bits: int = 32, max_hamming: int = 2
+) -> DataFrame:
+    """Exact Hamming-≤k pairs on SimHash fingerprints via banding.
+
+    The fingerprint is split into ``max_hamming + 1`` bit-bands; by
+    pigeonhole any pair within Hamming distance k agrees exactly on
+    ≥1 band, so a per-band equi-join followed by an exact popcount
+    filter is *lossless* — identical results to the O(n²) scan the
+    oracle runs, but with join-shaped cost at scale.
+    """
+    n_bands = max_hamming + 1
+    width = (bits + n_bands - 1) // n_bands
+    fp_df = with_simhash(df, text_col, bits).select(id_col, "simhash")
+
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright(F.col("simhash"), b * width).bitwiseAND(F.lit((1 << width) - 1)).alias("bh"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    exploded = fp_df.select(id_col, "simhash", F.explode(bands).alias("bk")).select(
+        id_col, "simhash", "bk.band", "bk.bh"
+    )
+    a, b = exploded.alias("a"), exploded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            & (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return pairs.select("id_a", "id_b", hamming.alias("hamming")).filter(F.col("hamming") <= max_hamming)
+
+
+# ---------------------------------------------------------------------------
+# Exact n-gram Jaccard
+# ---------------------------------------------------------------------------
+
+def ngram_jaccard_pairs(
+    df: DataFrame, id_col: str, text_col: str = "text", n: int = 3, threshold: float = 0.5
+) -> DataFrame:
+    """Exact Jaccard similarity on distinct word n-gram sets.
+
+    Explode distinct shingles → self-join on shingle → group by pair.
+    O(sum of pairs sharing a shingle) — at 100 TB this runs only on
+    LSH candidates (compose with ``lsh_candidate_pairs``); standalone
+    it is the exact baseline and the oracle path.
+    """
+    sh = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(word_shingles(_tokens_sql_expr(text_col), n))).alias("s"),
+    )
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    jac = F.col("n_inter").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double")
+    return (
+        inter.join(F.broadcast(sa), "id_a")
+        .join(F.broadcast(sb), "id_b")
+        .select("id_a", "id_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )

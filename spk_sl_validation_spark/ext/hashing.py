@@ -1,0 +1,75 @@
+"""Deterministic, cross-engine hashing primitives.
+
+Everything downstream of dedup/fingerprinting needs hash values that
+(a) are stable across runs and cluster topologies, and (b) can be
+reproduced by the DuckDB oracle in plain SQL. ``xxhash64``/``hash``
+differ between engines, so we standardize on **md5 truncated to 60
+bits** (15 hex chars → BIGINT, always positive, no overflow):
+
+- Spark:  ``CAST(conv(substring(md5(x), 1, 15), 16, 10) AS BIGINT)``
+- DuckDB: ``CAST(('0x' || substr(md5(x), 1, 15)) AS BIGINT)``
+
+Seeded variants concatenate ``'#<seed>'`` before hashing — this is the
+family of independent hash functions MinHash needs.
+
+All expressions are built-in JVM functions — narrow maps, no shuffle,
+whole-stage-codegen'd; at 100 TB signature computation scales linearly
+with zero data movement.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def md5_long(col: str | Column, seed: int | None = None) -> Column:
+    """60-bit integer hash of a string column (seeded family)."""
+    c = F.col(col) if isinstance(col, str) else col
+    if seed is not None:
+        c = F.concat(c, F.lit(f"#{seed}"))
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+def md5_long_sql(expr: str, seed: int | None = None) -> str:
+    """DuckDB SQL equivalent of :func:`md5_long` (same bit pattern)."""
+    if seed is not None:
+        expr = f"({expr} || '#{seed}')"
+    return f"CAST(('0x' || substr(md5({expr}), 1, 15)) AS BIGINT)"
+
+
+def ws_tokens(col: str | Column) -> Column:
+    """Whitespace tokenization: ``split(trim(x), '\\s+')``.
+
+    DuckDB twin: ``string_split_regex(trim(x), '\\s+')``.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(F.trim(c), r"\s+")
+
+
+WS_TOKENS_SQL = r"string_split_regex(trim({col}), '\s+')"
+
+
+def word_shingles(tokens_expr: str, n: int = 3) -> Column:
+    """Word n-gram shingles from a token-array SQL expression.
+
+    Produced without explode — a pure array ``transform`` over slice
+    windows, so shingling is a narrow per-row map (no shuffle; the
+    dominant cost at scale is the md5 in the consumer, also narrow).
+    Short documents (< n tokens) yield one shingle of the whole doc.
+
+    Spark arrays: ``slice`` is 1-based; ``sequence(0, k)`` covers k+1
+    start offsets.
+    """
+    return F.expr(
+        f"transform(sequence(0, greatest(size({tokens_expr}) - {n}, 0)),"
+        f" i -> concat_ws(' ', slice({tokens_expr}, i + 1, {n})))"
+    )
+
+
+def word_shingles_sql(tokens_expr: str, n: int = 3) -> str:
+    """DuckDB twin of :func:`word_shingles` (1-based list_slice)."""
+    return (
+        f"list_transform(range(1, greatest(len({tokens_expr}) - {n - 1}, 1) + 1),"
+        f" i -> array_to_string(list_slice({tokens_expr}, i, i + {n - 1}), ' '))"
+    )

@@ -1,0 +1,139 @@
+"""Text-analysis operators for training-data pipelines.
+
+Beyond the reference's scope (its string surface is concat/substring/
+startswith — SURVEY.md §2.9); these are the document-level operators a
+100 TB corpus pipeline needs: token counting, quality scoring,
+language ID, fingerprinting. Every function here is a built-in-column
+expression (JVM-side, codegen'd) — a narrow map over the documents
+table with no shuffle and no Python in the hot path. Each has an
+exact DuckDB SQL twin so the oracle harness can verify values.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from spk_sl_validation_spark.ext.hashing import md5_long, ws_tokens
+
+# A compact English-ish stopword list; the quality/language heuristics
+# only need a deterministic, documented vocabulary, not linguistic
+# completeness.
+STOPWORDS: tuple[str, ...] = ("the", "a", "an", "of", "and", "to", "in", "is", "it", "for")
+
+# Marker-word profiles for the n-gram/stopword language-ID heuristic.
+# Deterministic scoring: hits per profile, argmax with fixed tie order.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "and", "of", "is"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "es": ("el", "la", "los", "que", "es"),
+    "fr": ("le", "la", "les", "et", "est"),
+    "zh": ("de", "le", "shi", "bu", "zai"),
+}
+
+# BPE-ish segmentation: runs of letters, runs of digits, or a single
+# non-space symbol — approximates how byte-pair tokenizers split text.
+BPE_ISH_PATTERN = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+
+
+def token_count(col: str | Column) -> Column:
+    """Whitespace token count. SQL twin: ``len(string_split_regex(trim(x),'\\s+'))``."""
+    return F.size(ws_tokens(col))
+
+
+def bpe_ish_token_count(col: str | Column) -> Column:
+    """Regex-segmented token count (BPE approximation).
+
+    SQL twin: ``len(regexp_extract_all(lower(x), pattern))``.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_count(F.lower(c), F.lit(BPE_ISH_PATTERN))
+
+
+def punct_count(col: str | Column) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_count(F.lower(c), F.lit(r"[^a-z0-9\s]"))
+
+
+def stopword_count(col: str | Column, stopwords: tuple[str, ...] = STOPWORDS) -> Column:
+    """Count of tokens in the stopword vocabulary (array filter, no explode)."""
+    return F.size(F.filter(ws_tokens(col), lambda t: t.isin(*stopwords)))
+
+
+def quality_components(col: str | Column) -> dict[str, Column]:
+    """The raw ratios a quality classifier would threshold on.
+
+    All divisions are single double-precision ops on integer inputs —
+    bit-identical across engines.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    n_chars = F.length(c).cast("double")
+    n_tokens = token_count(c).cast("double")
+    toks = ws_tokens(c)
+    inlist = list(STOPWORDS)
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*inlist))).cast("double")
+    return {
+        "n_chars": F.length(c),
+        "n_tokens": token_count(c),
+        "avg_token_len": (n_chars - (n_tokens - F.lit(1.0))) / n_tokens,
+        "punct_ratio": punct_count(c).cast("double") / n_chars,
+        "stopword_ratio": n_stop / n_tokens,
+    }
+
+
+def quality_score(col: str | Column) -> Column:
+    """Composite [0,1]-ish quality score: rewards mid-length docs with
+    a healthy stopword ratio, penalizes punctuation soup. Weighted sum
+    of deterministic doubles, evaluated in a fixed order.
+    """
+    q = quality_components(col)
+    length_term = F.least(q["n_chars"].cast("double") / F.lit(500.0), F.lit(1.0))
+    return (
+        F.lit(0.4) * length_term
+        + F.lit(0.4) * F.least(q["stopword_ratio"] * F.lit(5.0), F.lit(1.0))
+        + F.lit(0.2) * (F.lit(1.0) - F.least(q["punct_ratio"] * F.lit(10.0), F.lit(1.0)))
+    )
+
+
+def lang_hits(col: str | Column, lang: str) -> Column:
+    markers = LANG_MARKERS[lang]
+    return F.size(F.filter(ws_tokens(col), lambda t: t.isin(*markers)))
+
+
+def lang_id(col: str | Column) -> Column:
+    """Marker-word language ID: argmax of per-language hit counts with
+    a fixed tie order (dict order of LANG_MARKERS); 'und' when no
+    profile hits at all.
+    """
+    hits = {lang: lang_hits(col, lang) for lang in LANG_MARKERS}
+    best = F.greatest(*hits.values())
+    expr = F.lit("und")
+    # Build the WHEN chain in reverse so earlier languages win ties.
+    for lang in reversed(list(LANG_MARKERS)):
+        expr = F.when((hits[lang] == best) & (best > 0), F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def normalized_text(col: str | Column) -> Column:
+    """Canonical form for exact-dup hashing: lowercase, collapse
+    whitespace, trim."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+
+
+def md5_fingerprint(col: str | Column) -> Column:
+    """Exact-duplicate fingerprint: md5 hex of the normalized text."""
+    return F.md5(normalized_text(col))
+
+
+def rolling_fingerprint(col: str, n: int = 3) -> Column:
+    """Rolling-hash document fingerprint: the minimum 60-bit hash over
+    word n-gram windows (one representative shingle hash — the
+    1-permutation special case of MinHash). Stable under small edits
+    away from the minimizing window. ``col`` must be a column NAME
+    (the shingle builder is a SQL expression).
+    """
+    from spk_sl_validation_spark.ext.hashing import word_shingles
+
+    sh = word_shingles(f"split(trim({col}), '\\\\s+')", n)
+    return F.array_min(F.transform(sh, lambda s: md5_long(s)))

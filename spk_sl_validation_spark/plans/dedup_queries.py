@@ -1,0 +1,172 @@
+r"""Deduplication queries over the documents table (north-star set).
+
+Each strategy from ext/dedup.py registers with a DuckDB oracle that
+replays the identical deterministic computation in SQL — including
+the md5-family hashes — so MinHash/SimHash/LSH results are
+value-verified, not just row-counted.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from spk_sl_validation_spark.ext import dedup as D
+from spk_sl_validation_spark.ext.hashing import md5_long_sql, word_shingles_sql
+from spk_sl_validation_spark.plans.registry import register
+from spk_sl_validation_spark.sources.readers import load_table
+
+_TOKS = r"string_split_regex(trim(text), '\s+')"
+
+NUM_HASHES = 12
+BANDS = 6
+ROWS_PER_BAND = NUM_HASHES // BANDS
+SIMHASH_BITS = 32
+MAX_HAMMING = 2
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+@register(
+    "dedup_exact_groups",
+    doc="exact dedup: hash-groupBy on normalized-text md5 fingerprint",
+    oracle=r"""
+WITH fp AS (
+  SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS exact_fp
+  FROM documents
+),
+g AS (SELECT exact_fp, count(*) AS group_size, min(doc_id) AS rep_id FROM fp GROUP BY exact_fp)
+SELECT fp.doc_id, fp.exact_fp, g.group_size, g.rep_id, (g.group_size > 1) AS is_dup
+FROM fp JOIN g USING (exact_fp)
+""",
+)
+def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.exact_dup_groups(docs, "doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def _minhash_lsh_oracle() -> str:
+    sh = word_shingles_sql("t", 3)
+    mh_exprs = ",\n         ".join(
+        f"list_min(list_transform(s, x -> {md5_long_sql('x', seed=i)})) AS mh{i}"
+        for i in range(NUM_HASHES)
+    )
+    band_selects = "\n  UNION ALL\n".join(
+        "  SELECT doc_id, {b} AS band, {hs} FROM sig".format(
+            b=b,
+            hs=", ".join(f"mh{b * ROWS_PER_BAND + r} AS h{r}" for r in range(ROWS_PER_BAND)),
+        )
+        for b in range(BANDS)
+    )
+    hmatch = " AND ".join(f"a.h{r} = b.h{r}" for r in range(ROWS_PER_BAND))
+    agree = " + ".join(f"(CASE WHEN sa.mh{i} = sb.mh{i} THEN 1 ELSE 0 END)" for i in range(NUM_HASHES))
+    return f"""
+WITH tok AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+shv AS (SELECT doc_id, {sh} AS s FROM tok),
+sig AS (SELECT doc_id,
+         {mh_exprs}
+        FROM shv),
+bands AS (
+{band_selects}
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b ON a.band = b.band AND {hmatch} AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, CAST(({agree}) AS DOUBLE) / {float(NUM_HASHES)} AS est_jaccard
+FROM pairs
+JOIN sig sa ON sa.doc_id = id_a
+JOIN sig sb ON sb.doc_id = id_b
+"""
+
+
+@register(
+    "dedup_minhash_lsh",
+    headline=True,
+    doc=f"MinHash({NUM_HASHES})+LSH({BANDS} bands) near-dup candidate pairs with signature Jaccard estimate",
+    oracle=None,  # set below — needs the generator
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.lsh_candidate_pairs(docs, "doc_id", "text", NUM_HASHES, BANDS)
+
+
+# Patch in the generated oracle (register() takes literals; the LSH
+# oracle is assembled programmatically to stay in lockstep with the
+# constants above).
+from spk_sl_validation_spark.plans.registry import REGISTRY as _REG  # noqa: E402
+import dataclasses as _dc  # noqa: E402
+
+_REG["dedup_minhash_lsh"] = _dc.replace(_REG["dedup_minhash_lsh"], oracle=_minhash_lsh_oracle())
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def _simhash_oracle() -> str:
+    bit_terms = " + ".join(
+        f"(CASE WHEN 2 * len(list_filter(h, v -> (v >> {p}) & 1 = 1)) > n THEN {1 << p} ELSE 0 END)"
+        for p in range(SIMHASH_BITS)
+    )
+    return f"""
+WITH tok AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+hs AS (SELECT doc_id, list_transform(t, x -> {md5_long_sql('x')}) AS h, len(t) AS n FROM tok),
+fp AS (SELECT doc_id, CAST({bit_terms} AS BIGINT) AS simhash FROM hs)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {MAX_HAMMING}
+"""
+
+
+@register(
+    "dedup_simhash",
+    doc=f"SimHash({SIMHASH_BITS}-bit) near-dup pairs, Hamming ≤ {MAX_HAMMING}, lossless banded join",
+    oracle=None,
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyspark.sql.functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.simhash_near_dup_pairs(docs, "doc_id", "text", SIMHASH_BITS, MAX_HAMMING)
+    return pairs.select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
+
+
+_REG["dedup_simhash"] = _dc.replace(_REG["dedup_simhash"], oracle=_simhash_oracle())
+
+
+# ---------------------------------------------------------------------------
+# Exact n-gram Jaccard
+# ---------------------------------------------------------------------------
+
+@register(
+    "dedup_ngram_jaccard",
+    doc="exact 3-gram Jaccard near-dup pairs (threshold 0.5) — the verification path for LSH candidates",
+    oracle=rf"""
+WITH sh AS (
+  SELECT doc_id, unnest(list_distinct({word_shingles_sql(_TOKS, 3)})) AS s
+  FROM documents
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       CAST(n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE CAST(n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) >= 0.5
+""",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.ngram_jaccard_pairs(docs, "doc_id", "text", 3, 0.5)

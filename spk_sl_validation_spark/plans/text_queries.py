@@ -1,0 +1,130 @@
+r"""Text-analysis queries over the documents table (north-star set).
+
+Each query pairs a Spark builder (built-in column expressions only —
+narrow maps, no shuffle except final aggregation where noted) with a
+DuckDB oracle computing the exact same deterministic function, so the
+driver's value-hash comparison verifies them end to end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spk_sl_validation_spark.ext import text as X
+from spk_sl_validation_spark.ext.hashing import md5_long_sql, word_shingles_sql
+from spk_sl_validation_spark.plans.registry import register
+from spk_sl_validation_spark.sources.readers import load_table
+
+_TOKS = r"string_split_regex(trim(text), '\s+')"
+_STOP_IN = ", ".join(f"'{w}'" for w in X.STOPWORDS)
+
+
+@register(
+    "text_token_stats",
+    doc="token counting: whitespace + BPE-ish regex segmentation (north-star: text analysis)",
+    oracle=rf"""
+SELECT doc_id,
+       len({_TOKS}) AS n_tokens,
+       len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS n_bpe_tokens,
+       length(text) AS n_chars
+FROM documents
+""",
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        X.token_count("text").alias("n_tokens"),
+        X.bpe_ish_token_count("text").alias("n_bpe_tokens"),
+        F.length("text").alias("n_chars"),
+    )
+
+
+@register(
+    "text_quality",
+    headline=True,
+    doc="document quality scoring: length/punct/stopword ratios + composite score",
+    oracle=rf"""
+SELECT doc_id,
+       length(text) AS n_chars,
+       len({_TOKS}) AS n_tokens,
+       CAST(len(list_filter({_TOKS}, t -> t IN ({_STOP_IN}))) AS DOUBLE)
+           / CAST(len({_TOKS}) AS DOUBLE) AS stopword_ratio,
+       CAST(len(regexp_extract_all(lower(text), '[^a-z0-9\s]')) AS DOUBLE)
+           / CAST(length(text) AS DOUBLE) AS punct_ratio,
+       0.4 * least(CAST(length(text) AS DOUBLE) / 500.0, 1.0)
+       + 0.4 * least(CAST(len(list_filter({_TOKS}, t -> t IN ({_STOP_IN}))) AS DOUBLE)
+                     / CAST(len({_TOKS}) AS DOUBLE) * 5.0, 1.0)
+       + 0.2 * (1.0 - least(CAST(len(regexp_extract_all(lower(text), '[^a-z0-9\s]')) AS DOUBLE)
+                            / CAST(length(text) AS DOUBLE) * 10.0, 1.0)) AS quality_score
+FROM documents
+""",
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    q = X.quality_components("text")
+    return docs.select(
+        "doc_id",
+        q["n_chars"].alias("n_chars"),
+        q["n_tokens"].alias("n_tokens"),
+        q["stopword_ratio"].alias("stopword_ratio"),
+        q["punct_ratio"].alias("punct_ratio"),
+        X.quality_score("text").alias("quality_score"),
+    )
+
+
+def _hits_sql(lang: str) -> str:
+    markers = ", ".join(f"'{w}'" for w in X.LANG_MARKERS[lang])
+    return f"len(list_filter({_TOKS}, t -> t IN ({markers})))"
+
+
+_LANG_CASE = (
+    "CASE "
+    + " ".join(
+        f"WHEN {_hits_sql(lang)} = {_best} AND {_best} > 0 THEN '{lang}'"
+        for lang in X.LANG_MARKERS
+        for _best in [f"greatest({', '.join(_hits_sql(la) for la in X.LANG_MARKERS)})"]
+    )
+    + " ELSE 'und' END"
+)
+
+
+@register(
+    "text_language_id",
+    doc="marker-word language ID (deterministic argmax heuristic) vs the label column",
+    oracle=f"""
+SELECT lang AS label_lang, {_LANG_CASE} AS pred_lang, count(*) AS n_docs
+FROM documents
+GROUP BY lang, pred_lang
+""",
+)
+def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.col("lang").alias("label_lang"), X.lang_id("text").alias("pred_lang"))
+        .groupBy("label_lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+_SHINGLES = word_shingles_sql(_TOKS, 3)
+
+
+@register(
+    "text_fingerprint",
+    doc="document fingerprints: md5 of normalized text + rolling min-hash over 3-gram windows",
+    oracle=rf"""
+SELECT doc_id,
+       md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS exact_fp,
+       list_min(list_transform({_SHINGLES}, s -> {md5_long_sql('s')})) AS rolling_fp
+FROM documents
+""",
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        X.md5_fingerprint("text").alias("exact_fp"),
+        X.rolling_fingerprint("text").alias("rolling_fp"),
+    )
