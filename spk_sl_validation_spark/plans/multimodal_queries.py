@@ -1,0 +1,87 @@
+"""Multimodal-column queries (north-star set).
+
+The media table derives from documents (utf-8 bytes as payload), so
+the DuckDB oracle can replay metadata and frame hashing on the text
+side: the corpus is ASCII, hence text chars == payload bytes and
+``md5(VARCHAR)`` hashes the same byte stream Spark's binary md5 sees.
+The decode/feature queries are genuinely non-SQL (Arrow-batched
+Python) — registered without an oracle, so the driver records the
+weaker rows-only check for exactly those, as the contract intends.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spk_sl_validation_spark.ext import multimodal as M
+from spk_sl_validation_spark.plans.registry import register
+from spk_sl_validation_spark.sources.readers import load_table
+
+FRAME_SIZE = 64
+STRIDE = 128
+
+
+@register(
+    "multimodal_meta",
+    doc="binary media column + JVM-side metadata: byte length, content md5, magic prefix",
+    oracle=f"""
+SELECT doc_id,
+       '{M.FAKE_MEDIA_TYPE}' AS media_type,
+       octet_length(encode(text)) AS n_bytes,
+       md5(text) AS content_md5,
+       upper(hex(encode(substring(text, 1, 4)))) AS magic_hex
+FROM documents
+""",
+)
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return M.media_meta(M.as_media_table(docs))
+
+
+@register(
+    "multimodal_frame_sample",
+    doc=f"frame sampling: {FRAME_SIZE}-byte windows every {STRIDE} bytes via mapInPandas (1→N rows)",
+    oracle=f"""
+WITH f AS (
+  SELECT doc_id, text,
+         unnest(range(0, (octet_length(encode(text)) + {STRIDE} - 1) // {STRIDE})) AS i
+  FROM documents
+)
+SELECT doc_id, CAST(i AS INTEGER) AS frame_idx,
+       md5(substring(text, 1 + i * {STRIDE}, {FRAME_SIZE})) AS frame_md5
+FROM f
+""",
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return M.sample_frames(M.as_media_table(docs), FRAME_SIZE, STRIDE)
+
+
+@register(
+    "multimodal_decode",
+    doc="media decode via mapInPandas decoder registry (deterministic fake codec; real codecs stubbed)",
+    oracle="""
+SELECT doc_id,
+       CAST(octet_length(encode(text)) % 640 + 1 AS INTEGER) AS width,
+       CAST(list_reduce(list_prepend(0, list_transform(range(1, least(octet_length(encode(text)), 64) + 1),
+                i -> ord(substring(text, i, 1)))), (x, y) -> x + y) % 480 + 1 AS INTEGER) AS height,
+       3 AS channels,
+       true AS ok
+FROM documents
+""",
+)
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return M.decode_media(M.as_media_table(docs))
+
+
+@register(
+    "multimodal_features",
+    doc="Arrow-batched feature extraction: 16-bin byte histogram pandas_udf (non-SQL → rows-only check)",
+    oracle=None,
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    media = M.as_media_table(docs)
+    return media.select("doc_id", M.byte_histogram(F.col("media")).alias("features"))

@@ -1,0 +1,89 @@
+"""Similarity-search queries over the embeddings table (north-star).
+
+Cosine arithmetic is a deterministic double left-fold in both engines
+(see ext/similarity.py), so even top-k rank membership is value-exact
+against the oracle — no tolerance windows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spk_sl_validation_spark.ext import similarity as S
+from spk_sl_validation_spark.plans.registry import register
+from spk_sl_validation_spark.sources.readers import load_table
+
+N_QUERIES = 5  # vec_id < 5 are the probe vectors
+TOP_K = 10
+LSH_BITS = 8
+NEAR_DUP_TAU = 0.4
+
+_COS = S.cosine_sql("a.embedding", "b.embedding")
+_QCOS = S.cosine_sql("q.embedding", "c.embedding")
+
+
+@register(
+    "similarity_topk_bruteforce",
+    headline=True,
+    doc=f"exact cosine top-{TOP_K} for {N_QUERIES} probe vectors (broadcast queries + WindowGroupLimit top-k)",
+    oracle=f"""
+WITH scored AS (
+  SELECT q.vec_id AS q_id, c.vec_id AS vec_id, {_QCOS} AS cos_sim
+  FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+  WHERE q.vec_id < {N_QUERIES}
+),
+ranked AS (
+  SELECT q_id, vec_id, cos_sim,
+         row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT q_id, vec_id, cos_sim, CAST(rank AS INTEGER) AS rank FROM ranked WHERE rank <= {TOP_K}
+""",
+)
+def similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    out = S.brute_force_topk(emb, queries, TOP_K)
+    return out.select("q_id", "vec_id", "cos_sim", F.col("rank").cast("int").alias("rank"))
+
+
+@register(
+    "similarity_topk_lsh",
+    doc=f"sign-LSH({LSH_BITS}-bit) bucketed ANN top-k: bucket equi-join + exact rerank within bucket",
+    oracle=f"""
+WITH bucketed AS (
+  SELECT vec_id, embedding, {S.sign_lsh_bucket_sql('embedding', LSH_BITS)} AS bucket FROM embeddings
+),
+scored AS (
+  SELECT q.vec_id AS q_id, c.vec_id AS vec_id, {_QCOS} AS cos_sim
+  FROM bucketed q JOIN bucketed c ON q.bucket = c.bucket AND c.vec_id <> q.vec_id
+  WHERE q.vec_id < {N_QUERIES}
+),
+ranked AS (
+  SELECT q_id, vec_id, cos_sim,
+         row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT q_id, vec_id, cos_sim, CAST(rank AS INTEGER) AS rank FROM ranked WHERE rank <= 5
+""",
+)
+def similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    out = S.bucketed_topk(emb, queries, k=5, bits=LSH_BITS)
+    return out.select("q_id", "vec_id", "cos_sim", F.col("rank").cast("int").alias("rank"))
+
+
+@register(
+    "similarity_near_dup",
+    doc=f"embedding-cosine near-dup pairs (cos ≥ {NEAR_DUP_TAU}, exact all-pairs verification path)",
+    oracle=f"""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_COS} AS cos_sim
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE {_COS} >= {NEAR_DUP_TAU}
+""",
+)
+def similarity_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.near_dup_pairs(emb, NEAR_DUP_TAU)

@@ -1,0 +1,96 @@
+"""Structured Streaming queries, materialized via availableNow replay.
+
+Each query builds the *streaming* plan (readStream → stateful
+transform), runs it to completion on the testdata with the memory
+sink, and returns the materialized result — so the DuckDB oracle
+verifies that the streaming execution path produces exactly the batch
+answer (the Dataflow-model batch/stream equivalence claim, checked by
+value hash).
+
+``streaming_running_totals`` (applyInPandasWithState) emits one row
+per user per micro-batch in update mode; the registered query keeps
+only each user's final row, which equals the batch GROUP BY — its
+oracle sums are decimal-exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from spk_sl_validation_spark.plans.registry import register
+from spk_sl_validation_spark.streaming import pipeline as P
+
+
+@register(
+    "streaming_windowed_counts",
+    doc="Structured Streaming tumbling-window agg (watermark + availableNow replay) == batch answer",
+    oracle="""
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY 1, 2
+""",
+)
+def streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = P.stream_events(spark, sf_dir)
+    return P.run_available_now(P.windowed_counts(stream), output_mode="complete")
+
+
+@register(
+    "streaming_sessionize",
+    doc="Structured Streaming session windows (30 min gap) == batch islands sessionization",
+    oracle="""
+WITH marked AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+),
+sessions AS (
+  SELECT user_id, ts,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM marked
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+       COUNT(*) AS n_events
+FROM sessions
+GROUP BY user_id, session_id
+""",
+)
+def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = P.stream_events(spark, sf_dir)
+    return P.run_available_now(P.sessionized(stream), output_mode="complete")
+
+
+@register(
+    "streaming_running_totals",
+    doc="custom stateful op (applyInPandasWithState): per-user running totals; final state == batch GROUP BY",
+    oracle="""
+SELECT user_id, COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY user_id
+""",
+)
+def streaming_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = P.stream_events(spark, sf_dir)
+    out = P.run_available_now(P.running_user_totals(stream), output_mode="update")
+    # Update mode emits one row per user per micro-batch; keep the last
+    # (cumulative) row per user — n_events is monotone within a user.
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        out.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "user_id",
+            "n_events",
+            F.col("total_value").cast("decimal(18,2)").cast("double").alias("total_value"),
+        )
+    )

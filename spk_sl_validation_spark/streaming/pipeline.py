@@ -1,0 +1,158 @@
+"""Structured Streaming pipelines over the events table.
+
+The reference has no streaming (SURVEY.md §2.10); this module is the
+north-star extension: the same event-time operators as the batch
+plans (windowed_event_agg, sessionize_events) expressed as streams,
+plus a custom stateful operator via ``applyInPandasWithState``.
+
+Design for scale:
+- **Event-time, not arrival-time**: watermarks bound state; late data
+  within the watermark is merged correctly (Dataflow-model
+  semantics). State lives in the state store, partitioned by group
+  key — scales with distinct keys, not events.
+- **availableNow trigger** for tests/backfills: the identical query
+  graph serves both the continuous deployment and a deterministic
+  batch replay, which is what makes the DuckDB oracle applicable.
+- The file source splits input into batches; all stateful operators
+  here are correct across arbitrary batch boundaries (running counts
+  carry GroupState; windows/sessions merge in the state store).
+"""
+
+from __future__ import annotations
+
+import itertools
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from spk_sl_validation_spark import schemas
+
+_SINK_COUNTER = itertools.count()
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the events parquet with the same NANOS→µs
+    normalization as the batch reader (sources/readers.py).
+
+    The file stream source requires a *directory*; the testdata ships
+    single read-only files, so we stage a hardlink/copy under /tmp
+    once per sf_dir (in production the source is already a directory
+    of arriving files).
+    """
+    import pathlib
+    import shutil
+
+    src = pathlib.Path(sf_dir) / "events.parquet"
+    stage = pathlib.Path("/tmp/spk_sl_stream_src") / sf_dir.strip("/").replace("/", "_")
+    staged = stage / "events.parquet"
+    if not staged.exists():
+        stage.mkdir(parents=True, exist_ok=True)
+        try:
+            staged.hardlink_to(src)
+        except OSError:
+            shutil.copy(src, staged)
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    physical = T.StructType(
+        [
+            f if f.name != "ts" else T.StructField("ts", T.LongType(), True)
+            for f in schemas.EVENTS.fields
+        ]
+    )
+    raw = spark.readStream.schema(physical).parquet(str(stage))
+    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)")).select(
+        *[f.name for f in schemas.EVENTS.fields]
+    )
+
+
+def run_available_now(stream_df: DataFrame, output_mode: str = "complete") -> DataFrame:
+    """Execute a streaming DataFrame to completion on the available
+    data (memory sink) and return the materialized result as a batch
+    DataFrame — the deterministic-replay harness for the oracle."""
+    name = f"spk_sl_stream_sink_{next(_SINK_COUNTER)}"
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(name)
+
+
+def windowed_counts(events: DataFrame, window: str = "1 hour", watermark: str = "2 hours") -> DataFrame:
+    """Tumbling event-time window aggregation — streaming twin of the
+    batch ``windowed_event_agg`` plan. The watermark bounds state to
+    (watermark / window) live windows per event_type."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+        .select(F.col("window.start").alias("window_start"), "event_type", "n", "sum_value")
+    )
+
+
+def sessionized(events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours") -> DataFrame:
+    """Session windows (gap-based) per user — the built-in streaming
+    sessionization; state merges adjacent sessions in the state store."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+_RUNNING_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_value", T.DoubleType()),
+    ]
+)
+_STATE_SCHEMA = T.StructType(
+    [T.StructField("n", T.LongType()), T.StructField("total", T.DoubleType())]
+)
+
+
+def running_user_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful operator: per-user running (count, sum(value))
+    via ``applyInPandasWithState``. Emits the updated total each
+    batch; state is a 2-field tuple per user — O(distinct users), not
+    O(events). This is the extension point the built-in aggregations
+    don't cover (arbitrary Python state transitions per group).
+    """
+
+    def update(
+        key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state
+    ) -> Iterator[pd.DataFrame]:
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "total_value": [total]})
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=_RUNNING_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

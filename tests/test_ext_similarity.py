@@ -1,0 +1,101 @@
+"""Unit tests for similarity search, multimodal plumbing, streaming."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from spk_sl_validation_spark.ext import multimodal as M
+from spk_sl_validation_spark.ext import similarity as S
+
+
+def test_cosine_exact(spark):
+    df = spark.createDataFrame([Row(a=[1.0, 0.0, 2.0], b=[2.0, 1.0, 0.0])])
+    got = df.select(S.cosine(F.col("a"), F.col("b")).alias("c")).collect()[0].c
+    expected = 2.0 / (math.sqrt(5.0) * math.sqrt(5.0))
+    assert abs(got - expected) < 1e-15
+
+
+def test_brute_force_topk_order(spark):
+    corpus = spark.createDataFrame(
+        [
+            Row(vec_id=1, embedding=[1.0, 0.0]),
+            Row(vec_id=2, embedding=[0.9, 0.1]),
+            Row(vec_id=3, embedding=[0.0, 1.0]),
+            Row(vec_id=4, embedding=[-1.0, 0.0]),
+        ]
+    )
+    queries = corpus.filter(F.col("vec_id") == 1)
+    out = S.brute_force_topk(corpus, queries, k=2).collect()
+    assert [(r.vec_id, r.rank) for r in sorted(out, key=lambda r: r.rank)] == [(2, 1), (3, 2)]
+
+
+def test_sign_lsh_bucket_groups_similar(spark):
+    df = spark.createDataFrame(
+        [
+            Row(vec_id=1, embedding=[1.0, 1.0, -1.0, 1.0]),
+            Row(vec_id=2, embedding=[2.0, 0.5, -0.1, 3.0]),
+            Row(vec_id=3, embedding=[-1.0, -1.0, 1.0, -1.0]),
+        ]
+    )
+    buckets = {
+        r.vec_id: r.b
+        for r in df.select("vec_id", S.sign_lsh_bucket(F.col("embedding"), 4).alias("b")).collect()
+    }
+    assert buckets[1] == buckets[2] != buckets[3]
+
+
+def test_media_roundtrip_and_decode(spark):
+    docs = spark.createDataFrame([Row(doc_id=1, text="hello world")])
+    media = M.as_media_table(docs)
+    meta = media.transform(M.media_meta).collect()[0]
+    assert meta.n_bytes == 11
+    assert meta.content_md5 == hashlib.md5(b"hello world").hexdigest()
+
+    decoded = M.decode_media(media).collect()[0]
+    w, h, c = M._decode_fake(b"hello world")
+    assert (decoded.width, decoded.height, decoded.channels, decoded.ok) == (w, h, c, True)
+
+
+def test_decode_unregistered_type_flags_not_ok(spark):
+    docs = spark.createDataFrame([Row(doc_id=1, text="x")])
+    media = M.as_media_table(docs).withColumn("media_type", F.lit("image/png"))
+    decoded = M.decode_media(media).collect()[0]
+    assert not decoded.ok
+
+
+def test_byte_histogram_sums_to_one(spark):
+    docs = spark.createDataFrame([Row(doc_id=1, text="abcdefgh")])
+    media = M.as_media_table(docs)
+    feats = media.select(M.byte_histogram(F.col("media")).alias("f")).collect()[0].f
+    assert len(feats) == M.N_BINS
+    assert abs(sum(feats) - 1.0) < 1e-12
+    # 'a'..'h' are 0x61-0x68 → all in bin 6
+    assert feats[6] == 1.0
+
+
+def test_frame_sample_shapes(spark):
+    text = "x" * 300
+    docs = spark.createDataFrame([Row(doc_id=1, text=text)])
+    frames = M.sample_frames(M.as_media_table(docs), frame_size=64, stride=128).collect()
+    assert [f.frame_idx for f in sorted(frames, key=lambda f: f.frame_idx)] == [0, 1, 2]
+    raw = text.encode()
+    assert frames[0].frame_md5 == hashlib.md5(raw[0:64]).hexdigest()
+
+
+def test_streaming_matches_batch(spark, sf_dir):
+    from spk_sl_validation_spark.sources.readers import load_table
+    from spk_sl_validation_spark.streaming import pipeline as P
+
+    stream = P.stream_events(spark, sf_dir)
+    got = P.run_available_now(P.windowed_counts(stream), "complete")
+    ev = load_table(spark, sf_dir, "events")
+    expected = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("window_start"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    diff = got.select("window_start", "event_type", "n").exceptAll(expected)
+    assert diff.count() == 0
