@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from spk_sl_validation_spark.ext.hashing import md5_long, word_shingles, ws_tokens
+from spk_sl_validation_spark.ext.hashing import md5_long, seeded_perm, word_shingles, ws_tokens
 from spk_sl_validation_spark.ext.text import md5_fingerprint
 
 
@@ -66,24 +66,49 @@ def _tokens_sql_expr(text_col: str) -> str:
     return f"split(trim({text_col}), '\\\\s+')"
 
 
-def with_minhash_signature(
-    df: DataFrame, text_col: str = "text", num_hashes: int = 12, shingle_n: int = 3
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    num_hashes: int = 12,
+    shingle_n: int = 3,
 ) -> DataFrame:
-    """Append ``sig`` (array<bigint>, length num_hashes): per seed i,
-    the min 60-bit hash over word n-gram shingles.
+    """(id, sig array<bigint> of length num_hashes): per seed i, the
+    min permuted hash over word n-gram shingles.
 
-    min() over a multiset equals min() over the set, so shingles need
-    no dedup. Pure array transform — narrow, no shuffle.
+    Shape: explode shingles → one md5 per shingle → groupBy(id) with
+    ``num_hashes`` ``min(perm_i(h))`` aggregates. Everything is
+    codegen'd scalar expressions; partial (map-side) aggregation means
+    the shuffle carries one k-long row per document, not the shingles.
+
+    Deliberately NOT an array-expression narrow map: higher-order
+    array functions are interpreted (no codegen, no common-subexpr
+    elimination), which made the per-row variant ~30× slower — the
+    explode+aggregate plan is the fast AND scale-correct one. One
+    md5 per shingle; seeds are cheap affine permutations
+    (hashing.seeded_perm). min() over a multiset equals min() over
+    the set, so shingles need no dedup.
     """
-    sh = word_shingles(_tokens_sql_expr(text_col), shingle_n)
+    hashed = df.select(
+        F.col(id_col), F.explode(word_shingles(_tokens_sql_expr(text_col), shingle_n)).alias("s")
+    ).select(id_col, md5_long("s").alias("h"))
+    aggs = [F.min(seeded_perm(F.col("h"), i)).alias(f"mh{i}") for i in range(num_hashes)]
+    return (
+        hashed.groupBy(id_col)
+        .agg(*aggs)
+        .select(id_col, F.array(*[f"mh{i}" for i in range(num_hashes)]).alias("sig"))
+    )
 
-    # NB: the lambda must be unary — PySpark inspects lambda arity and a
-    # second parameter (even defaulted) would be bound to the array index.
-    def _hasher(seed: int):
-        return lambda s: md5_long(s, seed=seed)
 
-    sig = F.array(*[F.array_min(F.transform(sh, _hasher(i))) for i in range(num_hashes)])
-    return df.withColumn("sig", sig)
+def with_minhash_signature(
+    df: DataFrame,
+    text_col: str = "text",
+    num_hashes: int = 12,
+    shingle_n: int = 3,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Append ``sig`` to ``df`` (join-back over :func:`minhash_signatures`)."""
+    return df.join(minhash_signatures(df, id_col, text_col, num_hashes, shingle_n), id_col)
 
 
 def lsh_candidate_pairs(
@@ -110,7 +135,7 @@ def lsh_candidate_pairs(
     """
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
-    sig_df = with_minhash_signature(df, text_col, num_hashes, shingle_n).select(id_col, "sig")
+    sig_df = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
 
     band_structs = F.array(
         *[
@@ -151,25 +176,47 @@ def lsh_candidate_pairs(
 # SimHash
 # ---------------------------------------------------------------------------
 
-def with_simhash(df: DataFrame, text_col: str = "text", bits: int = 32, out: str = "simhash") -> DataFrame:
-    """Append a ``bits``-wide SimHash fingerprint of the token stream.
+def simhash_fingerprints(
+    df: DataFrame, id_col: str, text_col: str = "text", bits: int = 32
+) -> DataFrame:
+    """(id, simhash): ``bits``-wide SimHash of the token stream.
 
     Frequency-weighted: bit p is set iff a strict majority of tokens
-    (with multiplicity) have bit p set in their 60-bit hash. One
-    hash per token, then ``bits`` array filters — still a narrow map.
-    """
-    toks = ws_tokens(text_col)
-    hashes = F.transform(toks, lambda t: md5_long(t))
-    n = F.size(toks)
-    def _bit_test(p: int):
-        # Unary lambda on purpose — see with_minhash_signature.
-        return lambda h: F.shiftright(h, p).bitwiseAND(F.lit(1)) == 1
+    (with multiplicity) have bit p set in their 60-bit hash.
 
+    Shape: explode tokens → one md5 per token → groupBy(id) with
+    ``bits`` conditional-sum aggregates (codegen'd, map-side partial),
+    then assemble the fingerprint from the bit counts. Same rationale
+    as minhash_signatures: interpreted array HOFs re-inline the hash
+    per bit (~bits× the work); the explode+aggregate plan hashes once
+    and shuffles one short row per document.
+    """
+    hashed = df.select(F.col(id_col), F.explode(ws_tokens(text_col)).alias("t")).select(
+        id_col, md5_long("t").alias("h")
+    )
+    aggs = [F.count(F.lit(1)).alias("n")] + [
+        F.sum(F.shiftright(F.col("h"), p).bitwiseAND(F.lit(1))).alias(f"ones{p}")
+        for p in range(bits)
+    ]
+    counted = hashed.groupBy(id_col).agg(*aggs)
     fp = F.lit(0).cast("long")
     for p in range(bits):
-        ones = F.size(F.filter(hashes, _bit_test(p)))
-        fp = fp + F.when(ones * 2 > n, F.lit(1 << p).cast("long")).otherwise(F.lit(0).cast("long"))
-    return df.withColumn(out, fp)
+        fp = fp + F.when(
+            F.col(f"ones{p}") * 2 > F.col("n"), F.lit(1 << p).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    return counted.select(id_col, fp.alias("simhash"))
+
+
+def with_simhash(
+    df: DataFrame,
+    text_col: str = "text",
+    bits: int = 32,
+    out: str = "simhash",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Append ``out`` to ``df`` (join-back over :func:`simhash_fingerprints`)."""
+    sig = simhash_fingerprints(df, id_col, text_col, bits).withColumnRenamed("simhash", out)
+    return df.join(sig, id_col)
 
 
 def simhash_near_dup_pairs(
@@ -185,7 +232,7 @@ def simhash_near_dup_pairs(
     """
     n_bands = max_hamming + 1
     width = (bits + n_bands - 1) // n_bands
-    fp_df = with_simhash(df, text_col, bits).select(id_col, "simhash")
+    fp_df = simhash_fingerprints(df, id_col, text_col, bits)
 
     bands = F.array(
         *[

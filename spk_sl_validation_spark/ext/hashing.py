@@ -50,6 +50,48 @@ def ws_tokens(col: str | Column) -> Column:
 WS_TOKENS_SQL = r"string_split_regex(trim({col}), '\s+')"
 
 
+# ---------------------------------------------------------------------------
+# Cheap seeded permutation family for MinHash
+# ---------------------------------------------------------------------------
+#
+# One md5 per shingle is affordable; 12+ are not (string concat + md5
+# per seed per element, in interpreted higher-order functions, was the
+# dominant cost of LSH at bench scale). Instead: hash once, then map
+# through k independent affine permutations
+#
+#     perm_i(h) = (A_i * (h >> 30) + B_i * (h & (2^30-1)) + C_i) mod (2^61-1)
+#
+# Splitting h keeps every product < 2^61 and the sum < 2^63 — no
+# overflow in Java longs (which wrap) nor DuckDB BIGINTs (which
+# error), so both engines compute identical values with plain integer
+# ops. Constants are md5-derived at import (deterministic everywhere).
+
+MERSENNE_61 = (1 << 61) - 1
+_LOW_MASK = (1 << 30) - 1
+
+
+def _perm_constant(tag: str) -> int:
+    import hashlib as _hl
+
+    return int(_hl.md5(tag.encode()).hexdigest()[:7], 16) | 1  # 28 bits, odd
+
+
+def perm_constants(i: int) -> tuple[int, int, int]:
+    return (_perm_constant(f"A{i}"), _perm_constant(f"B{i}"), _perm_constant(f"C{i}"))
+
+
+def seeded_perm(h: Column, i: int) -> Column:
+    a, b, c = perm_constants(i)
+    return (
+        F.lit(a) * F.shiftright(h, 30) + F.lit(b) * h.bitwiseAND(F.lit(_LOW_MASK)) + F.lit(c)
+    ) % F.lit(MERSENNE_61)
+
+
+def seeded_perm_sql(h_expr: str, i: int) -> str:
+    a, b, c = perm_constants(i)
+    return f"(({a} * ({h_expr} >> 30) + {b} * ({h_expr} & {_LOW_MASK}) + {c}) % {MERSENNE_61})"
+
+
 def word_shingles(tokens_expr: str, n: int = 3) -> Column:
     """Word n-gram shingles from a token-array SQL expression.
 

@@ -147,14 +147,55 @@ def near_dup_pairs(
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, cos ≥ τ).
 
-    Exact all-pairs — the oracle/verification path. At scale, restrict
-    to sign-LSH bucket mates first (compose with
-    :func:`sign_lsh_bucket`) exactly as minhash LSH restricts n-gram
-    Jaccard."""
-    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
-    return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cos_sim"))
-        .filter(F.col("cos_sim") >= threshold)
+    Exact all-pairs, computed as a **broadcast matrix product**: the
+    (normalized) corpus matrix is broadcast to every executor — the
+    same pattern as broadcasting a dimension table — and each
+    partition multiplies its own rows against it with one BLAS
+    matmul inside ``mapInPandas``. A JVM expression per pair would be
+    an interpreted 64-element fold × O(n²) pairs (~70 s at sf0.1 vs
+    ~2 s for this plan); per-pair Python would be worse still.
+
+    Valid while n·d floats fit in executor memory (n≈10⁶·d=1024 ≈
+    8 GB). Beyond that, restrict to sign-LSH bucket mates first
+    (:func:`sign_lsh_bucket`) exactly as MinHash-LSH restricts n-gram
+    Jaccard, and matmul within buckets.
+
+    Float note: float64 BLAS accumulation differs from a sequential
+    fold only below ~1e-14 relative — invisible at the oracle's
+    10-significant-digit comparison.
+    """
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    spark = df.sparkSession
+    corpus = df.select(id_col, vec_col).toPandas()
+    ids = corpus[id_col].to_numpy()
+    mat = np.stack(corpus[vec_col].to_numpy()).astype(np.float64)
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    bc = spark.sparkContext.broadcast((ids, mat))
+
+    schema = T.StructType(
+        [
+            T.StructField("id_a", T.LongType()),
+            T.StructField("id_b", T.LongType()),
+            T.StructField("cos_sim", T.DoubleType()),
+        ]
     )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        all_ids, all_mat = bc.value
+        for pdf in batches:
+            part_ids = pdf[id_col].to_numpy()
+            part = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            part /= np.linalg.norm(part, axis=1, keepdims=True)
+            sims = part @ all_mat.T
+            rows, cols = np.nonzero((sims >= threshold) & (part_ids[:, None] < all_ids[None, :]))
+            yield pd.DataFrame(
+                {"id_a": part_ids[rows], "id_b": all_ids[cols], "cos_sim": sims[rows, cols]}
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(run, schema)

@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from spk_sl_validation_spark.ext import dedup as D
-from spk_sl_validation_spark.ext.hashing import md5_long_sql, word_shingles_sql
+from spk_sl_validation_spark.ext.hashing import md5_long_sql, seeded_perm_sql, word_shingles_sql
 from spk_sl_validation_spark.plans.registry import register
 from spk_sl_validation_spark.sources.readers import load_table
 
@@ -53,7 +53,7 @@ def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _minhash_lsh_oracle() -> str:
     sh = word_shingles_sql("t", 3)
     mh_exprs = ",\n         ".join(
-        f"list_min(list_transform(s, x -> {md5_long_sql('x', seed=i)})) AS mh{i}"
+        f"list_min(list_transform(h, x -> {seeded_perm_sql('x', i)})) AS mh{i}"
         for i in range(NUM_HASHES)
     )
     band_selects = "\n  UNION ALL\n".join(
@@ -67,7 +67,7 @@ def _minhash_lsh_oracle() -> str:
     agree = " + ".join(f"(CASE WHEN sa.mh{i} = sb.mh{i} THEN 1 ELSE 0 END)" for i in range(NUM_HASHES))
     return f"""
 WITH tok AS (SELECT doc_id, {_TOKS} AS t FROM documents),
-shv AS (SELECT doc_id, {sh} AS s FROM tok),
+shv AS (SELECT doc_id, list_transform({sh}, x -> {md5_long_sql('x')}) AS h FROM tok),
 sig AS (SELECT doc_id,
          {mh_exprs}
         FROM shv),

@@ -123,8 +123,6 @@ FROM documents
 )
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id",
-        X.md5_fingerprint("text").alias("exact_fp"),
-        X.rolling_fingerprint("text").alias("rolling_fp"),
-    )
+    exact = docs.select("doc_id", X.md5_fingerprint("text").alias("exact_fp"))
+    rolling = X.rolling_fingerprints(docs, "doc_id", "text", 3)
+    return exact.join(rolling, "doc_id").select("doc_id", "exact_fp", "rolling_fp")

@@ -33,11 +33,18 @@ def test_word_shingles_short_doc(spark):
     assert sh[1].s == ["a b c", "b c d"]
 
 
+def _py_perm(h: int, i: int) -> int:
+    from spk_sl_validation_spark.ext.hashing import MERSENNE_61, perm_constants
+
+    a, b, c = perm_constants(i)
+    return (a * (h >> 30) + b * (h & ((1 << 30) - 1)) + c) % MERSENNE_61
+
+
 def test_minhash_signature_values(spark):
     df = spark.createDataFrame([Row(doc_id=1, text="w1 w2 w3 w4 w5")])
     sig = D.with_minhash_signature(df, num_hashes=4).collect()[0].sig
     shingles = ["w1 w2 w3", "w2 w3 w4", "w3 w4 w5"]
-    expected = [min(_py_md5_long(s, i) for s in shingles) for i in range(4)]
+    expected = [min(_py_perm(_py_md5_long(s), i) for s in shingles) for i in range(4)]
     assert sig == expected
 
 
