@@ -1,0 +1,86 @@
+"""Physical-plan assertions: the plans we designed for are the plans
+Catalyst actually produces. These are the 100 TB posture checks —
+broadcast joins stay broadcast, filters reach the scan, top-k windows
+get group-limit pushdown, bucketed joins shuffle nothing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from spk_sl_validation_spark.operators import relational as R
+from spk_sl_validation_spark.operators.skew import salted_group_agg, write_bucketed
+from spk_sl_validation_spark.sources.readers import load_table
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_dim_join_is_broadcast(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    plan = _plan(R.left_join(li, supp, on=li.l_suppkey == supp.s_suppkey))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    q = li.filter(F.col("l_quantity") > 40).select("l_orderkey", "l_quantity")
+    plan = _plan(q)
+    assert "PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,40" in plan
+    # column pruning: the scan must read only the two referenced columns
+    assert "ReadSchema: struct<l_orderkey:bigint,l_quantity:double>" in plan
+
+
+def test_topk_window_gets_group_limit(spark, sf_dir):
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_suppkey").orderBy(F.col("l_extendedprice").desc())
+    q = li.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 3)
+    # Spark ≥3.5 WindowGroupLimit: partial top-k before the shuffle.
+    assert "WindowGroupLimit" in _plan(q)
+
+
+def test_semi_and_anti_joins_broadcast(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    semi = R.semi_join(orders, cust, on=orders.o_custkey == cust.c_custkey)
+    anti = R.anti_join(orders, cust, on=orders.o_custkey == cust.c_custkey)
+    assert "BroadcastHashJoin" in _plan(semi) and "LeftSemi" in _plan(semi)
+    assert "BroadcastHashJoin" in _plan(anti) and "LeftAnti" in _plan(anti)
+
+
+def test_salted_agg_matches_plain(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "value_dec", F.col("value").cast("decimal(18,2)")
+    )
+    salted = salted_group_agg(ev, ["event_type"], sum_cols=["value_dec"], salt_source="event_id")
+    plain = ev.groupBy("event_type").agg(
+        F.sum("value_dec").alias("sum_value_dec"), F.count(F.lit(1)).alias("n")
+    )
+    assert salted.exceptAll(plain).count() == 0
+    assert plain.exceptAll(salted).count() == 0
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    write_bucketed(orders, "b_orders", ["o_orderkey"], n_buckets=8)
+    write_bucketed(li, "b_lineitem", ["l_orderkey"], n_buckets=8)
+    a = spark.table("b_orders")
+    b = spark.table("b_lineitem")
+    try:
+        joined = a.join(b.hint("merge"), a.o_orderkey == b.l_orderkey)
+        plan = _plan(joined)
+        # Both sides pre-bucketed on the join key: no shuffle exchange at all.
+        assert "Exchange hashpartitioning" not in plan
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
