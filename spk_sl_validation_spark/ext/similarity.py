@@ -139,6 +139,89 @@ def bucketed_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def sq_l2(a: Column, b: Column) -> Column:
+    """Deterministic squared-L2 distance (double left-fold of squared
+    coordinate differences)."""
+    diffs = F.zip_with(
+        a, b, lambda x, y: (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))
+    )
+    return F.aggregate(diffs, F.lit(0.0), lambda acc, v: acc + v)
+
+
+def sq_l2_sql(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+        f"list_transform(range(1, len({a}) + 1), "
+        f"i -> (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE)) * (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE)))), "
+        f"(x, y) -> x + y)"
+    )
+
+
+def ivf_assign(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id_col: str = "centroid_id",
+) -> DataFrame:
+    """Assign each vector to its nearest centroid (squared-L2 argmin,
+    ties → lowest centroid id): the IVF coarse quantizer.
+
+    Broadcast the (small) centroid table, score every (vector,
+    centroid) pair, keep the argmin per vector via a row_number
+    window — WindowGroupLimit prunes to one row per vector before the
+    shuffle. Centroid training (k-means) happens out of band at
+    deployment; here centroids are any DataFrame of
+    (centroid_id, vec) — the assignment/probe plumbing is identical.
+    """
+    from pyspark.sql import Window
+
+    c = F.broadcast(
+        centroids.select(
+            F.col(centroid_id_col), F.col(vec_col).alias("__cvec")
+        )
+    )
+    scored = vectors.crossJoin(c).withColumn(
+        "__dist", sq_l2(F.col(vec_col), F.col("__cvec"))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("__dist").asc(), F.col(centroid_id_col).asc())
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__dist", "__cvec")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k (nprobe=1): assign corpus and queries to
+    centroids, equi-join on centroid id, exact cosine rerank within
+    the probed list. At 100 TB the corpus is partitioned (or bucketed
+    at rest) by centroid id, so a query touches one inverted list —
+    the IVF trade: recall bounded by the quantizer, cost bounded by
+    list size. Raise recall with more probes (join on the n nearest
+    centroids) — same plumbing."""
+    from pyspark.sql import Window
+
+    corpus_a = ivf_assign(corpus, centroids, id_col, vec_col)
+    queries_a = ivf_assign(queries, centroids, id_col, vec_col).select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"), F.col("centroid_id")
+    )
+    scored = (
+        corpus_a.join(F.broadcast(queries_a), "centroid_id")
+        .filter(F.col(id_col) != F.col("q_id"))
+        .select("q_id", id_col, cosine(F.col("q_vec"), F.col(vec_col)).alias("cos_sim"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col(id_col).asc())
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def near_dup_pairs(
     df: DataFrame,
     threshold: float,

@@ -1,0 +1,122 @@
+"""Function-surface breadth queries: windows, strings, grouping sets.
+
+The reference's function inventory is tiny (SURVEY.md §2.9); a user
+replacing it gets the full Spark SQL surface. These queries pin the
+parts most workloads reach for first, value-checked against DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from spk_sl_validation_spark.plans.registry import register
+from spk_sl_validation_spark.sources.readers import load_table
+
+
+@register(
+    "window_suite",
+    doc="window-function breadth: lag/lead/rank/dense_rank/ntile + running + moving aggregates",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       lag(o_orderkey) OVER w AS prev_order,
+       lead(o_orderkey) OVER w AS next_order,
+       rank() OVER wp AS price_rank,
+       dense_rank() OVER wp AS price_dense_rank,
+       ntile(4) OVER w AS quartile,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER
+            (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_spend,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER
+            (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS spend_3,
+       count(*) OVER (PARTITION BY o_custkey) AS n_orders
+FROM orders
+WHERE o_custkey < 200
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+       wp AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+""",
+)
+def window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 200)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wp = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+    price_dec = F.col("o_totalprice").cast("decimal(18,2)")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.lag("o_orderkey").over(w).alias("prev_order"),
+        F.lead("o_orderkey").over(w).alias("next_order"),
+        F.rank().over(wp).alias("price_rank"),
+        F.dense_rank().over(wp).alias("price_dense_rank"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.sum(price_dec).over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("double").alias("running_spend"),
+        F.sum(price_dec).over(w.rowsBetween(-2, 0)).cast("double").alias("spend_3"),
+        F.count(F.lit(1)).over(Window.partitionBy("o_custkey")).alias("n_orders"),
+    )
+
+
+@register(
+    "string_suite",
+    doc="string-function breadth: regexp_extract, split_part, levenshtein, translate, pads, reverse",
+    oracle="""
+SELECT c_custkey,
+       regexp_extract(c_name, '([0-9]+)$', 1) AS name_num,
+       split_part(c_name, '#', 1) AS name_stem,
+       levenshtein(c_mktsegment, 'BUILDING') AS seg_dist,
+       translate(c_mktsegment, 'AEIOU', 'aeiou') AS seg_lower_vowels,
+       lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS padded_key,
+       reverse(c_name) AS name_rev,
+       length(c_name) AS name_len,
+       upper(substring(c_mktsegment, 1, 3)) AS seg3
+FROM customer
+""",
+)
+def string_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.regexp_extract("c_name", r"([0-9]+)$", 1).alias("name_num"),
+        F.split_part(F.col("c_name"), F.lit("#"), F.lit(1)).alias("name_stem"),
+        F.levenshtein(F.col("c_mktsegment"), F.lit("BUILDING")).alias("seg_dist"),
+        F.translate("c_mktsegment", "AEIOU", "aeiou").alias("seg_lower_vowels"),
+        F.lpad(F.col("c_custkey").cast("string"), 8, "0").alias("padded_key"),
+        F.reverse("c_name").alias("name_rev"),
+        F.length("c_name").alias("name_len"),
+        F.upper(F.substring("c_mktsegment", 1, 3)).alias("seg3"),
+    )
+
+
+@register(
+    "rollup_revenue",
+    doc="ROLLUP grouping-set aggregation with grouping() flags (multi-level totals in one pass)",
+    oracle="""
+SELECT coalesce(o_orderstatus, 'ALL') AS status,
+       coalesce(o_orderpriority, 'ALL') AS priority,
+       GROUPING(o_orderstatus) AS g_status,
+       GROUPING(o_orderpriority) AS g_priority,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+""",
+)
+def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping("o_orderstatus").alias("g_status"),
+            F.grouping("o_orderpriority").alias("g_priority"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "g_status",
+            "g_priority",
+            "revenue",
+            "n",
+        )
+    )

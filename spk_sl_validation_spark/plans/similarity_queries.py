@@ -75,6 +75,50 @@ def similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("q_id", "vec_id", "cos_sim", F.col("rank").cast("int").alias("rank"))
 
 
+N_CENTROIDS = 16
+
+_L2_QC = S.sq_l2_sql("v.embedding", "c.embedding")
+
+
+@register(
+    "similarity_topk_ivf",
+    doc=f"IVF({N_CENTROIDS} lists, nprobe=1) ANN top-k: coarse-quantizer assignment + exact rerank in the probed list",
+    oracle=f"""
+WITH centroids AS (
+  SELECT vec_id AS centroid_id, embedding FROM embeddings WHERE vec_id < {N_CENTROIDS}
+),
+assigned AS (
+  SELECT vec_id, embedding, centroid_id FROM (
+    SELECT v.vec_id, v.embedding, c.centroid_id,
+           row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY {_L2_QC} ASC, c.centroid_id ASC) AS rn
+    FROM embeddings v CROSS JOIN centroids c
+  ) WHERE rn = 1
+),
+scored AS (
+  SELECT q.vec_id AS q_id, x.vec_id AS vec_id,
+         {S.cosine_sql('q.embedding', 'x.embedding')} AS cos_sim
+  FROM assigned q JOIN assigned x ON q.centroid_id = x.centroid_id AND x.vec_id <> q.vec_id
+  WHERE q.vec_id < {N_QUERIES}
+),
+ranked AS (
+  SELECT q_id, vec_id, cos_sim,
+         row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT q_id, vec_id, cos_sim, CAST(rank AS INTEGER) AS rank FROM ranked WHERE rank <= 5
+""",
+)
+def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    out = S.ivf_topk(emb, queries, centroids, k=5)
+    return out.select("q_id", "vec_id", "cos_sim", F.col("rank").cast("int").alias("rank"))
+
+
 @register(
     "similarity_near_dup",
     doc=f"embedding-cosine near-dup pairs (cos ≥ {NEAR_DUP_TAU}, exact all-pairs verification path)",
