@@ -172,6 +172,74 @@ def lsh_candidate_pairs(
     )
 
 
+def ngram_jaccard_for_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Exact Jaccard computed ONLY for the given (id_a, id_b) pairs —
+    the verification stage of the LSH pipeline. Shingle explosion is
+    semi-joined down to documents that appear in any pair before the
+    intersection join, so the cost scales with the candidate set, not
+    the corpus."""
+    involved = pairs.select(F.col("id_a").alias(id_col)).unionByName(
+        pairs.select(F.col("id_b").alias(id_col))
+    ).distinct()
+    sh = (
+        df.join(involved, id_col, "left_semi")
+        .select(
+            F.col(id_col),
+            F.explode(F.array_distinct(word_shingles(_tokens_sql_expr(text_col), n))).alias("s"),
+        )
+    )
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+        .join(pairs.select("id_a", "id_b"), ["id_a", "id_b"])  # restrict to candidates
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    jac = F.col("n_inter").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double")
+    return (
+        inter.join(sa, "id_a").join(sb, "id_b").select("id_a", "id_b", jac.alias("jaccard"))
+    )
+
+
+def dedup_corpus(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 12,
+    bands: int = 6,
+    shingle_n: int = 3,
+    jaccard_threshold: float = 0.8,
+) -> DataFrame:
+    """The full near-dup dedup pipeline: MinHash-LSH candidates →
+    exact n-gram-Jaccard verification → keep/drop decision (a doc is
+    dropped iff a verified near-dup with a smaller id exists — the
+    standard single-hop representative rule; cluster-transitive dedup
+    would iterate this to a fixpoint).
+
+    Returns every document with a ``keep`` flag. This is the
+    composition a training-corpus pipeline actually runs at 100 TB:
+    narrow signature maps, one banded LSH join, exact verification
+    only on candidates, one anti-join-shaped decision.
+    """
+    candidates = lsh_candidate_pairs(df, id_col, text_col, num_hashes, bands, shingle_n)
+    verified = ngram_jaccard_for_pairs(df, candidates, id_col, text_col, shingle_n).filter(
+        F.col("jaccard") >= jaccard_threshold
+    )
+    drops = verified.select(F.col("id_b").alias(id_col)).distinct()
+    return df.select(id_col).join(drops.withColumn("__drop", F.lit(True)), id_col, "left").select(
+        id_col, F.coalesce(~F.col("__drop"), F.lit(True)).alias("keep")
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

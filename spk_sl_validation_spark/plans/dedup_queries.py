@@ -142,6 +142,76 @@ _REG["dedup_simhash"] = _dc.replace(_REG["dedup_simhash"], oracle=_simhash_oracl
 
 
 # ---------------------------------------------------------------------------
+# End-to-end dedup pipeline
+# ---------------------------------------------------------------------------
+
+JACCARD_TAU = 0.8
+
+
+def _dedup_pipeline_oracle() -> str:
+    """LSH candidates → exact-Jaccard verify → keep/drop, composed
+    from the same CTE pieces as the standalone oracles."""
+    sh = word_shingles_sql("t", 3)
+    mh_exprs = ", ".join(
+        f"list_min(list_transform(h, x -> {seeded_perm_sql('x', i)})) AS mh{i}"
+        for i in range(NUM_HASHES)
+    )
+    band_selects = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, {hs} FROM sig".format(
+            b=b,
+            hs=", ".join(f"mh{b * ROWS_PER_BAND + r} AS h{r}" for r in range(ROWS_PER_BAND)),
+        )
+        for b in range(BANDS)
+    )
+    hmatch = " AND ".join(f"a.h{r} = b.h{r}" for r in range(ROWS_PER_BAND))
+    return f"""
+WITH tok AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+shv AS (SELECT doc_id, list_transform({sh}, x -> {md5_long_sql('x')}) AS h FROM tok),
+sig AS (SELECT doc_id, {mh_exprs} FROM shv),
+bands AS ({band_selects}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b ON a.band = b.band AND {hmatch} AND a.doc_id < b.doc_id
+),
+dsh AS (
+  SELECT doc_id, unnest(list_distinct({word_shingles_sql(_TOKS, 3)})) AS s
+  FROM documents
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM dsh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+  FROM dsh a JOIN dsh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+verified AS (
+  SELECT c.id_b
+  FROM cand c
+  JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+  JOIN sizes sa ON sa.doc_id = c.id_a
+  JOIN sizes sb ON sb.doc_id = c.id_b
+  WHERE CAST(i.n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - i.n_inter AS DOUBLE) >= {JACCARD_TAU}
+)
+SELECT d.doc_id, (v.id_b IS NULL) AS keep
+FROM documents d LEFT JOIN (SELECT DISTINCT id_b FROM verified) v ON d.doc_id = v.id_b
+"""
+
+
+@register(
+    "dedup_pipeline",
+    doc=f"end-to-end near-dup dedup: LSH candidates → exact Jaccard ≥ {JACCARD_TAU} → keep/drop per doc",
+    oracle=None,
+)
+def dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.dedup_corpus(
+        docs, "doc_id", "text", NUM_HASHES, BANDS, 3, jaccard_threshold=JACCARD_TAU
+    )
+
+
+_REG["dedup_pipeline"] = _dc.replace(_REG["dedup_pipeline"], oracle=_dedup_pipeline_oracle())
+
+
+# ---------------------------------------------------------------------------
 # Exact n-gram Jaccard
 # ---------------------------------------------------------------------------
 

@@ -50,3 +50,25 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 def load_all(spark: SparkSession, sf_dir: str, names: list[str] | None = None) -> dict[str, DataFrame]:
     names = names or list(schemas.TESTDATA_SCHEMAS)
     return {n: load_table(spark, sf_dir, n) for n in names}
+
+
+def read_xlsx_table(
+    spark: SparkSession, path: str, sheet_name: str | int = 0, schema: T.StructType | None = None
+) -> DataFrame:
+    """Edge converter for the reference's xlsx sources (SURVEY.md §2.1
+    S1: ``pd.read_excel`` over SAP extracts). Driver-side pandas read →
+    Spark DataFrame; only sane for dim-sized human-maintained inputs —
+    engine-scale data arrives as parquet. Import-guarded: requires an
+    xlsx engine (openpyxl), which the engine core never needs.
+    """
+    try:
+        import openpyxl  # noqa: F401
+    except ImportError as e:
+        raise RuntimeError(
+            "read_xlsx_table requires openpyxl; convert the workbook to "
+            "parquet/csv out of band, or install an xlsx engine"
+        ) from e
+    import pandas as pd
+
+    pdf = pd.read_excel(path, sheet_name=sheet_name, engine="openpyxl")
+    return spark.createDataFrame(pdf, schema=schema)

@@ -1,0 +1,32 @@
+"""End-to-end dedup pipeline behavior."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+
+from spk_sl_validation_spark.ext.dedup import dedup_corpus
+
+
+def test_dedup_corpus_drops_higher_id_near_dup(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    near = base.replace("kappa", "lambda")  # 1 of 8 shingles differs
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=base),
+            Row(doc_id=2, text=near),
+            Row(doc_id=3, text="totally unrelated words about query engines and plans"),
+        ]
+    )
+    out = {r.doc_id: r.keep for r in dedup_corpus(df, jaccard_threshold=0.6).collect()}
+    assert out == {1: True, 2: False, 3: True}
+
+
+def test_dedup_corpus_keeps_everything_when_no_dups(spark):
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="one two three four five six"),
+            Row(doc_id=2, text="seven eight nine ten eleven twelve"),
+        ]
+    )
+    out = dedup_corpus(df).collect()
+    assert all(r.keep for r in out)
