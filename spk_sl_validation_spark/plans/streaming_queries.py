@@ -70,6 +70,28 @@ def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_interval_join",
+    doc="stream-stream interval join (watermark-bounded state) == batch time-range join",
+    oracle="""
+SELECT c.event_id AS click_id, c.user_id, c.ts AS click_ts,
+       p.event_id AS purchase_id, p.ts AS purchase_ts
+FROM events c
+JOIN events p
+  ON p.user_id = c.user_id
+ AND p.event_type = 'purchase'
+ AND p.ts >= c.ts - INTERVAL 1 HOUR
+ AND p.ts <= c.ts
+WHERE c.event_type = 'click'
+""",
+)
+def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = P.stream_events(spark, sf_dir)
+    clicks = stream.filter(F.col("event_type") == "click")
+    purchases = stream.filter(F.col("event_type") == "purchase")
+    return P.run_available_now(P.interval_joined(clicks, purchases), output_mode="append")
+
+
+@register(
     "streaming_running_totals",
     doc="custom stateful op (applyInPandasWithState): per-user running totals; final state == batch GROUP BY",
     oracle="""

@@ -117,6 +117,31 @@ def sessionized(events: DataFrame, gap: str = "30 minutes", watermark: str = "2 
     )
 
 
+def interval_joined(
+    clicks: DataFrame, purchases: DataFrame, lookback: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Stream-stream interval join: each click matched to purchases by
+    the same user within the preceding ``lookback``. Watermarks on
+    both sides bound the join state (Spark buffers only rows younger
+    than watermark + interval); inner time-bounded joins are the one
+    stream-stream join shape that needs no output delay."""
+    c = clicks.withWatermark("ts", watermark).select(
+        F.col("event_id").alias("click_id"), F.col("user_id"), F.col("ts").alias("click_ts")
+    )
+    p = purchases.withWatermark("ts", watermark).select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    return c.join(
+        p,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts") - F.expr(f"INTERVAL {lookback}"))
+        & (F.col("purchase_ts") <= F.col("click_ts")),
+        "inner",
+    ).select("click_id", "user_id", "click_ts", "purchase_id", "purchase_ts")
+
+
 _RUNNING_SCHEMA = T.StructType(
     [
         T.StructField("user_id", T.LongType()),

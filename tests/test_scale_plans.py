@@ -69,6 +69,18 @@ def test_salted_agg_matches_plain(spark, sf_dir):
     assert plain.exceptAll(salted).count() == 0
 
 
+def test_partition_pruning(spark, sf_dir, tmp_path):
+    ev = load_table(spark, sf_dir, "events")
+    out = str(tmp_path / "events_by_type")
+    ev.write.mode("overwrite").partitionBy("event_type").parquet(out)
+    q = spark.read.parquet(out).filter(F.col("event_type") == "click").select("event_id")
+    plan = _plan(q)
+    # The partition filter must prune directories at the scan, not
+    # filter rows post-read.
+    assert "PartitionFilters: [isnotnull(event_type" in plan
+    assert q.count() > 0
+
+
 def test_bucketed_join_has_no_exchange(spark, sf_dir):
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
