@@ -1,0 +1,110 @@
+"""Aggregation-surface breadth: array aggregation, exact percentiles,
+pivot — value-checked against DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spk_sl_validation_spark.plans.registry import register
+from spk_sl_validation_spark.sources.readers import load_table
+
+
+@register(
+    "agg_collect_arrays",
+    doc="array aggregation: sorted collect_list/collect_set + array ops (size, contains, slice)",
+    oracle="""
+WITH g AS (
+  SELECT c_nationkey,
+         list_sort(list(c_custkey)) AS custkeys,
+         list_sort(list(DISTINCT c_mktsegment)) AS segments
+  FROM customer
+  GROUP BY c_nationkey
+)
+SELECT c_nationkey,
+       len(custkeys) AS n_cust,
+       custkeys[1:5] AS first5,
+       list_contains(segments, 'BUILDING') AS has_building,
+       len(segments) AS n_segments
+FROM g
+""",
+)
+def agg_collect_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    g = c.groupBy("c_nationkey").agg(
+        F.sort_array(F.collect_list("c_custkey")).alias("custkeys"),
+        F.sort_array(F.collect_set("c_mktsegment")).alias("segments"),
+    )
+    return g.select(
+        "c_nationkey",
+        F.size("custkeys").alias("n_cust"),
+        F.slice("custkeys", 1, 5).alias("first5"),
+        F.array_contains("segments", "BUILDING").alias("has_building"),
+        F.size("segments").alias("n_segments"),
+    )
+
+
+@register(
+    "percentile_stats",
+    doc="exact interpolated percentiles (p50/p90/p99) + decimal-exact avg per group",
+    oracle="""
+SELECT event_type,
+       CAST(quantile_cont(CAST(value AS DOUBLE), 0.5) AS DOUBLE) AS p50,
+       CAST(quantile_cont(CAST(value AS DOUBLE), 0.9) AS DOUBLE) AS p90,
+       CAST(quantile_cont(CAST(value AS DOUBLE), 0.99) AS DOUBLE) AS p99,
+       CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS DOUBLE) AS avg_value,
+       MIN(value) AS min_value,
+       MAX(value) AS max_value
+FROM events
+GROUP BY event_type
+""",
+)
+def percentile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    v = F.col("value").cast("double")
+    return ev.groupBy("event_type").agg(
+        F.percentile(v, F.lit(0.5)).alias("p50"),
+        F.percentile(v, F.lit(0.9)).alias("p90"),
+        F.percentile(v, F.lit(0.99)).alias("p99"),
+        (F.sum(F.col("value").cast("decimal(18,2)")).cast("double") / F.count(F.lit(1)))
+        .cast("double")
+        .alias("avg_value"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    )
+
+
+_PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+
+
+@register(
+    "pivot_revenue",
+    doc="pivot: order revenue by status × priority (explicit pivot values → stable schema)",
+    oracle="""
+SELECT o_orderstatus,
+       CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS p1_urgent,
+       CAST(SUM(CASE WHEN o_orderpriority = '2-HIGH' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS p2_high,
+       CAST(SUM(CASE WHEN o_orderpriority = '3-MEDIUM' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS p3_medium,
+       CAST(SUM(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS p4_notspec,
+       CAST(SUM(CASE WHEN o_orderpriority = '5-LOW' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS p5_low
+FROM orders
+GROUP BY o_orderstatus
+""",
+)
+def pivot_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    price = F.col("o_totalprice").cast("decimal(18,2)")
+    pv = (
+        o.groupBy("o_orderstatus")
+        .pivot("o_orderpriority", _PRIORITIES)
+        .agg(F.sum(price).cast("double"))
+    )
+    return pv.select(
+        "o_orderstatus",
+        F.col("`1-URGENT`").alias("p1_urgent"),
+        F.col("`2-HIGH`").alias("p2_high"),
+        F.col("`3-MEDIUM`").alias("p3_medium"),
+        F.col("`4-NOT SPECIFIED`").alias("p4_notspec"),
+        F.col("`5-LOW`").alias("p5_low"),
+    )

@@ -99,6 +99,14 @@ def _ensure_loaded() -> None:
     except ImportError:
         pass
     try:
+        from spk_sl_validation_spark.plans import agg_surface_queries  # noqa: F401
+    except ImportError:
+        pass
+    try:
+        from spk_sl_validation_spark.plans import sql_api_queries  # noqa: F401
+    except ImportError:
+        pass
+    try:
         from spk_sl_validation_spark.plans import streaming_queries  # noqa: F401
     except ImportError:
         pass
