@@ -76,22 +76,22 @@ def minhash_signatures(
     """(id, sig array<bigint> of length num_hashes): per seed i, the
     min permuted hash over word n-gram shingles.
 
-    Shape: explode shingles → one md5 per shingle → groupBy(id) with
-    ``num_hashes`` ``min(perm_i(h))`` aggregates. Everything is
-    codegen'd scalar expressions; partial (map-side) aggregation means
-    the shuffle carries one k-long row per document, not the shingles.
+    Shape: shingle rows (hashing.shingle_rows: posexplode + window
+    lead, codegen'd, one exchange) → one md5 per shingle → groupBy(id)
+    with ``num_hashes`` ``min(perm_i(h))`` aggregates. The aggregate
+    reuses the shingle exchange's partitioning, so the whole signature
+    computation costs exactly one shuffle of skinny token rows.
 
     Deliberately NOT an array-expression narrow map: higher-order
     array functions are interpreted (no codegen, no common-subexpr
-    elimination), which made the per-row variant ~30× slower — the
-    explode+aggregate plan is the fast AND scale-correct one. One
+    elimination), which made the per-row variant ~30× slower. One
     md5 per shingle; seeds are cheap affine permutations
     (hashing.seeded_perm). min() over a multiset equals min() over
     the set, so shingles need no dedup.
     """
-    hashed = df.select(
-        F.col(id_col), F.explode(word_shingles(_tokens_sql_expr(text_col), shingle_n)).alias("s")
-    ).select(id_col, md5_long("s").alias("h"))
+    from spk_sl_validation_spark.ext.hashing import shingle_rows
+
+    hashed = shingle_rows(df, id_col, text_col, shingle_n).select(id_col, md5_long("s").alias("h"))
     aggs = [F.min(seeded_perm(F.col("h"), i)).alias(f"mh{i}") for i in range(num_hashes)]
     return (
         hashed.groupBy(id_col)
@@ -137,6 +137,16 @@ def lsh_candidate_pairs(
     rows_per_band = num_hashes // bands
     sig_df = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
 
+    # Candidate generation via groupBy-collect instead of a self-join:
+    # a self-join would evaluate the signature subtree twice (Spark
+    # does not share non-cached subtrees across join sides), doubling
+    # the dominant cost. Here signatures are computed once, exploded
+    # into 6 band rows, grouped by the full band key, and pairs are
+    # expanded *within* each bucket. Bucket membership lists are tiny
+    # (near-dup cluster size), so the quadratic in-bucket expansion —
+    # an interpreted array expression — is negligible by construction;
+    # a bucket that ever grew pathological (mass-boilerplate corpus)
+    # would need a bucket-size cap upstream, not a different join.
     band_structs = F.array(
         *[
             F.struct(
@@ -150,25 +160,28 @@ def lsh_candidate_pairs(
     exploded = sig_df.select(id_col, "sig", F.explode(band_structs).alias("bk")).select(
         id_col, "sig", "bk.band", *[F.col(f"bk.{h}").alias(h) for h in hcols]
     )
-    a, b = exploded.alias("a"), exploded.alias("b")
-    join_cond = (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")) & (F.col("a.band") == F.col("b.band"))
-    for h in hcols:
-        join_cond = join_cond & (F.col(f"a.{h}") == F.col(f"b.{h}"))
+    buckets = (
+        exploded.groupBy("band", *hcols)
+        .agg(F.collect_list(F.struct(F.col(id_col).alias("id"), F.col("sig").alias("sig"))).alias("members"))
+        .filter(F.size("members") > 1)
+    )
+    # All ordered pairs (i < j by id) within a bucket, as one array expr.
+    pair_expr = F.expr(
+        "flatten(transform(members, (m1, i) -> "
+        "filter(transform(members, (m2, j) -> IF(j > i AND m1.id < m2.id, struct(m1 AS a, m2 AS b), "
+        "IF(j > i AND m2.id < m1.id, struct(m2 AS a, m1 AS b), NULL))), p -> p IS NOT NULL)))"
+    )
+    pairs = buckets.select(F.explode(pair_expr).alias("p")).select(
+        F.col("p.a.id").alias("id_a"),
+        F.col("p.b.id").alias("id_b"),
+        F.col("p.a.sig").alias("asig"),
+        F.col("p.b.sig").alias("bsig"),
+    ).distinct()
     matches = F.size(F.filter(F.zip_with("asig", "bsig", lambda x, y: x == y), lambda v: v))
-    return (
-        a.join(b, join_cond)
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            F.col("a.sig").alias("asig"),
-            F.col("b.sig").alias("bsig"),
-        )
-        .distinct()
-        .select(
-            "id_a",
-            "id_b",
-            (matches.cast("double") / F.lit(float(num_hashes))).alias("est_jaccard"),
-        )
+    return pairs.select(
+        "id_a",
+        "id_b",
+        (matches.cast("double") / F.lit(float(num_hashes))).alias("est_jaccard"),
     )
 
 
@@ -184,16 +197,12 @@ def ngram_jaccard_for_pairs(
     semi-joined down to documents that appear in any pair before the
     intersection join, so the cost scales with the candidate set, not
     the corpus."""
+    from spk_sl_validation_spark.ext.hashing import shingle_rows
+
     involved = pairs.select(F.col("id_a").alias(id_col)).unionByName(
         pairs.select(F.col("id_b").alias(id_col))
     ).distinct()
-    sh = (
-        df.join(involved, id_col, "left_semi")
-        .select(
-            F.col(id_col),
-            F.explode(F.array_distinct(word_shingles(_tokens_sql_expr(text_col), n))).alias("s"),
-        )
-    )
+    sh = shingle_rows(df.join(involved, id_col, "left_semi"), id_col, text_col, n).distinct()
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
@@ -348,10 +357,9 @@ def ngram_jaccard_pairs(
     LSH candidates (compose with ``lsh_candidate_pairs``); standalone
     it is the exact baseline and the oracle path.
     """
-    sh = df.select(
-        F.col(id_col),
-        F.explode(F.array_distinct(word_shingles(_tokens_sql_expr(text_col), n))).alias("s"),
-    )
+    from spk_sl_validation_spark.ext.hashing import shingle_rows
+
+    sh = shingle_rows(df, id_col, text_col, n).distinct()
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (

@@ -145,14 +145,13 @@ def rolling_fingerprint(col: str, n: int = 3) -> Column:
 
 
 def rolling_fingerprints(df, id_col: str, text_col: str = "text", n: int = 3):
-    """(id, rolling_fp) for a whole corpus: explode shingles → one
+    """(id, rolling_fp) for a whole corpus: shingle rows → one
     codegen'd md5 each → groupBy(id).min. Same plan shape (and
     rationale) as dedup.minhash_signatures."""
-    from spk_sl_validation_spark.ext.hashing import word_shingles
+    from spk_sl_validation_spark.ext.hashing import shingle_rows
 
-    sh = word_shingles(f"split(trim({text_col}), '\\\\s+')", n)
     return (
-        df.select(F.col(id_col), F.explode(sh).alias("s"))
+        shingle_rows(df, id_col, text_col, n)
         .select(id_col, md5_long("s").alias("h"))
         .groupBy(id_col)
         .agg(F.min("h").alias("rolling_fp"))
