@@ -75,6 +75,42 @@ def percentile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "set_ops",
+    doc="bag-semantics set operations: INTERSECT ALL / EXCEPT ALL between order slices",
+    oracle="""
+SELECT o_custkey, o_orderstatus FROM orders WHERE o_totalprice > 100000
+INTERSECT ALL
+SELECT o_custkey, o_orderstatus FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+""",
+)
+def set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    big = o.filter(F.col("o_totalprice") > 100000).select("o_custkey", "o_orderstatus")
+    urgent = o.filter(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")).select(
+        "o_custkey", "o_orderstatus"
+    )
+    return big.intersectAll(urgent)
+
+
+@register(
+    "except_all",
+    doc="EXCEPT ALL: multiset difference between order slices",
+    oracle="""
+SELECT o_custkey, o_orderstatus FROM orders WHERE o_totalprice > 100000
+EXCEPT ALL
+SELECT o_custkey, o_orderstatus FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+""",
+)
+def except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    big = o.filter(F.col("o_totalprice") > 100000).select("o_custkey", "o_orderstatus")
+    urgent = o.filter(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")).select(
+        "o_custkey", "o_orderstatus"
+    )
+    return big.exceptAll(urgent)
+
+
 _PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
 
 
