@@ -311,6 +311,10 @@ def simhash_near_dup_pairs(
     width = (bits + n_bands - 1) // n_bands
     fp_df = simhash_fingerprints(df, id_col, text_col, bits)
 
+    # Same groupBy-collect pair generation as lsh_candidate_pairs:
+    # fingerprints are computed once (a self-join would evaluate the
+    # fingerprint subtree per side), buckets are (band, band-bits),
+    # pairs expand within buckets.
     bands = F.array(
         *[
             F.struct(
@@ -323,19 +327,23 @@ def simhash_near_dup_pairs(
     exploded = fp_df.select(id_col, "simhash", F.explode(bands).alias("bk")).select(
         id_col, "simhash", "bk.band", "bk.bh"
     )
-    a, b = exploded.alias("a"), exploded.alias("b")
+    buckets = (
+        exploded.groupBy("band", "bh")
+        .agg(F.collect_list(F.struct(F.col(id_col).alias("id"), F.col("simhash").alias("fp"))).alias("members"))
+        .filter(F.size("members") > 1)
+    )
+    pair_expr = F.expr(
+        "flatten(transform(members, (m1, i) -> "
+        "filter(transform(members, (m2, j) -> IF(j > i AND m1.id < m2.id, struct(m1 AS a, m2 AS b), "
+        "IF(j > i AND m2.id < m1.id, struct(m2 AS a, m1 AS b), NULL))), p -> p IS NOT NULL)))"
+    )
     pairs = (
-        a.join(
-            b,
-            (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-            & (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bh") == F.col("b.bh")),
-        )
+        buckets.select(F.explode(pair_expr).alias("p"))
         .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            F.col("a.simhash").alias("sh_a"),
-            F.col("b.simhash").alias("sh_b"),
+            F.col("p.a.id").alias("id_a"),
+            F.col("p.b.id").alias("id_b"),
+            F.col("p.a.fp").alias("sh_a"),
+            F.col("p.b.fp").alias("sh_b"),
         )
         .distinct()
     )
