@@ -70,20 +70,35 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def run_available_now(stream_df: DataFrame, output_mode: str = "complete") -> DataFrame:
+def run_available_now(
+    stream_df: DataFrame, output_mode: str = "complete", state_partitions: int = 8
+) -> DataFrame:
     """Execute a streaming DataFrame to completion on the available
     data (memory sink) and return the materialized result as a batch
-    DataFrame — the deterministic-replay harness for the oracle."""
+    DataFrame — the deterministic-replay harness for the oracle.
+
+    ``state_partitions`` sizes the state store: each shuffle partition
+    instantiates a state-store provider, a fixed per-partition cost
+    that dominates small replays (measured 2× at sf0.1 going 32→8).
+    Size it to state volume in production — the value is pinned into
+    the checkpoint at first run.
+    """
+    spark = stream_df.sparkSession
     name = f"spk_sl_stream_sink_{next(_SINK_COUNTER)}"
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return stream_df.sparkSession.table(name)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.table(name)
 
 
 def windowed_counts(events: DataFrame, window: str = "1 hour", watermark: str = "2 hours") -> DataFrame:
