@@ -28,6 +28,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     (``nanosAsLong``) and convert to a microsecond timestamp
     (``ts div 1000`` — matches DuckDB's truncation of ns → µs).
     """
+    # Defensive: timestamp parity with the DuckDB oracle requires UTC
+    # rendering even if the hosting session was built without our conf.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         physical = T.StructType(

@@ -69,6 +69,22 @@ def test_salted_agg_matches_plain(spark, sf_dir):
     assert plain.exceptAll(salted).count() == 0
 
 
+def test_fact_fact_join_is_sort_merge_when_broadcast_impossible(spark, sf_dir):
+    # At 100 TB neither fact side fits in memory: the engine must fall
+    # back to a shuffle join, not attempt a broadcast. Simulate by
+    # disabling the broadcast threshold.
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        li = load_table(spark, sf_dir, "lineitem")
+        orders = load_table(spark, sf_dir, "orders")
+        plan = _plan(li.join(orders, li.l_orderkey == orders.o_orderkey))
+        assert "SortMergeJoin" in plan
+        assert "BroadcastHashJoin" not in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
 def test_partition_pruning(spark, sf_dir, tmp_path):
     ev = load_table(spark, sf_dir, "events")
     out = str(tmp_path / "events_by_type")
