@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from spk_sl_validation_spark.ext.hashing import md5_long, seeded_perm, word_shingles, ws_tokens
+from spk_sl_validation_spark.ext.hashing import md5_long, seeded_perm, ws_tokens
 from spk_sl_validation_spark.ext.text import md5_fingerprint
 
 
@@ -61,10 +61,6 @@ def exact_dup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------
-
-def _tokens_sql_expr(text_col: str) -> str:
-    return f"split(trim({text_col}), '\\\\s+')"
-
 
 def minhash_signatures(
     df: DataFrame,

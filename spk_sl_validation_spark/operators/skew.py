@@ -29,15 +29,6 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def with_salt(df: DataFrame, n_salts: int, salt_col: str = "__salt") -> DataFrame:
-    """Deterministic salt in [0, n_salts): hash of the full row's
-    partition-local position would be nondeterministic; a hash of a
-    stable id column would need one — so we use ``monotonically
-    increasing id mod n`` only when no id is available. Prefer
-    :func:`salted_group_agg`, which salts on existing columns."""
-    return df.withColumn(salt_col, (F.monotonically_increasing_id() % n_salts).cast("int"))
-
-
 def salted_group_agg(
     df: DataFrame,
     keys: Sequence[str],
