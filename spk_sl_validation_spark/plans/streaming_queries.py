@@ -70,6 +70,23 @@ def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_dedup",
+    doc="streaming exact dedup: watermarked dropDuplicates on event_id == batch DISTINCT",
+    oracle="""
+SELECT DISTINCT event_id, user_id, event_type FROM events
+""",
+)
+def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = P.stream_events(spark, sf_dir)
+    deduped = (
+        stream.withWatermark("ts", "2 hours")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select("event_id", "user_id", "event_type")
+    )
+    return P.run_available_now(deduped, output_mode="append")
+
+
+@register(
     "streaming_interval_join",
     doc="stream-stream interval join (watermark-bounded state) == batch time-range join",
     oracle="""

@@ -69,6 +69,30 @@ def test_salted_agg_matches_plain(spark, sf_dir):
     assert plain.exceptAll(salted).count() == 0
 
 
+def test_cl_pipeline_all_dim_joins_broadcast(spark):
+    from spk_sl_validation_spark.plans import spk_sl_cleansing
+    from spk_sl_validation_spark.sources import fixtures as FX
+
+    tables = FX.build_tables(spark)
+    sheets = spk_sl_cleansing.run(tables, run_ts=FX.RUN_TS, variant=spk_sl_cleansing.CL)
+    plan = _plan(sheets["Valid SL with SPK"])
+    # Every build side in the reference workload is dim-sized: the
+    # flagship pipeline must plan with zero sort-merge joins.
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_write_report_roundtrip(spark, sf_dir, tmp_path):
+    from spk_sl_validation_spark.sources.sinks import write_report
+
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    write_report({"nation sheet": nation, "region/2": region}, str(tmp_path / "report"))
+    back = spark.read.parquet(str(tmp_path / "report" / "nation_sheet"))
+    assert back.count() == nation.count()
+    assert spark.read.parquet(str(tmp_path / "report" / "region_2")).count() == region.count()
+
+
 def test_fact_fact_join_is_sort_merge_when_broadcast_impossible(spark, sf_dir):
     # At 100 TB neither fact side fits in memory: the engine must fall
     # back to a shuffle join, not attempt a broadcast. Simulate by
