@@ -245,6 +245,68 @@ def dedup_corpus(
     )
 
 
+def dedup_clusters(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 12,
+    bands: int = 6,
+    shingle_n: int = 3,
+    jaccard_threshold: float = 0.8,
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Transitive near-dup clusters: connected components over the
+    verified LSH near-dup graph, labeled by each component's min id.
+
+    The iterative step is min-label propagation: each round every node
+    takes the min of its own label and its neighbors' labels; the loop
+    stops when a round changes nothing. Rounds = graph diameter
+    (near-dup chains are short, so a handful). Each round is one
+    join + aggregate; ``localCheckpoint`` truncates the lineage so the
+    plan doesn't grow per iteration — the standard Spark idiom for
+    iterative algorithms (this is Pregel-style label propagation, the
+    same scheme GraphX's connectedComponents uses).
+    """
+    candidates = lsh_candidate_pairs(df, id_col, text_col, num_hashes, bands, shingle_n)
+    verified = ngram_jaccard_for_pairs(df, candidates, id_col, text_col, shingle_n).filter(
+        F.col("jaccard") >= jaccard_threshold
+    )
+    edges = (
+        verified.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionByName(verified.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    labels = df.select(F.col(id_col), F.col(id_col).alias("cluster_id")).localCheckpoint(eager=True)
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges.src == F.col(id_col))
+            .groupBy(F.col("dst").alias(id_col))
+            .agg(F.min("cluster_id").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, id_col, "left")
+            .select(
+                id_col,
+                F.least(F.col("cluster_id"), F.coalesce(F.col("nbr_min"), F.col("cluster_id"))).alias(
+                    "cluster_id"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), id_col)
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

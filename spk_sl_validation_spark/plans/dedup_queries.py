@@ -148,9 +148,10 @@ _REG["dedup_simhash"] = _dc.replace(_REG["dedup_simhash"], oracle=_simhash_oracl
 JACCARD_TAU = 0.8
 
 
-def _dedup_pipeline_oracle() -> str:
-    """LSH candidates → exact-Jaccard verify → keep/drop, composed
-    from the same CTE pieces as the standalone oracles."""
+def _verified_pairs_ctes() -> str:
+    """Shared CTE body: documents → LSH candidates → exact-Jaccard
+    verified pairs (id_a < id_b). Reused by the pipeline and cluster
+    oracles."""
     sh = word_shingles_sql("t", 3)
     mh_exprs = ", ".join(
         f"list_min(list_transform(h, x -> {seeded_perm_sql('x', i)})) AS mh{i}"
@@ -165,7 +166,7 @@ def _dedup_pipeline_oracle() -> str:
     )
     hmatch = " AND ".join(f"a.h{r} = b.h{r}" for r in range(ROWS_PER_BAND))
     return f"""
-WITH tok AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+tok AS (SELECT doc_id, {_TOKS} AS t FROM documents),
 shv AS (SELECT doc_id, list_transform({sh}, x -> {md5_long_sql('x')}) AS h FROM tok),
 sig AS (SELECT doc_id, {mh_exprs} FROM shv),
 bands AS ({band_selects}),
@@ -184,15 +185,39 @@ inter AS (
   GROUP BY 1, 2
 ),
 verified AS (
-  SELECT c.id_b
+  SELECT c.id_a, c.id_b
   FROM cand c
   JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
   JOIN sizes sa ON sa.doc_id = c.id_a
   JOIN sizes sb ON sb.doc_id = c.id_b
   WHERE CAST(i.n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - i.n_inter AS DOUBLE) >= {JACCARD_TAU}
-)
+)"""
+
+
+def _dedup_pipeline_oracle() -> str:
+    return f"""
+WITH {_verified_pairs_ctes()}
 SELECT d.doc_id, (v.id_b IS NULL) AS keep
 FROM documents d LEFT JOIN (SELECT DISTINCT id_b FROM verified) v ON d.doc_id = v.id_b
+"""
+
+
+def _dedup_clusters_oracle() -> str:
+    """Connected components over the verified pair graph via a
+    recursive CTE (min reachable id = cluster label)."""
+    return f"""
+WITH RECURSIVE {_verified_pairs_ctes()},
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM verified
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM verified
+),
+reach(id, r) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT re.id, e.dst FROM reach re JOIN edges e ON e.src = re.r
+)
+SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id
 """
 
 
@@ -209,6 +234,21 @@ def dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _REG["dedup_pipeline"] = _dc.replace(_REG["dedup_pipeline"], oracle=_dedup_pipeline_oracle())
+
+
+@register(
+    "dedup_clusters",
+    doc="transitive near-dup clusters: iterative min-label propagation == recursive-CTE connected components",
+    oracle=None,
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.dedup_clusters(
+        docs, "doc_id", "text", NUM_HASHES, BANDS, 3, jaccard_threshold=JACCARD_TAU
+    )
+
+
+_REG["dedup_clusters"] = _dc.replace(_REG["dedup_clusters"], oracle=_dedup_clusters_oracle())
 
 
 # ---------------------------------------------------------------------------

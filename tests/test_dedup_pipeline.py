@@ -21,6 +21,26 @@ def test_dedup_corpus_drops_higher_id_near_dup(spark):
     assert out == {1: True, 2: False, 3: True}
 
 
+def test_dedup_clusters_transitive_chain(spark):
+    from spk_sl_validation_spark.ext.dedup import dedup_clusters
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    near1 = base.replace("kappa", "lambda")
+    near2 = near1.replace("alpha", "omega")  # near near1, farther from base
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=base),
+            Row(doc_id=2, text=near1),
+            Row(doc_id=3, text=near2),
+            Row(doc_id=4, text="unrelated words about catalyst plans and shuffles"),
+        ]
+    )
+    out = {r.doc_id: r.cluster_id for r in dedup_clusters(df, jaccard_threshold=0.6).collect()}
+    # 1~2 and 2~3 are near-dups → all three share the min-id cluster label.
+    assert out[1] == out[2] == out[3] == 1
+    assert out[4] == 4
+
+
 def test_dedup_corpus_keeps_everything_when_no_dups(spark):
     df = spark.createDataFrame(
         [
