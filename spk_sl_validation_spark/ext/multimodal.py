@@ -152,6 +152,47 @@ def byte_histogram(media: pd.Series) -> pd.Series:
 
 
 # ---------------------------------------------------------------------------
+# Resize (mapInPandas, binary → smaller binary)
+# ---------------------------------------------------------------------------
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_bytes_in", T.IntegerType()),
+        T.StructField("n_bytes_out", T.IntegerType()),
+        T.StructField("resized_md5", T.StringType()),
+    ]
+)
+
+
+def resize_media(df: DataFrame, factor: int = 4, media_col: str = "media") -> DataFrame:
+    """Downsample payloads by keeping every ``factor``-th byte — the
+    batch shape of an image/audio resample (binary in, smaller binary
+    out). Output is summarized as (sizes, md5) so results stay compact
+    and exactly verifiable."""
+    import hashlib
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids: list[int] = []
+            n_in: list[int] = []
+            n_out: list[int] = []
+            digests: list[str] = []
+            for doc_id, data in zip(pdf["doc_id"], pdf[media_col]):
+                raw = bytes(data)
+                small = raw[::factor]
+                ids.append(doc_id)
+                n_in.append(len(raw))
+                n_out.append(len(small))
+                digests.append(hashlib.md5(small).hexdigest())
+            yield pd.DataFrame(
+                {"doc_id": ids, "n_bytes_in": n_in, "n_bytes_out": n_out, "resized_md5": digests}
+            )
+
+    return df.mapInPandas(run, RESIZED_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
 # Frame sampling (mapInPandas, 1→N rows)
 # ---------------------------------------------------------------------------
 

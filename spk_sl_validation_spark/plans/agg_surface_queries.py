@@ -76,6 +76,43 @@ def percentile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "merge_upsert",
+    doc="MERGE/upsert semantics via full outer join + coalesce (updates win, inserts appended)",
+    oracle="""
+WITH base AS (
+  SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders WHERE o_orderkey % 2 = 0
+),
+updates AS (
+  SELECT o_orderkey, o_totalprice * 1.1 AS new_price FROM orders WHERE o_orderkey % 3 = 0
+)
+SELECT coalesce(b.o_orderkey, u.o_orderkey) AS o_orderkey,
+       coalesce(u.new_price, b.o_totalprice) AS price,
+       CASE WHEN b.o_orderkey IS NULL THEN 'inserted'
+            WHEN u.o_orderkey IS NULL THEN 'unchanged'
+            ELSE 'updated' END AS merge_action
+FROM base b FULL OUTER JOIN updates u ON b.o_orderkey = u.o_orderkey
+""",
+)
+def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    base = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    updates = o.filter(F.col("o_orderkey") % 3 == 0).select(
+        F.col("o_orderkey").alias("u_orderkey"), (F.col("o_totalprice") * 1.1).alias("new_price")
+    )
+    joined = base.join(updates, base.o_orderkey == updates.u_orderkey, "full_outer")
+    return joined.select(
+        F.coalesce("o_orderkey", "u_orderkey").alias("o_orderkey"),
+        F.coalesce("new_price", "o_totalprice").alias("price"),
+        F.when(F.col("o_orderkey").isNull(), "inserted")
+        .when(F.col("u_orderkey").isNull(), "unchanged")
+        .otherwise("updated")
+        .alias("merge_action"),
+    )
+
+
+@register(
     "set_ops",
     doc="bag-semantics set operations: INTERSECT ALL / EXCEPT ALL between order slices",
     oracle="""

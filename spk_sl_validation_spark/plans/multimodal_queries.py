@@ -76,6 +76,33 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.decode_media(M.as_media_table(docs))
 
 
+RESIZE_FACTOR = 4
+
+
+@register(
+    "multimodal_resize",
+    doc=f"media resize (keep every {RESIZE_FACTOR}th byte) via mapInPandas; sizes + content md5 verified",
+    oracle=f"""
+WITH resized AS (
+  SELECT doc_id,
+         octet_length(encode(text)) AS n_bytes_in,
+         array_to_string(list_transform(
+           range(1, octet_length(encode(text)) + 1, {RESIZE_FACTOR}),
+           i -> substring(text, i, 1)), '') AS small
+  FROM documents
+)
+SELECT doc_id,
+       CAST(n_bytes_in AS INTEGER) AS n_bytes_in,
+       CAST(octet_length(encode(small)) AS INTEGER) AS n_bytes_out,
+       md5(small) AS resized_md5
+FROM resized
+""",
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return M.resize_media(M.as_media_table(docs), RESIZE_FACTOR)
+
+
 @register(
     "multimodal_features",
     doc="Arrow-batched feature extraction: 16-bin byte histogram pandas_udf (non-SQL → rows-only check)",

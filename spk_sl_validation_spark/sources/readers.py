@@ -55,6 +55,16 @@ def load_all(spark: SparkSession, sf_dir: str, names: list[str] | None = None) -
     return {n: load_table(spark, sf_dir, n) for n in names}
 
 
+def load_csv_table(
+    spark: SparkSession, path: str, schema: T.StructType, header: bool = True
+) -> DataFrame:
+    """CSV source with a declared schema (SURVEY.md §2.1 S1's second
+    format). An explicit schema skips the inference pass (one full
+    extra scan at 100 TB) and pins types against drift; malformed rows
+    surface in ``_corrupt_record`` rather than silently nulling."""
+    return spark.read.csv(path, schema=schema, header=header, mode="PERMISSIVE")
+
+
 def read_xlsx_table(
     spark: SparkSession, path: str, sheet_name: str | int = 0, schema: T.StructType | None = None
 ) -> DataFrame:

@@ -82,6 +82,18 @@ def test_cl_pipeline_all_dim_joins_broadcast(spark):
     assert "BroadcastHashJoin" in plan
 
 
+def test_csv_source_roundtrip(spark, sf_dir, tmp_path):
+    from spk_sl_validation_spark import schemas
+    from spk_sl_validation_spark.sources.readers import load_csv_table
+
+    nation = load_table(spark, sf_dir, "nation")
+    out = str(tmp_path / "nation_csv")
+    nation.write.mode("overwrite").option("header", True).csv(out)
+    back = load_csv_table(spark, out, schemas.TESTDATA_SCHEMAS["nation"])
+    assert back.schema == nation.schema
+    assert back.exceptAll(nation).count() == 0 and nation.exceptAll(back).count() == 0
+
+
 def test_write_report_roundtrip(spark, sf_dir, tmp_path):
     from spk_sl_validation_spark.sources.sinks import write_report
 
