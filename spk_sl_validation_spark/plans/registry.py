@@ -111,6 +111,10 @@ def _ensure_loaded() -> None:
     except ImportError:
         pass
     try:
+        from spk_sl_validation_spark.plans import validation_queries  # noqa: F401
+    except ImportError:
+        pass
+    try:
         from spk_sl_validation_spark.plans import streaming_queries  # noqa: F401
     except ImportError:
         pass

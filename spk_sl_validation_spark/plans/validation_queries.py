@@ -1,0 +1,93 @@
+"""Validation-rule queries: the declarative check suite evaluated in
+one pass, plus row-level violation flagging — both oracle-checked.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spk_sl_validation_spark.operators.validation import Check, flag_violations, validate
+from spk_sl_validation_spark.plans.registry import register
+from spk_sl_validation_spark.sources.readers import load_table
+
+
+# (name, ANSI predicate, severity). Pure data — the oracle generators
+# run at import time, before any SparkContext exists, so Column
+# construction must stay inside the lazily-called builder below.
+_CHECK_SPECS: list[tuple[str, str, str]] = [
+    ("positive_quantity", "l_quantity > 0", "error"),
+    ("discount_in_range", "l_discount >= 0 AND l_discount <= 0.5", "error"),
+    ("shipdate_present", "l_shipdate IS NOT NULL", "warning"),
+    ("price_covers_quantity", "l_extendedprice >= l_quantity", "error"),
+    ("returnflag_domain", "l_returnflag IN ('A', 'N', 'R')", "error"),
+    # A business rule the synthetic data genuinely violates, so the
+    # flagging path is exercised on real rows, not just vacuously.
+    ("quantity_under_reorder_cap", "l_quantity <= 45", "warning"),
+]
+
+
+def _lineitem_checks() -> list[Check]:
+    return [
+        Check(name, F.expr(sql), sql, severity=severity) for name, sql, severity in _CHECK_SPECS
+    ]
+
+
+def _violation_sql(sql: str) -> str:
+    return f"SUM(CASE WHEN NOT coalesce({sql}, FALSE) THEN 1 ELSE 0 END)"
+
+
+def _report_oracle() -> str:
+    selects = " UNION ALL ".join(
+        f"SELECT '{name}' AS check, '{severity}' AS severity, "
+        f"{_violation_sql(sql)} AS n_violations, COUNT(*) AS n_rows, "
+        f"CAST({_violation_sql(sql)} AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS violation_rate "
+        f"FROM lineitem"
+        for name, sql, severity in _CHECK_SPECS
+    )
+    return selects
+
+
+@register(
+    "validation_report",
+    doc="declarative validation suite: 5 checks evaluated in ONE scan → per-check violation report",
+    oracle=None,
+)
+def validation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return validate(li, _lineitem_checks())
+
+
+from spk_sl_validation_spark.plans.registry import REGISTRY as _REG  # noqa: E402
+import dataclasses as _dc  # noqa: E402
+
+_REG["validation_report"] = _dc.replace(_REG["validation_report"], oracle=_report_oracle())
+
+
+def _flags_oracle() -> str:
+    entries = ", ".join(
+        f"CASE WHEN NOT coalesce({sql}, FALSE) THEN '{name}' END"
+        for name, sql, _ in _CHECK_SPECS
+    )
+    return f"""
+SELECT l_orderkey, l_linenumber,
+       list_sort(list_filter([{entries}], x -> x IS NOT NULL)) AS failed_checks
+FROM lineitem
+WHERE len(list_filter([{entries}], x -> x IS NOT NULL)) > 0
+"""
+
+
+@register(
+    "validation_flags",
+    doc="row-level violation flagging: sorted array of failed checks per offending row (quarantine feed)",
+    oracle=None,
+)
+def validation_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    flagged = flag_violations(li, _lineitem_checks())
+    return flagged.filter(F.size("failed_checks") > 0).select(
+        "l_orderkey", "l_linenumber", "failed_checks"
+    )
+
+
+_REG["validation_flags"] = _dc.replace(_REG["validation_flags"], oracle=_flags_oracle())
