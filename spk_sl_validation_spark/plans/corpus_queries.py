@@ -77,6 +77,51 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CHUNK_SIZE = 64
+CHUNK_STRIDE = 48  # 16-token overlap between consecutive chunks
+
+
+@register(
+    "text_chunking",
+    doc=f"document chunking for training windows: {CHUNK_SIZE}-token chunks, stride {CHUNK_STRIDE} (JVM array ops, 1→N)",
+    oracle=f"""
+WITH tok AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+chunks AS (
+  SELECT doc_id,
+         unnest(range(0, greatest((len(t) - {CHUNK_SIZE} + {CHUNK_STRIDE} - 1) // {CHUNK_STRIDE}, 0) + 1)) AS chunk_idx,
+         t
+  FROM tok
+)
+SELECT doc_id,
+       CAST(chunk_idx AS INTEGER) AS chunk_idx,
+       array_to_string(list_slice(t, chunk_idx * {CHUNK_STRIDE} + 1, chunk_idx * {CHUNK_STRIDE} + {CHUNK_SIZE}), ' ') AS chunk_text,
+       CAST(least({CHUNK_SIZE}, len(t) - chunk_idx * {CHUNK_STRIDE}) AS INTEGER) AS n_tokens
+FROM chunks
+""",
+)
+def text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every document becomes ⌈(n_tokens - size)/stride⌉ + 1 overlapping
+    chunks (always ≥1: short docs yield one short chunk). Pure JVM
+    array expressions + posexplode — a narrow 1→N map, no Python, no
+    shuffle; at 100 TB chunking is scan-speed."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = ws_tokens("text")
+    n_chunks = F.greatest(
+        F.ceil((F.size(toks) - CHUNK_SIZE + CHUNK_STRIDE) / CHUNK_STRIDE).cast("int") - 1,
+        F.lit(0),
+    )
+    with_chunks = docs.select(
+        "doc_id", toks.alias("t"), F.posexplode(F.sequence(F.lit(0), n_chunks)).alias("pos", "chunk_idx")
+    )
+    start = F.col("chunk_idx") * CHUNK_STRIDE
+    return with_chunks.select(
+        "doc_id",
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.array_join(F.slice("t", start + 1, CHUNK_SIZE), " ").alias("chunk_text"),
+        F.least(F.lit(CHUNK_SIZE), F.size("t") - start).cast("int").alias("n_tokens"),
+    )
+
+
 @register(
     "embedding_centroids",
     doc="per-label centroid vectors via posexplode + decimal-exact per-dimension mean",
