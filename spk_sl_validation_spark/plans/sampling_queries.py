@@ -1,0 +1,92 @@
+"""Deterministic sampling & datetime surface.
+
+Random sampling is useless for a reproducible training pipeline —
+splits must be a pure function of the row, stable across runs,
+engines, and cluster topologies. Everything here derives from the
+cross-engine md5 family (ext/hashing.py), so the DuckDB oracle
+replays the exact assignment.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from spk_sl_validation_spark.ext.hashing import md5_long, md5_long_sql
+from spk_sl_validation_spark.plans.registry import register
+from spk_sl_validation_spark.sources.readers import load_table
+
+_H = md5_long_sql("CAST(doc_id AS VARCHAR)")
+
+
+@register(
+    "dataset_split",
+    doc="deterministic train/val/test split (80/10/10) by content-stable hash — reproducible across runs/engines",
+    oracle=f"""
+SELECT doc_id,
+       CASE WHEN {_H} % 100 < 80 THEN 'train'
+            WHEN {_H} % 100 < 90 THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+""",
+)
+def dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = md5_long(F.col("doc_id").cast("string")) % 100
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    return docs.select("doc_id", split.alias("split"))
+
+
+@register(
+    "stratified_sample",
+    doc="stratified sampling: exactly 10 docs per language, selected by hash order (deterministic, balanced)",
+    oracle=f"""
+SELECT lang, doc_id FROM (
+  SELECT lang, doc_id,
+         row_number() OVER (PARTITION BY lang ORDER BY {_H} ASC, doc_id ASC) AS rn
+  FROM documents
+) WHERE rn <= 10
+""",
+)
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    h = md5_long(F.col("doc_id").cast("string"))
+    w = Window.partitionBy("lang").orderBy(h.asc(), F.col("doc_id").asc())
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .select("lang", "doc_id")
+    )
+
+
+@register(
+    "datetime_suite",
+    doc="datetime function surface: truncation, field extraction, date arithmetic (aligned across engines)",
+    oracle="""
+SELECT event_id,
+       date_trunc('day', ts) AS day,
+       CAST(extract(year FROM ts) AS INTEGER) AS y,
+       CAST(extract(month FROM ts) AS INTEGER) AS m,
+       CAST(extract(hour FROM ts) AS INTEGER) AS h,
+       CAST(extract(isodow FROM ts) AS INTEGER) AS iso_dow,
+       ts + INTERVAL 7 DAY AS ts_next_week,
+       CAST(date_diff('day', TIMESTAMP '2024-01-01 00:00:00', ts) AS INTEGER) AS days_since_2024
+FROM events
+WHERE event_id < 1000
+""",
+)
+def datetime_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 1000)
+    return ev.select(
+        "event_id",
+        F.date_trunc("day", "ts").alias("day"),
+        F.year("ts").alias("y"),
+        F.month("ts").alias("m"),
+        F.hour("ts").alias("h"),
+        # ISO day-of-week (Mon=1..Sun=7): Spark's dayofweek is Sun=1.
+        F.expr("((dayofweek(ts) + 5) % 7) + 1").cast("int").alias("iso_dow"),
+        (F.col("ts") + F.expr("INTERVAL 7 DAYS")).alias("ts_next_week"),
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date")).alias("days_since_2024"),
+    )
