@@ -88,6 +88,55 @@ def string_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "null_semantics",
+    doc="null-handling surface: <=> (IS NOT DISTINCT FROM), null-safe !=, coalesce/nullif/nvl2 (SURVEY §4.4.1)",
+    oracle="""
+SELECT o_orderkey,
+       (o_orderstatus IS NOT DISTINCT FROM 'O') AS eq_nullsafe,
+       (o_orderstatus IS DISTINCT FROM 'F') AS neq_nullsafe,
+       coalesce(nullif(o_orderstatus, 'P'), 'WAS_P') AS status_or_marker,
+       CASE WHEN o_custkey IS NOT NULL THEN 'has_cust' ELSE 'no_cust' END AS nvl2_shape
+FROM orders
+WHERE o_orderkey < 2000
+""",
+)
+def null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spk_sl_validation_spark.functions.scalar import neq
+
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000)
+    return o.select(
+        "o_orderkey",
+        F.col("o_orderstatus").eqNullSafe("O").alias("eq_nullsafe"),
+        neq(F.col("o_orderstatus"), "F").alias("neq_nullsafe"),
+        F.coalesce(F.nullif("o_orderstatus", F.lit("P")), F.lit("WAS_P")).alias("status_or_marker"),
+        F.nvl2(F.col("o_custkey"), F.lit("has_cust"), F.lit("no_cust")).alias("nvl2_shape"),
+    )
+
+
+@register(
+    "value_histogram",
+    doc="fixed-width histogram via width_bucket (distributed histogram = one aggregation)",
+    oracle="""
+SELECT CAST(CASE WHEN value < 0.0 THEN 0
+                 WHEN value >= 1000.0 THEN 21
+                 ELSE CAST(floor(value / 50.0) AS INTEGER) + 1 END AS INTEGER) AS bucket,
+       COUNT(*) AS n,
+       MIN(value) AS lo,
+       MAX(value) AS hi
+FROM events
+GROUP BY bucket
+""",
+)
+def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select(F.width_bucket("value", F.lit(0.0), F.lit(1000.0), F.lit(20)).cast("int").alias("bucket"), "value")
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"), F.min("value").alias("lo"), F.max("value").alias("hi"))
+    )
+
+
+@register(
     "rollup_revenue",
     doc="ROLLUP grouping-set aggregation with grouping() flags (multi-level totals in one pass)",
     oracle="""
