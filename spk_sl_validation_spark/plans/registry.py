@@ -119,6 +119,10 @@ def _ensure_loaded() -> None:
     except ImportError:
         pass
     try:
+        from spk_sl_validation_spark.plans import pipeline_queries  # noqa: F401
+    except ImportError:
+        pass
+    try:
         from spk_sl_validation_spark.plans import streaming_queries  # noqa: F401
     except ImportError:
         pass
