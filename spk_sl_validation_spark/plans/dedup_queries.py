@@ -280,3 +280,31 @@ WHERE CAST(n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) >= 0
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return D.ngram_jaccard_pairs(docs, "doc_id", "text", 3, 0.5)
+
+
+@register(
+    "decontaminate_benchmark",
+    doc="benchmark decontamination: training docs sharing any 8-gram with the held-out set doc_id%97==0 (ext/decontaminate.py; broadcast bench n-gram set, one corpus shuffle)",
+    oracle=rf"""
+WITH g AS (
+  SELECT doc_id, unnest(list_distinct({word_shingles_sql(_TOKS, 8)})) AS s
+  FROM documents
+),
+bench AS (SELECT DISTINCT s FROM g WHERE doc_id % 97 = 0),
+train AS (SELECT * FROM g WHERE doc_id % 97 <> 0)
+SELECT t.doc_id,
+       COUNT(b.s) AS n_overlap,
+       (COUNT(b.s) > 0) AS contaminated
+FROM train t LEFT JOIN bench b ON t.s = b.s
+GROUP BY t.doc_id
+""",
+)
+def decontaminate_benchmark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyspark.sql.functions as F
+
+    from spk_sl_validation_spark.ext.decontaminate import benchmark_overlap
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    train = docs.filter(F.col("doc_id") % 97 != 0)
+    return benchmark_overlap(train, bench, "doc_id", "text", n=8)

@@ -80,3 +80,29 @@ def asof_join_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
         suffix="",
     )
     return out.select("event_id", "user_id", "ts", "purchase_event_id", "purchase_ts")
+
+
+@register(
+    "range_join_clicks_before_purchase",
+    doc="banded interval range join: per purchase, clicks by the same user in the trailing hour (operators/rangejoin.py; hash equi-join on (user, time-band), no BNLJ)",
+    oracle="""
+SELECT p.event_id, p.user_id, COUNT(c.ts) AS n_in_window
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'click') c
+  ON c.user_id = p.user_id
+ AND c.ts > p.ts - INTERVAL 1 HOUR
+ AND c.ts <= p.ts
+GROUP BY p.event_id, p.user_id
+""",
+)
+def range_join_clicks_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spk_sl_validation_spark.operators.rangejoin import interval_count
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
+    out = interval_count(
+        purchases, clicks, by=["user_id"], left_id="event_id",
+        left_ts="ts", right_ts="ts", lookback_sec=3600,
+    )
+    return out.select("event_id", "user_id", "n_in_window")

@@ -85,3 +85,16 @@ def read_xlsx_table(
 
     pdf = pd.read_excel(path, sheet_name=sheet_name, engine="openpyxl")
     return spark.createDataFrame(pdf, schema=schema)
+
+
+def load_jsonl_table(
+    spark: SparkSession, path: str, schema: T.StructType
+) -> DataFrame:
+    """JSON-Lines source with a declared schema — the de-facto
+    interchange format for document/training-data corpora. An explicit
+    schema avoids the inference scan (a full extra pass over 100 TB)
+    and keeps the reader a single streaming decode per file split;
+    malformed lines land in ``_corrupt_record`` when the schema
+    declares it (PERMISSIVE) instead of failing the job.
+    """
+    return spark.read.json(path, schema=schema, mode="PERMISSIVE")
