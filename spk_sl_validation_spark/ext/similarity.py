@@ -282,3 +282,42 @@ def near_dup_pairs(
             )
 
     return df.select(id_col, vec_col).mapInPandas(run, schema)
+
+
+def quantize_int8(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Symmetric per-vector int8 quantization: adds ``scale``, ``q``
+    (array<int>), and ``max_err`` (max absolute reconstruction error,
+    ≤ scale/2 by construction) columns.
+
+    ``scale = max(|v|)/127``; ``q_i = floor(v_i/scale + 0.5)`` — the
+    half-up rule is written out arithmetically so any engine computes
+    the identical lattice (no banker's-rounding ambiguity), which is
+    what makes the DuckDB oracle value-exact. Zero vectors get NULL
+    scale (nullif) → NULL q; the caller decides their fate.
+
+    Scale story: int8 is 4× smaller than float32 — at 100 TB of
+    embeddings that is the difference between an in-memory ANN probe
+    and spilling; the dequantized dot product needs only q·q' rescaled
+    by scale·scale'. All expressions are JVM array ops (no Python);
+    for the hot path a fused Arrow pandas_udf over mapInPandas is the
+    10×-faster variant, but this query is about the storage contract.
+    """
+    return (
+        df.withColumn("__vd", F.expr(f"transform({vec_col}, x -> CAST(x AS DOUBLE))"))
+        .withColumn(
+            "scale",
+            F.expr(
+                "nullif(aggregate(__vd, CAST(0 AS DOUBLE), (a, x) -> greatest(a, abs(x))),"
+                " CAST(0 AS DOUBLE)) / 127"
+            ),
+        )
+        .withColumn("q", F.expr("transform(__vd, x -> CAST(floor(x / scale + 0.5D) AS INT))"))
+        .withColumn(
+            "max_err",
+            F.expr(
+                "aggregate(zip_with(__vd, q, (x, qq) -> abs(x - qq * scale)),"
+                " CAST(0 AS DOUBLE), (a, x) -> greatest(a, x))"
+            ),
+        )
+        .drop("__vd")
+    )

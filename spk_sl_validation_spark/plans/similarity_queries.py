@@ -131,3 +131,33 @@ WHERE {_COS} >= {NEAR_DUP_TAU}
 def similarity_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return S.near_dup_pairs(emb, NEAR_DUP_TAU)
+
+
+@register(
+    "embedding_quantize_int8",
+    doc="symmetric int8 embedding quantization (scale, q, max reconstruction error) — 4x storage shrink for ANN at scale; engine-agnostic half-up lattice, value-exact oracle",
+    oracle="""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+),
+s AS (
+  SELECT vec_id, v,
+         nullif(list_aggregate(list_transform(v, x -> abs(x)), 'max'), 0) / 127 AS scale
+  FROM e
+),
+qq AS (
+  SELECT vec_id, v, scale,
+         list_transform(v, x -> CAST(floor(x / scale + 0.5) AS INTEGER)) AS q
+  FROM s
+)
+SELECT vec_id, scale, q,
+       list_aggregate(
+         list_transform(range(1, len(v) + 1), i -> abs(v[i] - q[i] * scale)), 'max') AS max_err
+FROM qq
+""",
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spk_sl_validation_spark.ext.similarity import quantize_int8
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return quantize_int8(emb, "embedding").select("vec_id", "scale", "q", "max_err")

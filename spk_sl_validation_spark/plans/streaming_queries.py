@@ -133,3 +133,24 @@ def streaming_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("total_value").cast("decimal(18,2)").cast("double").alias("total_value"),
         )
     )
+
+
+@register(
+    "streaming_static_enrich",
+    doc="stream-static broadcast join: each events micro-batch enriched against the static customer dim (no state store, no watermark needed) == batch join",
+    oracle="""
+SELECT e.event_id, e.user_id, c.c_mktsegment, c.c_nationkey
+FROM events e
+JOIN customer c ON c.c_custkey = e.user_id
+""",
+)
+def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spk_sl_validation_spark.sources.readers import load_table
+
+    stream = P.stream_events(spark, sf_dir)
+    cust = load_table(spark, sf_dir, "customer")
+    enriched = (
+        stream.join(F.broadcast(cust), stream["user_id"] == cust["c_custkey"], "inner")
+        .select("event_id", "user_id", "c_mktsegment", "c_nationkey")
+    )
+    return P.run_available_now(enriched, output_mode="append")

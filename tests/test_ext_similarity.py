@@ -99,3 +99,23 @@ def test_streaming_matches_batch(spark, sf_dir):
     ).agg(F.count(F.lit(1)).alias("n"))
     diff = got.select("window_start", "event_type", "n").exceptAll(expected)
     assert diff.count() == 0
+
+
+def test_quantize_int8_bounds(spark, sf_dir):
+    from spk_sl_validation_spark.ext.similarity import quantize_int8
+    from spk_sl_validation_spark.sources.readers import load_table
+    import pyspark.sql.functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(50)
+    out = quantize_int8(emb, "embedding")
+    bad = out.filter(
+        (F.col("max_err") > F.col("scale") / 2 + 1e-12)
+        | (F.expr("exists(q, x -> x < -127 OR x > 127)"))
+    ).count()
+    assert bad == 0
+    # dequantized dot self-product approximates the true norm
+    row = out.select(
+        F.expr("aggregate(zip_with(embedding, embedding, (a,b) -> CAST(a AS DOUBLE)*b), CAST(0 AS DOUBLE), (a,x) -> a+x)").alias("true_sq"),
+        (F.expr("aggregate(zip_with(q, q, (a,b) -> CAST(a AS DOUBLE)*b), CAST(0 AS DOUBLE), (a,x) -> a+x)") * F.col("scale") * F.col("scale")).alias("deq_sq"),
+    ).first()
+    assert abs(row.true_sq - row.deq_sq) <= 0.05 * max(row.true_sq, 1e-9)
