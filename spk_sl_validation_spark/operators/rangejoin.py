@@ -26,23 +26,19 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def banded_interval_pairs(
+def _banded_join(
     left: DataFrame,
     right: DataFrame,
     by: Sequence[str],
     left_ts: str,
     right_ts: str,
     lookback_sec: int,
-) -> DataFrame:
-    """Inner matched pairs: every (left row, right row) with equal
-    ``by`` keys and ``right_ts ∈ (left_ts - lookback_sec, left_ts]``.
-
-    Output: all left columns + right's non-``by`` columns (suffixed
-    ``_r`` on name clashes). Each qualifying pair appears exactly once
-    (a right row has one band; the left row probes that band exactly
-    once). Anchors with no match are absent — see
-    :func:`interval_count` for zero-preserving per-anchor counts.
-    """
+    how: str,
+):
+    """Band-explode ``left``, equi-join ``right`` on (by, band) with the
+    exact range predicate folded into the join condition. Returns the
+    joined frame (still carrying ``__band``/``__rk_*`` helper columns)
+    and the name of the right-timestamp column after clash-renaming."""
     by = list(by)
     r_cols = [c for c in right.columns if c not in by]
     rename = {c: (f"{c}_r" if c in left.columns else c) for c in r_cols}
@@ -65,7 +61,28 @@ def banded_interval_pairs(
         & (F.col(rts) > F.col(left_ts) - F.expr(f"INTERVAL {lookback_sec} SECOND"))
         & (F.col(rts) <= F.col(left_ts))
     )
-    return l.join(r, cond, "inner").drop("__band", *[f"__rk_{k}" for k in by])
+    return l.join(r, cond, how), rts
+
+
+def banded_interval_pairs(
+    left: DataFrame,
+    right: DataFrame,
+    by: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    lookback_sec: int,
+) -> DataFrame:
+    """Inner matched pairs: every (left row, right row) with equal
+    ``by`` keys and ``right_ts ∈ (left_ts - lookback_sec, left_ts]``.
+
+    Output: all left columns + right's non-``by`` columns (suffixed
+    ``_r`` on name clashes). Each qualifying pair appears exactly once
+    (a right row has one band; the left row probes that band exactly
+    once). Anchors with no match are absent — see
+    :func:`interval_count` for zero-preserving per-anchor counts.
+    """
+    out, _ = _banded_join(left, right, by, left_ts, right_ts, lookback_sec, "inner")
+    return out.drop("__band", *[f"__rk_{k}" for k in by])
 
 
 def interval_count(
@@ -81,15 +98,13 @@ def interval_count(
     zero-preserving: every left row comes back, ``n_in_window = 0``
     when nothing matched.
 
-    The count aggregates the (already banded) pair stream on the
-    anchor id, then a broadcast-friendly left join stitches it back
-    to the full left side.
+    Single-pass plan: the banded join runs LEFT-outer, so an anchor's
+    two band copies survive even with no match (null right ts), and
+    one hash aggregate on the anchor row counts non-null matches —
+    unmatched copies contribute zero. One shuffle total (the
+    aggregate); no stitch-back join of the counts to the left side.
+    ``left_id`` is assumed unique per left row (it keys the result).
     """
-    pairs = banded_interval_pairs(left, right, by, left_ts, right_ts, lookback_sec)
-    rts = right_ts if right_ts not in left.columns else f"{right_ts}_r"
-    counts = pairs.groupBy(left_id).agg(F.count(rts).alias("__n"))
-    return (
-        left.join(counts, left_id, "left")
-        .withColumn("n_in_window", F.coalesce(F.col("__n"), F.lit(0)))
-        .drop("__n")
-    )
+    joined, rts = _banded_join(left, right, by, left_ts, right_ts, lookback_sec, "left")
+    assert left_id in left.columns, left_id
+    return joined.groupBy(*left.columns).agg(F.count(rts).alias("n_in_window"))
