@@ -204,3 +204,37 @@ def cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
         )
     )
+
+
+@register(
+    "window_time_range",
+    doc=(
+        "time-RANGE window frame: per-customer trailing-90-day rolling spend and "
+        "order count (frame bounded by event-time value, not row offset). Spark "
+        "expresses the interval bound as rangeBetween over epoch seconds; the "
+        "frame is a set (order-independent within ties), and the DECIMAL sum "
+        "makes the rolling total bit-deterministic"
+    ),
+    oracle="""
+SELECT o_orderkey, o_custkey, o_orderdate,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS spend_90d,
+       COUNT(*) OVER w AS n_orders_90d
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate
+             RANGE BETWEEN INTERVAL 90 DAY PRECEDING AND CURRENT ROW)
+""",
+)
+def window_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").cast("long"))
+        .rangeBetween(-90 * 86400, 0)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w).cast("double").alias("spend_90d"),
+        F.count(F.lit(1)).over(w).alias("n_orders_90d"),
+    )

@@ -126,4 +126,8 @@ def _ensure_loaded() -> None:
         from spk_sl_validation_spark.plans import streaming_queries  # noqa: F401
     except ImportError:
         pass
+    try:
+        from spk_sl_validation_spark.plans import privacy_queries  # noqa: F401
+    except ImportError:
+        pass
     _LOADED = True

@@ -67,3 +67,71 @@ def sql_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     for name in ("lineitem", "part"):
         load_table(spark, sf_dir, name).createOrReplaceTempView(f"v_{name}")
     return spark.sql(_Q17.format(lineitem="v_lineitem", part="v_part"))
+
+
+_Q18 = """
+SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+       CAST(o.o_totalprice AS DOUBLE) AS total_price,
+       CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+FROM {customer} c
+JOIN {orders} o ON c.c_custkey = o.o_custkey
+JOIN {lineitem} l ON o.o_orderkey = l.l_orderkey
+WHERE o.o_orderkey IN (
+    SELECT l2.l_orderkey FROM {lineitem} l2
+    GROUP BY l2.l_orderkey
+    HAVING SUM(CAST(l2.l_quantity AS DECIMAL(18,2))) > 300
+)
+GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+ORDER BY total_price DESC, o.o_orderkey
+LIMIT 100
+"""
+
+
+@register(
+    "sql_tpch_q18",
+    doc=(
+        "SQL-string API: TPC-H Q18 shape — IN over a grouped HAVING subquery "
+        "(large-volume orders). Catalyst rewrites the IN to a left-semi join "
+        "against the pre-aggregated subquery, so the big fact is scanned twice "
+        "but shuffled on the same key both times; DECIMAL quantity sums keep the "
+        "HAVING threshold bit-deterministic"
+    ),
+    oracle=_Q18.format(customer="customer", orders="orders", lineitem="lineitem"),
+)
+def sql_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    for name in ("customer", "orders", "lineitem"):
+        load_table(spark, sf_dir, name).createOrReplaceTempView(f"v_{name}")
+    return spark.sql(_Q18.format(customer="v_customer", orders="v_orders", lineitem="v_lineitem"))
+
+
+_Q22 = """
+SELECT c.c_mktsegment, COUNT(*) AS n_cust,
+       CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+FROM {customer} c
+WHERE CAST(c.c_acctbal AS DECIMAL(18,2))
+        * (SELECT COUNT(*) FROM {customer} WHERE c_acctbal > 0.0)
+      > (SELECT SUM(CAST(c_acctbal AS DECIMAL(18,2))) FROM {customer} WHERE c_acctbal > 0.0)
+  AND NOT EXISTS (
+    SELECT 1 FROM {orders} o
+    WHERE o.o_custkey = c.c_custkey
+      AND o.o_orderdate >= TIMESTAMP '2000-08-01 00:00:00'
+  )
+GROUP BY c.c_mktsegment
+"""
+
+
+@register(
+    "sql_tpch_q22",
+    doc=(
+        "SQL-string API: TPC-H Q22 shape — dormant above-average-balance "
+        "customers per segment: two uncorrelated scalar subqueries (broadcast as "
+        "literals) + correlated NOT EXISTS (left-anti join). The above-average "
+        "test is written multiply-through (bal * n > total) so both sides stay "
+        "exact DECIMAL/BIGINT — no float-boundary flakiness between engines"
+    ),
+    oracle=_Q22.format(customer="customer", orders="orders"),
+)
+def sql_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    for name in ("customer", "orders"):
+        load_table(spark, sf_dir, name).createOrReplaceTempView(f"v_{name}")
+    return spark.sql(_Q22.format(customer="v_customer", orders="v_orders"))

@@ -8,7 +8,7 @@ driver's value-hash comparison verifies them end to end.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from spk_sl_validation_spark.ext import text as X
@@ -126,3 +126,60 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = docs.select("doc_id", X.md5_fingerprint("text").alias("exact_fp"))
     rolling = X.rolling_fingerprints(docs, "doc_id", "text", 3)
     return exact.join(rolling, "doc_id").select("doc_id", "exact_fp", "rolling_fp")
+
+
+@register(
+    "text_repetition",
+    doc=(
+        "Gopher-style repetition quality filters: per-doc distinct-word ratio, "
+        "top-unigram fraction, top-bigram fraction (Rae et al. 2021 §A1.1 "
+        "repetition signals). posexplode + window-lead for bigrams (codegen, no "
+        "interpreted higher-order funcs); two-level hash aggregates keyed on "
+        "doc_id — partial map-side combine makes this linear-scan-shaped at 100 TB"
+    ),
+    oracle=rf"""
+WITH l AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+wc AS (SELECT doc_id, w, count(*) AS c
+       FROM (SELECT doc_id, unnest(toks) AS w FROM l) GROUP BY doc_id, w),
+bc AS (SELECT doc_id, b, count(*) AS c
+       FROM (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+                                                  i -> toks[i] || ' ' || toks[i+1])) AS b
+             FROM l) GROUP BY doc_id, b),
+wm AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_words, COUNT(*) AS n_distinct,
+              MAX(c) AS top_word_n FROM wc GROUP BY doc_id),
+bm AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams, MAX(c) AS top_bigram_n
+       FROM bc GROUP BY doc_id)
+SELECT wm.doc_id AS doc_id, n_words,
+       CAST(n_distinct AS DOUBLE) / n_words AS distinct_ratio,
+       CAST(top_word_n AS DOUBLE) / n_words AS top_word_frac,
+       CAST(top_bigram_n AS DOUBLE) / n_bigrams AS top_bigram_frac
+FROM wm JOIN bm ON wm.doc_id = bm.doc_id
+""",
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.posexplode(F.split(F.trim(F.col("text")), r"\s+")).alias("pos", "w")
+    )
+    t = toks.withColumn("nxt", F.lead("w").over(Window.partitionBy("doc_id").orderBy("pos")))
+    wc = t.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("c"))
+    wm = wc.groupBy("doc_id").agg(
+        F.sum("c").alias("n_words"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.max("c").alias("top_word_n"),
+    )
+    bc = (
+        t.filter(F.col("nxt").isNotNull())
+        .groupBy("doc_id", F.concat_ws(" ", "w", "nxt").alias("b"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    bm = bc.groupBy("doc_id").agg(
+        F.sum("c").alias("n_bigrams"), F.max("c").alias("top_bigram_n")
+    )
+    return wm.join(bm, "doc_id").select(
+        "doc_id",
+        "n_words",
+        (F.col("n_distinct").cast("double") / F.col("n_words")).alias("distinct_ratio"),
+        (F.col("top_word_n").cast("double") / F.col("n_words")).alias("top_word_frac"),
+        (F.col("top_bigram_n").cast("double") / F.col("n_bigrams")).alias("top_bigram_frac"),
+    )

@@ -87,6 +87,18 @@ def read_xlsx_table(
     return spark.createDataFrame(pdf, schema=schema)
 
 
+def load_orc_table(spark: SparkSession, path: str, schema: T.StructType | None = None) -> DataFrame:
+    """ORC source — the other columnar format large warehouses hand
+    off (Hive-lineage lakes). Native vectorized reader with the same
+    pushdown/pruning surface as parquet; a declared schema pins types
+    and skips footer-merge inference across many files.
+    """
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.orc(path)
+
+
 def load_jsonl_table(
     spark: SparkSession, path: str, schema: T.StructType
 ) -> DataFrame:

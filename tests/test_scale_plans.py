@@ -94,6 +94,17 @@ def test_csv_source_roundtrip(spark, sf_dir, tmp_path):
     assert back.exceptAll(nation).count() == 0 and nation.exceptAll(back).count() == 0
 
 
+def test_orc_source_roundtrip(spark, sf_dir, tmp_path):
+    from spk_sl_validation_spark.sources.readers import load_orc_table
+
+    nation = load_table(spark, sf_dir, "nation")
+    out = str(tmp_path / "nation_orc")
+    nation.write.mode("overwrite").orc(out)
+    back = load_orc_table(spark, out, nation.schema)
+    assert back.schema == nation.schema
+    assert back.exceptAll(nation).count() == 0 and nation.exceptAll(back).count() == 0
+
+
 def test_write_report_roundtrip(spark, sf_dir, tmp_path):
     from spk_sl_validation_spark.sources.sinks import write_report
 
