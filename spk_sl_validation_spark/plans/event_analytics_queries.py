@@ -1,0 +1,160 @@
+"""Event-analytics queries over the events table: funnel conversion,
+cohort retention, SCD Type 2 interval derivation.
+
+The classic warehouse trio a user of the reference would reach for
+next once their cleansing pipeline feeds an events store. All three
+are expressed as shuffle-minimal DataFrame plans keyed on ``user_id``
+(consecutive per-user aggregates/windows reuse one hash partitioning;
+AQE collapses the per-step funnel joins to broadcasts when a step's
+survivor set is dim-sized) and value-checked against DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from spk_sl_validation_spark.plans.registry import register
+from spk_sl_validation_spark.sources.readers import load_table
+
+_FUNNEL_HOURS = 24
+
+
+@register(
+    "funnel_conversion",
+    doc=(
+        "3-step ordered funnel (view → click ≤24h → purchase ≤24h): per step, "
+        "users whose earliest qualifying event falls inside the window opened by "
+        "the previous step. Each step is one groupBy(user) aggregate joined to "
+        "the prior survivor set — same user_id shuffle key end to end"
+    ),
+    oracle=f"""
+WITH v AS (SELECT user_id, min(ts) AS view_ts FROM events
+           WHERE event_type = 'view' GROUP BY user_id),
+c AS (SELECT e.user_id, min(e.ts) AS click_ts FROM events e
+      JOIN v ON v.user_id = e.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.view_ts
+        AND e.ts <= v.view_ts + INTERVAL {_FUNNEL_HOURS} HOUR
+      GROUP BY e.user_id),
+p AS (SELECT e.user_id, min(e.ts) AS purchase_ts FROM events e
+      JOIN c ON c.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.click_ts
+        AND e.ts <= c.click_ts + INTERVAL {_FUNNEL_HOURS} HOUR
+      GROUP BY e.user_id)
+SELECT 1 AS step, 'view' AS event_type, (SELECT count(*) FROM v) AS n_users
+UNION ALL
+SELECT 2 AS step, 'click' AS event_type, (SELECT count(*) FROM c) AS n_users
+UNION ALL
+SELECT 3 AS step, 'purchase' AS event_type, (SELECT count(*) FROM p) AS n_users
+""",
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    win = F.expr(f"INTERVAL {_FUNNEL_HOURS} HOUR")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("view_ts"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter((F.col("ts") > F.col("view_ts")) & (F.col("ts") <= F.col("view_ts") + win))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("click_ts"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter((F.col("ts") > F.col("click_ts")) & (F.col("ts") <= F.col("click_ts") + win))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("purchase_ts"))
+    )
+
+    def step(df: DataFrame, n: int, name: str) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit(n).alias("step"), F.lit(name).alias("event_type"), "n_users"
+        )
+
+    return step(v, 1, "view").unionAll(step(c, 2, "click")).unionAll(step(p, 3, "purchase"))
+
+
+@register(
+    "cohort_retention",
+    doc=(
+        "daily cohort retention triangle: users bucketed by first-activity day, "
+        "counted once per (cohort, day-offset) they were active. One groupBy for "
+        "the cohort map, one distinct + count — all shuffles on user_id/cohort "
+        "keys, no row explosion"
+    ),
+    oracle="""
+WITH f AS (SELECT user_id, date_trunc('day', min(ts)) AS cohort_day
+           FROM events GROUP BY user_id),
+a AS (SELECT DISTINCT e.user_id, f.cohort_day,
+             CAST(date_diff('day', f.cohort_day, date_trunc('day', e.ts)) AS BIGINT) AS day_offset
+      FROM events e JOIN f ON f.user_id = e.user_id)
+SELECT cohort_day, day_offset, count(*) AS n_active
+FROM a GROUP BY cohort_day, day_offset
+""",
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    f = ev.groupBy("user_id").agg(F.date_trunc("day", F.min("ts")).alias("cohort_day"))
+    a = (
+        ev.join(f, "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            F.datediff(F.date_trunc("day", F.col("ts")), F.col("cohort_day"))
+            .cast("long")
+            .alias("day_offset"),
+        )
+        .distinct()
+    )
+    return a.groupBy("cohort_day", "day_offset").agg(F.count(F.lit(1)).alias("n_active"))
+
+
+@register(
+    "scd2_intervals",
+    doc=(
+        "SCD Type 2 derivation: collapse a per-user event log into "
+        "change-only effective-dated intervals (valid_from, valid_to, "
+        "is_current) — lag to drop no-op repeats, lead to close each interval. "
+        "Both windows share one (user_id) partitioning; one shuffle total"
+    ),
+    oracle="""
+WITH o AS (SELECT user_id, event_id, event_type AS status, ts,
+                  lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+           FROM events),
+ch AS (SELECT user_id, event_id, status, ts AS valid_from FROM o
+       WHERE prev IS NULL OR status <> prev)
+SELECT user_id, status, valid_from,
+       lead(valid_from) OVER w AS valid_to,
+       CAST(lead(valid_from) OVER w IS NULL AS INT) AS is_current
+FROM ch
+WINDOW w AS (PARTITION BY user_id ORDER BY valid_from, event_id)
+""",
+)
+def scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    ch = (
+        ev.select(
+            "user_id",
+            "event_id",
+            F.col("event_type").alias("status"),
+            "ts",
+            F.lag("event_type").over(
+                Window.partitionBy("user_id").orderBy("ts", "event_id")
+            ).alias("prev"),
+        )
+        .filter(F.col("prev").isNull() | (F.col("status") != F.col("prev")))
+        .select("user_id", "event_id", "status", F.col("ts").alias("valid_from"))
+    )
+    w = Window.partitionBy("user_id").orderBy("valid_from", "event_id")
+    return ch.select(
+        "user_id",
+        "status",
+        "valid_from",
+        F.lead("valid_from").over(w).alias("valid_to"),
+        F.lead("valid_from").over(w).isNull().cast("int").alias("is_current"),
+    )

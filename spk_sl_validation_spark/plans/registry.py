@@ -130,4 +130,8 @@ def _ensure_loaded() -> None:
         from spk_sl_validation_spark.plans import privacy_queries  # noqa: F401
     except ImportError:
         pass
+    try:
+        from spk_sl_validation_spark.plans import event_analytics_queries  # noqa: F401
+    except ImportError:
+        pass
     _LOADED = True

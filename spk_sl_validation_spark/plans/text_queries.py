@@ -8,7 +8,7 @@ driver's value-hash comparison verifies them end to end.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from spk_sl_validation_spark.ext import text as X
@@ -158,19 +158,30 @@ FROM wm JOIN bm ON wm.doc_id = bm.doc_id
 )
 def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id", F.posexplode(F.split(F.trim(F.col("text")), r"\s+")).alias("pos", "w")
-    )
-    t = toks.withColumn("nxt", F.lead("w").over(Window.partitionBy("doc_id").orderBy("pos")))
-    wc = t.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("c"))
+    # Bigrams are built row-locally (arrays_zip over two slices — codegen
+    # collection expressions, not interpreted lambda HOFs), so there is no
+    # window, no sort, and no shuffle of raw tokens: a doc's exploded
+    # n-grams stay in their input partition, the partial hash aggregate
+    # collapses them map-side, and every exchange carries only per-doc
+    # distinct-n-gram counts.
+    a = F.split(F.trim(F.col("text")), r"\s+")
+    d = docs.select("doc_id", a.alias("a"))
+    uni = d.select("doc_id", F.explode("a").alias("w"))
+    wc = uni.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("c"))
     wm = wc.groupBy("doc_id").agg(
         F.sum("c").alias("n_words"),
         F.count(F.lit(1)).alias("n_distinct"),
         F.max("c").alias("top_word_n"),
     )
+    z = d.select(
+        "doc_id",
+        F.explode(
+            F.arrays_zip(F.slice("a", 1, F.size("a") - 1), F.slice(F.col("a"), 2, F.size("a") - 1))
+        ).alias("p"),
+    )
     bc = (
-        t.filter(F.col("nxt").isNotNull())
-        .groupBy("doc_id", F.concat_ws(" ", "w", "nxt").alias("b"))
+        z.select("doc_id", F.concat_ws(" ", F.col("p.0"), F.col("p.1")).alias("b"))
+        .groupBy("doc_id", "b")
         .agg(F.count(F.lit(1)).alias("c"))
     )
     bm = bc.groupBy("doc_id").agg(
