@@ -10,10 +10,12 @@ runtime; these helpers cover the cases AQE does not:
   split across ``n_salts`` reducers; phase 2 merges the partials on
   key. Semantics-preserving for any algebraic aggregate (sum/count/
   min/max) — verified against the plain GROUP BY oracle.
-- ``salted_broadcast_left_join`` is deliberately absent: a broadcast
-  join never shuffles the probe side, so salting it is pointless —
-  the correct response to a skewed *dim* join is broadcasting, which
-  the operator layer already defaults to (relational.left_join).
+- ``salted_shuffle_join``: explicit salting for large-to-large joins
+  on paths AQE cannot re-plan (stream-static joins, forced plans).
+  A salted *broadcast* join is deliberately absent: a broadcast join
+  never shuffles the probe side, so salting it is pointless — the
+  correct response to a skewed *dim* join is broadcasting, which the
+  operator layer already defaults to (relational.left_join).
 - ``write_bucketed`` / co-located joins: pre-shuffling fact tables
   into hash buckets at rest so repeated equi-joins/aggregations on
   the bucket key run with **zero exchanges**. This is the 100 TB
@@ -62,6 +64,33 @@ def salted_group_agg(
     if count:
         phase2_aggs.append(F.sum("__cnt").alias("n"))
     return partial.groupBy(*keys).agg(*phase2_aggs)
+
+
+def salted_shuffle_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Salted large-to-large equi-join for hot keys on paths AQE's
+    runtime skew split cannot reach (stream-static joins, forced
+    plans, skew re-emerging mid-multi-join).
+
+    The probe (left) side salts each row by a hash of all its columns;
+    the build (right) side is replicated ``n_salts``× via an exploded
+    salt sequence. Joining on ``on + [salt]`` spreads a hot key over
+    ``n_salts`` reducers; each left row still meets every matching
+    right row exactly once, so the result multiset is identical to the
+    plain equi-join (verified against the plain-join oracle). Cost:
+    build-side shuffle volume × n_salts — size n_salts to the skew
+    ratio, not higher.
+    """
+    on = list(on)
+    lsalt = (F.abs(F.xxhash64(*[F.col(c) for c in left.columns])) % n_salts).cast("int")
+    l = left.withColumn("__salt", lsalt)
+    r = right.withColumn("__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))))
+    return l.join(r, on + ["__salt"], how).drop("__salt")
 
 
 def write_bucketed(

@@ -34,3 +34,42 @@ def salted_group_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "event_type", F.col("sum_value_dec").cast("double").alias("sum_value"), "n"
     )
+
+
+@register(
+    "salted_join_agg",
+    doc=(
+        "salted large-to-large shuffle join on a 5-value (maximally skewed) key "
+        "== plain equi-join: probe rows salt by row-hash, build side replicated "
+        "n_salts x, so one hot key spreads over n_salts reducers. Aggregated "
+        "with exact decimal sums so the comparison is bit-stable"
+    ),
+    oracle="""
+WITH dim AS (
+    SELECT event_type,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS type_avg
+    FROM events GROUP BY event_type
+)
+SELECT e.event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+       MAX(d.type_avg) AS type_avg
+FROM events e JOIN dim d ON d.event_type = e.event_type
+GROUP BY e.event_type
+""",
+)
+def salted_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spk_sl_validation_spark.operators.skew import salted_shuffle_join
+
+    ev = load_table(spark, sf_dir, "events")
+    dim = ev.groupBy("event_type").agg(
+        (F.sum(F.col("value").cast("decimal(18,2)")).cast("double") / F.count(F.lit(1))).alias(
+            "type_avg"
+        )
+    )
+    joined = salted_shuffle_join(ev, dim, on=["event_type"], n_salts=8)
+    return joined.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        F.max("type_avg").alias("type_avg"),
+    )

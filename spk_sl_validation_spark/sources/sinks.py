@@ -38,6 +38,31 @@ def write_report(
         writer.parquet(f"{out_dir}/{safe}")
 
 
+def write_clustered(
+    df: DataFrame,
+    path: str,
+    range_cols: list[str],
+    n_files: int = 32,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Range-clustered parquet: ``repartitionByRange`` on ``range_cols``
+    (one disjoint value range per output file) + ``sortWithinPartitions``
+    so pages inside each file are ordered too.
+
+    This is the data-layout half of scan performance at 100 TB: parquet
+    footers then carry tight, non-overlapping min/max stats on the
+    cluster columns, so a range predicate prunes whole files before any
+    I/O (and row groups within the survivors). Clustering by the
+    dominant filter column (event time, tenant) turns full-corpus scans
+    into touched-range scans. Disjointness is asserted in
+    tests/test_scale_plans.py from the written footers.
+    """
+    out = df.repartitionByRange(n_files, *range_cols)
+    out = out.sortWithinPartitions(*(sort_cols or range_cols))
+    out.write.mode(mode).parquet(path)
+
+
 def write_report_xlsx(sheets: dict[str, DataFrame], path: str, max_rows: int = 1_000_000) -> None:
     """Edge converter: collect each sheet and write one xlsx workbook.
 

@@ -94,6 +94,41 @@ def test_csv_source_roundtrip(spark, sf_dir, tmp_path):
     assert back.exceptAll(nation).count() == 0 and nation.exceptAll(back).count() == 0
 
 
+def test_write_clustered_disjoint_ranges(spark, sf_dir, tmp_path):
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from spk_sl_validation_spark.sources.sinks import write_clustered
+
+    orders = load_table(spark, sf_dir, "orders")
+    out = str(tmp_path / "orders_clustered")
+    write_clustered(orders, out, ["o_orderdate"], n_files=8)
+
+    spans = []
+    for f in glob.glob(f"{out}/part-*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            col = next(
+                md.row_group(rg).column(i)
+                for i in range(md.num_columns)
+                if md.row_group(rg).column(i).path_in_schema == "o_orderdate"
+            )
+            mins.append(col.statistics.min)
+            maxs.append(col.statistics.max)
+        spans.append((min(mins), max(maxs)))
+    spans.sort()
+    assert len(spans) > 1
+    # Footer min/max ranges must not overlap across files (boundary
+    # equality allowed: repartitionByRange keeps equal keys together).
+    for (_, hi), (lo2, _) in zip(spans, spans[1:]):
+        assert hi <= lo2
+
+    back = spark.read.parquet(out)
+    assert back.count() == orders.count()
+
+
 def test_orc_source_roundtrip(spark, sf_dir, tmp_path):
     from spk_sl_validation_spark.sources.readers import load_orc_table
 
