@@ -148,3 +148,54 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("mean_v"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@register(
+    "corpus_cooccurrence",
+    doc=(
+        "word co-occurrence lift: for word pairs sharing a document, "
+        "lift = co_docs * N / (df_1 * df_2) — top 50 by lift. Per-doc DISTINCT "
+        "then a doc_id-keyed self-join (pair space bounded by per-doc distinct "
+        "vocabulary, not corpus vocab^2); doc frequencies broadcast back onto "
+        "the pair aggregate. All counts exact, one final double division"
+    ),
+    oracle=rf"""
+WITH dw AS (SELECT DISTINCT doc_id, unnest({_TOKS}) AS w FROM documents),
+dfreq AS (SELECT w, count(*) AS df FROM dw GROUP BY w),
+pairs AS (SELECT a.w AS w1, b.w AS w2, count(*) AS co_docs
+          FROM dw a JOIN dw b ON a.doc_id = b.doc_id AND a.w < b.w
+          GROUP BY a.w, b.w),
+n AS (SELECT count(*) AS n_docs FROM documents)
+SELECT p.w1, p.w2, p.co_docs,
+       CAST(p.co_docs * n.n_docs AS DOUBLE) / (d1.df * d2.df) AS lift
+FROM pairs p
+JOIN dfreq d1 ON d1.w = p.w1
+JOIN dfreq d2 ON d2.w = p.w2
+CROSS JOIN n
+ORDER BY lift DESC, p.w1, p.w2
+LIMIT 50
+""",
+)
+def corpus_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    dw = docs.select("doc_id", F.explode(ws_tokens("text")).alias("w")).distinct()
+    dfreq = dw.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    a = dw.alias("a")
+    b = dw.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.doc_id") == F.col("b.doc_id")) & (F.col("a.w") < F.col("b.w")))
+        .groupBy(F.col("a.w").alias("w1"), F.col("b.w").alias("w2"))
+        .agg(F.count(F.lit(1)).alias("co_docs"))
+    )
+    out = (
+        pairs.join(F.broadcast(dfreq.withColumnRenamed("w", "w1").withColumnRenamed("df", "df1")), "w1")
+        .join(F.broadcast(dfreq.withColumnRenamed("w", "w2").withColumnRenamed("df", "df2")), "w2")
+        .select(
+            "w1",
+            "w2",
+            "co_docs",
+            ((F.col("co_docs") * F.lit(n_docs)).cast("double") / (F.col("df1") * F.col("df2"))).alias("lift"),
+        )
+    )
+    return out.orderBy(F.col("lift").desc(), "w1", "w2").limit(50)

@@ -161,3 +161,60 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return quantize_int8(emb, "embedding").select("vec_id", "scale", "q", "max_err")
+
+
+@register(
+    "kmeans_assign",
+    doc=(
+        "nearest-centroid assignment (one k-means E-step): centroids = the 4 "
+        "lowest-vec_id embeddings (deterministic init), every vector assigned by "
+        "argmin squared L2 with (distance, centroid-id) lexicographic tie-break. "
+        "Broadcast centroids + sequential-fold distance so the float arithmetic "
+        "is order-identical across engines; k*N intermediate rows, one "
+        "vec_id-keyed aggregate"
+    ),
+    oracle="""
+WITH c AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 4)
+SELECT e.vec_id,
+       (min(struct_pack(d := list_sum(list_transform(range(1, len(e.embedding) + 1),
+           i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(c.cvec[i] AS DOUBLE))
+              * (CAST(e.embedding[i] AS DOUBLE) - CAST(c.cvec[i] AS DOUBLE)))),
+           c := c.cid))).c AS cluster
+FROM embeddings e CROSS JOIN c
+GROUP BY e.vec_id
+""",
+)
+def kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    c = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
+    )
+    crossed = emb.select("vec_id", "embedding").crossJoin(F.broadcast(c))
+    diff2 = F.zip_with(
+        "embedding", "cvec", lambda x, y: (x.cast("double") - y.cast("double")) ** 2
+    )
+    dist = F.aggregate(diff2, F.lit(0.0), lambda acc, v: acc + v)
+    return (
+        crossed.select("vec_id", "cid", dist.alias("dist"))
+        .groupBy("vec_id")
+        .agg(F.min_by("cid", F.array(F.col("dist"), F.col("cid").cast("double"))).alias("cluster"))
+    )
+
+
+@register(
+    "kmeans_clusters",
+    oracle=None,  # iterative algorithm (driver-side centroid loop) — rows-only check;
+    # the single E-step IS oracle-checked above (kmeans_assign), and the full loop
+    # is verified against a pure-numpy Lloyd reference in tests/test_cluster.py
+    doc=(
+        "full Lloyd k-means (k=4, 3 iterations): per iteration one Arrow-batched "
+        "assignment scan + one native (cluster, dim) aggregate; only k*dim values "
+        "ever reach the driver"
+    ),
+)
+def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spk_sl_validation_spark.ext.cluster import kmeans
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned, _ = kmeans(emb, "vec_id", "embedding", k=4, n_iter=3)
+    return assigned
