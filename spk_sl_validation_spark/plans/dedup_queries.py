@@ -223,6 +223,7 @@ SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id
 
 @register(
     "dedup_pipeline",
+    headline=True,
     doc=f"end-to-end near-dup dedup: LSH candidates → exact Jaccard ≥ {JACCARD_TAU} → keep/drop per doc",
     oracle=None,
 )

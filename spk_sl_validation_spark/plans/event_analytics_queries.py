@@ -116,6 +116,7 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "scd2_intervals",
+    headline=True,
     doc=(
         "SCD Type 2 derivation: collapse a per-user event log into "
         "change-only effective-dated intervals (valid_from, valid_to, "

@@ -84,6 +84,7 @@ def asof_join_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "range_join_clicks_before_purchase",
+    headline=True,
     doc="banded interval range join: per purchase, clicks by the same user in the trailing hour (operators/rangejoin.py; hash equi-join on (user, time-band), no BNLJ)",
     oracle="""
 SELECT p.event_id, p.user_id, COUNT(c.ts) AS n_in_window

@@ -55,3 +55,17 @@ def pipeline_status_cleansing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tables = FX.build_tables(spark)
     return _stringify_timestamps(status_cleansing.run(tables)["MARC"])
+
+
+@register(
+    "pipeline_spk_sl_v1",
+    doc="FULL reference pipeline, V1 variant (SL_SPK_Check_V1): '70.0'/isna status semantics, short sentinels, no B3/B6 (golden-tested; rows-only here)",
+    oracle=None,
+)
+def pipeline_spk_sl_v1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spk_sl_validation_spark.plans import spk_sl_cleansing
+    from spk_sl_validation_spark.sources import fixtures as FX
+
+    tables = FX.build_tables(spark)
+    sheets = spk_sl_cleansing.run(tables, run_ts=FX.RUN_TS, variant=spk_sl_cleansing.V1)
+    return _stringify_timestamps(sheets["Valid SL with SPK"])

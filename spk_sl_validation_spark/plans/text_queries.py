@@ -130,12 +130,14 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "text_repetition",
+    headline=True,
     doc=(
         "Gopher-style repetition quality filters: per-doc distinct-word ratio, "
         "top-unigram fraction, top-bigram fraction (Rae et al. 2021 §A1.1 "
-        "repetition signals). posexplode + window-lead for bigrams (codegen, no "
-        "interpreted higher-order funcs); two-level hash aggregates keyed on "
-        "doc_id — partial map-side combine makes this linear-scan-shaped at 100 TB"
+        "repetition signals). Row-local arrays_zip/slice bigrams (codegen, no "
+        "interpreted higher-order funcs, no window/sort); two-level hash "
+        "aggregates keyed on doc_id — every exchange carries map-side-combined "
+        "per-doc counts, linear-scan-shaped at 100 TB"
     ),
     oracle=rf"""
 WITH l AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
