@@ -1,0 +1,99 @@
+"""Time-series queries: calendar gap-filling and statistical outlier
+flagging — the resample/quality layer of an event warehouse.
+
+Gap-filling generates each key's calendar with ``sequence`` + explode
+(rows created JVM-side, proportional to the calendar span, never a
+cross join against a global calendar); the left join back to the
+observed aggregate is key-collocated. Z-scores derive mean/variance
+from exact DECIMAL power sums and apply one fixed double formula, so
+both engines produce bit-identical scores despite float division/sqrt.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spk_sl_validation_spark.plans.registry import register
+from spk_sl_validation_spark.sources.readers import load_table
+
+_SPARSE = 190.0  # value threshold that makes the daily series gappy
+
+
+@register(
+    "timeseries_gapfill",
+    doc=(
+        "calendar gap-filling (resample-to-daily): per event_type, the sparse "
+        "daily aggregate is left-joined onto its own min..max day sequence so "
+        "missing days appear with n=0/total=0. sequence+explode builds each "
+        "key's calendar locally — no global calendar cross join"
+    ),
+    oracle=f"""
+WITH d AS (SELECT event_type, date_trunc('day', ts) AS day, count(*) AS n,
+                  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+           FROM events WHERE value > {_SPARSE} GROUP BY 1, 2),
+bounds AS (SELECT event_type, min(day) AS lo, max(day) AS hi FROM d GROUP BY 1),
+cal AS (SELECT b.event_type, unnest(generate_series(b.lo, b.hi, INTERVAL 1 DAY)) AS day
+        FROM bounds b)
+SELECT c.event_type, c.day, coalesce(d.n, 0) AS n, coalesce(d.total, 0.0) AS total
+FROM cal c LEFT JOIN d ON d.event_type = c.event_type AND d.day = c.day
+""",
+)
+def timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value") > _SPARSE)
+    d = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total"),
+    )
+    bounds = d.groupBy("event_type").agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+    cal = bounds.select(
+        "event_type",
+        F.explode(F.expr("sequence(lo, hi, interval 1 day)")).alias("day"),
+    )
+    return cal.join(d, ["event_type", "day"], "left").select(
+        "event_type",
+        "day",
+        F.coalesce("n", F.lit(0)).alias("n"),
+        F.coalesce("total", F.lit(0.0)).alias("total"),
+    )
+
+
+_Z_TAU = 2.0
+
+
+@register(
+    "zscore_outliers",
+    doc=(
+        "per-group statistical outliers: |z| > 2 against the group's mean/std. "
+        "Moments come from exact DECIMAL sum and sum-of-squares (one aggregate, "
+        "order-independent), then one fixed double formula — bit-identical "
+        "across engines; the tiny moment table broadcasts back onto the fact"
+    ),
+    oracle=f"""
+WITH m AS (SELECT event_type,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s,
+       CAST(SUM(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS ss,
+       COUNT(*) AS n FROM events GROUP BY event_type)
+SELECT e.event_id, e.event_type, e.value,
+       (e.value - m.s / m.n) / sqrt(m.ss / m.n - (m.s / m.n) * (m.s / m.n)) AS z
+FROM events e JOIN m ON m.event_type = e.event_type
+WHERE abs((e.value - m.s / m.n) / sqrt(m.ss / m.n - (m.s / m.n) * (m.s / m.n))) > {_Z_TAU}
+""",
+)
+def zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    dec = F.col("value").cast("decimal(18,2)")
+    m = ev.groupBy("event_type").agg(
+        F.sum(dec).cast("double").alias("s"),
+        F.sum(dec * dec).cast("double").alias("ss"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    joined = ev.join(F.broadcast(m), "event_type")
+    mean = F.col("s") / F.col("n")
+    z = (F.col("value") - mean) / F.sqrt(F.col("ss") / F.col("n") - mean * mean)
+    return (
+        joined.select("event_id", "event_type", "value", z.alias("z"))
+        .filter(F.abs(F.col("z")) > _Z_TAU)
+    )
