@@ -154,3 +154,55 @@ def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "user_id", "c_mktsegment", "c_nationkey")
     )
     return P.run_available_now(enriched, output_mode="append")
+
+
+@register(
+    "streaming_interval_join_outer",
+    doc=(
+        "LEFT-OUTER stream-stream interval join: unmatched clicks emit a "
+        "null-padded row once the watermark passes their last possible match "
+        "time (state eviction). Both the stream result and the batch oracle are "
+        "truncated to the emitted region (click_ts < max_ts - watermark delay), "
+        "which is exactly the deterministic contract of watermarked outer joins"
+    ),
+    oracle="""
+SELECT c.event_id AS click_id, c.user_id, c.ts AS click_ts,
+       p.event_id AS purchase_id, p.ts AS purchase_ts
+FROM events c
+LEFT JOIN events p
+  ON p.user_id = c.user_id
+ AND p.event_type = 'purchase'
+ AND p.ts >= c.ts - INTERVAL 1 HOUR
+ AND p.ts <= c.ts
+WHERE c.event_type = 'click'
+  AND c.ts < (SELECT least(
+        (SELECT max(ts) FROM events WHERE event_type = 'click'),
+        (SELECT max(ts) FROM events WHERE event_type = 'purchase')
+      )) - INTERVAL 2 HOUR
+""",
+)
+def streaming_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spk_sl_validation_spark.sources.readers import load_table
+
+    stream = P.stream_events(spark, sf_dir)
+    clicks = stream.filter(F.col("event_type") == "click")
+    purchases = stream.filter(F.col("event_type") == "purchase")
+    out = P.run_available_now(
+        P.interval_joined(clicks, purchases, how="left_outer"), output_mode="append"
+    )
+    # Truncate to the deterministically-emitted region. The global
+    # watermark under the multiple-watermark policy is the MIN of the
+    # per-input watermarks, i.e. min(max click ts, max purchase ts) - 2h;
+    # younger clicks may or may not have surfaced their null row.
+    # Matched rows are kept under the same bound so the set equals the
+    # truncated batch oracle exactly.
+    ev = load_table(spark, sf_dir, "events")
+    maxes = (
+        ev.filter(F.col("event_type").isin("click", "purchase"))
+        .groupBy("event_type")
+        .agg(F.max("ts").alias("m"))
+        .agg(F.min("m"))
+        .collect()[0][0]
+    )
+    bound = F.lit(maxes) - F.expr("INTERVAL 2 HOUR")
+    return out.filter(F.col("click_ts") < bound)

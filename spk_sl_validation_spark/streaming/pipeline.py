@@ -133,13 +133,24 @@ def sessionized(events: DataFrame, gap: str = "30 minutes", watermark: str = "2 
 
 
 def interval_joined(
-    clicks: DataFrame, purchases: DataFrame, lookback: str = "1 hour", watermark: str = "2 hours"
+    clicks: DataFrame,
+    purchases: DataFrame,
+    lookback: str = "1 hour",
+    watermark: str = "2 hours",
+    how: str = "inner",
 ) -> DataFrame:
     """Stream-stream interval join: each click matched to purchases by
     the same user within the preceding ``lookback``. Watermarks on
     both sides bound the join state (Spark buffers only rows younger
     than watermark + interval); inner time-bounded joins are the one
-    stream-stream join shape that needs no output delay."""
+    stream-stream join shape that needs no output delay.
+
+    ``how="left_outer"``: unmatched clicks additionally emit one
+    null-padded row — but only once the watermark passes the click's
+    last possible match time (state eviction), so rows younger than
+    ``max(ts) - watermark`` at stream end never surface their null.
+    Callers comparing against batch semantics must truncate BOTH sides
+    to the emitted region (see streaming_interval_join_outer)."""
     c = clicks.withWatermark("ts", watermark).select(
         F.col("event_id").alias("click_id"), F.col("user_id"), F.col("ts").alias("click_ts")
     )
@@ -153,7 +164,7 @@ def interval_joined(
         (F.col("user_id") == F.col("p_user_id"))
         & (F.col("purchase_ts") >= F.col("click_ts") - F.expr(f"INTERVAL {lookback}"))
         & (F.col("purchase_ts") <= F.col("click_ts")),
-        "inner",
+        how,
     ).select("click_id", "user_id", "click_ts", "purchase_id", "purchase_ts")
 
 
