@@ -1,0 +1,133 @@
+"""Data-quality utility queries: referential integrity, one-scan
+column profiling, equi-depth histograms.
+
+The reference's whole purpose is master-data quality; these are the
+generic checks its user would run next. All three are single-pass,
+shuffle-light shapes: FK checks are broadcast-dim left joins counted
+FILTER-style, the profiler is one aggregate per source scan emitted in
+long format, and the histogram derives its bucket boundaries from the
+exact distributed ``percentile`` aggregate (a global ``ntile`` would
+force a single-partition sort — the boundaries-then-bucket plan keeps
+every stage parallel at 100 TB).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spk_sl_validation_spark.plans.registry import register
+from spk_sl_validation_spark.sources.readers import load_table
+
+
+@register(
+    "referential_integrity",
+    doc=(
+        "FK orphan audit: per declared foreign key, total rows and rows whose "
+        "key has no match in the parent — a broadcast left join + conditional "
+        "count per FK, unioned into one long-format report"
+    ),
+    oracle="""
+SELECT 'orders.o_custkey->customer' AS fk, count(*) AS n_rows,
+       count(*) FILTER (WHERE c.c_custkey IS NULL) AS n_orphans
+FROM orders o LEFT JOIN customer c ON c.c_custkey = o.o_custkey
+UNION ALL
+SELECT 'lineitem.l_orderkey->orders' AS fk, count(*) AS n_rows,
+       count(*) FILTER (WHERE o2.o_orderkey IS NULL) AS n_orphans
+FROM lineitem l LEFT JOIN orders o2 ON o2.o_orderkey = l.l_orderkey
+""",
+)
+def referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def fk_check(child: DataFrame, ckey: str, parent: DataFrame, pkey: str, label: str) -> DataFrame:
+        j = child.select(ckey).join(
+            F.broadcast(parent.select(pkey).distinct()),
+            child[ckey] == parent[pkey],
+            "left",
+        )
+        return j.agg(
+            F.lit(label).alias("fk"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count(F.when(F.col(pkey).isNull(), 1)).alias("n_orphans"),
+        ).select("fk", "n_rows", "n_orphans")
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return fk_check(orders, "o_custkey", customer, "c_custkey", "orders.o_custkey->customer").unionAll(
+        fk_check(lineitem, "l_orderkey", orders, "o_orderkey", "lineitem.l_orderkey->orders")
+    )
+
+
+_PROFILE_COLS = ("o_custkey", "o_totalprice")
+
+
+@register(
+    "table_profile",
+    doc=(
+        "one-scan column profiler (long format): per column, row count, "
+        "non-null count, exact distinct count, numeric min/max — the schema-"
+        "drift smoke test run before every pipeline ingest"
+    ),
+    oracle="\nUNION ALL\n".join(
+        f"""SELECT '{c}' AS col, count(*) AS n, count({c}) AS n_nonnull,
+       count(DISTINCT {c}) AS n_distinct,
+       CAST(min({c}) AS DOUBLE) AS min_d, CAST(max({c}) AS DOUBLE) AS max_d
+FROM orders"""
+        for c in _PROFILE_COLS
+    ),
+)
+def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    parts = [
+        orders.agg(
+            F.lit(c).alias("col"),
+            F.count(F.lit(1)).alias("n"),
+            F.count(c).alias("n_nonnull"),
+            F.countDistinct(c).alias("n_distinct"),
+            F.min(c).cast("double").alias("min_d"),
+            F.max(c).cast("double").alias("max_d"),
+        ).select("col", "n", "n_nonnull", "n_distinct", "min_d", "max_d")
+        for c in _PROFILE_COLS
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
+
+
+_N_BUCKETS = 8
+_QS = [i / _N_BUCKETS for i in range(1, _N_BUCKETS)]
+
+
+@register(
+    "equidepth_histogram",
+    doc=(
+        f"equi-depth histogram ({_N_BUCKETS} buckets): boundaries from the exact "
+        "distributed percentile aggregate, bucket assignment as a codegen when-"
+        "chain against the broadcast boundary row — no global sort (a window "
+        "ntile would serialize onto one partition at 100 TB)"
+    ),
+    oracle=f"""
+WITH b AS (SELECT quantile_cont(value, {_QS}) AS qs FROM events)
+SELECT bucket, count(*) AS n,
+       min(value) AS lo, max(value) AS hi
+FROM (
+  SELECT e.value,
+         1 + {' + '.join(f'(CASE WHEN e.value > b.qs[{i + 1}] THEN 1 ELSE 0 END)' for i in range(len(_QS)))} AS bucket
+  FROM events e CROSS JOIN b
+)
+GROUP BY bucket
+""",
+)
+def equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.agg(F.expr(f"percentile(value, array({', '.join(map(str, _QS))}))").alias("qs"))
+    bucket = F.lit(1)
+    for i in range(len(_QS)):
+        bucket = bucket + F.when(F.col("value") > F.col("qs")[i], 1).otherwise(0)
+    return (
+        ev.crossJoin(F.broadcast(b))
+        .select("value", bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"), F.min("value").alias("lo"), F.max("value").alias("hi"))
+    )

@@ -138,4 +138,8 @@ def _ensure_loaded() -> None:
         from spk_sl_validation_spark.plans import timeseries_queries  # noqa: F401
     except ImportError:
         pass
+    try:
+        from spk_sl_validation_spark.plans import quality_queries  # noqa: F401
+    except ImportError:
+        pass
     _LOADED = True
