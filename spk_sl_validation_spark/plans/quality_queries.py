@@ -113,7 +113,7 @@ SELECT bucket, count(*) AS n,
        min(value) AS lo, max(value) AS hi
 FROM (
   SELECT e.value,
-         1 + {' + '.join(f'(CASE WHEN e.value > b.qs[{i + 1}] THEN 1 ELSE 0 END)' for i in range(len(_QS)))} AS bucket
+         1 + {' + '.join(f'(CASE WHEN e.value > round(b.qs[{i + 1}], 6) THEN 1 ELSE 0 END)' for i in range(len(_QS)))} AS bucket
   FROM events e CROSS JOIN b
 )
 GROUP BY bucket
@@ -122,9 +122,13 @@ GROUP BY bucket
 def equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     b = ev.agg(F.expr(f"percentile(value, array({', '.join(map(str, _QS))}))").alias("qs"))
+    # Boundaries are rounded to 6 decimals on both sides of the oracle compare:
+    # the linear-interpolation arithmetic order differs between engines by a
+    # ULP (e.g. 51.86999999999999 vs 51.87), which flips rows sitting exactly
+    # on a boundary into the neighboring bucket.
     bucket = F.lit(1)
     for i in range(len(_QS)):
-        bucket = bucket + F.when(F.col("value") > F.col("qs")[i], 1).otherwise(0)
+        bucket = bucket + F.when(F.col("value") > F.round(F.col("qs")[i], 6), 1).otherwise(0)
     return (
         ev.crossJoin(F.broadcast(b))
         .select("value", bucket.alias("bucket"))
