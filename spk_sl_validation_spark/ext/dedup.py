@@ -235,6 +235,11 @@ def dedup_corpus(
     narrow signature maps, one banded LSH join, exact verification
     only on candidates, one anti-join-shaped decision.
     """
+    # Deliberately NOT cached even though verification consumes the pair set
+    # twice: the two consumers' plans contain identical exchanges, which
+    # ReuseExchange evaluates once anyway, while a .cache() inserts an
+    # InMemoryRelation optimization barrier (blocks pruning/pushdown into
+    # the LSH subtree) — measured 3.8s vs 5.2s at sf0.1 in favor of uncached.
     candidates = lsh_candidate_pairs(df, id_col, text_col, num_hashes, bands, shingle_n)
     verified = ngram_jaccard_for_pairs(df, candidates, id_col, text_col, shingle_n).filter(
         F.col("jaccard") >= jaccard_threshold
@@ -267,13 +272,23 @@ def dedup_clusters(
     iterative algorithms (this is Pregel-style label propagation, the
     same scheme GraphX's connectedComponents uses).
     """
+    # Uncached by measurement (see dedup_corpus); symmetric edges come from
+    # ONE explode over verified rather than a self-union, so the verify
+    # subtree appears once in the plan instead of relying on ReuseExchange.
     candidates = lsh_candidate_pairs(df, id_col, text_col, num_hashes, bands, shingle_n)
     verified = ngram_jaccard_for_pairs(df, candidates, id_col, text_col, shingle_n).filter(
         F.col("jaccard") >= jaccard_threshold
     )
     edges = (
-        verified.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-        .unionByName(verified.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        verified.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("id_a").alias("src"), F.col("id_b").alias("dst")),
+                    F.struct(F.col("id_b").alias("src"), F.col("id_a").alias("dst")),
+                )
+            ).alias("e")
+        )
+        .select("e.src", "e.dst")
         .distinct()
         .localCheckpoint(eager=True)
     )
