@@ -72,6 +72,32 @@ def validate(df: DataFrame, checks: Sequence[Check]) -> DataFrame:
     )
 
 
+def observe_checks(
+    df: DataFrame, checks: Sequence[Check], name: str = "validation"
+) -> tuple[DataFrame, "Observation"]:
+    """Attach the check suite as an ``Observation``: violation counts
+    are accumulated DURING whatever action the caller already runs on
+    the returned DataFrame (a write, a count) — zero extra scans, the
+    cost model a 100 TB ingest needs for always-on quality metrics.
+    :func:`validate` answers "run a validation report" (its own
+    aggregate job); this answers "get the report for free while the
+    pipeline writes". Returns ``(observed_df, observation)``;
+    ``observation.get`` yields ``{check_name: n_violations, __n:
+    n_rows}`` after the first action completes. Violation semantics
+    match validate(): predicate not TRUE (null counts as violation).
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation(name)
+    metrics = [
+        F.sum(F.when(c.predicate.isNull() | ~c.predicate, F.lit(1)).otherwise(F.lit(0))).alias(
+            c.name
+        )
+        for c in checks
+    ]
+    return df.observe(obs, *metrics, F.count(F.lit(1)).alias("__n")), obs
+
+
 def flag_violations(df: DataFrame, checks: Sequence[Check], out_col: str = "failed_checks") -> DataFrame:
     """Annotate each row with the (possibly empty, sorted) array of
     check names it fails — the quarantine/repair companion to

@@ -129,6 +129,42 @@ def approx_topk_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "udtf_token_runs",
+    doc=(
+        "Python UDTF (LATERAL table function): maximal consecutive-token "
+        "runs per document — the 1→N procedural expansion surface. The "
+        "DuckDB oracle is the islands-and-gaps SQL formulation, which is "
+        "also what a 100 TB run would use (UDTFs are row-at-a-time Python; "
+        "see functions/udtfs.py)"
+    ),
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, generate_subscripts(toks, 1) AS pos, unnest(toks) AS token
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents) t
+),
+runs AS (
+  SELECT doc_id, token, pos,
+         pos - ROW_NUMBER() OVER (PARTITION BY doc_id, token ORDER BY pos) AS grp
+  FROM toks
+)
+SELECT doc_id, token, MIN(pos) AS start_pos, COUNT(*) AS run_len
+FROM runs
+GROUP BY doc_id, token, grp
+HAVING COUNT(*) >= 2
+""",
+)
+def udtf_token_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spk_sl_validation_spark.functions.udtfs import TokenRunLengths
+
+    spark.udtf.register("token_run_lengths", TokenRunLengths)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("v_documents")
+    return spark.sql(
+        "SELECT d.doc_id, r.token, r.start_pos, r.run_len "
+        "FROM v_documents d, LATERAL token_run_lengths(d.text) r"
+    )
+
+
 _MEASURES = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
 
 

