@@ -235,12 +235,19 @@ def dedup_corpus(
     narrow signature maps, one banded LSH join, exact verification
     only on candidates, one anti-join-shaped decision.
     """
-    # Deliberately NOT cached even though verification consumes the pair set
-    # twice: the two consumers' plans contain identical exchanges, which
-    # ReuseExchange evaluates once anyway, while a .cache() inserts an
-    # InMemoryRelation optimization barrier (blocks pruning/pushdown into
-    # the LSH subtree) — measured 3.8s vs 5.2s at sf0.1 in favor of uncached.
-    candidates = lsh_candidate_pairs(df, id_col, text_col, num_hashes, bands, shingle_n)
+    # The candidate set is consumed three times downstream (involved-docs
+    # union ×2, restrict join). ReuseExchange shares only identical
+    # exchange subtrees, not the whole LSH pipeline, and .cache() inserts
+    # an InMemoryRelation optimization barrier with columnar conversion
+    # (measured 5.2s at sf0.1). localCheckpoint of the *projected pair
+    # set* — tiny relative to the corpus (near-dup pairs only) — wins:
+    # the LSH subtree runs exactly once and every consumer reads a
+    # handful of (long, long) rows (3.4s vs 3.8s uncached at sf0.1).
+    # At 100 TB the same holds: candidates ≪ corpus, so materializing
+    # them is the cheap side of the trade.
+    candidates = lsh_candidate_pairs(
+        df, id_col, text_col, num_hashes, bands, shingle_n
+    ).select("id_a", "id_b").localCheckpoint(eager=True)
     verified = ngram_jaccard_for_pairs(df, candidates, id_col, text_col, shingle_n).filter(
         F.col("jaccard") >= jaccard_threshold
     )
@@ -272,10 +279,12 @@ def dedup_clusters(
     iterative algorithms (this is Pregel-style label propagation, the
     same scheme GraphX's connectedComponents uses).
     """
-    # Uncached by measurement (see dedup_corpus); symmetric edges come from
-    # ONE explode over verified rather than a self-union, so the verify
-    # subtree appears once in the plan instead of relying on ReuseExchange.
-    candidates = lsh_candidate_pairs(df, id_col, text_col, num_hashes, bands, shingle_n)
+    # Candidates checkpointed for the same reason as dedup_corpus;
+    # symmetric edges come from ONE explode over verified rather than a
+    # self-union, so the verify subtree appears once in the plan.
+    candidates = lsh_candidate_pairs(
+        df, id_col, text_col, num_hashes, bands, shingle_n
+    ).select("id_a", "id_b").localCheckpoint(eager=True)
     verified = ngram_jaccard_for_pairs(df, candidates, id_col, text_col, shingle_n).filter(
         F.col("jaccard") >= jaccard_threshold
     )
