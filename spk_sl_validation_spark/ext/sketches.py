@@ -1,0 +1,363 @@
+"""Deterministic distributed sketches: HyperLogLog, count-min, Bloom.
+
+North-star extension (the reference has no approximate algorithms —
+SURVEY.md §2.6's only aggregate is a group-sum). At 100 TB, exact
+`COUNT(DISTINCT)` / heavy-hitter / membership queries are shuffle
+monsters; sketches make them one map-side-combinable aggregate whose
+state is a few KB per executor. Spark's built-ins
+(``approx_count_distinct``, ``Bloom``-filter joins) are
+engine-internal and not reproducible by another engine, so these
+implementations use the md5-family hashes from ``hashing.py`` — every
+register/counter/bit is identical in DuckDB SQL, making the sketches
+*value-verifiable* against the oracle, not just "approximately right".
+
+Determinism notes:
+- The HLL harmonic mean is summed in the **integer domain**
+  (``1 << (B - rank)`` per register, one BIGINT sum) and converted to
+  double once at the end — no float-accumulation-order dependence.
+- Count-min counters and Bloom bit positions are pure integers.
+- Leading-zero ranks come from ``strpos(lpad(bin(w), B, '0'), '1')``
+  — string ops, identical in both engines (no log2 rounding hazards).
+
+Scale shapes (all three):
+  narrow hash projection → ONE partial+final aggregate bounded by the
+  sketch size (m registers / d·w counters / m_bits positions), then a
+  broadcast-sized join for probes. No per-row state ever crosses the
+  shuffle except the bounded sketch rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from spk_sl_validation_spark.ext.hashing import md5_long, md5_long_sql, perm_constants
+
+HASH_BITS = 60  # md5_long yields a 60-bit positive long
+
+# ---------------------------------------------------------------------------
+# HyperLogLog
+# ---------------------------------------------------------------------------
+
+# Standard alpha constants (Flajolet et al. 2007) for small m; m >= 128
+# uses 0.7213 / (1 + 1.079 / m). Fixed literals so both engines see the
+# exact same double.
+_ALPHA = {16: 0.673, 32: 0.697, 64: 0.709}
+
+
+def _alpha(m: int) -> float:
+    return _ALPHA.get(m, 0.7213 / (1 + 1.079 / m))
+
+
+def hll_registers(df: DataFrame, col: str, p: int = 6) -> DataFrame:
+    """(register, max_rank): the HLL sketch state for ``df[col]``.
+
+    h = md5_long(col); register = low ``p`` bits; rank = 1 + leading
+    zeros of the remaining ``B = 60 - p`` bits (B + 1 if they are all
+    zero). One groupBy(register) max — partial aggregation collapses
+    every partition to ≤ 2^p rows before the shuffle, so sketch cost
+    at 100 TB is a 2^p-row exchange.
+    """
+    m = 1 << p
+    bits = HASH_BITS - p
+    h = md5_long(F.col(col).cast("string"))
+    reg = (h % F.lit(m)).alias("register")
+    w = F.shiftright(h, p)
+    first_one = F.instr(F.lpad(F.bin(w), bits, "0"), "1")
+    rank = F.when(w == 0, F.lit(bits + 1)).otherwise(first_one)
+    return (
+        df.select(reg, rank.alias("rank"))
+        .groupBy("register")
+        .agg(F.max("rank").alias("max_rank"))
+    )
+
+
+def hll_estimate(df: DataFrame, col: str, p: int = 6) -> DataFrame:
+    """Single-row HLL cardinality estimate with the exact count and
+    relative error alongside (the exact side exists for the oracle
+    comparison; a production run would drop it).
+
+    The harmonic denominator is assembled as ONE BIGINT:
+    ``Z_int = sum(1 << (B1 - max_rank)) + (m - active) * (1 << B1)``
+    with ``B1 = B + 1`` (empty registers contribute 2^0 scaled by
+    2^B1). raw = alpha * m^2 * 2^B1 / Z_int, with exactly one
+    int→double conversion — bit-identical across engines.
+
+    Small-range correction (Flajolet et al. §4): when raw ≤ 2.5m and
+    empty registers exist, linear counting ``m * ln(m / V)`` replaces
+    the raw estimate. ``ln`` is the one op without a cross-engine
+    bit-exactness guarantee, so the corrected estimate is rounded to
+    6 decimals (absorbs last-ulp libm drift; the branch condition
+    itself compares exact-arithmetic values, so both engines take the
+    same branch).
+    """
+    m = 1 << p
+    b1 = HASH_BITS - p + 1
+    regs = hll_registers(df, col, p)
+    agg_row = regs.agg(
+        F.count(F.lit(1)).cast("long").alias("active_registers"),
+        # shiftleft's bit count must be a column here; F.shiftleft only
+        # accepts a literal int, so spell it in SQL.
+        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {b1} - max_rank)")).alias("z_present"),
+    )
+    exact = df.select(F.countDistinct(col).alias("exact_distinct"))
+    z_int = (
+        F.col("z_present")
+        + (F.lit(m) - F.col("active_registers")) * F.lit(1 << b1).cast("long")
+    )
+    raw = F.lit(_alpha(m) * m * m) * F.lit(float(1 << b1)) / z_int.cast("double")
+    v_empty = F.lit(m) - F.col("active_registers")
+    linear = F.lit(float(m)) * F.log(F.lit(float(m)) / v_empty.cast("double"))
+    est = F.round(
+        F.when((raw <= F.lit(2.5 * m)) & (v_empty > 0), linear).otherwise(raw), 6
+    )
+    return (
+        agg_row.crossJoin(exact)
+        .select(
+            F.lit(m).alias("m"),
+            "active_registers",
+            raw.alias("raw_estimate"),
+            est.alias("hll_estimate"),
+            "exact_distinct",
+            (est / F.col("exact_distinct") - 1.0).alias("rel_err"),
+        )
+    )
+
+
+def hll_estimate_sql(table: str, col: str, p: int = 6) -> str:
+    """DuckDB twin of :func:`hll_estimate` (same bits, same integers)."""
+    m = 1 << p
+    bits = HASH_BITS - p
+    b1 = bits + 1
+    h = md5_long_sql(f"CAST({col} AS VARCHAR)")
+    return f"""
+WITH h AS (SELECT {h} AS h FROM {table}),
+r AS (
+  SELECT h % {m} AS register,
+         CASE WHEN (h >> {p}) = 0 THEN {b1}
+              ELSE strpos(lpad(bin(h >> {p}), {bits}, '0'), '1') END AS rank
+  FROM h
+),
+regs AS (SELECT register, max(rank) AS max_rank FROM r GROUP BY register),
+z AS (
+  SELECT count(*) AS active,
+         sum((1::BIGINT << ({b1} - max_rank))) AS z_present
+  FROM regs
+),
+e AS (
+  SELECT active,
+         {_alpha(m) * m * m!r} * {float(1 << b1)!r}
+           / CAST(z_present + ({m} - active) * (1::BIGINT << {b1}) AS DOUBLE) AS raw,
+         ({m} - active) AS v_empty
+  FROM z
+),
+c AS (
+  SELECT active, raw,
+         round(CASE WHEN raw <= {2.5 * m!r} AND v_empty > 0
+                    THEN {float(m)!r} * ln({float(m)!r} / CAST(v_empty AS DOUBLE))
+                    ELSE raw END, 6) AS est
+  FROM e
+)
+SELECT {m} AS m,
+       CAST(active AS BIGINT) AS active_registers,
+       raw AS raw_estimate,
+       est AS hll_estimate,
+       (SELECT count(DISTINCT {col}) FROM {table}) AS exact_distinct,
+       est / (SELECT count(DISTINCT {col}) FROM {table}) - 1.0 AS rel_err
+FROM c
+"""
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch
+# ---------------------------------------------------------------------------
+
+def _cms_bucket(h: Column, seed: int, width: int) -> Column:
+    from spk_sl_validation_spark.ext.hashing import seeded_perm
+
+    return seeded_perm(h, seed) % F.lit(width)
+
+
+def cms_counters(df: DataFrame, col: str, depth: int = 4, width: int = 64) -> DataFrame:
+    """(row, bucket, cnt): the d×w count-min counter matrix.
+
+    One explode to d rows per input row, one groupBy bounded at d·w
+    output rows — partial aggregation means each executor ships at
+    most d·w longs regardless of input size.
+    """
+    h = md5_long(F.col(col).cast("string"))
+    cells = F.array(
+        *[
+            F.struct(F.lit(i).alias("drow"), _cms_bucket(h, i, width).alias("bucket"))
+            for i in range(depth)
+        ]
+    )
+    return (
+        df.select(F.explode(cells).alias("c"))
+        .select("c.drow", "c.bucket")
+        .groupBy("drow", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_estimate_counts(
+    df: DataFrame, col: str, depth: int = 4, width: int = 64
+) -> DataFrame:
+    """Per-key CMS count estimate next to the exact count.
+
+    Output: (key, exact_n, cms_est, overestimate). CMS guarantees
+    cms_est ≥ exact_n; the overestimate column makes the collision
+    inflation visible. The counter matrix is broadcast-sized (d·w), so
+    probing is a broadcast join against the exact groupBy.
+    """
+    counters = cms_counters(df, col, depth, width)
+    exact = df.groupBy(F.col(col).alias("key")).agg(F.count(F.lit(1)).alias("exact_n"))
+    h = md5_long(F.col("key").cast("string"))
+    probes = exact.select(
+        "key",
+        "exact_n",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("drow"), _cms_bucket(h, i, width).alias("bucket")
+                    )
+                    for i in range(depth)
+                ]
+            )
+        ).alias("c"),
+    ).select("key", "exact_n", "c.drow", "c.bucket")
+    return (
+        probes.join(F.broadcast(counters), ["drow", "bucket"])
+        .groupBy("key", "exact_n")
+        .agg(F.min("cnt").alias("cms_est"))
+        .select("key", "exact_n", "cms_est", (F.col("cms_est") - F.col("exact_n")).alias("overestimate"))
+    )
+
+
+def cms_estimate_counts_sql(
+    table: str, col: str, depth: int = 4, width: int = 64
+) -> str:
+    """DuckDB twin of :func:`cms_estimate_counts`."""
+    from spk_sl_validation_spark.ext.hashing import seeded_perm_sql
+
+    h = md5_long_sql(f"CAST({col} AS VARCHAR)")
+    cell_rows = " UNION ALL ".join(
+        f"SELECT {i} AS drow, ({seeded_perm_sql('h', i)}) % {width} AS bucket FROM h"
+        for i in range(depth)
+    )
+    hk = md5_long_sql("CAST(key AS VARCHAR)")
+    probe_rows = " UNION ALL ".join(
+        f"SELECT key, exact_n, {i} AS drow, ({seeded_perm_sql('hk', i)}) % {width} AS bucket FROM ek"
+        for i in range(depth)
+    )
+    return f"""
+WITH h AS (SELECT {h} AS h FROM {table}),
+cells AS ({cell_rows}),
+counters AS (SELECT drow, bucket, count(*) AS cnt FROM cells GROUP BY drow, bucket),
+ek AS (SELECT {col} AS key, count(*) AS exact_n, {hk} AS hk FROM {table} GROUP BY {col}),
+probes AS ({probe_rows})
+SELECT p.key, p.exact_n, min(c.cnt) AS cms_est, min(c.cnt) - p.exact_n AS overestimate
+FROM probes p JOIN counters c ON p.drow = c.drow AND p.bucket = c.bucket
+GROUP BY p.key, p.exact_n
+"""
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter
+# ---------------------------------------------------------------------------
+
+def bloom_positions(df: DataFrame, col: str, m_bits: int = 2048, k: int = 5) -> DataFrame:
+    """(pos): the distinct set bit positions of a Bloom filter built
+    over ``df[col]``. k seeded permutations of one md5 per value; the
+    distinct() is bounded at m_bits rows — the whole filter is one
+    broadcastable column."""
+    from spk_sl_validation_spark.ext.hashing import seeded_perm
+
+    h = md5_long(F.col(col).cast("string"))
+    poss = F.array(*[(seeded_perm(h, i) % F.lit(m_bits)).alias(f"p{i}") for i in range(k)])
+    return df.select(F.explode(poss).alias("pos")).distinct()
+
+
+def bloom_membership(
+    build: DataFrame,
+    build_col: str,
+    probe: DataFrame,
+    probe_col: str,
+    m_bits: int = 2048,
+    k: int = 5,
+) -> DataFrame:
+    """Probe ``probe[probe_col]`` against a Bloom filter of
+    ``build[build_col]``.
+
+    Output: (key, bloom_hit, actual, false_positive) — the exact
+    membership is computed alongside (left_semi) so the oracle can
+    verify the false-positive set exactly, not just statistically.
+    At scale: the filter (≤ m_bits rows) broadcasts; this is how a
+    Bloom-pruned join sidesteps shuffling the probe side.
+    """
+    from spk_sl_validation_spark.ext.hashing import seeded_perm
+
+    bits = bloom_positions(build, build_col, m_bits, k).withColumn("__set", F.lit(1))
+    keys = probe.select(F.col(probe_col).alias("key")).distinct()
+    hk = md5_long(F.col("key").cast("string"))
+    probes = keys.select(
+        "key",
+        F.explode(F.array(*[(seeded_perm(hk, i) % F.lit(m_bits)) for i in range(k)])).alias("pos"),
+    )
+    hits = (
+        probes.join(F.broadcast(bits), "pos", "left")
+        .groupBy("key")
+        .agg((F.count("__set") == F.lit(k)).alias("bloom_hit"))
+    )
+    actual = (
+        build.select(F.col(build_col).alias("key")).distinct().withColumn("__in", F.lit(True))
+    )
+    return (
+        hits.join(actual, "key", "left")
+        .select(
+            "key",
+            "bloom_hit",
+            F.coalesce(F.col("__in"), F.lit(False)).alias("actual"),
+            (F.col("bloom_hit") & ~F.coalesce(F.col("__in"), F.lit(False))).alias(
+                "false_positive"
+            ),
+        )
+    )
+
+
+def bloom_membership_sql(
+    build_table: str,
+    build_col: str,
+    probe_table: str,
+    probe_col: str,
+    m_bits: int = 2048,
+    k: int = 5,
+) -> str:
+    """DuckDB twin of :func:`bloom_membership`."""
+    from spk_sl_validation_spark.ext.hashing import seeded_perm_sql
+
+    hb = md5_long_sql(f"CAST({build_col} AS VARCHAR)")
+    hp = md5_long_sql("CAST(key AS VARCHAR)")
+    build_pos = " UNION ALL ".join(
+        f"SELECT ({seeded_perm_sql('h', i)}) % {m_bits} AS pos FROM bh" for i in range(k)
+    )
+    probe_pos = " UNION ALL ".join(
+        f"SELECT key, ({seeded_perm_sql('hk', i)}) % {m_bits} AS pos FROM pk" for i in range(k)
+    )
+    return f"""
+WITH bh AS (SELECT {hb} AS h FROM {build_table}),
+bits AS (SELECT DISTINCT pos FROM ({build_pos})),
+pk AS (SELECT DISTINCT {probe_col} AS key, {hp} AS hk FROM {probe_table}),
+probes AS ({probe_pos}),
+hits AS (
+  SELECT p.key, (count(b.pos) = {k}) AS bloom_hit
+  FROM probes p LEFT JOIN bits b ON p.pos = b.pos
+  GROUP BY p.key
+),
+actual AS (SELECT DISTINCT {build_col} AS key, TRUE AS act FROM {build_table})
+SELECT h.key, h.bloom_hit,
+       coalesce(a.act, FALSE) AS actual,
+       (h.bloom_hit AND NOT coalesce(a.act, FALSE)) AS false_positive
+FROM hits h LEFT JOIN actual a ON h.key = a.key
+"""

@@ -1,0 +1,71 @@
+"""Sketch queries: HyperLogLog, count-min, Bloom filter (north-star).
+
+Unlike Spark's built-in ``approx_count_distinct`` / Bloom join
+pruning — whose sketch state is engine-internal — these sketches are
+built from the md5-family hashes, so DuckDB replays every register,
+counter, and bit position and the driver value-verifies the
+*estimates themselves*, not just row counts. See ext/sketches.py for
+the determinism analysis (integer-domain harmonic sums, no
+float-accumulation-order hazards).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from spk_sl_validation_spark.ext import sketches as SK
+from spk_sl_validation_spark.plans.registry import register
+from spk_sl_validation_spark.sources.readers import load_table
+
+HLL_P = 6  # 64 registers
+CMS_DEPTH = 4
+CMS_WIDTH = 64
+BLOOM_BITS = 2048
+BLOOM_K = 5
+
+
+@register(
+    "sketch_hll_distinct_users",
+    doc=(
+        f"HyperLogLog(2^{HLL_P} registers) distinct-user estimate over events, "
+        "with the exact count and relative error alongside. Sketch state is one "
+        "64-row aggregate (map-side combined) — the 100 TB COUNT(DISTINCT) shape"
+    ),
+    oracle=SK.hll_estimate_sql("events", "user_id", HLL_P),
+)
+def sketch_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return SK.hll_estimate(events, "user_id", HLL_P)
+
+
+@register(
+    "sketch_cms_user_counts",
+    doc=(
+        f"count-min sketch ({CMS_DEPTH}×{CMS_WIDTH}) per-user event-count "
+        "estimates vs exact counts; overestimate column exposes collision "
+        "inflation (always ≥ 0). Counter matrix is broadcast-sized"
+    ),
+    oracle=SK.cms_estimate_counts_sql("events", "user_id", CMS_DEPTH, CMS_WIDTH),
+)
+def sketch_cms_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return SK.cms_estimate_counts(events, "user_id", CMS_DEPTH, CMS_WIDTH)
+
+
+@register(
+    "sketch_bloom_customer_orders",
+    doc=(
+        f"Bloom filter ({BLOOM_BITS} bits, k={BLOOM_K}) built over orders.o_custkey, "
+        "probed with every customer: bloom_hit vs actual membership, false "
+        "positives enumerated exactly. The broadcast-Bloom join-pruning shape"
+    ),
+    oracle=SK.bloom_membership_sql(
+        "orders", "o_custkey", "customer", "c_custkey", BLOOM_BITS, BLOOM_K
+    ),
+)
+def sketch_bloom_customer_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    return SK.bloom_membership(
+        orders, "o_custkey", customer, "c_custkey", BLOOM_BITS, BLOOM_K
+    )

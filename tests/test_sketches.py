@@ -27,3 +27,44 @@ def test_approx_percentile_brackets_exact(spark, sf_dir):
     )
     spread = hi - lo
     assert abs(row.approx - row.exact) <= 0.05 * spread
+
+
+# ---------------------------------------------------------------------------
+# Deterministic md5-family sketches (ext/sketches.py) — these ARE
+# oracle-hashed in the contract; here we assert the mathematical
+# guarantees that must hold regardless of data.
+# ---------------------------------------------------------------------------
+
+def test_hll_estimate_within_theoretical_error(spark, sf_dir):
+    from spk_sl_validation_spark.ext.sketches import hll_estimate
+
+    ev = load_table(spark, sf_dir, "events")
+    row = hll_estimate(ev, "user_id", p=6).collect()[0]
+    # standard error for m=64 is 1.04/sqrt(64) = 13%; allow 3 sigma
+    assert abs(row.rel_err) <= 3 * 1.04 / 8
+    assert row.m == 64
+    assert 0 < row.active_registers <= 64
+
+
+def test_cms_never_underestimates(spark, sf_dir):
+    from spk_sl_validation_spark.ext.sketches import cms_estimate_counts
+
+    ev = load_table(spark, sf_dir, "events")
+    out = cms_estimate_counts(ev, "user_id", depth=4, width=64).collect()
+    assert len(out) > 0
+    assert all(r.overestimate >= 0 for r in out)
+    assert all(r.cms_est >= r.exact_n for r in out)
+
+
+def test_bloom_no_false_negatives(spark, sf_dir):
+    from spk_sl_validation_spark.ext.sketches import bloom_membership
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    out = bloom_membership(orders, "o_custkey", customer, "c_custkey", 2048, 5).collect()
+    # every actual member must hit; false positives allowed but bounded
+    assert all(r.bloom_hit for r in out if r.actual)
+    n_probe_neg = sum(1 for r in out if not r.actual)
+    n_fp = sum(1 for r in out if r.false_positive)
+    if n_probe_neg:
+        assert n_fp / n_probe_neg < 0.5  # loose sanity bound for tiny filter
