@@ -284,6 +284,180 @@ def near_dup_pairs(
     return df.select(id_col, vec_col).mapInPandas(run, schema)
 
 
+def semantic_dedup(
+    df: DataFrame,
+    centroids: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023):
+    cluster embeddings with a coarse quantizer, then drop any vector
+    whose cosine to a *lower-id vector in the same cluster* is ≥ τ.
+
+    Output: (id, cluster_id, keep). The all-pairs comparison is
+    confined to cluster mates — the equi-join on cluster id is the
+    same shape as the LSH-bucket join in text dedup, so cost scales
+    with cluster sizes, not corpus². At 100 TB the corpus is written
+    partitioned by cluster id and each partition dedups locally with
+    zero cross-partition traffic; skewed mega-clusters are the known
+    failure mode and get the standard salting/centroid-split
+    treatment upstream.
+    """
+    assigned = ivf_assign(df, centroids, id_col, vec_col).select(
+        id_col, vec_col, F.col("centroid_id").alias("cluster_id")
+    )
+    a = assigned.select(
+        F.col("cluster_id"),
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("vec_a"),
+    )
+    b = assigned.select(
+        F.col("cluster_id"),
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vec_b"),
+    )
+    dup_pairs = (
+        a.join(b, "cluster_id")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(cosine(F.col("vec_a"), F.col("vec_b")) >= F.lit(threshold))
+    )
+    drops = dup_pairs.select(F.col("id_b").alias(id_col)).distinct().withColumn(
+        "__drop", F.lit(True)
+    )
+    return (
+        assigned.join(drops, id_col, "left")
+        .select(
+            id_col,
+            "cluster_id",
+            F.coalesce(~F.col("__drop"), F.lit(True)).alias("keep"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (FAISS-style ADC)
+# ---------------------------------------------------------------------------
+
+def pq_codebooks(
+    train: DataFrame,
+    n_sub: int,
+    sub_dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(s, cid, sub): one codebook per subspace — here each training
+    vector contributes its s-th subvector as entry ``cid`` (a
+    deterministic stand-in for per-subspace k-means training; the
+    encode/probe plumbing is identical whatever produced the
+    entries). Broadcast-sized: n_sub × |train| rows."""
+    subs = F.array(
+        *[
+            F.struct(
+                F.lit(s).alias("s"),
+                F.slice(F.col(vec_col), s * sub_dim + 1, sub_dim).alias("sub"),
+            )
+            for s in range(n_sub)
+        ]
+    )
+    return train.select(F.col(id_col).alias("cid"), F.explode(subs).alias("e")).select(
+        "e.s", "cid", "e.sub"
+    )
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: DataFrame,
+    n_sub: int,
+    sub_dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, s, code): each vector's nearest codebook entry per
+    subspace (squared-L2 argmin, ties → lowest cid).
+
+    The encoded corpus is n_sub small ints per vector — the 32×
+    compression that lets a 100 TB corpus's index live in memory.
+    Narrow map over the corpus + broadcast codebook join; one
+    aggregate keyed by (id, s) with partial combine.
+    """
+    subs = F.array(
+        *[
+            F.struct(
+                F.lit(s).alias("s"),
+                F.slice(F.col(vec_col), s * sub_dim + 1, sub_dim).alias("sub"),
+            )
+            for s in range(n_sub)
+        ]
+    )
+    vec_subs = df.select(F.col(id_col), F.explode(subs).alias("e")).select(
+        id_col, "e.s", F.col("e.sub").alias("vsub")
+    )
+    scored = vec_subs.join(F.broadcast(codebooks), "s").withColumn(
+        "__d", sq_l2(F.col("vsub"), F.col("sub"))
+    )
+    return scored.groupBy(id_col, "s").agg(
+        F.min_by("cid", F.array(F.col("__d"), F.col("cid").cast("double"))).alias("code")
+    )
+
+
+def pq_adc_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    train: DataFrame,
+    k: int = 5,
+    n_sub: int = 8,
+    sub_dim: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ approximate top-k via Asymmetric Distance Computation:
+    queries stay full-precision, corpus vectors are their PQ codes,
+    distance ≈ Σ_s lookup(q, s, code[v][s]).
+
+    The ADC lookup table (query × subspace × codebook entry) is
+    broadcast-sized; the per-(query, vector) sum folds an
+    array_sort'ed (s, d) list sequentially so the double accumulation
+    order is engine-identical (same rule as every other float fold
+    here). Output: (q_id, vec_id, approx_dist, rank).
+    """
+    from pyspark.sql import Window
+
+    codebooks = pq_codebooks(train, n_sub, sub_dim, id_col, vec_col)
+    codes = pq_encode(corpus, codebooks, n_sub, sub_dim, id_col, vec_col)
+
+    q_subs = F.array(
+        *[
+            F.struct(
+                F.lit(s).alias("s"),
+                F.slice(F.col(vec_col), s * sub_dim + 1, sub_dim).alias("sub"),
+            )
+            for s in range(n_sub)
+        ]
+    )
+    adc = (
+        queries.select(F.col(id_col).alias("q_id"), F.explode(q_subs).alias("e"))
+        .select("q_id", "e.s", F.col("e.sub").alias("qsub"))
+        .join(F.broadcast(codebooks), "s")
+        .select("q_id", "s", F.col("cid").alias("code"), sq_l2(F.col("qsub"), F.col("sub")).alias("d"))
+    )
+    partials = codes.join(F.broadcast(adc), ["s", "code"]).filter(
+        F.col(id_col) != F.col("q_id")
+    )
+    dist = (
+        partials.groupBy("q_id", id_col)
+        .agg(
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("s", "d"))),
+                F.lit(0.0),
+                lambda acc, x: acc + x["d"],
+            ).alias("approx_dist")
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("approx_dist").asc(), F.col(id_col).asc())
+    return dist.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def quantize_int8(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
     """Symmetric per-vector int8 quantization: adds ``scale``, ``q``
     (array<int>), and ``max_err`` (max absolute reconstruction error,

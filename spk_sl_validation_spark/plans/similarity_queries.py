@@ -163,6 +163,98 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quantize_int8(emb, "embedding").select("vec_id", "scale", "q", "max_err")
 
 
+SEMDEDUP_TAU = 0.4  # matches NEAR_DUP_TAU; ~11 within-cluster dup pairs at sf0.01
+
+@register(
+    "similarity_semantic_dedup",
+    doc=(
+        f"SemDeDup-style semantic dedup: coarse-quantizer clusters ({N_CENTROIDS} "
+        f"centroids), drop vectors with a lower-id cluster mate at cos ≥ {SEMDEDUP_TAU}. "
+        "Cluster-local pairs only — the embedding-space twin of LSH-bucketed text dedup"
+    ),
+    oracle=f"""
+WITH c AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < {N_CENTROIDS}),
+assigned AS (
+  SELECT vec_id, embedding, cluster_id FROM (
+    SELECT e.vec_id, e.embedding, c.cid AS cluster_id,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {S.sq_l2_sql('e.embedding', 'c.cvec')} ASC, c.cid ASC) AS rn
+    FROM embeddings e CROSS JOIN c
+  ) WHERE rn = 1
+),
+dup AS (
+  SELECT DISTINCT b.vec_id AS did
+  FROM assigned a JOIN assigned b ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+  WHERE {S.cosine_sql('a.embedding', 'b.embedding')} >= {SEMDEDUP_TAU}
+)
+SELECT a.vec_id, a.cluster_id, (d.did IS NULL) AS keep
+FROM assigned a LEFT JOIN dup d ON a.vec_id = d.did
+""",
+)
+def similarity_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    return S.semantic_dedup(emb, centroids, SEMDEDUP_TAU)
+
+
+PQ_NSUB = 8
+PQ_SUBDIM = 8
+PQ_TRAIN = 16
+
+@register(
+    "similarity_topk_pq",
+    doc=(
+        f"product-quantization ANN top-5 (ADC): {PQ_NSUB}×{PQ_SUBDIM}-dim subspaces, "
+        f"{PQ_TRAIN}-entry codebooks, asymmetric distance = Σ broadcast-LUT lookups. "
+        "Codes are 32× smaller than float32 — the in-memory-index path at 100 TB"
+    ),
+    oracle=f"""
+WITH ss AS (SELECT unnest(range(0, {PQ_NSUB})) AS s),
+sv AS (
+  SELECT e.vec_id, t.s, list_slice(e.embedding, t.s*{PQ_SUBDIM}+1, t.s*{PQ_SUBDIM}+{PQ_SUBDIM}) AS vsub
+  FROM embeddings e CROSS JOIN ss t
+),
+cbt AS (
+  SELECT t.s, e.vec_id AS cid, list_slice(e.embedding, t.s*{PQ_SUBDIM}+1, t.s*{PQ_SUBDIM}+{PQ_SUBDIM}) AS sub
+  FROM embeddings e CROSS JOIN ss t WHERE e.vec_id < {PQ_TRAIN}
+),
+codes AS (
+  SELECT sv.vec_id, sv.s,
+         (min(struct_pack(d := {S.sq_l2_sql('sv.vsub', 'cbt.sub')}, c := cbt.cid))).c AS code
+  FROM sv JOIN cbt ON sv.s = cbt.s GROUP BY sv.vec_id, sv.s
+),
+adc AS (
+  SELECT sv.vec_id AS q_id, cbt.s, cbt.cid AS code, {S.sq_l2_sql('sv.vsub', 'cbt.sub')} AS d
+  FROM sv JOIN cbt ON sv.s = cbt.s WHERE sv.vec_id < {N_QUERIES}
+),
+partials AS (
+  SELECT a.q_id, c.vec_id, a.s, a.d
+  FROM codes c JOIN adc a ON a.s = c.s AND a.code = c.code
+  WHERE c.vec_id <> a.q_id
+),
+dist AS (
+  SELECT q_id, vec_id,
+         list_reduce(list_prepend(CAST(0 AS DOUBLE), list(d ORDER BY s)), (x, y) -> x + y) AS approx_dist
+  FROM partials GROUP BY q_id, vec_id
+),
+ranked AS (
+  SELECT q_id, vec_id, approx_dist,
+         row_number() OVER (PARTITION BY q_id ORDER BY approx_dist ASC, vec_id ASC) AS rank
+  FROM dist
+)
+SELECT q_id, vec_id, approx_dist, CAST(rank AS INTEGER) AS rank FROM ranked WHERE rank <= 5
+""",
+)
+def similarity_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    train = emb.filter(F.col("vec_id") < PQ_TRAIN)
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    out = S.pq_adc_topk(emb, queries, train, k=5, n_sub=PQ_NSUB, sub_dim=PQ_SUBDIM)
+    return out.select("q_id", "vec_id", "approx_dist", F.col("rank").cast("int").alias("rank"))
+
+
 @register(
     "kmeans_assign",
     doc=(

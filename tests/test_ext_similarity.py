@@ -119,3 +119,39 @@ def test_quantize_int8_bounds(spark, sf_dir):
         (F.expr("aggregate(zip_with(q, q, (a,b) -> CAST(a AS DOUBLE)*b), CAST(0 AS DOUBLE), (a,x) -> a+x)") * F.col("scale") * F.col("scale")).alias("deq_sq"),
     ).first()
     assert abs(row.true_sq - row.deq_sq) <= 0.05 * max(row.true_sq, 1e-9)
+
+
+def test_pq_train_vectors_encode_to_themselves(spark, sf_dir):
+    """A training vector's subvectors are themselves codebook entries,
+    so its PQ code in every subspace must be its own cid (distance 0)."""
+    from pyspark.sql import functions as F
+
+    from spk_sl_validation_spark.ext.similarity import pq_codebooks, pq_encode
+    from spk_sl_validation_spark.sources.readers import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    train = emb.filter(F.col("vec_id") < 8)
+    cb = pq_codebooks(train, n_sub=8, sub_dim=8)
+    codes = pq_encode(train, cb, n_sub=8, sub_dim=8)
+    bad = codes.filter(F.col("code") != F.col("vec_id")).count()
+    assert bad == 0
+
+
+def test_semantic_dedup_keeps_cluster_minimum(spark, sf_dir):
+    """The lowest-id vector of each cluster can never be dropped (drops
+    require a LOWER-id near-dup in the same cluster)."""
+    from pyspark.sql import functions as F
+
+    from spk_sl_validation_spark.ext.similarity import semantic_dedup
+    from spk_sl_validation_spark.sources.readers import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    out = semantic_dedup(emb, centroids, threshold=0.0)  # maximally aggressive
+    mins = out.groupBy("cluster_id").agg(F.min("vec_id").alias("vec_id"))
+    dropped_min = out.join(mins, ["cluster_id", "vec_id"]).filter(~F.col("keep")).count()
+    assert dropped_min == 0
+    # τ=0 drops every non-minimum cluster mate with cos >= 0 — sanity that drops occur
+    assert out.filter(~F.col("keep")).count() > 0
