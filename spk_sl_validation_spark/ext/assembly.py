@@ -1,0 +1,240 @@
+"""Dataset-assembly operators: sequence packing, mixture sampling,
+unigram LM scoring.
+
+North-star extension — the last mile of a training-data pipeline,
+after cleaning/dedup: pack documents into fixed-length training
+sequences, sample sources to a target mixture, and score documents
+against a corpus-level unigram language model (the cheap stand-in for
+CCNet-style perplexity filtering).
+
+Scale design notes:
+- Packing needs a GLOBAL running sum of token counts. A single
+  unpartitioned window is a one-task bottleneck at 100 TB, so
+  :func:`pack_sequences` uses the classic two-phase prefix sum:
+  within-chunk cumsum (parallel window partitioned by chunk) plus a
+  broadcast cumsum over per-chunk totals (one tiny window over
+  ~n/chunk_size rows). Identical result to the naive global window,
+  verified by the oracle which IS the naive global window.
+- Mixture sampling is a pure narrow map (hash < threshold) — no
+  shuffle, deterministic, stable under re-runs and repartitioning,
+  unlike ``df.sample`` whose output depends on partition layout.
+- Unigram scoring joins tokens against a broadcast frequency table
+  and folds per-document log-probs in position order (the usual
+  engine-identical float discipline); the mean is rounded to absorb
+  libm ``ln`` last-ulp drift.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from spk_sl_validation_spark.ext.hashing import md5_long, md5_long_sql, ws_tokens
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing (concat-and-chunk)
+# ---------------------------------------------------------------------------
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seq_len: int = 2048,
+    chunk_size: int = 1024,
+) -> DataFrame:
+    """Assign each document its position in the packed token stream:
+    documents are concatenated in ``id_col`` order and cut into
+    ``seq_len``-token training sequences.
+
+    Output: (id, n_tokens, tok_offset, seq_id, offset_in_seq, end_seq_id)
+    where ``tok_offset`` is the exclusive prefix sum of token counts,
+    ``seq_id = tok_offset // seq_len``, and ``end_seq_id`` is the sequence
+    holding the document's last token (> seq_id ⇒ the doc straddles a
+    boundary).
+
+    Two-phase prefix sum: docs are grouped into chunks of
+    ``chunk_size`` ids; phase 1 computes within-chunk cumsums under a
+    ``partitionBy(chunk)`` window (parallel), phase 2 cumsums the
+    per-chunk totals (rows = n/chunk_size, one tiny window task) and
+    broadcasts them back. No single-task scan of the corpus ever
+    happens — this is the distributed scan-primitive shape.
+    """
+    n_tok = F.size(ws_tokens(text_col))
+    base = df.select(
+        F.col(id_col),
+        n_tok.alias("n_tokens"),
+        (F.col(id_col) / chunk_size).cast("long").alias("__chunk"),
+    )
+    w_in = (
+        Window.partitionBy("__chunk")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    within = base.withColumn("__local_off", F.coalesce(F.sum("n_tokens").over(w_in), F.lit(0)))
+    totals = base.groupBy("__chunk").agg(F.sum("n_tokens").alias("__chunk_tot"))
+    w_ch = (
+        Window.orderBy("__chunk").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    chunk_off = totals.select(
+        "__chunk", F.coalesce(F.sum("__chunk_tot").over(w_ch), F.lit(0)).alias("__chunk_off")
+    )
+    packed = (
+        within.join(F.broadcast(chunk_off), "__chunk")
+        .withColumn("tok_offset", F.col("__chunk_off") + F.col("__local_off"))
+    )
+    return packed.select(
+        id_col,
+        "n_tokens",
+        "tok_offset",
+        (F.col("tok_offset") / seq_len).cast("long").alias("seq_id"),
+        (F.col("tok_offset") % seq_len).alias("offset_in_seq"),
+        (
+            F.when(F.col("n_tokens") > 0, (F.col("tok_offset") + F.col("n_tokens") - 1))
+            .otherwise(F.col("tok_offset"))
+            / seq_len
+        ).cast("long").alias("end_seq_id"),
+    )
+
+
+def pack_sequences_sql(
+    table: str, id_col: str = "doc_id", text_col: str = "text", seq_len: int = 2048
+) -> str:
+    """DuckDB twin: the NAIVE single global window — the semantic spec
+    the two-phase plan must reproduce exactly."""
+    toks = rf"len(string_split_regex(trim({text_col}), '\s+'))"
+    return f"""
+WITH n AS (SELECT {id_col}, {toks} AS n_tokens FROM {table}),
+o AS (
+  SELECT {id_col}, n_tokens,
+         coalesce(sum(n_tokens) OVER (ORDER BY {id_col}
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_offset
+  FROM n
+)
+SELECT {id_col}, n_tokens, tok_offset,
+       tok_offset // {seq_len} AS seq_id,
+       tok_offset % {seq_len} AS offset_in_seq,
+       (CASE WHEN n_tokens > 0 THEN tok_offset + n_tokens - 1 ELSE tok_offset END) // {seq_len} AS end_seq_id
+FROM o
+"""
+
+
+# ---------------------------------------------------------------------------
+# Mixture sampling
+# ---------------------------------------------------------------------------
+
+SAMPLE_MOD = 1_000_000
+
+
+def mixture_sample(
+    df: DataFrame,
+    weights: dict[str, float],
+    source_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic per-source subsampling to a target mixture:
+    keep a row iff ``md5(id) % 1e6 < weight[source] * 1e6``.
+
+    Unknown sources get weight 0 (dropped). Pure narrow map — the
+    sample is a property of the ROW, not of partition layout or run
+    order, so it is reproducible across cluster sizes and re-runs
+    (``df.sample`` is neither). This is how a 100 TB mixing job stays
+    restartable.
+    """
+    h = md5_long(F.col(id_col).cast("string")) % SAMPLE_MOD
+    thresh = F.lit(0)
+    for src, w in sorted(weights.items()):
+        thresh = F.when(F.col(source_col) == src, F.lit(int(w * SAMPLE_MOD))).otherwise(thresh)
+    return df.filter(h < thresh)
+
+
+def mixture_sample_sql(
+    table: str,
+    weights: dict[str, float],
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    select: str = "*",
+) -> str:
+    """DuckDB twin of :func:`mixture_sample`."""
+    h = md5_long_sql(f"CAST({id_col} AS VARCHAR)")
+    cases = " ".join(
+        f"WHEN {source_col} = '{src}' THEN {int(w * SAMPLE_MOD)}"
+        for src, w in sorted(weights.items())
+    )
+    return (
+        f"SELECT {select} FROM {table} "
+        f"WHERE ({h}) % {SAMPLE_MOD} < (CASE {cases} ELSE 0 END)"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Unigram LM document scoring
+# ---------------------------------------------------------------------------
+
+def unigram_logprob(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Score each document by mean token log-probability under the
+    corpus's own unigram distribution — the cheap proxy for LM-
+    perplexity quality filtering (CCNet-style): gibberish and
+    boilerplate score far from the corpus mean.
+
+    Output: (id, n_tokens, avg_logprob). Shape: one token explode →
+    corpus frequency aggregate (vocab-bounded, broadcast back) → per-
+    document ordered fold of ``ln(cnt/total)`` in token-position
+    order; the mean is rounded to ``round_digits`` to absorb libm
+    ``ln`` ulp drift (same rule as the HLL linear-counting path).
+    """
+    toks = df.select(F.col(id_col), F.posexplode(ws_tokens(text_col)).alias("pos", "tok"))
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    total = freq.agg(F.sum("cnt").alias("total"))
+    freq_p = freq.crossJoin(F.broadcast(total))
+    joined = toks.join(F.broadcast(freq_p), "tok").select(
+        id_col,
+        "pos",
+        F.log(F.col("cnt").cast("double") / F.col("total").cast("double")).alias("logp"),
+    )
+    per_doc = joined.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("pos", "logp"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["logp"],
+        ).alias("__sum_logp"),
+    )
+    return per_doc.select(
+        id_col,
+        "n_tokens",
+        F.round(F.col("__sum_logp") / F.col("n_tokens"), round_digits).alias("avg_logprob"),
+    )
+
+
+def unigram_logprob_sql(
+    table: str, id_col: str = "doc_id", text_col: str = "text", round_digits: int = 6
+) -> str:
+    """DuckDB twin of :func:`unigram_logprob` (same fold order)."""
+    toks = rf"string_split_regex(trim({text_col}), '\s+')"
+    return f"""
+WITH t AS (
+  SELECT {id_col}, u.pos, u.tok FROM (
+    SELECT {id_col},
+           unnest(list_transform(range(1, len(tk) + 1),
+                  i -> struct_pack(pos := i, tok := tk[i]))) AS u
+    FROM (SELECT {id_col}, {toks} AS tk FROM {table})
+  )
+),
+freq AS (SELECT tok, count(*) AS cnt FROM t GROUP BY tok),
+tot AS (SELECT sum(cnt) AS total FROM freq),
+j AS (
+  SELECT t.{id_col}, t.pos,
+         ln(CAST(f.cnt AS DOUBLE) / CAST(tot.total AS DOUBLE)) AS logp
+  FROM t JOIN freq f ON t.tok = f.tok CROSS JOIN tot
+)
+SELECT {id_col}, CAST(count(*) AS BIGINT) AS n_tokens,
+       round(list_reduce(list_prepend(CAST(0 AS DOUBLE), list(logp ORDER BY pos)),
+                         (x, y) -> x + y) / count(*), {round_digits}) AS avg_logprob
+FROM j GROUP BY {id_col}
+"""

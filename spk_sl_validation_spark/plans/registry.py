@@ -146,6 +146,10 @@ def _ensure_loaded() -> None:
         from spk_sl_validation_spark.plans import sketch_queries  # noqa: F401
     except ImportError:
         pass
+    try:
+        from spk_sl_validation_spark.plans import assembly_queries  # noqa: F401
+    except ImportError:
+        pass
     from spk_sl_validation_spark.plans import modern_sql_queries, sql_tpch_suite  # noqa: F401
 
     _LOADED = True

@@ -1,0 +1,59 @@
+"""Dataset-assembly operators (ext/assembly.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from spk_sl_validation_spark.ext.assembly import (
+    mixture_sample,
+    pack_sequences,
+    unigram_logprob,
+)
+from spk_sl_validation_spark.sources.readers import load_table
+
+
+def test_pack_sequences_chunk_size_invariant(spark, sf_dir):
+    """The two-phase prefix sum must produce identical offsets for any
+    chunk size (the chunking is physical, not semantic)."""
+    docs = load_table(spark, sf_dir, "documents")
+    a = pack_sequences(docs, seq_len=512, chunk_size=64).orderBy("doc_id").collect()
+    b = pack_sequences(docs, seq_len=512, chunk_size=7).orderBy("doc_id").collect()
+    assert a == b
+
+
+def test_pack_sequences_offsets_are_prefix_sums(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    rows = pack_sequences(docs, seq_len=512).orderBy("doc_id").collect()
+    running = 0
+    for r in rows:
+        assert r.tok_offset == running
+        assert r.seq_id == running // 512
+        assert r.offset_in_seq == running % 512
+        running += r.n_tokens
+
+
+def test_mixture_sample_fraction_tracks_weight(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    weights = {"src0": 1.0, "src1": 0.5, "src2": 0.0}
+    out = mixture_sample(docs, weights)
+    got = {r.source: r.n for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    totals = {
+        r.source: r.n for r in docs.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    assert got.get("src0", 0) == totals["src0"]  # weight 1.0 keeps everything
+    assert "src2" not in got  # weight 0 drops everything
+    assert "src3" not in got  # unlisted source drops
+    if totals.get("src1"):
+        frac = got.get("src1", 0) / totals["src1"]
+        assert 0.1 <= frac <= 0.9  # hash-threshold ≈ 0.5 (loose at tiny n)
+
+
+def test_unigram_logprob_monotone_in_rarity(spark):
+    """A doc of one very common token must outscore a doc of one rare
+    token (higher avg_logprob = more probable under the corpus LM)."""
+    docs = spark.createDataFrame(
+        [(0, "the the the the the the the the"), (1, "the the the rare")],
+        ["doc_id", "text"],
+    )
+    rows = {r.doc_id: r.avg_logprob for r in unigram_logprob(docs).collect()}
+    assert rows[0] > rows[1]
