@@ -238,3 +238,38 @@ def window_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w).cast("double").alias("spend_90d"),
         F.count(F.lit(1)).over(w).alias("n_orders_90d"),
     )
+
+
+@register(
+    "grouping_sets_revenue",
+    doc=(
+        "explicit GROUPING SETS (the two single-dimension rollups only, no "
+        "grand total): one scan, one Expand — the shape CUBE/ROLLUP cannot "
+        "express when only selected combinations are wanted"
+    ),
+    oracle="""
+SELECT coalesce(o_orderstatus, 'ALL') AS status,
+       coalesce(o_orderpriority, 'ALL') AS priority,
+       GROUPING(o_orderstatus) AS g_status,
+       GROUPING(o_orderpriority) AS g_priority,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+""",
+)
+def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("__gs_orders")
+    return spark.sql(
+        """
+        SELECT coalesce(o_orderstatus, 'ALL') AS status,
+               coalesce(o_orderpriority, 'ALL') AS priority,
+               GROUPING(o_orderstatus) AS g_status,
+               GROUPING(o_orderpriority) AS g_priority,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+               COUNT(*) AS n
+        FROM __gs_orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        """
+    )
