@@ -199,3 +199,29 @@ def corpus_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return out.orderBy(F.col("lift").desc(), "w1", "w2").limit(50)
+
+
+@register(
+    "text_textrank_keywords",
+    doc=(
+        "TextRank keyword extraction: damped PageRank (3 synchronous iterations) "
+        "over the token-adjacency graph; neighbor contributions fold in sorted "
+        "order so iterated double arithmetic is bit-exact vs the oracle's "
+        "unrolled-CTE replay — an iterative graph algorithm under a value hash"
+    ),
+    oracle=None,  # set below (generated to stay in lockstep with n_iter/top_k)
+)
+def text_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spk_sl_validation_spark.ext.textrank import textrank_keywords
+
+    docs = load_table(spark, sf_dir, "documents")
+    return textrank_keywords(docs, n_iter=3, top_k=20)
+
+
+from spk_sl_validation_spark.ext.textrank import textrank_keywords_sql as _tr_sql  # noqa: E402
+from spk_sl_validation_spark.plans.registry import REGISTRY as _REG  # noqa: E402
+import dataclasses as _dc  # noqa: E402
+
+_REG["text_textrank_keywords"] = _dc.replace(
+    _REG["text_textrank_keywords"], oracle=_tr_sql("documents", n_iter=3, top_k=20)
+)

@@ -135,3 +135,75 @@ def equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("n"), F.min("value").alias("lo"), F.max("value").alias("hi"))
     )
+
+
+@register(
+    "dataset_drift_psi",
+    doc=(
+        "population-stability-index drift report between two dataset splits "
+        "(doc_id parity) over n_chars: 10 fixed integer-arithmetic bins, "
+        "smoothed proportions, per-bin PSI terms (rounded to absorb ln ulp). "
+        "The train-vs-incoming distribution-shift check a 100 TB ingest runs "
+        "per batch — two scans + one 10-row aggregate"
+    ),
+    oracle="""
+WITH stats AS (SELECT min(n_chars) AS mn, max(n_chars) AS mx FROM documents),
+b AS (
+  SELECT least(9, ((d.n_chars - s.mn) * 10) // (s.mx - s.mn + 1)) AS bin,
+         (d.doc_id % 2 = 0) AS is_ref
+  FROM documents d CROSS JOIN stats s
+),
+c AS (
+  SELECT bin,
+         sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS n_ref,
+         sum(CASE WHEN is_ref THEN 0 ELSE 1 END) AS n_cur
+  FROM b GROUP BY bin
+),
+allbins AS (SELECT unnest(range(0, 10)) AS bin),
+f AS (
+  SELECT a.bin, coalesce(c.n_ref, 0) AS n_ref, coalesce(c.n_cur, 0) AS n_cur
+  FROM allbins a LEFT JOIN c ON a.bin = c.bin
+),
+t AS (SELECT sum(n_ref) AS tot_ref, sum(n_cur) AS tot_cur FROM f)
+SELECT f.bin, f.n_ref, f.n_cur,
+       round((CAST(f.n_ref AS DOUBLE) + 0.5) / (CAST(t.tot_ref AS DOUBLE) + 5.0), 10) AS p_ref,
+       round((CAST(f.n_cur AS DOUBLE) + 0.5) / (CAST(t.tot_cur AS DOUBLE) + 5.0), 10) AS p_cur,
+       round(((CAST(f.n_ref AS DOUBLE) + 0.5) / (CAST(t.tot_ref AS DOUBLE) + 5.0)
+            - (CAST(f.n_cur AS DOUBLE) + 0.5) / (CAST(t.tot_cur AS DOUBLE) + 5.0))
+           * ln(((CAST(f.n_ref AS DOUBLE) + 0.5) / (CAST(t.tot_ref AS DOUBLE) + 5.0))
+              / ((CAST(f.n_cur AS DOUBLE) + 0.5) / (CAST(t.tot_cur AS DOUBLE) + 5.0))), 6) AS psi_term
+FROM f CROSS JOIN t
+""",
+)
+def dataset_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    stats = docs.agg(F.min("n_chars").alias("mn"), F.max("n_chars").alias("mx"))
+    b = docs.crossJoin(F.broadcast(stats)).select(
+        F.least(
+            F.lit(9),
+            F.expr("div((n_chars - mn) * 10, mx - mn + 1)"),
+        ).alias("bin"),
+        (F.col("doc_id") % 2 == 0).alias("is_ref"),
+    )
+    c = b.groupBy("bin").agg(
+        F.sum(F.when(F.col("is_ref"), 1).otherwise(0)).alias("n_ref"),
+        F.sum(F.when(F.col("is_ref"), 0).otherwise(1)).alias("n_cur"),
+    )
+    allbins = spark.range(10).select(F.col("id").alias("bin"))
+    f = allbins.join(c, "bin", "left").select(
+        "bin",
+        F.coalesce("n_ref", F.lit(0)).alias("n_ref"),
+        F.coalesce("n_cur", F.lit(0)).alias("n_cur"),
+    )
+    t = f.agg(F.sum("n_ref").alias("tot_ref"), F.sum("n_cur").alias("tot_cur"))
+    out = f.crossJoin(F.broadcast(t))
+    p_ref = (F.col("n_ref").cast("double") + 0.5) / (F.col("tot_ref").cast("double") + 5.0)
+    p_cur = (F.col("n_cur").cast("double") + 0.5) / (F.col("tot_cur").cast("double") + 5.0)
+    return out.select(
+        "bin",
+        "n_ref",
+        "n_cur",
+        F.round(p_ref, 10).alias("p_ref"),
+        F.round(p_cur, 10).alias("p_cur"),
+        F.round((p_ref - p_cur) * F.log(p_ref / p_cur), 6).alias("psi_term"),
+    )
