@@ -254,3 +254,24 @@ def test_foreach_batch_sink_is_idempotent_across_restart(spark, sf_dir, tmp_path
     again = spark.read.parquet(out)
     assert again.count() == n_events
     assert again.select("event_id").distinct().count() == n_events
+
+
+def test_compact_small_files(spark, sf_dir, tmp_path):
+    """Compaction rewrites a fragmented parquet dir into size-targeted
+    files, preserving every row."""
+    from spk_sl_validation_spark.sources.readers import load_table
+    from spk_sl_validation_spark.sources.sinks import compact_small_files
+
+    frag = str(tmp_path / "frag")
+    out = str(tmp_path / "compact")
+    orders = load_table(spark, sf_dir, "orders")
+    orders.repartition(50).write.parquet(frag)
+
+    stats = compact_small_files(spark, frag, out, target_file_bytes=64 * 1024 * 1024)
+    assert stats["files_before"] == 50
+    assert stats["files_after"] < 50
+    assert spark.read.parquet(out).count() == orders.count()
+    import glob
+
+    n_out_files = len([f for f in glob.glob(out + "/*.parquet")])
+    assert n_out_files == stats["files_after"]
