@@ -91,16 +91,28 @@ def hll_estimate(df: DataFrame, col: str, p: int = 6) -> DataFrame:
     itself compares exact-arithmetic values, so both engines take the
     same branch).
     """
+    regs = hll_registers(df, col, p)
+    exact = df.select(F.countDistinct(col).alias("exact_distinct"))
+    return hll_estimate_from_registers(regs, exact, p)
+
+
+def hll_estimate_from_registers(regs: DataFrame, exact: DataFrame, p: int = 6) -> DataFrame:
+    """Finish the HLL estimate from a (register, max_rank) sketch table
+    and a single-row ``exact`` frame with ``exact_distinct``.
+
+    Split out because the register table is the MERGEABLE part: unions
+    of sketches combine by ``max`` per register, which is exactly what
+    a streaming aggregation's state update or a cross-datacenter merge
+    does — the batch and streaming HLL queries share this tail.
+    """
     m = 1 << p
     b1 = HASH_BITS - p + 1
-    regs = hll_registers(df, col, p)
     agg_row = regs.agg(
         F.count(F.lit(1)).cast("long").alias("active_registers"),
         # shiftleft's bit count must be a column here; F.shiftleft only
         # accepts a literal int, so spell it in SQL.
         F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {b1} - max_rank)")).alias("z_present"),
     )
-    exact = df.select(F.countDistinct(col).alias("exact_distinct"))
     z_int = (
         F.col("z_present")
         + (F.lit(m) - F.col("active_registers")) * F.lit(1 << b1).cast("long")

@@ -69,3 +69,27 @@ def sketch_bloom_customer_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SK.bloom_membership(
         orders, "o_custkey", customer, "c_custkey", BLOOM_BITS, BLOOM_K
     )
+
+
+@register(
+    "streaming_hll_distinct",
+    doc=(
+        "Structured Streaming HLL: the register table IS the streaming "
+        "aggregation state (registers merge by max — the sketch's mergeability "
+        "property), replayed availableNow == the batch estimate to the bit"
+    ),
+    oracle=SK.hll_estimate_sql("events", "user_id", HLL_P),
+)
+def streaming_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyspark.sql.functions as F
+
+    from spk_sl_validation_spark.streaming import pipeline as P
+
+    stream = P.stream_events(spark, sf_dir)
+    regs = P.run_available_now(
+        SK.hll_registers(stream, "user_id", HLL_P), output_mode="complete"
+    )
+    exact = load_table(spark, sf_dir, "events").select(
+        F.countDistinct("user_id").alias("exact_distinct")
+    )
+    return SK.hll_estimate_from_registers(regs, exact, HLL_P)
