@@ -275,3 +275,61 @@ def test_compact_small_files(spark, sf_dir, tmp_path):
 
     n_out_files = len([f for f in glob.glob(out + "/*.parquet")])
     assert n_out_files == stats["files_after"]
+
+
+def test_dynamic_partition_pruning(spark, sf_dir, tmp_path):
+    """DPP: a selective dim-side filter must prune fact PARTITIONS at
+    runtime via the reused broadcast (subquery dynamicpruning filter in
+    the scan) — at 100 TB this is the difference between scanning one
+    date/tenant partition and scanning the table."""
+    ev = load_table(spark, sf_dir, "events")
+    out = str(tmp_path / "events_dpp")
+    ev.write.mode("overwrite").partitionBy("event_type").parquet(out)
+    fact = spark.read.parquet(out)
+    dim = spark.createDataFrame(
+        [("click", "interactive"), ("view", "passive")], ["event_type", "kind"]
+    )
+    q = fact.join(dim.filter(F.col("kind") == "interactive"), "event_type").select(
+        "event_id", "event_type"
+    )
+    plan = _plan(q)
+    assert "dynamicpruning" in plan.lower()
+    assert q.count() > 0
+
+
+def test_aqe_splits_skewed_join_partitions(spark):
+    """AQE skew-join: a shuffle join whose one partition dwarfs the
+    rest must be re-planned at runtime with the skewed partition split
+    (skew=true in the final adaptive plan) — the no-manual-salting
+    path for moderate skew."""
+    conf_keys = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+    }
+    saved = {k: spark.conf.get(k, None) for k in conf_keys}
+    try:
+        for k, v in conf_keys.items():
+            spark.conf.set(k, v)
+        left = spark.range(150_000).select(
+            F.when(F.col("id") < 120_000, F.lit(0)).otherwise(F.col("id")).alias("k"),
+            F.col("id").alias("payload"),
+        )
+        right = spark.range(1_000).select(F.col("id").alias("k"), F.lit("x").alias("tag"))
+        j = left.join(right, "k")
+        # Trigger the action through THIS DataFrame's query execution —
+        # a write spawns a separate execution whose adaptive re-plan we
+        # couldn't inspect afterwards.
+        assert len(j.collect()) == 120_000
+        final_plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in final_plan
+        assert "skew=true" in final_plan
+        assert "AQEShuffleRead skewed" in final_plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
