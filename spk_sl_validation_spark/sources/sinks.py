@@ -20,6 +20,7 @@ from collections.abc import Iterator
 from contextlib import contextmanager
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 logger = logging.getLogger("spk_sl_validation_spark")
 
@@ -61,6 +62,68 @@ def write_clustered(
     out = df.repartitionByRange(n_files, *range_cols)
     out = out.sortWithinPartitions(*(sort_cols or range_cols))
     out.write.mode(mode).parquet(path)
+
+
+def zorder_key(df: DataFrame, cols: list[str], bits: int = 16):
+    """Z-order (Morton) key over numeric columns: each column is
+    rank-normalized to ``bits`` levels via ``percent_rank`` and the
+    level bits are interleaved, so sorting by the key gives every
+    column locality simultaneously.
+
+    Rank normalization (rather than min/max scaling) makes the key
+    robust to skewed distributions — equal-population levels, which is
+    what file skipping wants. Returns (df_with_key, key_col_name).
+    """
+    from pyspark.sql import Window
+
+    out = df
+    level_cols = []
+    for c in cols:
+        lc = f"__z_{c}"
+        pr = F.percent_rank().over(Window.orderBy(F.col(c)))
+        out = out.withColumn(
+            lc, F.least(F.lit((1 << bits) - 1), (pr * (1 << bits)).cast("long"))
+        )
+        level_cols.append(lc)
+    # Interleave: bit p of column j lands at position p*n_cols + j.
+    n = len(level_cols)
+    key = F.lit(0).cast("long")
+    for p in range(bits):
+        for j, lc in enumerate(level_cols):
+            key = key + F.expr(
+                f"shiftleft(shiftright({lc}, {p}) & 1, {p * n + j})"
+            ).cast("long")
+    return out.withColumn("__zkey", key).drop(*level_cols), "__zkey"
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    n_files: int = 32,
+    bits: int = 16,
+    mode: str = "overwrite",
+) -> None:
+    """Z-order-clustered parquet: range-partition + sort by the Morton
+    key of ``cols``, so parquet footers carry tight min/max on EVERY
+    clustered column at once (single-column range clustering gives one
+    column perfect locality and the others none).
+
+    This is the multi-dimensional file-skipping layout (Delta/Iceberg
+    ``OPTIMIZE ZORDER BY``): queries filtering on any subset of the
+    clustered columns prune most files from footers alone. The
+    percent_rank in the key is one global sort of a NARROW projection
+    (col only), not the data — the wide rows move once, in the final
+    range exchange.
+    """
+    keyed, key = zorder_key(df, cols, bits)
+    (
+        keyed.repartitionByRange(n_files, F.col(key))
+        .sortWithinPartitions(key)
+        .drop(key)
+        .write.mode(mode)
+        .parquet(path)
+    )
 
 
 def compact_small_files(

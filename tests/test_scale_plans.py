@@ -333,3 +333,81 @@ def test_aqe_splits_skewed_join_partitions(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_zorder_layout_gives_both_columns_locality(spark, sf_dir, tmp_path):
+    """Z-order clustering must shrink per-file footer min/max spans on
+    BOTH clustered columns (single-column range clustering gives one
+    column perfect locality and leaves the other at ~full span)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from spk_sl_validation_spark.sources.sinks import write_zordered
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    out = str(tmp_path / "events_zorder")
+    write_zordered(ev, out, ["user_id", "value"], n_files=16, bits=8)
+
+    def spans(col):
+        lo = ev.agg(F.min(col)).first()[0]
+        hi = ev.agg(F.max(col)).first()[0]
+        full = float(hi - lo) or 1.0
+        fracs = []
+        for f in glob.glob(f"{out}/part-*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            mins, maxs = [], []
+            for rg in range(md.num_row_groups):
+                c = next(
+                    md.row_group(rg).column(i)
+                    for i in range(md.num_columns)
+                    if md.row_group(rg).column(i).path_in_schema == col
+                )
+                mins.append(c.statistics.min)
+                maxs.append(c.statistics.max)
+            fracs.append(float(max(maxs) - min(mins)) / full)
+        return fracs
+
+    u_fracs, v_fracs = spans("user_id"), spans("value")
+    assert len(u_fracs) > 4
+    # median per-file span must be well under the full range on BOTH
+    # dimensions — the multi-dimensional locality Z-order buys.
+    med = lambda xs: sorted(xs)[len(xs) // 2]
+    assert med(u_fracs) < 0.6, u_fracs
+    assert med(v_fracs) < 0.6, v_fracs
+    assert spark.read.parquet(out).count() == ev.count()
+
+
+def test_bloom_pruned_join_equals_plain_join(spark, sf_dir):
+    """Bloom pre-filtering the probe side before a shuffle join must be
+    result-identical to the plain join (no false negatives) while
+    shrinking the shuffled probe — the broadcast-Bloom join-pruning
+    pattern for selective build sides."""
+    from spk_sl_validation_spark.ext.sketches import bloom_positions
+    from spk_sl_validation_spark.ext.hashing import md5_long
+    from pyspark.sql import functions as SF
+
+    orders = load_table(spark, sf_dir, "orders")
+    hot = load_table(spark, sf_dir, "customer").filter(SF.col("c_acctbal") > 9000)
+
+    plain = orders.join(hot, orders.o_custkey == hot.c_custkey).select("o_orderkey", "c_custkey")
+
+    m_bits, k = 4096, 5
+    bits = bloom_positions(hot, "c_custkey", m_bits, k).withColumn("__set", SF.lit(1))
+    h = md5_long(SF.col("o_custkey").cast("string"))
+    from spk_sl_validation_spark.ext.hashing import seeded_perm
+
+    probe_pos = orders.select(
+        "o_orderkey", "o_custkey",
+        SF.explode(SF.array(*[(seeded_perm(h, i) % SF.lit(m_bits)) for i in range(k)])).alias("pos"),
+    )
+    pruned_keys = (
+        probe_pos.join(SF.broadcast(bits), "pos", "left")
+        .groupBy("o_orderkey", "o_custkey")
+        .agg((SF.count("__set") == SF.lit(k)).alias("maybe"))
+        .filter(SF.col("maybe"))
+    )
+    pruned = pruned_keys.join(hot, pruned_keys.o_custkey == hot.c_custkey).select(
+        "o_orderkey", "c_custkey"
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, pruned.collect()))
