@@ -159,3 +159,38 @@ def scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("valid_from").over(w).alias("valid_to"),
         F.lead("valid_from").over(w).isNull().cast("int").alias("is_current"),
     )
+
+
+@register(
+    "cdc_apply_latest",
+    doc=(
+        "CDC apply: collapse a keyed change stream to final state — latest "
+        "change per key wins by (ts, event_id), 'error' tombstones delete the "
+        "key. WindowGroupLimit prunes to one row per key before the shuffle; "
+        "this is the batch MERGE-from-changelog shape"
+    ),
+    oracle="""
+WITH ranked AS (
+  SELECT user_id, ts, event_id, event_type, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+SELECT user_id, ts AS last_ts, event_type AS last_type, value AS last_value
+FROM ranked WHERE rn = 1 AND event_type <> 'error'
+""",
+)
+def cdc_apply_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("event_type") != "error"))
+        .select(
+            "user_id",
+            F.col("ts").alias("last_ts"),
+            F.col("event_type").alias("last_type"),
+            F.col("value").alias("last_value"),
+        )
+    )

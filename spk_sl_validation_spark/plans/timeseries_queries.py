@@ -97,3 +97,43 @@ def zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         joined.select("event_id", "event_type", "value", z.alias("z"))
         .filter(F.abs(F.col("z")) > _Z_TAU)
     )
+
+
+@register(
+    "time_rollup_multigrain",
+    doc=(
+        "hypertable-style continuous aggregate: hour/day/month rollups of the "
+        "events stream in ONE scan — each row explodes into its (grain, bucket) "
+        "memberships, one grouped aggregate serves every grain (vs re-scanning "
+        "per grain); decimal-exact sums"
+    ),
+    oracle="""
+SELECT 'hour' AS grain, date_trunc('hour', ts) AS bucket_ts, event_type,
+       COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events GROUP BY 2, 3
+UNION ALL
+SELECT 'day' AS grain, date_trunc('day', ts) AS bucket_ts, event_type,
+       COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events GROUP BY 2, 3
+UNION ALL
+SELECT 'month' AS grain, date_trunc('month', ts) AS bucket_ts, event_type,
+       COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events GROUP BY 2, 3
+""",
+)
+def time_rollup_multigrain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    grains = F.array(
+        *[
+            F.struct(F.lit(g).alias("grain"), F.date_trunc(g, "ts").alias("bucket_ts"))
+            for g in ("hour", "day", "month")
+        ]
+    )
+    return (
+        ev.select(F.explode(grains).alias("g"), "event_type", "value")
+        .groupBy(F.col("g.grain").alias("grain"), F.col("g.bucket_ts").alias("bucket_ts"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+    )
