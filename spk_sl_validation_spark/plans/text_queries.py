@@ -196,3 +196,56 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("top_word_n").cast("double") / F.col("n_words")).alias("top_word_frac"),
         (F.col("top_bigram_n").cast("double") / F.col("n_bigrams")).alias("top_bigram_frac"),
     )
+
+
+@register(
+    "text_feature_hashing",
+    doc=(
+        "feature-hashing vectorization (hashing trick): 32-dim signed term-count "
+        "vectors from raw text with zero vocabulary state — bucket = h(tok) mod "
+        "32, sign from the next hash bit; integer-exact, so the whole vector "
+        "hash-matches the oracle. The no-ML text→vector bridge into the "
+        "similarity operators at any scale"
+    ),
+    oracle=rf"""
+WITH t AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok FROM documents
+),
+h AS (
+  SELECT doc_id,
+         {md5_long_sql('tok')} % 32 AS bucket,
+         CASE WHEN ({md5_long_sql('tok')} >> 5) & 1 = 1 THEN 1 ELSE -1 END AS sign
+  FROM t
+),
+b AS (SELECT doc_id, bucket, CAST(sum(sign) AS BIGINT) AS v FROM h GROUP BY doc_id, bucket),
+d AS (SELECT DISTINCT doc_id FROM t),
+grid AS (SELECT d.doc_id, g.i AS bucket FROM d CROSS JOIN (SELECT unnest(range(0, 32)) AS i) g),
+filled AS (
+  SELECT grid.doc_id, grid.bucket, coalesce(b.v, 0) AS v
+  FROM grid LEFT JOIN b ON grid.doc_id = b.doc_id AND grid.bucket = b.bucket
+)
+SELECT doc_id, list(v ORDER BY bucket) AS vec FROM filled GROUP BY doc_id
+""",
+)
+def text_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spk_sl_validation_spark.ext.hashing import md5_long, ws_tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(ws_tokens("text")).alias("tok"))
+    h = md5_long("tok")
+    hashed = toks.select(
+        "doc_id",
+        (h % 32).alias("bucket"),
+        F.when(F.shiftright(h, 5).bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(F.lit(-1)).alias("sign"),
+    )
+    buckets = hashed.groupBy("doc_id", "bucket").agg(F.sum("sign").alias("v"))
+    # dense 32-dim assembly: pivot the sparse buckets into an array
+    dense = (
+        buckets.groupBy("doc_id")
+        .agg(F.map_from_entries(F.collect_list(F.struct("bucket", "v"))).alias("m"))
+        .select(
+            "doc_id",
+            F.expr("transform(sequence(0, 31), i -> coalesce(m[i], CAST(0 AS BIGINT)))").alias("vec"),
+        )
+    )
+    return dense

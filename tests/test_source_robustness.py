@@ -1,0 +1,57 @@
+"""Source robustness: schema evolution across parquet file versions and
+malformed-record containment in JSONL — the two ingest failure modes a
+long-lived 100 TB table hits (writers upgrade, upstreams emit garbage)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_parquet_schema_evolution_merge(spark, tmp_path):
+    """Old files lack the new column; mergeSchema reads must surface the
+    union schema with NULLs for pre-evolution rows, not fail or drop."""
+    out = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a"), (2, "b")], ["id", "name"]).write.parquet(out)
+    spark.createDataFrame(
+        [(3, "c", 1.5), (4, "d", 2.5)], ["id", "name", "score"]
+    ).write.mode("append").parquet(out)
+
+    merged = spark.read.option("mergeSchema", True).parquet(out)
+    assert set(merged.columns) == {"id", "name", "score"}
+    rows = {r.id: r.score for r in merged.collect()}
+    assert rows[1] is None and rows[2] is None
+    assert rows[3] == 1.5 and rows[4] == 2.5
+
+
+def test_jsonl_corrupt_records_are_contained(spark, tmp_path):
+    """PERMISSIVE mode must land malformed lines in the corrupt-record
+    column (nulls elsewhere) while clean rows parse — ingest keeps
+    moving and the quarantine is queryable."""
+    from pyspark.sql import types as T
+
+    p = tmp_path / "dirty.jsonl"
+    p.write_text(
+        '{"id": 1, "v": "ok"}\n'
+        "THIS IS NOT JSON\n"
+        '{"id": 2, "v": "fine"}\n'
+        '{"id": "not-an-int", "v": "bad-type"}\n'
+    )
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("v", T.StringType()),
+            T.StructField("_corrupt_record", T.StringType()),
+        ]
+    )
+    df = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(str(p))
+    )
+    df = df.cache()  # corrupt-record column requires a materialized read
+    clean = df.filter(F.col("_corrupt_record").isNull())
+    dirty = df.filter(F.col("_corrupt_record").isNotNull())
+    assert {r.id for r in clean.collect()} == {1, 2}
+    assert dirty.count() == 2  # the non-JSON line and the type mismatch
+    df.unpersist()
