@@ -137,3 +137,37 @@ def time_rollup_multigrain(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
         )
     )
+
+
+@register(
+    "window_trailing_median",
+    doc=(
+        "exact median over a trailing 7-row window per user (any aggregate "
+        "works in a Spark window frame — percentile is exact selection + one "
+        "interpolation, deterministic cross-engine): the rolling robust "
+        "statistic for outlier-resistant monitoring"
+    ),
+    oracle="""
+SELECT event_id, user_id, ts,
+       quantile_cont(CAST(value AS DOUBLE), 0.5) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS med7
+FROM events
+WHERE user_id < 30
+""",
+)
+def window_trailing_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 30)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.expr("percentile(CAST(value AS DOUBLE), 0.5)").over(w).alias("med7"),
+    )

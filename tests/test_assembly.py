@@ -57,3 +57,16 @@ def test_unigram_logprob_monotone_in_rarity(spark):
     )
     rows = {r.doc_id: r.avg_logprob for r in unigram_logprob(docs).collect()}
     assert rows[0] > rows[1]
+
+
+def test_mixture_samples_are_nested(spark, sf_dir):
+    """Hash-threshold sampling is MONOTONE in the weight: the rows kept
+    at weight w1 are a subset of those kept at w2 > w1 — so downsampling
+    ladders (10% → 25% → 50%) are nested, reproducible subsets rather
+    than independent draws."""
+    docs = load_table(spark, sf_dir, "documents")
+    lo = mixture_sample(docs, {f"src{i}": 0.2 for i in range(20)})
+    hi = mixture_sample(docs, {f"src{i}": 0.6 for i in range(20)})
+    lo_ids = {r.doc_id for r in lo.select("doc_id").collect()}
+    hi_ids = {r.doc_id for r in hi.select("doc_id").collect()}
+    assert lo_ids < hi_ids  # strict subset (and non-empty gap at these sizes)

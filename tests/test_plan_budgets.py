@@ -1,0 +1,66 @@
+"""Plan-budget regression gate: every bench headline query has a
+pinned shuffle/sort-merge budget — a future operator change that adds
+an Exchange or degrades a broadcast to a sort-merge join fails HERE,
+not in the next benchmark run.
+
+Budgets are the audited values from PLANS.md (tools/dump_plans.py);
+`<=` comparisons so a plan IMPROVEMENT never fails the gate — tighten
+the budget when that happens.
+"""
+
+from __future__ import annotations
+
+import sys
+
+import pytest
+
+sys.path.insert(0, "/root/repo")
+
+from tools.dump_plans import plan_stats  # noqa: E402
+
+# name -> (max shuffle exchanges, max sort-merge joins)
+BUDGETS = {
+    "pricing_summary": (1, 0),
+    "broadcast_enrich": (0, 0),
+    "rule_cascade_comment": (0, 0),
+    "revenue_by_nation": (1, 0),
+    "text_quality": (0, 0),
+    "text_repetition": (4, 0),
+    "dedup_minhash_lsh": (3, 0),
+    "dedup_pipeline": (9, 0),
+    "similarity_topk_bruteforce": (1, 0),
+    "range_join_clicks_before_purchase": (1, 0),
+    "scd2_intervals": (1, 0),
+}
+
+
+@pytest.fixture(scope="module")
+def headline_specs():
+    from spk_sl_validation_spark.plans.registry import headline_queries
+
+    return headline_queries()
+
+
+def test_budget_table_covers_headline_set(headline_specs):
+    assert set(BUDGETS) == set(headline_specs), (
+        "headline set changed — audit the new query's plan (tools/dump_plans.py) "
+        "and add its budget here"
+    )
+
+
+@pytest.mark.parametrize("name", sorted(BUDGETS))
+def test_headline_plan_within_budget(spark, sf_dir, headline_specs, name):
+    df = headline_specs[name].builder(spark, sf_dir)
+    df.write.mode("overwrite").format("noop").save()  # finalize AQE plan
+    qe = df._jdf.queryExecution()
+    formatted = spark._jvm.PythonSQLUtils.explainString(qe, "formatted")
+    st = plan_stats(formatted)
+    max_shuffles, max_smj = BUDGETS[name]
+    assert st["shuffle_exchanges"] <= max_shuffles, (
+        f"{name}: {st['shuffle_exchanges']} shuffle exchanges "
+        f"(budget {max_shuffles}) — plan regressed"
+    )
+    assert st["sort_merge_joins"] <= max_smj, (
+        f"{name}: {st['sort_merge_joins']} sort-merge joins "
+        f"(budget {max_smj}) — a broadcast degraded"
+    )
