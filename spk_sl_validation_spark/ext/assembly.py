@@ -148,6 +148,19 @@ def mixture_sample(
     return df.filter(h < thresh)
 
 
+def mixture_predicate_sql(
+    weights: dict[str, float], source_col: str = "source", id_col: str = "doc_id"
+) -> str:
+    """The WHERE-clause predicate of :func:`mixture_sample` (for
+    embedding in composed oracles)."""
+    h = md5_long_sql(f"CAST({id_col} AS VARCHAR)")
+    cases = " ".join(
+        f"WHEN {source_col} = '{src}' THEN {int(w * SAMPLE_MOD)}"
+        for src, w in sorted(weights.items())
+    )
+    return f"({h}) % {SAMPLE_MOD} < (CASE {cases} ELSE 0 END)"
+
+
 def mixture_sample_sql(
     table: str,
     weights: dict[str, float],
@@ -156,14 +169,9 @@ def mixture_sample_sql(
     select: str = "*",
 ) -> str:
     """DuckDB twin of :func:`mixture_sample`."""
-    h = md5_long_sql(f"CAST({id_col} AS VARCHAR)")
-    cases = " ".join(
-        f"WHEN {source_col} = '{src}' THEN {int(w * SAMPLE_MOD)}"
-        for src, w in sorted(weights.items())
-    )
     return (
         f"SELECT {select} FROM {table} "
-        f"WHERE ({h}) % {SAMPLE_MOD} < (CASE {cases} ELSE 0 END)"
+        f"WHERE {mixture_predicate_sql(weights, source_col, id_col)}"
     )
 
 

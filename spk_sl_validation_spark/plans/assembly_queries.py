@@ -65,3 +65,76 @@ def mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return A.unigram_logprob(docs)
+
+
+MIN_TOKENS = 30
+
+
+def _corpus_pipeline_oracle() -> str:
+    from spk_sl_validation_spark.ext.assembly import mixture_predicate_sql
+    from spk_sl_validation_spark.plans.dedup_queries import _verified_pairs_ctes
+
+    toks = r"len(string_split_regex(trim(text), '\s+'))"
+    return f"""
+WITH q AS (
+  SELECT * FROM documents WHERE {toks} >= {MIN_TOKENS}
+),
+{_verified_pairs_ctes("q")},
+keep AS (
+  SELECT d.doc_id FROM q d
+  LEFT JOIN (SELECT DISTINCT id_b FROM verified) v ON d.doc_id = v.id_b
+  WHERE v.id_b IS NULL
+),
+kept AS (SELECT q.* FROM q JOIN keep USING (doc_id)),
+sampled AS (SELECT * FROM kept WHERE {mixture_predicate_sql(MIX_WEIGHTS)}),
+n AS (SELECT doc_id, {toks} AS n_tokens FROM sampled),
+o AS (
+  SELECT doc_id, n_tokens,
+         coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_offset
+  FROM n
+)
+SELECT doc_id, n_tokens, tok_offset,
+       tok_offset // {SEQ_LEN} AS seq_id,
+       tok_offset % {SEQ_LEN} AS offset_in_seq
+FROM o
+"""
+
+
+@register(
+    "training_corpus_pipeline",
+    doc=(
+        "the COMPOSED end-to-end training-data pipeline as one lazy DAG: "
+        f"quality gate (≥{MIN_TOKENS} tokens) → MinHash-LSH near-dup dedup "
+        "(verify-on-candidates, keep lowest id) → deterministic mixture "
+        "sampling → sequence packing — every stage individually oracle-checked, "
+        "and the composition value-checked here end-to-end"
+    ),
+    oracle=None,  # set below (composed from the stage oracles)
+)
+def training_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyspark.sql.functions as F
+
+    from spk_sl_validation_spark.ext import dedup as D
+    from spk_sl_validation_spark.ext.hashing import ws_tokens
+    from spk_sl_validation_spark.plans.dedup_queries import (
+        BANDS,
+        JACCARD_TAU,
+        NUM_HASHES,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    q = docs.filter(F.size(ws_tokens("text")) >= MIN_TOKENS)
+    keep = D.dedup_corpus(q, "doc_id", "text", NUM_HASHES, BANDS, 3, JACCARD_TAU)
+    kept = q.join(keep.filter("keep").select("doc_id"), "doc_id", "left_semi")
+    sampled = A.mixture_sample(kept, MIX_WEIGHTS)
+    packed = A.pack_sequences(sampled, seq_len=SEQ_LEN)
+    return packed.select("doc_id", "n_tokens", "tok_offset", "seq_id", "offset_in_seq")
+
+
+from spk_sl_validation_spark.plans.registry import REGISTRY as _REG  # noqa: E402
+import dataclasses as _dc  # noqa: E402
+
+_REG["training_corpus_pipeline"] = _dc.replace(
+    _REG["training_corpus_pipeline"], oracle=_corpus_pipeline_oracle()
+)

@@ -148,10 +148,10 @@ _REG["dedup_simhash"] = _dc.replace(_REG["dedup_simhash"], oracle=_simhash_oracl
 JACCARD_TAU = 0.8
 
 
-def _verified_pairs_ctes() -> str:
-    """Shared CTE body: documents → LSH candidates → exact-Jaccard
-    verified pairs (id_a < id_b). Reused by the pipeline and cluster
-    oracles."""
+def _verified_pairs_ctes(table: str = "documents") -> str:
+    """Shared CTE body: ``table`` → LSH candidates → exact-Jaccard
+    verified pairs (id_a < id_b). Reused by the pipeline, cluster, and
+    end-to-end corpus oracles (``table`` may be an upstream CTE)."""
     sh = word_shingles_sql("t", 3)
     mh_exprs = ", ".join(
         f"list_min(list_transform(h, x -> {seeded_perm_sql('x', i)})) AS mh{i}"
@@ -166,7 +166,7 @@ def _verified_pairs_ctes() -> str:
     )
     hmatch = " AND ".join(f"a.h{r} = b.h{r}" for r in range(ROWS_PER_BAND))
     return f"""
-tok AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+tok AS (SELECT doc_id, {_TOKS} AS t FROM {table}),
 shv AS (SELECT doc_id, list_transform({sh}, x -> {md5_long_sql('x')}) AS h FROM tok),
 sig AS (SELECT doc_id, {mh_exprs} FROM shv),
 bands AS ({band_selects}),
@@ -176,7 +176,7 @@ cand AS (
 ),
 dsh AS (
   SELECT doc_id, unnest(list_distinct({word_shingles_sql(_TOKS, 3)})) AS s
-  FROM documents
+  FROM {table}
 ),
 sizes AS (SELECT doc_id, count(*) AS n_sh FROM dsh GROUP BY doc_id),
 inter AS (
