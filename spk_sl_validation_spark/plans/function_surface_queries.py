@@ -273,3 +273,42 @@ def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
         """
     )
+
+
+@register(
+    "safe_arithmetic_suite",
+    doc=(
+        "ANSI-safe error handling surface: try_cast (bad string/number/date → "
+        "NULL, never a job abort), try_divide (NULL on zero), out-of-bounds "
+        "array index → NULL. At 100 TB one malformed row must not kill an "
+        "8-hour job; try_* quarantines it as NULL for downstream auditing"
+    ),
+    oracle="""
+SELECT o_orderkey,
+       try_cast(o_orderpriority AS INTEGER) AS whole_prio_int,
+       try_cast(split_part(o_orderpriority, '-', 1) AS INTEGER) AS prio_num,
+       try_cast(o_orderstatus AS DATE) IS NULL AS status_not_date,
+       CASE WHEN (try_cast(split_part(o_orderpriority, '-', 1) AS INTEGER) - 1) = 0
+            THEN NULL
+            ELSE o_totalprice / (try_cast(split_part(o_orderpriority, '-', 1) AS INTEGER) - 1)
+       END AS price_over_prio_minus1,
+       (string_split(o_orderpriority, '-'))[5] AS oob_element
+FROM orders
+WHERE o_orderkey < 1000
+""",
+)
+def safe_arithmetic_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 1000)
+    prio_num = F.try_to_number(
+        F.split_part(F.col("o_orderpriority"), F.lit("-"), F.lit(1)), F.lit("9")
+    ).cast("int")
+    return o.select(
+        "o_orderkey",
+        F.col("o_orderpriority").try_cast("int").alias("whole_prio_int"),
+        prio_num.alias("prio_num"),
+        F.col("o_orderstatus").try_cast("date").isNull().alias("status_not_date"),
+        F.try_divide(F.col("o_totalprice"), prio_num - F.lit(1)).alias(
+            "price_over_prio_minus1"
+        ),
+        F.try_element_at(F.split("o_orderpriority", "-"), F.lit(5)).alias("oob_element"),
+    )
