@@ -64,6 +64,79 @@ def write_clustered(
     out.write.mode(mode).parquet(path)
 
 
+def dataset_checksum(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """Order-independent content fingerprint: one row of
+    (n_rows, checksum) where checksum = Σ md5_60bit(row) mod 2^61-1.
+
+    Per row, the named columns are cast to string (NULL → a reserved
+    marker) and joined with an unprintable separator before hashing;
+    the commutative sum makes the checksum independent of row order
+    and partitioning — so it is computable with one map-side-combined
+    aggregate at any scale and comparable across engines, exports, and
+    replicas. This is the data-contract primitive: publisher ships
+    (n_rows, checksum) in the manifest, consumer recomputes.
+
+    Caller chooses ``cols`` (and pre-casts floats to DECIMAL) when the
+    table has types whose string form is engine-dependent.
+    """
+    from spk_sl_validation_spark.ext.hashing import MERSENNE_61, md5_long
+
+    use = cols or df.columns
+    row_str = F.concat_ws(
+        "\x1f", *[F.coalesce(F.col(c).cast("string"), F.lit("\x01")) for c in use]
+    )
+    # Accumulate in DECIMAL(38,0): a raw long sum of 2^61-scale terms
+    # overflows after ~4 rows (ANSI mode aborts); decimal partials are
+    # still map-side-combinable and one mod at the end restores a long.
+    return df.select(md5_long(row_str).alias("h")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        (
+            F.sum((F.col("h") % F.lit(MERSENNE_61)).cast("decimal(38,0)"))
+            % F.lit(MERSENNE_61)
+        )
+        .cast("long")
+        .alias("checksum"),
+    )
+
+
+def dataset_checksum_sql(table: str, col_exprs: list[str]) -> str:
+    """DuckDB twin of :func:`dataset_checksum` (same bits, same sum)."""
+    from spk_sl_validation_spark.ext.hashing import MERSENNE_61, md5_long_sql
+
+    # chr() calls, not literal control bytes — raw \x1f/\x01 inside a
+    # SQL string break the parser.
+    joined = " || chr(31) || ".join(
+        f"coalesce(CAST({e} AS VARCHAR), chr(1))" for e in col_exprs
+    )
+    h = md5_long_sql(f"({joined})")
+    return f"""
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(({h}) % {MERSENNE_61}) % {MERSENNE_61} AS BIGINT) AS checksum
+FROM {table}
+"""
+
+
+def write_report_with_manifest(
+    sheets: dict[str, DataFrame], out_dir: str, mode: str = "overwrite"
+) -> dict:
+    """write_report + a ``manifest.json`` of per-sheet (n_rows,
+    checksum) — the verifiable-export contract: any consumer (or this
+    engine on re-read) recomputes the checksum to prove integrity
+    without comparing data. Returns the manifest dict."""
+    import json
+    import os
+
+    write_report(sheets, out_dir, mode=mode)
+    manifest = {}
+    for name, df in sheets.items():
+        safe = name.replace("/", "_").replace(" ", "_")
+        row = dataset_checksum(df).first()
+        manifest[safe] = {"n_rows": row.n_rows, "checksum": row.checksum}
+    with open(os.path.join(out_dir, "manifest.json"), "w") as fh:
+        json.dump(manifest, fh, indent=2, sort_keys=True)
+    return manifest
+
+
 def zorder_key(df: DataFrame, cols: list[str], bits: int = 16):
     """Z-order (Morton) key over numeric columns: each column is
     rank-normalized to ``bits`` levels via ``percent_rank`` and the

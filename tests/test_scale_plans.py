@@ -411,3 +411,40 @@ def test_bloom_pruned_join_equals_plain_join(spark, sf_dir):
         "o_orderkey", "c_custkey"
     )
     assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, pruned.collect()))
+
+
+def test_dataset_checksum_partition_invariant(spark, sf_dir):
+    """The commutative checksum must be identical for any partitioning
+    or row order — the property that makes it computable distributed."""
+    from spk_sl_validation_spark.sources.sinks import dataset_checksum
+
+    nation = load_table(spark, sf_dir, "nation")
+    a = dataset_checksum(nation).first()
+    b = dataset_checksum(nation.repartition(13).sortWithinPartitions("n_name")).first()
+    assert (a.n_rows, a.checksum) == (b.n_rows, b.checksum)
+    # and it must actually detect change
+    c = dataset_checksum(nation.limit(20)).first()
+    assert c.checksum != a.checksum
+
+
+def test_report_manifest_verifies_on_reread(spark, sf_dir, tmp_path):
+    import json
+
+    from spk_sl_validation_spark.sources.sinks import (
+        dataset_checksum,
+        write_report_with_manifest,
+    )
+
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    out = str(tmp_path / "report_m")
+    manifest = write_report_with_manifest({"nation": nation, "region": region}, out)
+    with open(out + "/manifest.json") as fh:
+        on_disk = json.load(fh)
+    assert manifest == on_disk
+    # consumer-side verification: recompute from the written parquet
+    for sheet in ("nation", "region"):
+        back = spark.read.parquet(f"{out}/{sheet}")
+        row = dataset_checksum(back).first()
+        assert row.n_rows == on_disk[sheet]["n_rows"]
+        assert row.checksum == on_disk[sheet]["checksum"]
