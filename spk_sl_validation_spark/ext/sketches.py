@@ -180,6 +180,110 @@ FROM c
 """
 
 
+def hll_profile(df: DataFrame, cols: list[str], p: int = 6) -> DataFrame:
+    """Per-column NDV estimates for many columns in ONE scan: each row
+    explodes into (column-name, value) pairs and every column's HLL
+    registers accumulate in the same grouped aggregate.
+
+    Output: (cname, active_registers, hll_estimate, exact_distinct,
+    rel_err). The profiling shape that matters at 100 TB: c columns
+    cost one pass and c·2^p aggregate rows, not c passes. (The exact
+    NDV column exists for the oracle comparison; production profiling
+    drops it — that's the entire point of the sketch.)
+    """
+    m = 1 << p
+    bits = HASH_BITS - p
+    b1 = bits + 1
+    pairs = F.array(
+        *[
+            F.struct(F.lit(c).alias("cname"), F.col(c).cast("string").alias("val"))
+            for c in cols
+        ]
+    )
+    v = df.select(F.explode(pairs).alias("e")).select("e.cname", "e.val").filter(
+        F.col("val").isNotNull()
+    )
+    h = md5_long(F.col("val"))
+    w = F.shiftright(h, p)
+    first_one = F.instr(F.lpad(F.bin(w), bits, "0"), "1")
+    rank = F.when(w == 0, F.lit(b1)).otherwise(first_one)
+    regs = (
+        v.select("cname", (h % F.lit(m)).alias("register"), rank.alias("rank"))
+        .groupBy("cname", "register")
+        .agg(F.max("rank").alias("max_rank"))
+    )
+    z = regs.groupBy("cname").agg(
+        F.count(F.lit(1)).cast("long").alias("active_registers"),
+        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {b1} - max_rank)")).alias("z_present"),
+    )
+    z_int = (
+        F.col("z_present")
+        + (F.lit(m) - F.col("active_registers")) * F.lit(1 << b1).cast("long")
+    )
+    raw = F.lit(_alpha(m) * m * m) * F.lit(float(1 << b1)) / z_int.cast("double")
+    v_empty = F.lit(m) - F.col("active_registers")
+    linear = F.lit(float(m)) * F.log(F.lit(float(m)) / v_empty.cast("double"))
+    est = F.round(
+        F.when((raw <= F.lit(2.5 * m)) & (v_empty > 0), linear).otherwise(raw), 6
+    )
+    exact = v.groupBy("cname").agg(F.countDistinct("val").alias("exact_distinct"))
+    return (
+        z.join(exact, "cname")
+        .select(
+            "cname",
+            "active_registers",
+            est.alias("hll_estimate"),
+            "exact_distinct",
+            (est / F.col("exact_distinct") - 1.0).alias("rel_err"),
+        )
+    )
+
+
+def hll_profile_sql(table: str, cols: list[str], p: int = 6) -> str:
+    """DuckDB twin of :func:`hll_profile`."""
+    m = 1 << p
+    bits = HASH_BITS - p
+    b1 = bits + 1
+    unions = " UNION ALL ".join(
+        f"SELECT '{c}' AS cname, CAST({c} AS VARCHAR) AS val FROM {table}" for c in cols
+    )
+    h = md5_long_sql("val")
+    return f"""
+WITH v AS (SELECT cname, val FROM ({unions}) WHERE val IS NOT NULL),
+hh AS (SELECT cname, {h} AS h FROM v),
+r AS (
+  SELECT cname, h % {m} AS register,
+         CASE WHEN (h >> {p}) = 0 THEN {b1}
+              ELSE strpos(lpad(bin(h >> {p}), {bits}, '0'), '1') END AS rank
+  FROM hh
+),
+regs AS (SELECT cname, register, max(rank) AS max_rank FROM r GROUP BY cname, register),
+z AS (
+  SELECT cname, CAST(count(*) AS BIGINT) AS active_registers,
+         sum((1::BIGINT << ({b1} - max_rank))) AS z_present
+  FROM regs GROUP BY cname
+),
+e AS (
+  SELECT cname, active_registers,
+         {_alpha(m) * m * m!r} * {float(1 << b1)!r}
+           / CAST(z_present + ({m} - active_registers) * (1::BIGINT << {b1}) AS DOUBLE) AS raw,
+         ({m} - active_registers) AS v_empty
+  FROM z
+),
+c AS (
+  SELECT cname, active_registers,
+         round(CASE WHEN raw <= {2.5 * m!r} AND v_empty > 0
+                    THEN {float(m)!r} * ln({float(m)!r} / CAST(v_empty AS DOUBLE))
+                    ELSE raw END, 6) AS hll_estimate
+  FROM e
+),
+exact AS (SELECT cname, count(DISTINCT val) AS exact_distinct FROM v GROUP BY cname)
+SELECT c.cname, c.active_registers, c.hll_estimate, exact.exact_distinct,
+       c.hll_estimate / exact.exact_distinct - 1.0 AS rel_err
+FROM c JOIN exact ON c.cname = exact.cname
+"""
+
+
 # ---------------------------------------------------------------------------
 # Count-min sketch
 # ---------------------------------------------------------------------------

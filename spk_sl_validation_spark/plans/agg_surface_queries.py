@@ -181,3 +181,44 @@ def pivot_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("`4-NOT SPECIFIED`").alias("p4_notspec"),
         F.col("`5-LOW`").alias("p5_low"),
     )
+
+
+@register(
+    "conditional_agg_suite",
+    doc=(
+        "conditional-aggregate breadth: FILTER-clause counts/sums, count_if, "
+        "bool_and/bool_or, arg_max with a unique ordering key — one grouped "
+        "pass, every branch map-side combinable"
+    ),
+    oracle="""
+SELECT o_orderstatus,
+       COUNT(*) AS n,
+       COUNT(*) FILTER (WHERE o_totalprice > 200000) AS n_big,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (WHERE o_orderpriority = '1-URGENT')
+            AS DOUBLE) AS urgent_revenue,
+       count_if(o_orderpriority = '5-LOW') AS n_low,
+       bool_or(o_orderpriority = '1-URGENT') AS any_urgent,
+       bool_and(o_totalprice > 1000) AS all_over_1k,
+       arg_max(o_orderpriority, o_orderkey) AS latest_priority
+FROM orders
+GROUP BY o_orderstatus
+""",
+)
+def conditional_agg_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("__ca_orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus,
+               COUNT(*) AS n,
+               COUNT(*) FILTER (WHERE o_totalprice > 200000) AS n_big,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                    FILTER (WHERE o_orderpriority = '1-URGENT') AS DOUBLE) AS urgent_revenue,
+               count_if(o_orderpriority = '5-LOW') AS n_low,
+               bool_or(o_orderpriority = '1-URGENT') AS any_urgent,
+               bool_and(o_totalprice > 1000) AS all_over_1k,
+               max_by(o_orderpriority, o_orderkey) AS latest_priority
+        FROM __ca_orders
+        GROUP BY o_orderstatus
+        """
+    )

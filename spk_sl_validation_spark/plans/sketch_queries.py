@@ -93,3 +93,20 @@ def streaming_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("user_id").alias("exact_distinct")
     )
     return SK.hll_estimate_from_registers(regs, exact, HLL_P)
+
+
+PROFILE_COLS = ["o_orderstatus", "o_orderpriority", "o_custkey", "o_orderkey"]
+
+
+@register(
+    "profile_ndv_hll",
+    doc=(
+        "one-pass multi-column NDV profile: every column's HLL registers "
+        "accumulate in a single scan + one grouped aggregate (c·2^p rows) — "
+        "c columns do NOT cost c passes; estimates value-exact vs replay"
+    ),
+    oracle=SK.hll_profile_sql("orders", PROFILE_COLS, HLL_P),
+)
+def profile_ndv_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return SK.hll_profile(orders, PROFILE_COLS, HLL_P)
