@@ -380,6 +380,100 @@ GROUP BY p.key, p.exact_n
 
 
 # ---------------------------------------------------------------------------
+# KMV (k-minimum values) — distinct sketch with SET ALGEBRA
+# ---------------------------------------------------------------------------
+
+def kmv_sketch(df: DataFrame, col: str, k: int = 128) -> DataFrame:
+    """(h): the k smallest distinct 60-bit hashes of ``df[col]`` — a
+    KMV distinct sketch. orderBy+limit compiles to TakeOrdered
+    (per-partition top-k, then a k-row merge on one reducer) — no full
+    sort, no full shuffle."""
+    h = md5_long(F.col(col).cast("string"))
+    return df.select(h.alias("h")).distinct().orderBy("h").limit(k)
+
+
+def kmv_jaccard(
+    df_a: DataFrame, col_a: str, df_b: DataFrame, col_b: str, k: int = 128
+) -> DataFrame:
+    """Jaccard similarity of two key SETS estimated from their KMV
+    sketches — the set-intersection algebra HLL cannot do (HLL unions
+    trivially but cannot intersect).
+
+    K = k smallest of (A_k ∪ B_k); ρ = |{h ∈ K : h ∈ A_k ∧ h ∈ B_k}|/k
+    estimates J(A,B). Also reports the union-NDV estimate
+    (k-1)·2^60/max(K) and the exact values for oracle comparison.
+    Everything is integer selection + two exact divisions — no float
+    accumulation anywhere.
+    """
+    a_k = kmv_sketch(df_a, col_a, k).withColumn("__a", F.lit(1))
+    b_k = kmv_sketch(df_b, col_b, k).withColumn("__b", F.lit(1))
+    merged = (
+        a_k.select("h").unionByName(b_k.select("h")).distinct().orderBy("h").limit(k)
+    )
+    kk = (
+        merged.join(a_k, "h", "left")
+        .join(b_k, "h", "left")
+        .agg(
+            F.count(F.lit(1)).alias("k_actual"),
+            F.sum(
+                F.when(F.col("__a").isNotNull() & F.col("__b").isNotNull(), 1).otherwise(0)
+            ).alias("n_both"),
+            F.max("h").alias("kth_min"),
+        )
+    )
+    exact_a = df_a.select(F.col(col_a).cast("string").alias("key")).distinct()
+    exact_b = df_b.select(F.col(col_b).cast("string").alias("key")).distinct()
+    n_inter = exact_a.join(exact_b, "key").count()
+    n_union = exact_a.unionByName(exact_b).distinct().count()
+    return kk.select(
+        F.col("k_actual").cast("long").alias("k"),
+        (F.col("n_both").cast("double") / F.col("k_actual")).alias("jaccard_est"),
+        F.lit(float(n_inter) / float(n_union)).alias("jaccard_exact"),
+        (
+            (F.col("k_actual") - 1).cast("double")
+            * F.lit(float(1 << HASH_BITS))
+            / F.col("kth_min").cast("double")
+        ).alias("union_ndv_est"),
+        F.lit(n_union).cast("long").alias("union_ndv_exact"),
+    )
+
+
+def kmv_jaccard_sql(
+    table_a: str, col_a: str, table_b: str, col_b: str, k: int = 128
+) -> str:
+    """DuckDB twin of :func:`kmv_jaccard`."""
+    ha = md5_long_sql(f"CAST({col_a} AS VARCHAR)")
+    hb = md5_long_sql(f"CAST({col_b} AS VARCHAR)")
+    return f"""
+WITH da AS (SELECT DISTINCT {ha} AS h FROM {table_a}),
+db AS (SELECT DISTINCT {hb} AS h FROM {table_b}),
+ak AS (SELECT h FROM da ORDER BY h LIMIT {k}),
+bk AS (SELECT h FROM db ORDER BY h LIMIT {k}),
+merged AS (
+  SELECT h FROM (SELECT h FROM ak UNION SELECT h FROM bk) ORDER BY h LIMIT {k}
+),
+kk AS (
+  SELECT count(*) AS k_actual,
+         sum(CASE WHEN ak.h IS NOT NULL AND bk.h IS NOT NULL THEN 1 ELSE 0 END) AS n_both,
+         max(m.h) AS kth_min
+  FROM merged m LEFT JOIN ak ON m.h = ak.h LEFT JOIN bk ON m.h = bk.h
+),
+ea AS (SELECT DISTINCT CAST({col_a} AS VARCHAR) AS key FROM {table_a}),
+eb AS (SELECT DISTINCT CAST({col_b} AS VARCHAR) AS key FROM {table_b}),
+ex AS (
+  SELECT (SELECT count(*) FROM ea JOIN eb USING (key)) AS n_inter,
+         (SELECT count(*) FROM (SELECT key FROM ea UNION SELECT key FROM eb)) AS n_union
+)
+SELECT CAST(k_actual AS BIGINT) AS k,
+       CAST(n_both AS DOUBLE) / k_actual AS jaccard_est,
+       CAST(n_inter AS DOUBLE) / CAST(n_union AS DOUBLE) AS jaccard_exact,
+       CAST(k_actual - 1 AS DOUBLE) * {float(1 << HASH_BITS)!r} / CAST(kth_min AS DOUBLE) AS union_ndv_est,
+       CAST(n_union AS BIGINT) AS union_ndv_exact
+FROM kk CROSS JOIN ex
+"""
+
+
+# ---------------------------------------------------------------------------
 # Bloom filter
 # ---------------------------------------------------------------------------
 

@@ -110,3 +110,26 @@ PROFILE_COLS = ["o_orderstatus", "o_orderpriority", "o_custkey", "o_orderkey"]
 def profile_ndv_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     return SK.hll_profile(orders, PROFILE_COLS, HLL_P)
+
+
+@register(
+    "sketch_kmv_jaccard",
+    doc=(
+        "KMV (k-minimum-values) sketch Jaccard: similarity of two customer key "
+        "sets (open vs finished orders) estimated from 128-hash sketches — the "
+        "set-INTERSECTION algebra HLL lacks; selection-only integer math, "
+        "value-exact vs replay"
+    ),
+    oracle=SK.kmv_jaccard_sql(
+        "(SELECT * FROM orders WHERE o_orderstatus = 'O')", "o_custkey",
+        "(SELECT * FROM orders WHERE o_orderstatus = 'F')", "o_custkey",
+        128,
+    ),
+)
+def sketch_kmv_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyspark.sql.functions as F
+
+    orders = load_table(spark, sf_dir, "orders")
+    a = orders.filter(F.col("o_orderstatus") == "O")
+    b = orders.filter(F.col("o_orderstatus") == "F")
+    return SK.kmv_jaccard(a, "o_custkey", b, "o_custkey", 128)

@@ -68,3 +68,17 @@ def test_bloom_no_false_negatives(spark, sf_dir):
     n_fp = sum(1 for r in out if r.false_positive)
     if n_probe_neg:
         assert n_fp / n_probe_neg < 0.5  # loose sanity bound for tiny filter
+
+
+def test_kmv_jaccard_within_bounds(spark, sf_dir):
+    from spk_sl_validation_spark.ext.sketches import kmv_jaccard
+
+    orders = load_table(spark, sf_dir, "orders")
+    a = orders.filter(F.col("o_orderstatus") == "O")
+    b = orders.filter(F.col("o_orderstatus") == "F")
+    row = kmv_jaccard(a, "o_custkey", b, "o_custkey", 128).first()
+    assert 0.0 <= row.jaccard_est <= 1.0
+    # k=128 ⇒ se ≈ sqrt(J(1-J)/k) ≲ 0.045; allow 4 sigma
+    assert abs(row.jaccard_est - row.jaccard_exact) < 0.2
+    assert row.union_ndv_est > 0
+    assert abs(row.union_ndv_est / row.union_ndv_exact - 1) < 0.5
