@@ -328,6 +328,17 @@ def cms_estimate_counts(
     """
     counters = cms_counters(df, col, depth, width)
     exact = df.groupBy(F.col(col).alias("key")).agg(F.count(F.lit(1)).alias("exact_n"))
+    return cms_estimate_from_counters(counters, exact, depth, width)
+
+
+def cms_estimate_from_counters(
+    counters: DataFrame, exact: DataFrame, depth: int = 4, width: int = 64
+) -> DataFrame:
+    """Finish CMS estimates from a (drow, bucket, cnt) counter matrix
+    and an exact (key, exact_n) frame. Split out because the counter
+    matrix is the MERGEABLE part: counters from shards/micro-batches
+    combine by plain addition — a streaming aggregation's state update
+    — so batch and streaming CMS share this tail."""
     h = md5_long(F.col("key").cast("string"))
     probes = exact.select(
         "key",

@@ -194,3 +194,69 @@ def cdc_apply_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("value").alias("last_value"),
         )
     )
+
+
+@register(
+    "temporal_dim_join",
+    doc=(
+        "point-in-time fact→SCD2-dim join: each purchase joins the interval "
+        "covering the instant strictly before it (state-at-time-of-fact, the "
+        "time-travel-correct warehouse join). Equi-join on user_id with a "
+        "residual interval predicate — a hash join, not a BNLJ, because "
+        "per-key interval counts are small"
+    ),
+    oracle="""
+WITH o AS (SELECT user_id, event_id, event_type AS status, ts,
+                  lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+           FROM events),
+ch AS (SELECT user_id, event_id, status, ts AS valid_from FROM o
+       WHERE prev IS NULL OR status <> prev),
+scd AS (
+  SELECT user_id, status, valid_from,
+         lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from, event_id) AS valid_to
+  FROM ch
+),
+p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase')
+SELECT p.event_id, p.user_id, p.ts,
+       s.status AS status_before, s.valid_from AS state_since
+FROM p LEFT JOIN scd s
+  ON p.user_id = s.user_id
+ AND s.valid_from < p.ts
+ AND (s.valid_to IS NULL OR s.valid_to >= p.ts)
+""",
+)
+def temporal_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    ch = (
+        ev.select(
+            "user_id",
+            "event_id",
+            F.col("event_type").alias("status"),
+            "ts",
+            F.lag("event_type").over(
+                Window.partitionBy("user_id").orderBy("ts", "event_id")
+            ).alias("prev"),
+        )
+        .filter(F.col("prev").isNull() | (F.col("status") != F.col("prev")))
+        .select("user_id", "event_id", "status", F.col("ts").alias("valid_from"))
+    )
+    w = Window.partitionBy("user_id").orderBy("valid_from", "event_id")
+    scd = ch.select(
+        F.col("user_id").alias("s_user_id"),
+        "status",
+        "valid_from",
+        F.lead("valid_from").over(w).alias("valid_to"),
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    cond = (
+        (p.user_id == scd.s_user_id)
+        & (scd.valid_from < p.ts)
+        & (scd.valid_to.isNull() | (scd.valid_to >= p.ts))
+    )
+    return p.join(scd, cond, "left").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("status").alias("status_before"),
+        F.col("valid_from").alias("state_since"),
+    )

@@ -133,3 +133,29 @@ def sketch_kmv_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = orders.filter(F.col("o_orderstatus") == "O")
     b = orders.filter(F.col("o_orderstatus") == "F")
     return SK.kmv_jaccard(a, "o_custkey", b, "o_custkey", 128)
+
+
+@register(
+    "streaming_cms_user_counts",
+    doc=(
+        "Structured Streaming count-min: the d×w counter matrix is the "
+        "streaming aggregation state (counters merge by addition), replayed "
+        "availableNow == the batch estimates exactly"
+    ),
+    oracle=SK.cms_estimate_counts_sql("events", "user_id", CMS_DEPTH, CMS_WIDTH),
+)
+def streaming_cms_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyspark.sql.functions as F
+
+    from spk_sl_validation_spark.streaming import pipeline as P
+
+    stream = P.stream_events(spark, sf_dir)
+    counters = P.run_available_now(
+        SK.cms_counters(stream, "user_id", CMS_DEPTH, CMS_WIDTH), output_mode="complete"
+    )
+    exact = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.col("user_id").alias("key"))
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+    )
+    return SK.cms_estimate_from_counters(counters, exact, CMS_DEPTH, CMS_WIDTH)
