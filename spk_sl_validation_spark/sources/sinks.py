@@ -82,8 +82,12 @@ def dataset_checksum(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
     from spk_sl_validation_spark.ext.hashing import MERSENNE_61, md5_long
 
     use = cols or df.columns
+    # Backtick-quote every name: reference-table columns contain dots
+    # ("Plant-sp.matl status"), which unquoted resolution parses as
+    # struct access.
     row_str = F.concat_ws(
-        "\x1f", *[F.coalesce(F.col(c).cast("string"), F.lit("\x01")) for c in use]
+        "\x1f",
+        *[F.coalesce(F.col(f"`{c}`").cast("string"), F.lit("\x01")) for c in use],
     )
     # Accumulate in DECIMAL(38,0): a raw long sum of 2^61-scale terms
     # overflows after ~4 rows (ANSI mode aborts); decimal partials are
@@ -257,14 +261,28 @@ def write_report_xlsx(sheets: dict[str, DataFrame], path: str, max_rows: int = 1
     """
     try:
         import pandas as pd  # noqa: F401
-    except ImportError as e:  # pragma: no cover
-        raise RuntimeError("pandas required for xlsx report") from e
+
+        pd.ExcelWriter  # engine check happens at writer construction below
+        import importlib
+
+        if not any(
+            importlib.util.find_spec(m) for m in ("openpyxl", "xlsxwriter")
+        ):  # pragma: no cover - environment dependent
+            raise ImportError("no xlsx engine (openpyxl or xlsxwriter) installed")
+    except ImportError as e:
+        raise RuntimeError(f"xlsx report unavailable: {e}") from e
 
     frames = {}
     for name, df in sheets.items():
         n = df.count()
         if n > max_rows:
             raise ValueError(f"sheet {name!r} has {n} rows > xlsx cap {max_rows}")
+        # Stringify temporal columns: SAP-style sentinel dates (9999-12-31)
+        # overflow Arrow's ns timestamps in toPandas, and Excel wants
+        # readable dates anyway.
+        for f in df.schema.fields:
+            if f.dataType.typeName() in ("timestamp", "timestamp_ntz", "date"):
+                df = df.withColumn(f.name, F.col(f"`{f.name}`").cast("string"))
         frames[name[:31]] = df.toPandas()  # 31-char Excel sheet-name limit
 
     import pandas as pd
