@@ -184,3 +184,38 @@ def apply_cascade(df, rules: Sequence[Rule], target: str = "Comment", initial_fr
     for col_name, e in extra_exprs.items():
         out = out.withColumn(col_name, e)
     return out.withColumn(target, expr)
+
+
+def rules_from_config(config: Sequence[dict]) -> list[Rule]:
+    """Build a cascade from a JSON/YAML-style config — the analyst
+    surface: rules as data, not code.
+
+    Each entry: ``{"id": str, "when": <SQL predicate>, "message": str,
+    "guard": "if_null" | "always" | "sentinel", "sentinel": str?}``.
+    The SQL predicate string serves BOTH sides: ``F.expr`` compiles it
+    for Spark and it is reused verbatim as ``condition_sql`` for the
+    oracle — so a config-defined cascade is DuckDB-verifiable by
+    construction (the predicate must stay in the ANSI subset both
+    engines parse; the reference's rule conditions all do).
+
+    The reference hard-codes its ~34 rules in Python (SURVEY.md §2.8);
+    this is what its maintainers would actually want: edit a config,
+    not a script.
+    """
+    out: list[Rule] = []
+    for entry in config:
+        guard = Guard(entry.get("guard", "if_null"))
+        out.append(
+            Rule(
+                rule_id=entry["id"],
+                # lazy: F.expr needs an active SparkContext, and configs
+                # load at import/parse time; the callable form defers
+                # expression construction to apply time.
+                condition=(lambda _running, _w=entry["when"]: F.expr(_w)),
+                message=entry.get("message"),
+                guard=guard,
+                sentinel=entry.get("sentinel"),
+                condition_sql=entry["when"],
+            )
+        )
+    return out

@@ -91,3 +91,47 @@ def validation_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _REG["validation_flags"] = _dc.replace(_REG["validation_flags"], oracle=_flags_oracle())
+
+
+CONFIG_CASCADE = [
+    {"id": "vip", "when": "o_totalprice > 300000", "message": "escalate: whale order", "guard": "always"},
+    {"id": "urgent_open", "when": "o_orderpriority = '1-URGENT' AND o_orderstatus = 'O'", "message": "review: urgent still open"},
+    {"id": "stale_f", "when": "o_orderstatus = 'F' AND o_orderdate < TIMESTAMP '1993-01-01 00:00:00'", "message": "archive candidate"},
+    {"id": "fallback", "when": "TRUE", "message": "ok"},
+]
+
+
+@register(
+    "config_rule_cascade",
+    doc=(
+        "config-driven rule cascade: the analyst surface — rules as JSON "
+        "(SQL predicate + message + guard), compiled by the same cascade "
+        "compiler as the reference pipelines; the predicate strings drive "
+        "both the Spark plan and the oracle, so a config edit stays "
+        "DuckDB-verifiable by construction"
+    ),
+    oracle=None,  # generated from the same config below
+)
+def config_rule_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spk_sl_validation_spark.operators.rules import compile_to_column, rules_from_config
+
+    o = load_table(spark, sf_dir, "orders")
+    rules = rules_from_config(CONFIG_CASCADE)
+    return o.select(
+        "o_orderkey", compile_to_column(rules).alias("Comment")
+    )
+
+
+def _config_cascade_oracle() -> str:
+    from spk_sl_validation_spark.operators.rules import compile_to_sql, rules_from_config
+
+    expr = compile_to_sql(rules_from_config(CONFIG_CASCADE))
+    return f"SELECT o_orderkey, {expr} AS Comment FROM orders"
+
+
+from spk_sl_validation_spark.plans.registry import REGISTRY as _REG  # noqa: E402
+import dataclasses as _dc  # noqa: E402
+
+_REG["config_rule_cascade"] = _dc.replace(
+    _REG["config_rule_cascade"], oracle=_config_cascade_oracle()
+)

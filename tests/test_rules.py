@@ -155,3 +155,35 @@ def test_extra_assignments(spark):
     out = apply_cascade(df, rules, target="Comment").orderBy("id").collect()
     assert [r["spk"] for r in out] == ["20", "SW", "10"]
     assert [r["Comment"] for r in out] == [None, "swissco", None]
+
+
+def test_rules_from_config_matches_python_rules(spark):
+    """A config-defined cascade must compile to the same results as the
+    equivalent hand-built Rule list (guards, overwrite order, fallback)."""
+    from pyspark.sql import functions as F
+
+    from spk_sl_validation_spark.operators.rules import (
+        Guard,
+        Rule,
+        compile_to_column,
+        rules_from_config,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, 50.0), (3, 500.0), (4, None)], ["id", "v"]
+    )
+    config = [
+        {"id": "big", "when": "v > 100", "message": "big", "guard": "always"},
+        {"id": "small", "when": "v < 10", "message": "small"},
+        {"id": "fallback", "when": "TRUE", "message": "mid"},
+    ]
+    hand = [
+        Rule("big", F.col("v") > 100, "big", Guard.ALWAYS, condition_sql="v > 100"),
+        Rule("small", F.col("v") < 10, "small", condition_sql="v < 10"),
+        Rule("fallback", F.lit(True), "mid", condition_sql="TRUE"),
+    ]
+    a = df.select("id", compile_to_column(rules_from_config(config)).alias("c")).collect()
+    b = df.select("id", compile_to_column(hand).alias("c")).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    got = {r.id: r.c for r in a}
+    assert got == {1: "small", 2: "mid", 3: "big", 4: "mid"}
