@@ -26,7 +26,7 @@ Scale design notes:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from spk_sl_validation_spark.ext.hashing import md5_long, md5_long_sql, ws_tokens

@@ -23,7 +23,7 @@ across engines so the DuckDB oracle can replay every step in SQL.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from spk_sl_validation_spark.ext.hashing import md5_long, seeded_perm, ws_tokens

@@ -31,7 +31,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from spk_sl_validation_spark.ext.hashing import md5_long, md5_long_sql, perm_constants
+from spk_sl_validation_spark.ext.hashing import md5_long, md5_long_sql
 
 HASH_BITS = 60  # md5_long yields a 60-bit positive long
 

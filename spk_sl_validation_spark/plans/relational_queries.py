@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 
 from spk_sl_validation_spark.functions.scalar import neq, slash_key, status_str, strip_prefix
 from spk_sl_validation_spark.operators import relational as R
-from spk_sl_validation_spark.operators.rules import Guard, Rule, compile_to_column, compile_to_sql
+from spk_sl_validation_spark.operators.rules import Guard, Rule, compile_to_column
 from spk_sl_validation_spark.plans.registry import register
 from spk_sl_validation_spark.sources.readers import load_table
 
