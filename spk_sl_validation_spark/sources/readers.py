@@ -16,6 +16,28 @@ from pyspark.sql import types as T
 from spk_sl_validation_spark import schemas
 
 
+_TS_NANOS_PATHS: dict[str, bool] = {}
+
+
+def _events_ts_is_nanos(path: str) -> bool:
+    """True iff ``ts`` in the parquet footer is TIMESTAMP(NANOS).
+
+    The driver's testdata generator has shipped events.ts as both
+    NANOS and MICROS across rounds; NANOS needs the ``nanosAsLong``
+    legacy path (Spark's vectorized reader rejects it), MICROS reads
+    natively. One footer read per path, cached on the driver.
+    """
+    if path not in _TS_NANOS_PATHS:
+        try:
+            import pyarrow.parquet as pq
+
+            unit = getattr(pq.ParquetFile(path).schema_arrow.field("ts").type, "unit", None)
+            _TS_NANOS_PATHS[path] = unit == "ns"
+        except Exception:
+            _TS_NANOS_PATHS[path] = False
+    return _TS_NANOS_PATHS[path]
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one driver-testdata table with its declared schema.
 
@@ -23,15 +45,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     it) validates the contract and lets Catalyst prune columns that a
     query never touches.
 
-    ``events.ts`` is stored as parquet TIMESTAMP(NANOS), which Spark's
-    vectorized reader rejects; we read it as raw nanos
+    When ``events.ts`` is stored as parquet TIMESTAMP(NANOS) (which
+    Spark's vectorized reader rejects) we read it as raw nanos
     (``nanosAsLong``) and convert to a microsecond timestamp
-    (``ts div 1000`` — matches DuckDB's truncation of ns → µs).
+    (``ts div 1000`` — matches DuckDB's truncation of ns → µs);
+    TIMESTAMP(MICROS) files read natively.
     """
     # Defensive: timestamp parity with the DuckDB oracle requires UTC
     # rendering even if the hosting session was built without our conf.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    if name == "events":
+    if name == "events" and _events_ts_is_nanos(f"{sf_dir}/{name}.parquet"):
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         physical = T.StructType(
             [

@@ -57,6 +57,11 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         except OSError:
             shutil.copy(src, staged)
 
+    from spk_sl_validation_spark.sources.readers import _events_ts_is_nanos
+
+    if not _events_ts_is_nanos(str(staged)):
+        return spark.readStream.schema(schemas.EVENTS).parquet(str(stage))
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     physical = T.StructType(
         [
