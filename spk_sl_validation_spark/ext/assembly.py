@@ -107,8 +107,8 @@ def pack_sequences_sql(
 WITH n AS (SELECT {id_col}, {toks} AS n_tokens FROM {table}),
 o AS (
   SELECT {id_col}, n_tokens,
-         coalesce(sum(n_tokens) OVER (ORDER BY {id_col}
-           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_offset
+         CAST(coalesce(sum(n_tokens) OVER (ORDER BY {id_col}
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_offset
   FROM n
 )
 SELECT {id_col}, n_tokens, tok_offset,

@@ -151,6 +151,20 @@ def byte_histogram(media: pd.Series) -> pd.Series:
     return media.apply(hist)
 
 
+@F.pandas_udf(T.ArrayType(T.LongType()))
+def byte_histogram_counts(media: pd.Series) -> pd.Series:
+    """Raw 16-bin byte-value counts (un-normalized twin of
+    ``byte_histogram``): integer-exact, so query results can be
+    value-verified against a SQL oracle."""
+    import numpy as np
+
+    def hist(data) -> list[int]:
+        arr = np.frombuffer(bytes(data), dtype=np.uint8)
+        return np.bincount(arr >> 4, minlength=N_BINS).tolist()
+
+    return media.apply(hist)
+
+
 # ---------------------------------------------------------------------------
 # Resize (mapInPandas, binary → smaller binary)
 # ---------------------------------------------------------------------------

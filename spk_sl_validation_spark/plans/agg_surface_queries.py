@@ -24,7 +24,7 @@ WITH g AS (
 )
 SELECT c_nationkey,
        len(custkeys) AS n_cust,
-       custkeys[1:5] AS first5,
+       CAST(to_json(custkeys[1:5]) AS VARCHAR) AS first5,
        list_contains(segments, 'BUILDING') AS has_building,
        len(segments) AS n_segments
 FROM g
@@ -39,7 +39,7 @@ def agg_collect_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
     return g.select(
         "c_nationkey",
         F.size("custkeys").alias("n_cust"),
-        F.slice("custkeys", 1, 5).alias("first5"),
+        F.to_json(F.slice("custkeys", 1, 5)).alias("first5"),
         F.array_contains("segments", "BUILDING").alias("has_building"),
         F.size("segments").alias("n_segments"),
     )
@@ -196,7 +196,7 @@ SELECT o_orderstatus,
        COUNT(*) FILTER (WHERE o_totalprice > 200000) AS n_big,
        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (WHERE o_orderpriority = '1-URGENT')
             AS DOUBLE) AS urgent_revenue,
-       count_if(o_orderpriority = '5-LOW') AS n_low,
+       CAST(count_if(o_orderpriority = '5-LOW') AS BIGINT) AS n_low,
        bool_or(o_orderpriority = '1-URGENT') AS any_urgent,
        bool_and(o_totalprice > 1000) AS all_over_1k,
        arg_max(o_orderpriority, o_orderkey) AS latest_priority

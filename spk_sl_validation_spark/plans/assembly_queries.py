@@ -90,8 +90,8 @@ sampled AS (SELECT * FROM kept WHERE {mixture_predicate_sql(MIX_WEIGHTS)}),
 n AS (SELECT doc_id, {toks} AS n_tokens FROM sampled),
 o AS (
   SELECT doc_id, n_tokens,
-         coalesce(sum(n_tokens) OVER (ORDER BY doc_id
-           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_offset
+         CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_offset
   FROM n
 )
 SELECT doc_id, n_tokens, tok_offset,

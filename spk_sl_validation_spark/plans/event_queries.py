@@ -20,7 +20,7 @@ from spk_sl_validation_spark.sources.readers import load_table
     doc="JSON path extraction from the props column + grouped aggregation (function surface: JSON)",
     oracle="""
 SELECT event_type,
-       SUM(CAST(props->>'k' AS BIGINT)) AS sum_k,
+       CAST(SUM(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
        COUNT(CAST(props->>'k' AS BIGINT)) AS n_k,
        MIN(CAST(props->>'k' AS BIGINT)) AS min_k,
        MAX(CAST(props->>'k' AS BIGINT)) AS max_k

@@ -92,7 +92,7 @@ def recursive_capped_cumsum(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     oracle="""
 SELECT event_type,
-       SUM(CAST(props->>'k' AS BIGINT)) AS sum_k,
+       CAST(SUM(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
        MAX(CAST(props->>'k' AS BIGINT)) AS max_k,
        COUNT(CAST(props->>'k' AS BIGINT)) AS n_k
 FROM events

@@ -105,10 +105,34 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "multimodal_features",
-    doc="Arrow-batched feature extraction: 16-bin byte histogram pandas_udf (non-SQL → rows-only check)",
-    oracle=None,
+    doc=(
+        "Arrow-batched feature extraction: 16-bin byte-count histogram pandas_udf, "
+        "integer-exact and JSON-serialized so the vector hash-matches the oracle"
+    ),
+    oracle="""
+WITH chars AS (
+  SELECT doc_id, ord(substring(text, i, 1)) // 16 AS bin
+  FROM (SELECT doc_id, text,
+               unnest(range(1, octet_length(encode(text)) + 1)) AS i
+        FROM documents)
+),
+b AS (SELECT doc_id, bin, CAST(count(*) AS BIGINT) AS c FROM chars GROUP BY doc_id, bin),
+grid AS (
+  SELECT d.doc_id, g.i AS bin
+  FROM (SELECT doc_id FROM documents) d
+  CROSS JOIN (SELECT unnest(range(0, 16)) AS i) g
+),
+filled AS (
+  SELECT grid.doc_id, grid.bin, coalesce(b.c, 0) AS c
+  FROM grid LEFT JOIN b ON grid.doc_id = b.doc_id AND grid.bin = b.bin
+)
+SELECT doc_id, CAST(to_json(list(c ORDER BY bin)) AS VARCHAR) AS features
+FROM filled GROUP BY doc_id
+""",
 )
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     media = M.as_media_table(docs)
-    return media.select("doc_id", M.byte_histogram(F.col("media")).alias("features"))
+    return media.select(
+        "doc_id", F.to_json(M.byte_histogram_counts(F.col("media"))).alias("features")
+    )

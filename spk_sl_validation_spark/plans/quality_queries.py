@@ -161,7 +161,9 @@ c AS (
 ),
 allbins AS (SELECT unnest(range(0, 10)) AS bin),
 f AS (
-  SELECT a.bin, coalesce(c.n_ref, 0) AS n_ref, coalesce(c.n_cur, 0) AS n_cur
+  SELECT a.bin,
+         CAST(coalesce(c.n_ref, 0) AS BIGINT) AS n_ref,
+         CAST(coalesce(c.n_cur, 0) AS BIGINT) AS n_cur
   FROM allbins a LEFT JOIN c ON a.bin = c.bin
 ),
 t AS (SELECT sum(n_ref) AS tot_ref, sum(n_cur) AS tot_cur FROM f)

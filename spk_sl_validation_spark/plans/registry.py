@@ -62,94 +62,52 @@ def headline_queries() -> dict[str, QuerySpec]:
 
 _LOADED = False
 
+# Every module that registers queries. All dependencies (pyspark, pandas,
+# numpy, duckdb) are hard requirements of the package — an ImportError in
+# any of these is a bug that must surface, never a reason to silently
+# shrink the driver-contract surface (a swallowed ImportError here would
+# make the driver report *nothing* for the lost queries instead of red).
+QUERY_MODULES = (
+    "relational_queries",
+    "text_queries",
+    "dedup_queries",
+    "similarity_queries",
+    "multimodal_queries",
+    "scale_queries",
+    "event_queries",
+    "function_surface_queries",
+    "agg_surface_queries",
+    "sql_api_queries",
+    "corpus_queries",
+    "validation_queries",
+    "sampling_queries",
+    "pipeline_queries",
+    "streaming_queries",
+    "privacy_queries",
+    "event_analytics_queries",
+    "timeseries_queries",
+    "quality_queries",
+    "sketch_queries",
+    "assembly_queries",
+    "modern_sql_queries",
+    "sql_tpch_suite",
+)
+
 
 def _ensure_loaded() -> None:
     """Import every module that registers queries (idempotent)."""
     global _LOADED
     if _LOADED:
         return
-    from spk_sl_validation_spark.plans import relational_queries  # noqa: F401
+    import importlib
 
-    try:
-        from spk_sl_validation_spark.plans import text_queries  # noqa: F401
-    except ImportError:
-        pass
-    try:
-        from spk_sl_validation_spark.plans import dedup_queries  # noqa: F401
-    except ImportError:
-        pass
-    try:
-        from spk_sl_validation_spark.plans import similarity_queries  # noqa: F401
-    except ImportError:
-        pass
-    try:
-        from spk_sl_validation_spark.plans import multimodal_queries  # noqa: F401
-    except ImportError:
-        pass
-    try:
-        from spk_sl_validation_spark.plans import scale_queries  # noqa: F401
-    except ImportError:
-        pass
-    try:
-        from spk_sl_validation_spark.plans import event_queries  # noqa: F401
-    except ImportError:
-        pass
-    try:
-        from spk_sl_validation_spark.plans import function_surface_queries  # noqa: F401
-    except ImportError:
-        pass
-    try:
-        from spk_sl_validation_spark.plans import agg_surface_queries  # noqa: F401
-    except ImportError:
-        pass
-    try:
-        from spk_sl_validation_spark.plans import sql_api_queries  # noqa: F401
-    except ImportError:
-        pass
-    try:
-        from spk_sl_validation_spark.plans import corpus_queries  # noqa: F401
-    except ImportError:
-        pass
-    try:
-        from spk_sl_validation_spark.plans import validation_queries  # noqa: F401
-    except ImportError:
-        pass
-    try:
-        from spk_sl_validation_spark.plans import sampling_queries  # noqa: F401
-    except ImportError:
-        pass
-    try:
-        from spk_sl_validation_spark.plans import pipeline_queries  # noqa: F401
-    except ImportError:
-        pass
-    try:
-        from spk_sl_validation_spark.plans import streaming_queries  # noqa: F401
-    except ImportError:
-        pass
-    try:
-        from spk_sl_validation_spark.plans import privacy_queries  # noqa: F401
-    except ImportError:
-        pass
-    try:
-        from spk_sl_validation_spark.plans import event_analytics_queries  # noqa: F401
-    except ImportError:
-        pass
-    try:
-        from spk_sl_validation_spark.plans import timeseries_queries  # noqa: F401
-    except ImportError:
-        pass
-    try:
-        from spk_sl_validation_spark.plans import quality_queries  # noqa: F401
-    except ImportError:
-        pass
-    try:
-        from spk_sl_validation_spark.plans import sketch_queries  # noqa: F401
-    except ImportError:
-        pass
-    try:
-        from spk_sl_validation_spark.plans import assembly_queries  # noqa: F401
-    except ImportError:
-        pass
-    from spk_sl_validation_spark.plans import modern_sql_queries, sql_tpch_suite  # noqa: F401
+    for mod in QUERY_MODULES:
+        try:
+            importlib.import_module(f"spk_sl_validation_spark.plans.{mod}")
+        except BaseException as exc:
+            raise ImportError(
+                f"query module 'plans.{mod}' failed to import — its registered "
+                f"queries would silently vanish from the driver contract: {exc!r}"
+            ) from exc
 
     _LOADED = True

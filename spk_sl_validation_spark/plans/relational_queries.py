@@ -535,7 +535,7 @@ def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sessionize_events",
     doc="sessionization via lag(ts) + cumulative gap counter (window suite)",
     oracle="""
-SELECT user_id, event_id, session_id FROM (
+SELECT user_id, event_id, CAST(session_id AS BIGINT) AS session_id FROM (
   SELECT user_id, event_id,
          SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
                            ROWS UNBOUNDED PRECEDING) AS session_id

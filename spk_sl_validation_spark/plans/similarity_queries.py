@@ -150,7 +150,7 @@ qq AS (
          list_transform(v, x -> CAST(floor(x / scale + 0.5) AS INTEGER)) AS q
   FROM s
 )
-SELECT vec_id, scale, q,
+SELECT vec_id, scale, CAST(to_json(q) AS VARCHAR) AS q,
        list_aggregate(
          list_transform(range(1, len(v) + 1), i -> abs(v[i] - q[i] * scale)), 'max') AS max_err
 FROM qq
@@ -160,7 +160,10 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spk_sl_validation_spark.ext.similarity import quantize_int8
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return quantize_int8(emb, "embedding").select("vec_id", "scale", "q", "max_err")
+    # q serialized to JSON so the driver hashes a scalar string, not a list
+    return quantize_int8(emb, "embedding").select(
+        "vec_id", "scale", F.to_json("q").alias("q"), "max_err"
+    )
 
 
 SEMDEDUP_TAU = 0.4  # matches NEAR_DUP_TAU; ~11 within-cluster dup pairs at sf0.01
@@ -293,15 +296,56 @@ def kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _kmeans_oracle(k: int = 4, n_iter: int = 3) -> str:
+    """Unroll the full Lloyd loop as a chain of DuckDB CTEs — the same
+    replay trick text_textrank_keywords uses for PageRank. Each iteration
+    is (E-step argmin with lowest-cid tie-break) -> (per-(cluster, dim)
+    mean, empty clusters keeping the prior centroid), matching
+    ext/cluster.py exactly; the output is integer cluster ids, so ulp-level
+    summation-order differences cannot surface unless a point is exactly
+    equidistant between centroids."""
+    d = S.sq_l2_sql("e.v", "c.cvec")
+    parts = [
+        "WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v"
+        " FROM embeddings)",
+        f"c0 AS (SELECT vec_id AS cid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec"
+        f" FROM embeddings WHERE vec_id < {k})",
+    ]
+    for it in range(1, n_iter + 1):
+        prev = f"c{it - 1}"
+        parts.append(
+            f"a{it} AS (\n"
+            f"  SELECT e.vec_id, (min(struct_pack(d := {d}, c := c.cid))).c AS cluster\n"
+            f"  FROM e CROSS JOIN {prev} c GROUP BY e.vec_id)"
+        )
+        parts.append(
+            f"m{it} AS (\n"
+            f"  SELECT cluster AS cid, i, sum(v[i]) / count(*) AS x\n"
+            f"  FROM (SELECT a.cluster, e.v, unnest(range(1, len(e.v) + 1)) AS i\n"
+            f"        FROM a{it} a JOIN e ON a.vec_id = e.vec_id)\n"
+            f"  GROUP BY cluster, i)"
+        )
+        parts.append(
+            f"c{it} AS (\n"
+            f"  SELECT p.cid, coalesce(u.cvec, p.cvec) AS cvec\n"
+            f"  FROM {prev} p LEFT JOIN (SELECT cid, list(x ORDER BY i) AS cvec"
+            f" FROM m{it} GROUP BY cid) u ON p.cid = u.cid)"
+        )
+    final = (
+        f"SELECT e.vec_id, CAST((min(struct_pack(d := {d}, c := c.cid))).c AS INTEGER) AS cluster\n"
+        f"FROM e CROSS JOIN c{n_iter} c GROUP BY e.vec_id"
+    )
+    return ",\n".join(parts) + "\n" + final
+
+
 @register(
     "kmeans_clusters",
-    oracle=None,  # iterative algorithm (driver-side centroid loop) — rows-only check;
-    # the single E-step IS oracle-checked above (kmeans_assign), and the full loop
-    # is verified against a pure-numpy Lloyd reference in tests/test_cluster.py
+    oracle=_kmeans_oracle(k=4, n_iter=3),
     doc=(
         "full Lloyd k-means (k=4, 3 iterations): per iteration one Arrow-batched "
         "assignment scan + one native (cluster, dim) aggregate; only k*dim values "
-        "ever reach the driver"
+        "ever reach the driver. Oracle = the loop unrolled as chained CTEs "
+        "(assign -> mean -> assign ...), value-exact on cluster ids"
     ),
 )
 def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -224,7 +224,8 @@ filled AS (
   SELECT grid.doc_id, grid.bucket, coalesce(b.v, 0) AS v
   FROM grid LEFT JOIN b ON grid.doc_id = b.doc_id AND grid.bucket = b.bucket
 )
-SELECT doc_id, list(v ORDER BY bucket) AS vec FROM filled GROUP BY doc_id
+SELECT doc_id, CAST(to_json(list(v ORDER BY bucket)) AS VARCHAR) AS vec
+FROM filled GROUP BY doc_id
 """,
 )
 def text_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -245,7 +246,11 @@ def text_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.map_from_entries(F.collect_list(F.struct("bucket", "v"))).alias("m"))
         .select(
             "doc_id",
-            F.expr("transform(sequence(0, 31), i -> coalesce(m[i], CAST(0 AS BIGINT)))").alias("vec"),
+            # JSON-serialized so the driver's hasher (and the DuckDB oracle)
+            # compare a scalar string, not an unhashable Python list
+            F.to_json(
+                F.expr("transform(sequence(0, 31), i -> coalesce(m[i], CAST(0 AS BIGINT)))")
+            ).alias("vec"),
         )
     )
     return dense

@@ -34,7 +34,7 @@ def _lineitem_checks() -> list[Check]:
 
 
 def _violation_sql(sql: str) -> str:
-    return f"SUM(CASE WHEN NOT coalesce({sql}, FALSE) THEN 1 ELSE 0 END)"
+    return f"CAST(SUM(CASE WHEN NOT coalesce({sql}, FALSE) THEN 1 ELSE 0 END) AS BIGINT)"
 
 
 def _report_oracle() -> str:
@@ -71,7 +71,8 @@ def _flags_oracle() -> str:
     )
     return f"""
 SELECT l_orderkey, l_linenumber,
-       list_sort(list_filter([{entries}], x -> x IS NOT NULL)) AS failed_checks
+       CAST(to_json(list_sort(list_filter([{entries}], x -> x IS NOT NULL))) AS VARCHAR)
+         AS failed_checks
 FROM lineitem
 WHERE len(list_filter([{entries}], x -> x IS NOT NULL)) > 0
 """
@@ -86,7 +87,9 @@ def validation_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     flagged = flag_violations(li, _lineitem_checks())
     return flagged.filter(F.size("failed_checks") > 0).select(
-        "l_orderkey", "l_linenumber", "failed_checks"
+        "l_orderkey",
+        "l_linenumber",
+        F.to_json(F.sort_array("failed_checks")).alias("failed_checks"),
     )
 
 

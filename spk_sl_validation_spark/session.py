@@ -50,6 +50,11 @@ def build_session(
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+        # Set at build time (not lazily on first NANOS read) so parquet
+        # TIMESTAMP(NANOS) handling doesn't depend on table read order
+        # within a session. No-op for non-NANOS columns; readers.load_table
+        # owns the LongType->timestamp conversion for NANOS event files.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
         .config("spark.ui.enabled", "false")

@@ -16,7 +16,7 @@ from pyspark.sql import types as T
 from spk_sl_validation_spark import schemas
 
 
-_TS_NANOS_PATHS: dict[str, bool] = {}
+_TS_NANOS_PATHS: dict[tuple[str, float, int], bool] = {}
 
 
 def _events_ts_is_nanos(path: str) -> bool:
@@ -25,17 +25,28 @@ def _events_ts_is_nanos(path: str) -> bool:
     The driver's testdata generator has shipped events.ts as both
     NANOS and MICROS across rounds; NANOS needs the ``nanosAsLong``
     legacy path (Spark's vectorized reader rejects it), MICROS reads
-    natively. One footer read per path, cached on the driver.
+    natively. One footer read per file version — the cache is keyed on
+    (path, mtime, size) so a file regenerated in place with a different
+    unit re-probes instead of reusing a stale verdict (a stale NANOS
+    verdict on a MICROS file would yield timestamps off by 1000x).
+    A missing ``ts`` field means "not nanos"; any other probe failure
+    (I/O, pyarrow) propagates — silently assuming MICROS would trade a
+    clear error here for a confusing vectorized-reader error later.
     """
-    if path not in _TS_NANOS_PATHS:
-        try:
-            import pyarrow.parquet as pq
+    import os
 
-            unit = getattr(pq.ParquetFile(path).schema_arrow.field("ts").type, "unit", None)
-            _TS_NANOS_PATHS[path] = unit == "ns"
-        except Exception:
-            _TS_NANOS_PATHS[path] = False
-    return _TS_NANOS_PATHS[path]
+    st = os.stat(path)
+    key = (path, st.st_mtime, st.st_size)
+    if key not in _TS_NANOS_PATHS:
+        import pyarrow.parquet as pq
+
+        try:
+            field = pq.ParquetFile(path).schema_arrow.field("ts")
+        except KeyError:
+            _TS_NANOS_PATHS[key] = False
+        else:
+            _TS_NANOS_PATHS[key] = getattr(field.type, "unit", None) == "ns"
+    return _TS_NANOS_PATHS[key]
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

@@ -25,7 +25,18 @@ def _specs():
 
 @pytest.mark.parametrize("spec", _specs(), ids=lambda s: s.name)
 def test_query_matches_oracle(spec, spark, sf_dir, duck):
-    spdf = spec.builder(spark, sf_dir).toPandas()
+    from pyspark.sql import types as T
+
+    df = spec.builder(spark, sf_dir)
+    # Driver-hash hazard guard: the driver canonicalizes results with
+    # pandas sort_values, which raises on list/dict cells — any complex
+    # column must be serialized (to_json) before leaving the query.
+    for f in df.schema.fields:
+        assert not isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType)), (
+            f"{spec.name}.{f.name}: {f.dataType.simpleString()} output breaks the "
+            f"driver hasher — serialize with to_json on both sides"
+        )
+    spdf = df.toPandas()
     if spec.oracle is None:
         assert len(spdf) >= 0  # rows-only check (driver does the same)
         return
@@ -35,6 +46,35 @@ def test_query_matches_oracle(spec, spark, sf_dir, duck):
     assert s[0] == d[0], f"row count: spark={s[0]} duck={d[0]}"
     assert s[1] == d[1], f"columns: spark={s[1]} duck={d[1]}"
     assert s[2] == d[2], "value hash mismatch"
+
+
+# DuckDB types whose pandas conversion diverges from Spark's under the
+# driver's canonicalizer: HUGEINT/DECIMAL sums hash differently from
+# int64/double, and nested types are unhashable. DESCRIBE costs only a
+# plan, and catches hazards even when sf0.001 values happen to agree.
+_BANNED_ORACLE_TYPES = ("HUGEINT", "INT128", "DECIMAL", "STRUCT", "MAP(", "[]")
+
+
+def test_oracle_output_types_driver_safe(duck):
+    bad = []
+    for spec in _specs():
+        if spec.oracle is None:
+            continue
+        info = duck.execute(f"DESCRIBE ({spec.oracle.rstrip().rstrip(';')})").fetchall()
+        for row in info:
+            colname, coltype = row[0], str(row[1])
+            if any(b in coltype.upper() for b in _BANNED_ORACLE_TYPES):
+                bad.append(f"{spec.name}.{colname}: {coltype}")
+    assert not bad, "oracle columns with driver-hash-hazardous types:\n" + "\n".join(bad)
+
+
+def test_registry_raises_on_broken_query_module(monkeypatch):
+    from spk_sl_validation_spark.plans import registry
+
+    monkeypatch.setattr(registry, "_LOADED", False)
+    monkeypatch.setattr(registry, "QUERY_MODULES", ("definitely_missing_module_xyz",))
+    with pytest.raises(ImportError, match="definitely_missing_module_xyz"):
+        registry.all_queries()
 
 
 def test_cascade_oracle_in_sync(spark):
