@@ -57,18 +57,25 @@ def cosine_sql(a: str, b: str) -> str:
     return f"{dot_sql(a, b)} / (sqrt({dot_sql(a, a)}) * sqrt({dot_sql(b, b)}))"
 
 
-def sign_lsh_bucket(vec: Column, bits: int = 8) -> Column:
+def sign_lsh_bucket(vec: Column, bits: int = 8, offset: int = 0) -> Column:
     """Axis-aligned sign-LSH bucket id in [0, 2^bits): bit i set iff
-    coordinate i is positive. A narrow map; cosine-similar vectors
-    land in the same bucket with probability (1 - θ/π)^bits."""
+    coordinate ``offset + i`` is positive. A narrow map; cosine-similar
+    vectors land in the same bucket with probability (1 - θ/π)^bits.
+    ``offset`` selects a disjoint coordinate slice so multiple
+    independent bands can be derived from one vector (banded LSH)."""
     b = F.lit(0).cast("long")
     for i in range(bits):
-        b = b + F.when(vec[i] > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
+        b = b + (
+            F.when(vec[offset + i] > 0, F.lit(1 << i).cast("long"))
+            .otherwise(F.lit(0).cast("long"))
+        )
     return b
 
 
-def sign_lsh_bucket_sql(vec: str, bits: int = 8) -> str:
-    terms = " + ".join(f"(CASE WHEN {vec}[{i + 1}] > 0 THEN {1 << i} ELSE 0 END)" for i in range(bits))
+def sign_lsh_bucket_sql(vec: str, bits: int = 8, offset: int = 0) -> str:
+    terms = " + ".join(
+        f"(CASE WHEN {vec}[{offset + i + 1}] > 0 THEN {1 << i} ELSE 0 END)" for i in range(bits)
+    )
     return f"CAST({terms} AS BIGINT)"
 
 
@@ -222,11 +229,18 @@ def ivf_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+#: above this corpus size, near_dup_pairs refuses the global-matrix
+#: path (driver collect + n·d broadcast) and switches to the banded
+#: bucketed plan, which never materializes the corpus anywhere.
+NEAR_DUP_EXACT_MAX_ROWS = 500_000
+
+
 def near_dup_pairs(
     df: DataFrame,
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_exact_rows: int = NEAR_DUP_EXACT_MAX_ROWS,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, cos ≥ τ).
 
@@ -238,10 +252,10 @@ def near_dup_pairs(
     an interpreted 64-element fold × O(n²) pairs (~70 s at sf0.1 vs
     ~2 s for this plan); per-pair Python would be worse still.
 
-    Valid while n·d floats fit in executor memory (n≈10⁶·d=1024 ≈
-    8 GB). Beyond that, restrict to sign-LSH bucket mates first
-    (:func:`sign_lsh_bucket`) exactly as MinHash-LSH restricts n-gram
-    Jaccard, and matmul within buckets.
+    Valid while n·d floats fit in driver + executor memory (n≈10⁶·
+    d=1024 ≈ 8 GB). Above ``max_exact_rows`` the call dispatches to
+    :func:`near_dup_pairs_bucketed` — the 100 TB path, at the price of
+    LSH recall < 1 — instead of OOMing the driver.
 
     Float note: float64 BLAS accumulation differs from a sequential
     fold only below ~1e-14 relative — invisible at the oracle's
@@ -253,6 +267,9 @@ def near_dup_pairs(
     import pandas as pd
 
     from pyspark.sql import types as T
+
+    if df.count() > max_exact_rows:
+        return near_dup_pairs_bucketed(df, threshold, id_col, vec_col)
 
     spark = df.sparkSession
     corpus = df.select(id_col, vec_col).toPandas()
@@ -282,6 +299,72 @@ def near_dup_pairs(
             )
 
     return df.select(id_col, vec_col).mapInPandas(run, schema)
+
+
+def near_dup_pairs_bucketed(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits: int = 8,
+    n_bands: int = 4,
+) -> DataFrame:
+    """Banded sign-LSH near-duplicate pairs — the 100 TB path.
+
+    Each vector gets ``n_bands`` bucket ids from disjoint coordinate
+    slices (band b = sign pattern of dims [b·bits, (b+1)·bits)); a
+    pair becomes a candidate iff it collides in ANY band — the same
+    band/bucket construction MinHash-LSH uses for text (ext/dedup.py),
+    applied in embedding space. Candidates are verified with one BLAS
+    matmul per (band, bucket) group inside ``applyInPandas``; pairs
+    caught by several bands are deduplicated with a final (id_a, id_b)
+    aggregate.
+
+    Nothing is ever collected to the driver and no global matrix is
+    broadcast: the only movement is an n·n_bands-row shuffle keyed on
+    (band, bucket) — the plan survives any corpus size whose largest
+    bucket fits one executor (mega-buckets get the standard salting /
+    more-bits treatment; recall is 1-(1-(1-θ/π)^bits)^n_bands).
+
+    Exactness within a bucket: identical normalization + matmul as the
+    global path, so bucketed output ⊆ exact output with equal cos_sim
+    values (pinned by tests/test_ext_similarity.py).
+    """
+    from collections.abc import Iterator  # noqa: F401
+
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    banded = None
+    for band in range(n_bands):
+        b = df.select(
+            F.col(id_col),
+            F.col(vec_col),
+            F.lit(band).alias("band"),
+            sign_lsh_bucket(F.col(vec_col), bits, band * bits).alias("bucket"),
+        )
+        banded = b if banded is None else banded.unionByName(b)
+
+    schema = T.StructType(
+        [
+            T.StructField("id_a", T.LongType()),
+            T.StructField("id_b", T.LongType()),
+            T.StructField("cos_sim", T.DoubleType()),
+        ]
+    )
+
+    def verify(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf[id_col].to_numpy()
+        mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+        mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+        sims = mat @ mat.T
+        rows, cols = np.nonzero((sims >= threshold) & (ids[:, None] < ids[None, :]))
+        return pd.DataFrame({"id_a": ids[rows], "id_b": ids[cols], "cos_sim": sims[rows, cols]})
+
+    pairs = banded.groupBy("band", "bucket").applyInPandas(verify, schema)
+    return pairs.groupBy("id_a", "id_b").agg(F.max("cos_sim").alias("cos_sim"))
 
 
 def semantic_dedup(

@@ -28,12 +28,10 @@ zero shuffles — at 100 TB it is a pure map stage.
 
 ``compile_to_sql`` emits an equivalent *flat* ANSI-SQL expression (the
 nested fold would blow up exponentially when guards reference the
-running expression) using the closed form: the final value is the
-message of the LAST matching ALWAYS rule if any matches, else the
-initial value if non-null, else the message of the FIRST matching
-IF_NULL rule. SENTINEL guards are not SQL-flattenable in general and
-raise; pipelines that use them are verified by golden fixture tests
-instead (SURVEY.md §5.2.2).
+running expression) by abstract interpretation over the running value
+— see its docstring. All three guards flatten, including SENTINEL, so
+every reference cascade (A/B/C/D) is DuckDB-oracle-checkable; golden
+fixture tests (SURVEY.md §5.2.2) cover the same semantics row-by-row.
 
 Null-semantics note (SURVEY.md §4.4.1): pandas ``NaN != 'x'`` is True,
 Spark ``null != 'x'`` is null (treated false by ``when``). Conditions
@@ -109,51 +107,106 @@ def _sql_quote(s: str) -> str:
     return "'" + s.replace("'", "''") + "'"
 
 
+class _Abstract:
+    """Marker for the two non-literal abstract values the symbolic fold
+    tracks: "still the initial expression" and "still null"."""
+
+    def __init__(self, name: str):
+        self.name = name
+
+    def __repr__(self) -> str:  # pragma: no cover
+        return f"<{self.name}>"
+
+
+_INIT = _Abstract("INIT")
+_NULL = _Abstract("NULL")
+
+
 def compile_to_sql(rules: Sequence[Rule], initial_sql: str | None = None) -> str:
-    """Flat ANSI-SQL equivalent of :func:`compile_to_column`.
+    """Flat ANSI-SQL equivalent of :func:`compile_to_column`, covering
+    ALL three guards (including SENTINEL).
 
-    Closed form (proof sketch): messages are never null, so once any
-    rule fires the value stays non-null and IF_NULL rules are blocked
-    forever after. Hence the final value is
-    - the message of the LAST matching ALWAYS rule, if any ALWAYS rule
-      matches (it overwrites whatever came before, and later IF_NULL
-      rules cannot fire);
-    - else the initial value if non-null (IF_NULL rules blocked);
-    - else the message of the FIRST matching IF_NULL rule;
-    - else null.
-    Which is exactly
-    ``COALESCE(CASE <always, reversed>, <initial>, CASE <if_null, in order>)``.
+    A naive textual fold references the running expression twice per
+    step (fire test + else branch) and blows up exponentially. Instead
+    this does abstract interpretation over the running VALUE: after any
+    prefix of the cascade the value is one of {initial expression,
+    null, some message literal} — a set of at most n+2 symbols. The
+    fold maintains a map ``value -> predicate`` (disjoint, null-free
+    predicates over the rule conditions); each rule moves probability
+    mass from the values its guard admits into its message:
+
+    - ALWAYS fires on every value where the condition holds;
+    - IF_NULL fires on the null symbol (plus the initial symbol under
+      ``initial IS NULL``);
+    - SENTINEL(v) fires on the message symbol equal to ``v`` — a
+      *static* string comparison — plus the initial symbol under
+      ``initial = 'v'``.
+
+    The result is one flat CASE whose branch predicates are mutually
+    exclusive; total size is O(n^2) condition references for an n-rule
+    cascade (the reference's largest is 8 — SURVEY.md §2.8).
+
+    Null discipline: every rule condition is wrapped ``coalesce(cond,
+    FALSE)`` so NOT behaves classically, exactly matching Spark's
+    ``when`` which treats a null condition as false.
     """
-    parts: list[str] = []
-
     commenting = [r for r in rules if r.message is not None]
-    always = [r for r in commenting if r.guard is Guard.ALWAYS]
-    if_null = [r for r in commenting if r.guard is Guard.IF_NULL]
-    if any(r.guard is Guard.SENTINEL for r in commenting):
-        raise NotImplementedError(
-            "SENTINEL-guarded cascades are not SQL-flattenable; "
-            "verify via golden fixture tests instead"
-        )
     for r in commenting:
         if r.condition_sql is None:
             raise ValueError(f"rule {r.rule_id}: condition_sql required for SQL compilation")
 
-    if always:
-        whens = " ".join(
-            f"WHEN {r.condition_sql} THEN {_sql_quote(r.message)}" for r in reversed(always)
-        )
-        parts.append(f"CASE {whens} END")
-    if initial_sql is not None:
-        parts.append(initial_sql)
-    if if_null:
-        whens = " ".join(f"WHEN {r.condition_sql} THEN {_sql_quote(r.message)}" for r in if_null)
-        parts.append(f"CASE {whens} END")
+    start: object = _INIT if initial_sql is not None else _NULL
+    preds: dict[object, str] = {start: "TRUE"}
 
-    if not parts:
+    def _or(a: str | None, b: str) -> str:
+        return b if a is None else f"({a} OR {b})"
+
+    for r in commenting:
+        cond = f"coalesce(({r.condition_sql}), FALSE)"
+        new_preds: dict[object, str] = {}
+        fired: str | None = None
+        for v, p in preds.items():
+            if r.guard is Guard.ALWAYS:
+                fire = cond
+            elif r.guard is Guard.IF_NULL:
+                if v is _NULL:
+                    fire = cond
+                elif v is _INIT:
+                    fire = f"({cond} AND ({initial_sql}) IS NULL)"
+                else:
+                    fire = None  # literal messages are never null
+            else:  # Guard.SENTINEL
+                if r.sentinel is None:
+                    raise ValueError(f"rule {r.rule_id}: SENTINEL guard needs a sentinel value")
+                if v is _INIT:
+                    fire = (
+                        f"({cond} AND coalesce(({initial_sql}) = "
+                        f"{_sql_quote(r.sentinel)}, FALSE))"
+                    )
+                elif v is _NULL:
+                    fire = None  # null never equals the sentinel
+                else:
+                    fire = cond if v == r.sentinel else None  # static compare
+            if fire is None:
+                new_preds[v] = _or(new_preds.get(v), p)
+            else:
+                new_preds[v] = _or(new_preds.get(v), f"({p} AND NOT {fire})")
+                fired = _or(fired, f"({p} AND {fire})")
+        if fired is not None:
+            new_preds[r.message] = _or(new_preds.get(r.message), fired)
+        preds = new_preds
+
+    whens: list[str] = []
+    for v, p in preds.items():
+        if v is _NULL:
+            continue  # falls through to the implicit ELSE NULL
+        if v is _INIT:
+            whens.append(f"WHEN {p} THEN ({initial_sql})")
+        else:
+            whens.append(f"WHEN {p} THEN {_sql_quote(v)}")
+    if not whens:
         return "CAST(NULL AS VARCHAR)"
-    if len(parts) == 1:
-        return parts[0]
-    return "COALESCE(" + ", ".join(parts) + ")"
+    return "CASE " + " ".join(whens) + " END"
 
 
 def apply_cascade(df, rules: Sequence[Rule], target: str = "Comment", initial_from_target: bool = True):

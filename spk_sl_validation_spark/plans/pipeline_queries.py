@@ -1,20 +1,31 @@
-"""The reference pipelines as driver-contract entries.
+"""The reference pipelines as driver-contract entries — fully
+hash-checked against DuckDB.
 
-The full SPK/SL cleansing and status-cleansing pipelines run on the
-reference-domain synthetic fixtures (sources/fixtures.py — built to
-fire every cascade rule). Their row-level expected outputs are pinned
-by the golden tests (tests/test_pipelines.py); the fixture tables are
-createDataFrame-built and hence not visible to the DuckDB side, so
-these register rows-only — the honest shape for whole-pipeline checks
-(sentinel-guarded cascades are not SQL-flattenable, operators/rules.py).
+Round 1 registered these rows-only: the fixture inputs were
+createDataFrame-built and invisible to the oracle side. Now the inputs
+are reference-domain tables derived from the driver's parquet testdata
+by shared SQL (plans/refdata.py), so the COMPLETE pipelines — validity
+split, broadcast enrichment, dual-source window, SENTINEL-guarded Apex
+cascade, IntraCo branch, backfill/Analysis — run through the engine
+(plans/spk_sl_cleansing.run / plans/status_cleansing.run) AND replay in
+DuckDB, value-hash compared end to end.
+
+Row-level per-rule semantics against the reference itself
+(SL_SPK_Cleansing.py / SL_SPK_Check_V1.py / Status_Cleansing.py) remain
+pinned by the fixture golden tests (tests/test_pipelines.py).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
+from datetime import datetime
 
+from pyspark.sql import DataFrame, SparkSession
+
+from spk_sl_validation_spark.plans import refdata
 from spk_sl_validation_spark.plans.registry import register
+
+# must render identically to refdata.RUN_TS_SQL
+RUN_TS = datetime(1997, 6, 1)
 
 
 def _stringify_timestamps(df: DataFrame) -> DataFrame:
@@ -32,40 +43,49 @@ def _stringify_timestamps(df: DataFrame) -> DataFrame:
 
 @register(
     "pipeline_spk_sl_main",
-    doc="FULL reference pipeline (SL_SPK_Cleansing): fixtures → main sheet with Comment+Analysis (golden-tested; rows-only here)",
-    oracle=None,
+    doc=(
+        "FULL reference pipeline (SL_SPK_Cleansing): parquet-derived reference "
+        "tables → validity split → enrichment → cascades A/B/C (SENTINEL Apex "
+        "cascade included) → main sheet with Comment+Analysis; DuckDB replays "
+        "the whole dataflow (hash-checked)"
+    ),
+    oracle=refdata.spk_sl_oracle("CL"),
 )
 def pipeline_spk_sl_main(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spk_sl_validation_spark.plans import spk_sl_cleansing
-    from spk_sl_validation_spark.sources import fixtures as FX
 
-    tables = FX.build_tables(spark)
-    sheets = spk_sl_cleansing.run(tables, run_ts=FX.RUN_TS, variant=spk_sl_cleansing.CL)
+    tables = refdata.build_ref_tables(spark, sf_dir)
+    sheets = spk_sl_cleansing.run(tables, run_ts=RUN_TS, variant=spk_sl_cleansing.CL)
     return _stringify_timestamps(sheets["Valid SL with SPK"])
 
 
 @register(
     "pipeline_status_cleansing",
-    doc="FULL reference pipeline (Status_Cleansing): fixtures → MARC sheet with cascade-D comments (golden-tested; rows-only here)",
-    oracle=None,
+    doc=(
+        "FULL reference pipeline (Status_Cleansing): parquet-derived MARC/MARA/"
+        "MB52 → scope filter → inventory group-sum → cascade D → MARC sheet "
+        "(hash-checked)"
+    ),
+    oracle=refdata.status_cleansing_oracle(),
 )
 def pipeline_status_cleansing(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spk_sl_validation_spark.plans import status_cleansing
-    from spk_sl_validation_spark.sources import fixtures as FX
 
-    tables = FX.build_tables(spark)
+    tables = refdata.build_ref_tables(spark, sf_dir)
     return _stringify_timestamps(status_cleansing.run(tables)["MARC"])
 
 
 @register(
     "pipeline_spk_sl_v1",
-    doc="FULL reference pipeline, V1 variant (SL_SPK_Check_V1): '70.0'/isna status semantics, short sentinels, no B3/B6 (golden-tested; rows-only here)",
-    oracle=None,
+    doc=(
+        "FULL reference pipeline, V1 variant (SL_SPK_Check_V1): '70.0'/isna "
+        "status semantics, short sentinels, no B3/B6, no backfill (hash-checked)"
+    ),
+    oracle=refdata.spk_sl_oracle("V1"),
 )
 def pipeline_spk_sl_v1(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spk_sl_validation_spark.plans import spk_sl_cleansing
-    from spk_sl_validation_spark.sources import fixtures as FX
 
-    tables = FX.build_tables(spark)
-    sheets = spk_sl_cleansing.run(tables, run_ts=FX.RUN_TS, variant=spk_sl_cleansing.V1)
+    tables = refdata.build_ref_tables(spark, sf_dir)
+    sheets = spk_sl_cleansing.run(tables, run_ts=RUN_TS, variant=spk_sl_cleansing.V1)
     return _stringify_timestamps(sheets["Valid SL with SPK"])

@@ -133,6 +133,41 @@ def similarity_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.near_dup_pairs(emb, NEAR_DUP_TAU)
 
 
+_ND_BITS, _ND_BANDS = 8, 4
+
+_BANDED_UNION = "\n  UNION ALL ".join(
+    f"SELECT vec_id, embedding, {band} AS band, "
+    f"{S.sign_lsh_bucket_sql('embedding', _ND_BITS, band * _ND_BITS)} AS bucket FROM embeddings"
+    for band in range(_ND_BANDS)
+)
+
+
+@register(
+    "similarity_near_dup_bucketed",
+    doc=(
+        f"banded sign-LSH near-dup pairs ({_ND_BANDS} bands x {_ND_BITS} bits, "
+        f"cos >= {NEAR_DUP_TAU}): candidate iff bucket-collision in any band, "
+        "per-bucket BLAS verify, (id_a,id_b) dedup — the 100 TB path with no "
+        "driver collect and no global broadcast matrix"
+    ),
+    oracle=f"""
+WITH banded AS (
+  {_BANDED_UNION}
+),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_COS} AS cos_sim
+  FROM banded a
+  JOIN banded b ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+  WHERE {_COS} >= {NEAR_DUP_TAU}
+)
+SELECT id_a, id_b, max(cos_sim) AS cos_sim FROM pairs GROUP BY id_a, id_b
+""",
+)
+def similarity_near_dup_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.near_dup_pairs_bucketed(emb, NEAR_DUP_TAU, bits=_ND_BITS, n_bands=_ND_BANDS)
+
+
 @register(
     "embedding_quantize_int8",
     doc="symmetric int8 embedding quantization (scale, q, max reconstruction error) — 4x storage shrink for ANN at scale; engine-agnostic half-up lattice, value-exact oracle",

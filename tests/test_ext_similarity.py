@@ -155,3 +155,34 @@ def test_semantic_dedup_keeps_cluster_minimum(spark, sf_dir):
     assert dropped_min == 0
     # τ=0 drops every non-minimum cluster mate with cos >= 0 — sanity that drops occur
     assert out.filter(~F.col("keep")).count() > 0
+
+
+def test_near_dup_bucketed_subset_of_exact(spark, sf_dir):
+    """Bucketed pairs ⊆ exact pairs, with identical cos_sim where they
+    overlap (same normalization + BLAS verify inside each bucket)."""
+    from spk_sl_validation_spark.ext.similarity import near_dup_pairs, near_dup_pairs_bucketed
+    from spk_sl_validation_spark.sources.readers import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = {(r.id_a, r.id_b): r.cos_sim for r in near_dup_pairs(emb, 0.4).collect()}
+    bucketed = {
+        (r.id_a, r.id_b): r.cos_sim for r in near_dup_pairs_bucketed(emb, 0.4).collect()
+    }
+    assert bucketed, "banding found no pairs at all"
+    assert set(bucketed) <= set(exact)
+    for pair, sim in bucketed.items():
+        assert abs(sim - exact[pair]) < 1e-12
+
+
+def test_near_dup_dispatches_to_bucketed_above_cap(spark, sf_dir):
+    """Above max_exact_rows the global-matrix (driver collect) path must
+    not run — the call routes to the banded plan."""
+    from spk_sl_validation_spark.ext.similarity import near_dup_pairs, near_dup_pairs_bucketed
+    from spk_sl_validation_spark.sources.readers import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    routed = near_dup_pairs(emb, 0.4, max_exact_rows=10)  # force the big-corpus branch
+    direct = near_dup_pairs_bucketed(emb, 0.4)
+    got = {(r.id_a, r.id_b, round(r.cos_sim, 12)) for r in routed.collect()}
+    want = {(r.id_a, r.id_b, round(r.cos_sim, 12)) for r in direct.collect()}
+    assert got == want

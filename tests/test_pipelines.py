@@ -151,3 +151,38 @@ class TestStatusCleansing:
         assert row["In Quality Insp."] == 1
         assert row["Blocked"] == 2
         assert row["Sum of Inventory"] == 18
+
+
+class TestDerivedRefdataCoverage:
+    """The parquet-derived reference tables (plans/refdata.py) must
+    exercise EVERY cascade rule at sf0.001 — otherwise the driver's
+    hash-checked pipeline rows would vacuously agree on rules that
+    never fire."""
+
+    @pytest.fixture(scope="class")
+    def derived_main(self, spark, sf_dir):
+        from spk_sl_validation_spark.plans import refdata
+        from spk_sl_validation_spark.plans.pipeline_queries import RUN_TS
+
+        tables = refdata.build_ref_tables(spark, sf_dir)
+        sheets = spk_sl_cleansing.run(tables, run_ts=RUN_TS, variant=spk_sl_cleansing.CL)
+        return sheets["Valid SL with SPK"].select("Comment", "Analysis").toPandas()
+
+    def test_every_a_rule_fires(self, derived_main):
+        for msg in (RS.A0B_SWISSCO, RS.A1_DUAL, RS.A2_CANCELLED, RS.A3_APEX_SENTINEL,
+                    RS.A4_INTRA_SENTINEL, RS.A5_MATCH, RS.A6_TW, RS.A7_MISMATCH):
+            assert (derived_main.Comment == msg).any(), f"rule never fires: {msg!r}"
+
+    def test_every_b_and_c_rule_fires(self, derived_main):
+        for msg in (RS.B1, RS.B2, RS.B3, RS.B4, RS.B5, RS.B6, RS.B7, RS.B8,
+                    RS.C1, RS.C2, RS.C3):
+            assert (derived_main.Analysis == msg).any(), f"rule never fires: {msg!r}"
+
+    def test_every_d_rule_fires(self, spark, sf_dir):
+        from spk_sl_validation_spark.plans import refdata
+
+        tables = refdata.build_ref_tables(spark, sf_dir)
+        marc = status_cleansing.run(tables)["MARC"].select("Comment").toPandas()
+        for i in range(1, 11):
+            msg = getattr(RS, f"D{i}")
+            assert (marc.Comment == msg).any(), f"rule never fires: D{i}"
