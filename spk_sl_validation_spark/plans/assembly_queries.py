@@ -72,7 +72,7 @@ MIN_TOKENS = 30
 
 def _corpus_pipeline_oracle() -> str:
     from spk_sl_validation_spark.ext.assembly import mixture_predicate_sql
-    from spk_sl_validation_spark.plans.dedup_queries import _verified_pairs_ctes
+    from spk_sl_validation_spark.plans.dedup_shared import _verified_pairs_ctes
 
     toks = r"len(string_split_regex(trim(text), '\s+'))"
     return f"""
@@ -117,7 +117,7 @@ def training_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from spk_sl_validation_spark.ext import dedup as D
     from spk_sl_validation_spark.ext.hashing import ws_tokens
-    from spk_sl_validation_spark.plans.dedup_queries import (
+    from spk_sl_validation_spark.plans.dedup_shared import (
         BANDS,
         JACCARD_TAU,
         NUM_HASHES,

@@ -12,6 +12,10 @@ from pyspark.sql import DataFrame, SparkSession
 
 from spk_sl_validation_spark.ext import dedup as D
 from spk_sl_validation_spark.ext.hashing import md5_long_sql, seeded_perm_sql, word_shingles_sql
+from spk_sl_validation_spark.plans.dedup_shared import (  # noqa: F401
+    JACCARD_TAU,
+    _verified_pairs_ctes,
+)
 from spk_sl_validation_spark.plans.registry import register
 from spk_sl_validation_spark.sources.readers import load_table
 
@@ -144,55 +148,6 @@ _REG["dedup_simhash"] = _dc.replace(_REG["dedup_simhash"], oracle=_simhash_oracl
 # ---------------------------------------------------------------------------
 # End-to-end dedup pipeline
 # ---------------------------------------------------------------------------
-
-JACCARD_TAU = 0.8
-
-
-def _verified_pairs_ctes(table: str = "documents") -> str:
-    """Shared CTE body: ``table`` → LSH candidates → exact-Jaccard
-    verified pairs (id_a < id_b). Reused by the pipeline, cluster, and
-    end-to-end corpus oracles (``table`` may be an upstream CTE)."""
-    sh = word_shingles_sql("t", 3)
-    mh_exprs = ", ".join(
-        f"list_min(list_transform(h, x -> {seeded_perm_sql('x', i)})) AS mh{i}"
-        for i in range(NUM_HASHES)
-    )
-    band_selects = " UNION ALL ".join(
-        "SELECT doc_id, {b} AS band, {hs} FROM sig".format(
-            b=b,
-            hs=", ".join(f"mh{b * ROWS_PER_BAND + r} AS h{r}" for r in range(ROWS_PER_BAND)),
-        )
-        for b in range(BANDS)
-    )
-    hmatch = " AND ".join(f"a.h{r} = b.h{r}" for r in range(ROWS_PER_BAND))
-    return f"""
-tok AS (SELECT doc_id, {_TOKS} AS t FROM {table}),
-shv AS (SELECT doc_id, list_transform({sh}, x -> {md5_long_sql('x')}) AS h FROM tok),
-sig AS (SELECT doc_id, {mh_exprs} FROM shv),
-bands AS ({band_selects}),
-cand AS (
-  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-  FROM bands a JOIN bands b ON a.band = b.band AND {hmatch} AND a.doc_id < b.doc_id
-),
-dsh AS (
-  SELECT doc_id, unnest(list_distinct({word_shingles_sql(_TOKS, 3)})) AS s
-  FROM {table}
-),
-sizes AS (SELECT doc_id, count(*) AS n_sh FROM dsh GROUP BY doc_id),
-inter AS (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
-  FROM dsh a JOIN dsh b ON a.s = b.s AND a.doc_id < b.doc_id
-  GROUP BY 1, 2
-),
-verified AS (
-  SELECT c.id_a, c.id_b
-  FROM cand c
-  JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
-  JOIN sizes sa ON sa.doc_id = c.id_a
-  JOIN sizes sb ON sb.doc_id = c.id_b
-  WHERE CAST(i.n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - i.n_inter AS DOUBLE) >= {JACCARD_TAU}
-)"""
-
 
 def _dedup_pipeline_oracle() -> str:
     return f"""

@@ -67,7 +67,28 @@ _LOADED = False
 # any of these is a bug that must surface, never a reason to silently
 # shrink the driver-contract surface (a swallowed ImportError here would
 # make the driver report *nothing* for the lost queries instead of red).
+# Registration order drives the driver's correctness sample (it checks
+# a prefix of the registry). Round 1 verified the relational/text/dedup/
+# similarity/multimodal/scale/event block green; those now register
+# LAST so the rounds rotate verification onto the previously unsampled
+# queries (pipelines, TPC-H, sketches, streaming, ... first).
 QUERY_MODULES = (
+    "pipeline_queries",
+    "sql_tpch_suite",
+    "sketch_queries",
+    "streaming_queries",
+    "function_surface_queries",
+    "agg_surface_queries",
+    "validation_queries",
+    "modern_sql_queries",
+    "assembly_queries",
+    "event_analytics_queries",
+    "timeseries_queries",
+    "quality_queries",
+    "corpus_queries",
+    "sql_api_queries",
+    "sampling_queries",
+    "privacy_queries",
     "relational_queries",
     "text_queries",
     "dedup_queries",
@@ -75,22 +96,6 @@ QUERY_MODULES = (
     "multimodal_queries",
     "scale_queries",
     "event_queries",
-    "function_surface_queries",
-    "agg_surface_queries",
-    "sql_api_queries",
-    "corpus_queries",
-    "validation_queries",
-    "sampling_queries",
-    "pipeline_queries",
-    "streaming_queries",
-    "privacy_queries",
-    "event_analytics_queries",
-    "timeseries_queries",
-    "quality_queries",
-    "sketch_queries",
-    "assembly_queries",
-    "modern_sql_queries",
-    "sql_tpch_suite",
 )
 
 

@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 
 from spk_sl_validation_spark.functions.scalar import neq, slash_key, status_str, strip_prefix
 from spk_sl_validation_spark.operators import relational as R
-from spk_sl_validation_spark.operators.rules import Guard, Rule, compile_to_column
+from spk_sl_validation_spark.operators.rules import Guard, Rule, compile_to_column, compile_to_sql
 from spk_sl_validation_spark.plans.registry import register
 from spk_sl_validation_spark.sources.readers import load_table
 
@@ -400,24 +400,31 @@ def _lineitem_rules() -> list[Rule]:
     ]
 
 
-# The oracle below is the hand-inlined output of
-# compile_to_sql(_lineitem_rules()) — inlined because Rule construction
-# needs an active Spark session while oracle_sql() must work without
-# one. tests/test_queries.py asserts the two stay in sync.
+def _lineitem_rules_sql_only() -> list[Rule]:
+    """The same cascade with SQL-only conditions — Column construction
+    needs an active Spark session, but oracle generation happens at
+    import time. tests/test_queries.py asserts the two stay in sync
+    (same condition_sql/messages → identical compile_to_sql output)."""
+    return [
+        Rule("big_qty", None, "check: unusually large quantity", Guard.IF_NULL,
+             condition_sql="l_quantity > 45"),
+        Rule("returned", None, "MDO action: returned line", Guard.ALWAYS,
+             condition_sql="l_returnflag = 'R'"),
+        Rule("not_open", None, "closed line", Guard.IF_NULL,
+             condition_sql="l_linestatus IS DISTINCT FROM 'O'"),
+        Rule("fallback", None, "Ok, no action", Guard.IF_NULL, condition_sql="TRUE"),
+    ]
+
+
 @register(
     "rule_cascade_comment",
     headline=True,
     doc="ordered rule cascade with ALWAYS-overwrite + null-safe != (E12, SURVEY.md §2.8)",
-    oracle="""
-SELECT l_orderkey, l_linenumber,
-       COALESCE(
-         CASE WHEN l_returnflag = 'R' THEN 'MDO action: returned line' END,
-         CASE WHEN l_quantity > 45 THEN 'check: unusually large quantity'
-              WHEN l_linestatus IS DISTINCT FROM 'O' THEN 'closed line'
-              WHEN TRUE THEN 'Ok, no action' END
-       ) AS Comment
-FROM lineitem
-""",
+    oracle=(
+        "SELECT l_orderkey, l_linenumber,\n"
+        f"       {compile_to_sql(_lineitem_rules_sql_only())} AS Comment\n"
+        "FROM lineitem"
+    ),
 )
 def rule_cascade_comment(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
