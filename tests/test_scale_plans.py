@@ -448,3 +448,34 @@ def test_report_manifest_verifies_on_reread(spark, sf_dir, tmp_path):
         row = dataset_checksum(back).first()
         assert row.n_rows == on_disk[sheet]["n_rows"]
         assert row.checksum == on_disk[sheet]["checksum"]
+
+
+def test_derived_pipelines_no_sort_merge_join(spark, sf_dir):
+    """The parquet-derived full pipelines must stay all-broadcast: every
+    build side is dim-sized (derived dims and slices), so a SortMergeJoin
+    appearing means a broadcast hint was lost and the fact table would
+    shuffle per join at 100 TB."""
+    from spk_sl_validation_spark.plans.registry import all_queries
+
+    qs = all_queries()
+    for name in ("pipeline_spk_sl_main", "pipeline_spk_sl_v1", "pipeline_status_cleansing"):
+        plan = qs[name](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" not in plan, name
+        assert "BroadcastHashJoin" in plan, name
+
+
+def test_near_dup_bucketed_plan_shape(spark, sf_dir):
+    """The banded near-dup plan must move data only via the (band,
+    bucket) shuffle + the pair-dedup aggregate — no broadcast of a
+    corpus matrix, no driver collect in the plan."""
+    import re
+
+    from spk_sl_validation_spark.ext.similarity import near_dup_pairs_bucketed
+    from spk_sl_validation_spark.sources.readers import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    plan = near_dup_pairs_bucketed(emb, 0.4)._jdf.queryExecution().executedPlan().toString()
+    n_shuffles = len(re.findall(r"Exchange (hash|range)partitioning", plan))
+    assert n_shuffles == 2, f"expected exactly 2 shuffles (bucket group + pair dedup): {n_shuffles}"
+    assert "BroadcastExchange" not in plan
+    assert "SortMergeJoin" not in plan
