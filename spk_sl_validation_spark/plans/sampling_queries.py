@@ -90,3 +90,38 @@ def datetime_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("ts") + F.expr("INTERVAL 7 DAYS")).alias("ts_next_week"),
         F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date")).alias("days_since_2024"),
     )
+
+
+N_SHARDS = 16
+
+
+@register(
+    "dataset_shard_assignment",
+    doc=(
+        f"deterministic corpus sharding for training-data layout: shard = "
+        f"content-stable hash % {N_SHARDS}, plus the doc's position and each "
+        "shard's size — the resumable alternative to repartition(): shard "
+        "membership and order are properties of the ROW, identical across "
+        "runs, engines, and cluster sizes, so a partial re-run rewrites only "
+        "the shards it must"
+    ),
+    oracle=f"""
+WITH s AS (SELECT doc_id, {_H} % {N_SHARDS} AS shard FROM documents)
+SELECT doc_id, shard,
+       CAST(row_number() OVER (PARTITION BY shard ORDER BY {_H} ASC, doc_id ASC) AS BIGINT)
+         AS pos_in_shard,
+       CAST(count(*) OVER (PARTITION BY shard) AS BIGINT) AS shard_size
+FROM s
+""",
+)
+def dataset_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    h = md5_long(F.col("doc_id").cast("string"))
+    assigned = docs.select("doc_id", (h % N_SHARDS).alias("shard"))
+    w = Window.partitionBy("shard")
+    return assigned.select(
+        "doc_id",
+        "shard",
+        F.row_number().over(w.orderBy(h.asc(), F.col("doc_id").asc())).cast("long").alias("pos_in_shard"),
+        F.count(F.lit(1)).over(w).cast("long").alias("shard_size"),
+    )
