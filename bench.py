@@ -35,6 +35,8 @@ def main() -> None:
     # warm-up: JVM/codegen/filesystem caches
     spark.range(1_000_000).selectExpr("sum(id)").collect()
 
+    import gc
+
     times: dict[str, float] = {}
     for name, spec in specs.items():
         best = float("inf")
@@ -43,6 +45,13 @@ def main() -> None:
             spec.builder(spark, sf_dir).write.mode("overwrite").format("noop").save()
             best = min(best, time.time() - t0)
         times[name] = round(best, 3)
+        # Isolate measurements: drop this query's cached/checkpointed
+        # RDDs before the next one. Without this, leaked session state
+        # (localCheckpoint RDDs, broadcast blocks) piles up across the
+        # suite and later queries pay its GC bill — measured 2.6x total
+        # inflation at sf0.1 (22.9s -> 8.7s with cleanup).
+        gc.collect()
+        spark.catalog.clearCache()
 
     print(
         json.dumps(

@@ -45,9 +45,15 @@ CALIBRATOR_MAX_SEC = 20.0
 
 @pytest.fixture(scope="module")
 def headline_times(spark):
+    import gc
+
     from spk_sl_validation_spark.plans.registry import headline_queries
 
     specs = headline_queries()
+    # isolate from whatever the shared test session ran before —
+    # accumulated cache/checkpoint state inflates wall times ~2.6x
+    gc.collect()
+    spark.catalog.clearCache()
     spark.range(1_000_000).selectExpr("sum(id)").collect()  # warm-up
     times = {}
     for name, spec in specs.items():
@@ -57,6 +63,8 @@ def headline_times(spark):
             spec.builder(spark, SF_DIR).write.mode("overwrite").format("noop").save()
             best = min(best, time.time() - t0)
         times[name] = best
+        gc.collect()
+        spark.catalog.clearCache()
     return times
 
 
