@@ -54,7 +54,14 @@ def main() -> int:
     import __spark_entry__ as contract
     from spk_sl_validation_spark.session import build_session
 
-    only = set(sys.argv[1:])
+    args = sys.argv[1:]
+    json_out = None
+    if "--json" in args:
+        i = args.index("--json")
+        json_out = args[i + 1]
+        args = args[:i] + args[i + 2:]
+    only = set(args)
+    results: dict[str, dict] = {}
     spark = build_session(app_name="check-contract")
 
     t0 = time.time()
@@ -77,11 +84,20 @@ def main() -> int:
         s_n, s_cols, s_hash = frame_fingerprint(spdf)
         if name not in oracles:
             rows_only.append(name)
+            results[name] = {"check": "rows_only", "spark_rows": s_n}
             print(f"  {name:28s} rows-only: {s_n} rows ({time.time()-t0:.1f}s)")
             continue
         ddf = con.execute(oracles[name]).df()
         d_n, d_cols, d_hash = frame_fingerprint(ddf)
         ok = (s_n, s_cols, s_hash) == (d_n, d_cols, d_hash)
+        results[name] = {
+            "check": "value_hash",
+            "ok": ok,
+            "spark_rows": s_n,
+            "oracle_rows": d_n,
+            "cols_match": s_cols == d_cols,
+            "hash_match": s_hash == d_hash,
+        }
         status = "OK " if ok else "FAIL"
         print(
             f"  {name:28s} {status} spark={s_n} duck={d_n} "
@@ -98,6 +114,20 @@ def main() -> int:
 
     print(f"\n{len(qs) - len(failures) - len(rows_only)} oracle-matched, "
           f"{len(rows_only)} rows-only, {len(failures)} FAILED: {failures}")
+    if json_out:
+        import json
+
+        summary = {
+            "sf_dir": SF_DIR,
+            "n_queries": len(results),
+            "n_value_checked": sum(1 for r in results.values() if r.get("check") == "value_hash"),
+            "n_rows_only": len(rows_only),
+            "n_failed": len(failures),
+            "queries": results,
+        }
+        with open(json_out, "w") as f:
+            json.dump(summary, f, indent=1, sort_keys=True)
+        print(f"wrote {json_out}")
     return 1 if failures else 0
 
 
