@@ -62,6 +62,9 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not _events_ts_is_nanos(str(staged)):
         return spark.readStream.schema(schemas.EVENTS).parquet(str(stage))
 
+    # Redundant for sessions from build_session (pinned at session
+    # build, so behavior never depends on read order); kept as a
+    # safeguard for externally-built sessions.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     physical = T.StructType(
         [
