@@ -206,3 +206,66 @@ def streaming_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     bound = F.lit(maxes) - F.expr("INTERVAL 2 HOUR")
     return out.filter(F.col("click_ts") < bound)
+
+
+# The reference's signature operator (the guarded rule cascade, §2.8)
+# applied to a STREAM: one config drives the Spark streaming plan AND
+# the DuckDB oracle, and the cascade uses every guard flavor including
+# SENTINEL routing. The cascade itself is a pure narrow projection, so
+# it composes with streaming aggregation at zero extra state.
+CASCADE_CONFIG = [
+    {"id": "extreme", "when": "value > 400", "message": "review: extreme value"},
+    {"id": "big_purchase", "when": "event_type = 'purchase' AND value > 250",
+     "message": "flag: large purchase", "guard": "always"},
+    {"id": "route_clicks", "when": "event_type = 'click'", "message": "routed"},
+    {"id": "cheap_click", "when": "value < 10", "message": "ok: low-value click",
+     "guard": "sentinel", "sentinel": "routed"},
+    {"id": "click", "when": "TRUE", "message": "ok: click",
+     "guard": "sentinel", "sentinel": "routed"},
+    {"id": "fallback", "when": "TRUE", "message": "ok"},
+]
+
+
+def _streaming_cascade_oracle() -> str:
+    from spk_sl_validation_spark.operators.rules import compile_to_sql, rules_from_config
+
+    expr = compile_to_sql(rules_from_config(CASCADE_CONFIG))
+    return f"""
+SELECT {expr} AS Comment,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY 1
+"""
+
+
+@register(
+    "streaming_rule_cascade",
+    doc=(
+        "the reference's rule cascade (all guards incl. SENTINEL routing) "
+        "evaluated on a STREAM: config-driven rules compile to one narrow "
+        "CASE projection inside the streaming plan, aggregated per comment; "
+        "availableNow replay == the batch cascade oracle"
+    ),
+    oracle=None,  # set below (generated from the shared config)
+)
+def streaming_rule_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spk_sl_validation_spark.operators.rules import compile_to_column, rules_from_config
+
+    stream = P.stream_events(spark, sf_dir)
+    classified = stream.withColumn(
+        "Comment", compile_to_column(rules_from_config(CASCADE_CONFIG))
+    )
+    agg = classified.groupBy("Comment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+    )
+    return P.run_available_now(agg, output_mode="complete")
+
+
+from spk_sl_validation_spark.plans.registry import REGISTRY as _REG  # noqa: E402
+import dataclasses as _dc  # noqa: E402
+
+_REG["streaming_rule_cascade"] = _dc.replace(
+    _REG["streaming_rule_cascade"], oracle=_streaming_cascade_oracle()
+)
