@@ -260,3 +260,47 @@ def temporal_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("status").alias("status_before"),
         F.col("valid_from").alias("state_since"),
     )
+
+
+_INC_CUTOFF = "TIMESTAMP '2024-01-15 00:00:00'"
+
+
+@register(
+    "incremental_watermark_batch",
+    doc=(
+        "incremental batch consumption with a durable composite (ts, id) "
+        "high-watermark (operators/incremental.py): run 1 processes history up "
+        "to a cutoff and commits; the registered result is run 2's increment — "
+        "exactly the rows lexicographically after the committed watermark, so "
+        "rows sharing the watermark timestamp are not dropped (the classic "
+        "incremental-ETL bug the composite key exists to prevent)"
+    ),
+    oracle=f"""
+WITH b1 AS (SELECT ts, event_id FROM events WHERE ts <= {_INC_CUTOFF}),
+wm AS (
+  SELECT max(ts) AS wts,
+         (SELECT max(event_id) FROM b1 WHERE ts = (SELECT max(ts) FROM b1)) AS wid
+  FROM b1
+)
+SELECT e.event_id, e.ts, e.event_type
+FROM events e CROSS JOIN wm
+WHERE e.ts > wm.wts OR (e.ts = wm.wts AND e.event_id > wm.wid)
+""",
+)
+def incremental_watermark_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from spk_sl_validation_spark.operators.incremental import (
+        commit_watermark,
+        incremental_rows,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    state_dir = tempfile.mkdtemp(prefix="spk_sl_inc_")
+    # run 1: process everything up to the cutoff, commit its watermark
+    batch1 = ev.filter(F.col("ts") <= F.expr(_INC_CUTOFF))
+    commit_watermark(batch1, state_dir, "ts", "event_id")
+    # run 2: the increment = rows strictly after the committed (ts, id)
+    return incremental_rows(ev, state_dir, "ts", "event_id").select(
+        "event_id", "ts", "event_type"
+    )
