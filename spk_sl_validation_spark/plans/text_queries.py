@@ -254,3 +254,42 @@ def text_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return dense
+
+
+@register(
+    "text_bpe_pair_stats",
+    doc=(
+        "BPE vocabulary-induction statistics: global top-20 adjacent character "
+        "pairs within words (the argmax of the first BPE merge step). One "
+        "explode + hash aggregate; the top-k consolidation moves only 20 rows "
+        "per partition (WindowGroupLimit)"
+    ),
+    oracle=r"""
+WITH t AS (
+  SELECT unnest(string_split_regex(trim(text), '\s+')) AS w FROM documents
+),
+b AS (
+  SELECT substring(w, i, 2) AS pair
+  FROM (SELECT w, unnest(range(1, len(w))) AS i FROM t WHERE len(w) >= 2)
+),
+c AS (SELECT pair, CAST(count(*) AS BIGINT) AS n FROM b GROUP BY pair)
+SELECT pair, n FROM (
+  SELECT pair, n, row_number() OVER (ORDER BY n DESC, pair ASC) AS rk FROM c
+) WHERE rk <= 20
+""",
+)
+def text_bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from spk_sl_validation_spark.ext.hashing import ws_tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(F.explode(ws_tokens("text")).alias("w")).filter(F.length("w") >= 2)
+    pairs = words.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
+        ).alias("pair")
+    )
+    counts = pairs.groupBy("pair").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.orderBy(F.col("n").desc(), F.col("pair").asc())
+    return counts.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 20).select("pair", "n")
