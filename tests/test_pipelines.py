@@ -186,3 +186,45 @@ class TestDerivedRefdataCoverage:
         for i in range(1, 11):
             msg = getattr(RS, f"D{i}")
             assert (marc.Comment == msg).any(), f"rule never fires: D{i}"
+
+
+def test_refdata_tables_identical_across_engines(spark, sf_dir):
+    """The shared-SQL contract of plans/refdata.py: every derived
+    reference table must come out IDENTICAL from Spark and DuckDB —
+    a dialect divergence here would otherwise surface only as an
+    opaque whole-pipeline hash mismatch."""
+    import duckdb
+
+    from spk_sl_validation_spark.plans import refdata
+    from tools.check_contract import frame_fingerprint
+
+    con = duckdb.connect()
+    for t in ("orders", "part", "lineitem"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    from spk_sl_validation_spark.plans.pipeline_queries import _stringify_timestamps
+
+    tables = refdata.build_ref_tables(spark, sf_dir)
+    for name, sql in refdata.TABLE_SQL.items():
+        # timestamps → strings BEFORE collection (9999-12-31 overflows
+        # pandas ns on the Arrow path), and on the DuckDB side likewise
+        sdf = _stringify_timestamps(tables[name]).toPandas()
+        # Spark side has been renamed to SAP headers; rename DuckDB side the same
+        ddf = con.execute(sql).df().rename(columns=refdata.REF_COLUMNS[name])
+        # DuckDB hands back-of-range timestamps (9999-12-31) as object
+        # columns of datetime.datetime — render them like Spark's string
+        # cast ('YYYY-MM-DD HH:MM:SS', space separator, no isoformat 'T')
+        import datetime as _dt
+
+        def _render(v):
+            if isinstance(v, _dt.datetime):
+                return str(v)
+            if isinstance(v, _dt.date):  # DuckDB yields date objects for 00:00:00 times
+                return f"{v} 00:00:00"
+            return v
+
+        for c in ddf.columns:
+            # NOT astype(str): pandas renders all-midnight datetime64
+            # columns date-only ('1993-01-01'), unlike Spark's cast
+            if ddf[c].map(lambda v: isinstance(v, _dt.date)).any():
+                ddf[c] = ddf[c].map(_render)
+        assert frame_fingerprint(sdf) == frame_fingerprint(ddf), f"derived table diverges: {name}"
