@@ -253,3 +253,55 @@ from spk_sl_validation_spark.plans.registry import REGISTRY as _REG  # noqa: E40
 import dataclasses as _dc  # noqa: E402
 
 _REG["table_checksum"] = _dc.replace(_REG["table_checksum"], oracle=_table_checksum_oracle())
+
+
+@register(
+    "dataset_version_diff",
+    doc=(
+        "corpus version diff by content fingerprint: full outer join of two "
+        "dataset versions on doc_id, each row classified added / removed / "
+        "changed / unchanged by md5 comparison — the audit a 100 TB corpus "
+        "refresh runs before promoting a new snapshot (versions derived "
+        "deterministically from the documents table for the oracle)"
+    ),
+    oracle="""
+WITH v1 AS (
+  SELECT doc_id, md5(text) AS fp FROM documents WHERE doc_id % 7 <> 0
+),
+v2 AS (
+  SELECT doc_id,
+         md5(CASE WHEN doc_id % 11 = 0 THEN text || ' v2' ELSE text END) AS fp
+  FROM documents WHERE doc_id % 5 <> 0
+)
+SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+       CASE WHEN a.doc_id IS NULL THEN 'added'
+            WHEN b.doc_id IS NULL THEN 'removed'
+            WHEN a.fp <> b.fp THEN 'changed'
+            ELSE 'unchanged' END AS status
+FROM v1 a FULL OUTER JOIN v2 b ON a.doc_id = b.doc_id
+""",
+)
+def dataset_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    v1 = docs.filter(F.col("doc_id") % 7 != 0).select(
+        "doc_id", F.md5("text").alias("fp")
+    )
+    v2 = docs.filter(F.col("doc_id") % 5 != 0).select(
+        "doc_id",
+        F.md5(
+            F.when(F.col("doc_id") % 11 == 0, F.concat(F.col("text"), F.lit(" v2")))
+            .otherwise(F.col("text"))
+        ).alias("fp"),
+    )
+    a = v1.select(F.col("doc_id").alias("id_a"), F.col("fp").alias("fp_a"))
+    b = v2.select(F.col("doc_id").alias("id_b"), F.col("fp").alias("fp_b"))
+    j = a.join(b, a.id_a == b.id_b, "full_outer")
+    status = (
+        F.when(F.col("id_a").isNull(), "added")
+        .when(F.col("id_b").isNull(), "removed")
+        .when(F.col("fp_a") != F.col("fp_b"), "changed")
+        .otherwise("unchanged")
+    )
+    return j.select(
+        F.coalesce("id_a", "id_b").alias("doc_id"), status.alias("status")
+    )
