@@ -7,19 +7,43 @@ line: {"metric": ..., "value": total_sec, "unit": "sec",
 
 Each query is executed with a noop write (forces full computation on
 the executors, no driver-side collect) — what a cluster run would
-measure. Per-query time is the best of N runs after a JVM warm-up.
+measure.
+
+Attributability (round-3 contract): per query, one unmeasured warm-up
+run (JVM/codegen/file-index warm) followed by ``BENCH_RUNS`` measured
+runs. ``queries`` reports per-query MEDIANS (the headline ``value`` is
+their sum — robust to one-off host hiccups); ``queries_detail`` adds
+min and spread per query and ``host`` fingerprints the machine, so a
+cross-round delta can be attributed to a plan change vs host drift by
+ratio, not guesswork. BENCH_HISTORY.md keeps one row per round.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# Pinned measured-run count (after 1 unmeasured warm-up per query).
 RUNS = int(os.environ.get("BENCH_RUNS", "3"))
+
+
+def _host_fingerprint() -> dict:
+    import platform
+
+    import pyspark
+
+    return {
+        "cpus": os.cpu_count(),
+        "platform": platform.platform(),
+        "python": platform.python_version(),
+        "pyspark": pyspark.__version__,
+        "spark_cpus": os.environ.get("SPARK_GRAFT_CPUS", ""),
+    }
 
 
 def main() -> None:
@@ -37,29 +61,45 @@ def main() -> None:
 
     import gc
 
-    times: dict[str, float] = {}
-    for name, spec in specs.items():
-        best = float("inf")
-        for _ in range(RUNS):
-            t0 = time.time()
-            spec.builder(spark, sf_dir).write.mode("overwrite").format("noop").save()
-            best = min(best, time.time() - t0)
-        times[name] = round(best, 3)
-        # Isolate measurements: drop this query's cached/checkpointed
-        # RDDs before the next one. Without this, leaked session state
-        # (localCheckpoint RDDs, broadcast blocks) piles up across the
-        # suite and later queries pay its GC bill — measured 2.6x total
-        # inflation at sf0.1 (22.9s -> 8.7s with cleanup).
+    def _cleanup() -> None:
+        # Isolate measurements: drop cached/checkpointed RDDs and
+        # broadcast blocks between runs. Without this, leaked session
+        # state piles up across the suite and later queries pay its GC
+        # bill — measured 2.6x total inflation at sf0.1.
         gc.collect()
         spark.catalog.clearCache()
+
+    medians: dict[str, float] = {}
+    detail: dict[str, dict] = {}
+    for name, spec in specs.items():
+        samples: list[float] = []
+        for run in range(RUNS + 1):  # run 0 = unmeasured warm-up
+            t0 = time.time()
+            spec.builder(spark, sf_dir).write.mode("overwrite").format("noop").save()
+            dt = time.time() - t0
+            if run > 0:
+                samples.append(dt)
+            _cleanup()
+        med = statistics.median(samples)
+        medians[name] = round(med, 3)
+        detail[name] = {
+            "median": round(med, 3),
+            "min": round(min(samples), 3),
+            "max": round(max(samples), 3),
+            "stdev": round(statistics.stdev(samples), 3) if len(samples) > 1 else 0.0,
+        }
 
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_wall_clock",
-                "value": round(sum(times.values()), 3),
+                "value": round(sum(medians.values()), 3),
                 "unit": "sec",
-                "queries": times,
+                "queries": medians,
+                "queries_detail": detail,
+                "runs": RUNS,
+                "aggregation": "median",
+                "host": _host_fingerprint(),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

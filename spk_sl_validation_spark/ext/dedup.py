@@ -11,8 +11,10 @@ needs, designed Spark-first:
   document, embarrassingly parallel.
 - **Candidate generation is one banded shuffle.** LSH banding turns
   the O(n²) all-pairs problem into a join keyed on (band, band-hash):
-  high-cardinality keys, well-distributed; AQE skew-join absorbs any
-  hot bucket (e.g. boilerplate documents sharing a band).
+  high-cardinality keys, well-distributed. Hot buckets (boilerplate
+  documents sharing a band) are hard-capped to their smallest
+  ``MAX_BUCKET_SIZE`` ids before any pair expansion, so one
+  degenerate key can never quadratic-blow an executor.
 - **Exact verification only on candidates.** n-gram Jaccard is
   computed only for LSH survivors at scale; the standalone
   ``ngram_jaccard_pairs`` exists as the exact/oracle path.
@@ -107,6 +109,16 @@ def with_minhash_signature(
     return df.join(minhash_signatures(df, id_col, text_col, num_hashes, shingle_n), id_col)
 
 
+#: Default hot-bucket cap for LSH candidate generation. A (band, band
+#: hashes) bucket holds one member per near-dup cluster doc; organic
+#: clusters are small, but mass boilerplate (empty docs, shared
+#: headers/licenses) can put millions of documents into ONE bucket,
+#: and the in-bucket pair expansion is quadratic. Buckets are capped
+#: to their ``MAX_BUCKET_SIZE`` smallest ids — deterministic, so the
+#: DuckDB oracle replays the identical rule.
+MAX_BUCKET_SIZE = 256
+
+
 def lsh_candidate_pairs(
     df: DataFrame,
     id_col: str,
@@ -114,6 +126,7 @@ def lsh_candidate_pairs(
     num_hashes: int = 12,
     bands: int = 6,
     shingle_n: int = 3,
+    max_bucket_size: int = MAX_BUCKET_SIZE,
 ) -> DataFrame:
     """MinHash-LSH candidate pairs: (id_a, id_b, est_jaccard).
 
@@ -128,6 +141,19 @@ def lsh_candidate_pairs(
     multi-band matches. The probe is sig-only (id + 2 longs + the
     signature array), so shuffled bytes ≈ 8·(k+3) per doc per band,
     independent of document size.
+
+    Hot-bucket protection: each bucket keeps only its
+    ``max_bucket_size`` smallest ids (row_number over the bucket key,
+    ordered by id, BEFORE collect_list — so both the collected array
+    and the quadratic pair expansion are bounded regardless of corpus
+    shape; the window sort spills, it cannot OOM). A mass-boilerplate
+    bucket therefore yields at most C(cap, 2) pairs per band instead
+    of C(millions, 2). Recall note: members beyond the cap lose their
+    candidacy *in that bucket* — for true boilerplate the docs are
+    byte-identical and exact dedup (exact_dup_groups) is the right
+    tool upstream; the cap is the backstop that keeps LSH alive when
+    it isn't run. The cap is part of the operator's contract and is
+    replayed verbatim in the DuckDB oracles (QUALIFY row_number()).
     """
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
@@ -138,11 +164,12 @@ def lsh_candidate_pairs(
     # does not share non-cached subtrees across join sides), doubling
     # the dominant cost. Here signatures are computed once, exploded
     # into 6 band rows, grouped by the full band key, and pairs are
-    # expanded *within* each bucket. Bucket membership lists are tiny
-    # (near-dup cluster size), so the quadratic in-bucket expansion —
-    # an interpreted array expression — is negligible by construction;
-    # a bucket that ever grew pathological (mass-boilerplate corpus)
-    # would need a bucket-size cap upstream, not a different join.
+    # expanded *within* each bucket (capped — see docstring). The
+    # window and the aggregate share the same partitioning key, so
+    # the cap costs a sort inside the existing exchange, not a new
+    # shuffle.
+    from pyspark.sql import Window
+
     band_structs = F.array(
         *[
             F.struct(
@@ -156,8 +183,14 @@ def lsh_candidate_pairs(
     exploded = sig_df.select(id_col, "sig", F.explode(band_structs).alias("bk")).select(
         id_col, "sig", "bk.band", *[F.col(f"bk.{h}").alias(h) for h in hcols]
     )
+    w = Window.partitionBy("band", *hcols).orderBy(id_col)
+    capped = (
+        exploded.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= max_bucket_size)
+        .drop("__rn")
+    )
     buckets = (
-        exploded.groupBy("band", *hcols)
+        capped.groupBy("band", *hcols)
         .agg(F.collect_list(F.struct(F.col(id_col).alias("id"), F.col("sig").alias("sig"))).alias("members"))
         .filter(F.size("members") > 1)
     )

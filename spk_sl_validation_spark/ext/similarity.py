@@ -268,7 +268,11 @@ def near_dup_pairs(
 
     from pyspark.sql import types as T
 
-    if df.count() > max_exact_rows:
+    # Dispatch probe: LIMIT cap+1 short-circuits the scan at the first
+    # cap+1 rows instead of counting the whole (possibly 100 TB) input
+    # just to learn "big" — the full count's answer beyond the cap is
+    # irrelevant.
+    if df.limit(max_exact_rows + 1).count() > max_exact_rows:
         return near_dup_pairs_bucketed(df, threshold, id_col, vec_col)
 
     spark = df.sparkSession
@@ -301,6 +305,13 @@ def near_dup_pairs(
     return df.select(id_col, vec_col).mapInPandas(run, schema)
 
 
+#: Per-(band, bucket) row bound for near_dup_pairs_bucketed. A block
+#: unites at most two salt groups, so the verify matmul is bounded at
+#: (2·cap)² float64 ≈ 0.5 GB at the default — fixed executor memory
+#: regardless of corpus shape.
+MAX_BUCKET_ROWS = 4096
+
+
 def near_dup_pairs_bucketed(
     df: DataFrame,
     threshold: float,
@@ -308,6 +319,7 @@ def near_dup_pairs_bucketed(
     vec_col: str = "embedding",
     bits: int = 8,
     n_bands: int = 4,
+    max_bucket_rows: int = MAX_BUCKET_ROWS,
 ) -> DataFrame:
     """Banded sign-LSH near-duplicate pairs — the 100 TB path.
 
@@ -322,13 +334,28 @@ def near_dup_pairs_bucketed(
 
     Nothing is ever collected to the driver and no global matrix is
     broadcast: the only movement is an n·n_bands-row shuffle keyed on
-    (band, bucket) — the plan survives any corpus size whose largest
-    bucket fits one executor (mega-buckets get the standard salting /
-    more-bits treatment; recall is 1-(1-(1-θ/π)^bits)^n_bands).
+    (band, bucket); recall is 1-(1-(1-θ/π)^bits)^n_bands.
+
+    Mega-bucket escalation (block decomposition): a bucket with more
+    than ``max_bucket_rows`` members — think a boilerplate-heavy or
+    all-similar corpus where more sign bits cannot split identical
+    vectors — is salted into S = ceil(n/cap) groups by id hash, and
+    each member is replicated to its S block-pairs (sa ≤ sb). Every
+    within-bucket pair lands in exactly one block ((min, max) of the
+    two salts, enforced by a salt mask inside verify), so pair
+    coverage is EXACT while each verify task holds at most two salt
+    groups ≈ 2·cap rows — the bucket's n² matmul becomes S² bounded
+    block matmuls, the classic tiled decomposition. Work stays
+    quadratic in the bucket (inherent to exact verification); memory
+    does not. The bucket-size census is a map-side-partial count on
+    (band, bucket) — ≤ 2^bits·n_bands rows — broadcast back, so no
+    second shuffle of the vectors.
 
     Exactness within a bucket: identical normalization + matmul as the
     global path, so bucketed output ⊆ exact output with equal cos_sim
-    values (pinned by tests/test_ext_similarity.py).
+    values (pinned by tests/test_ext_similarity.py), and block
+    results are value-identical to a single whole-bucket matmul (each
+    pairwise dot product involves only the two rows' dims).
     """
     from collections.abc import Iterator  # noqa: F401
 
@@ -347,6 +374,34 @@ def near_dup_pairs_bucketed(
         )
         banded = b if banded is None else banded.unionByName(b)
 
+    # Bucket census: one row per (band, bucket) — at most 2^bits rows
+    # per band by construction, always broadcastable for sane bits.
+    counts = banded.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("__n"))
+    sized = banded.join(F.broadcast(counts), ["band", "bucket"])
+    n_blocks = F.greatest(
+        F.lit(1).cast("long"), F.ceil(F.col("__n") / F.lit(max_bucket_rows))
+    ).cast("int")
+    salt = F.pmod(F.xxhash64(F.col(id_col)), n_blocks).cast("int")
+    sized = sized.withColumn("__nb", n_blocks).withColumn("__salt", salt)
+    blocks = F.transform(
+        F.sequence(F.lit(0), F.col("__nb") - 1),
+        lambda i: F.struct(
+            F.least(i, F.col("__salt")).alias("sa"),
+            F.greatest(i, F.col("__salt")).alias("sb"),
+        ),
+    )
+    exploded = sized.select(
+        id_col, vec_col, "band", "bucket", "__salt", F.explode(blocks).alias("blk")
+    ).select(
+        id_col,
+        vec_col,
+        "band",
+        "bucket",
+        "__salt",
+        F.col("blk.sa").alias("sa"),
+        F.col("blk.sb").alias("sb"),
+    )
+
     schema = T.StructType(
         [
             T.StructField("id_a", T.LongType()),
@@ -360,10 +415,19 @@ def near_dup_pairs_bucketed(
         mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
         mat /= np.linalg.norm(mat, axis=1, keepdims=True)
         sims = mat @ mat.T
-        rows, cols = np.nonzero((sims >= threshold) & (ids[:, None] < ids[None, :]))
+        # Canonical-block mask: a pair belongs to block (min(salts),
+        # max(salts)) only — dedups replicated members across blocks.
+        salts = pdf["__salt"].to_numpy()
+        sa, sb = int(pdf["sa"].iloc[0]), int(pdf["sb"].iloc[0])
+        canonical = ((salts[:, None] == sa) & (salts[None, :] == sb)) | (
+            (salts[:, None] == sb) & (salts[None, :] == sa)
+        )
+        rows, cols = np.nonzero(
+            (sims >= threshold) & (ids[:, None] < ids[None, :]) & canonical
+        )
         return pd.DataFrame({"id_a": ids[rows], "id_b": ids[cols], "cos_sim": sims[rows, cols]})
 
-    pairs = banded.groupBy("band", "bucket").applyInPandas(verify, schema)
+    pairs = exploded.groupBy("band", "bucket", "sa", "sb").applyInPandas(verify, schema)
     return pairs.groupBy("id_a", "id_b").agg(F.max("cos_sim").alias("cos_sim"))
 
 

@@ -121,6 +121,12 @@ class _Abstract:
 _INIT = _Abstract("INIT")
 _NULL = _Abstract("NULL")
 
+#: Hard cap on the flat-SQL cascade fold's accumulated predicate text.
+#: Generous for every reference cascade (≤ 8 rules ≈ 10 KB) while
+#: stopping the O(2^n) ALWAYS-rule blowup long before a megabyte CASE
+#: string reaches a SQL parser.
+_MAX_SQL_BYTES = 512 * 1024
+
 
 def compile_to_sql(rules: Sequence[Rule], initial_sql: str | None = None) -> str:
     """Flat ANSI-SQL equivalent of :func:`compile_to_column`, covering
@@ -143,8 +149,18 @@ def compile_to_sql(rules: Sequence[Rule], initial_sql: str | None = None) -> str
       ``initial = 'v'``.
 
     The result is one flat CASE whose branch predicates are mutually
-    exclusive; total size is O(n^2) condition references for an n-rule
-    cascade (the reference's largest is 8 — SURVEY.md §2.8).
+    exclusive. Size note: the fold copies each value's running
+    predicate into BOTH its survivor branch (``p AND NOT fire``) and
+    the fired accumulator (``p AND fire``), so a rule whose guard
+    admits a value roughly doubles that value's predicate text —
+    worst case O(2^n) for an ALWAYS-heavy n-rule cascade. That is
+    harmless at reference scale (largest cascade: 8 rules, ~10 KB of
+    SQL) and the fold enforces ``_MAX_SQL_BYTES`` as a hard guard —
+    config-driven cascades of arbitrary length get a clear error
+    pointing at :func:`compile_to_column` (whose expression tree
+    shares subtrees in memory and lowers through Catalyst's
+    common-subexpression elimination) instead of an engine-breaking
+    megabyte CASE string.
 
     Null discipline: every rule condition is wrapped ``coalesce(cond,
     FALSE)`` so NOT behaves classically, exactly matching Spark's
@@ -195,6 +211,14 @@ def compile_to_sql(rules: Sequence[Rule], initial_sql: str | None = None) -> str
         if fired is not None:
             new_preds[r.message] = _or(new_preds.get(r.message), fired)
         preds = new_preds
+        total = sum(len(p) for p in preds.values())
+        if total > _MAX_SQL_BYTES:
+            raise ValueError(
+                f"compile_to_sql: cascade fold grew to {total} bytes of SQL after "
+                f"rule {r.rule_id!r} (ALWAYS-heavy cascades double the fold text "
+                f"per rule — worst case O(2^n)); evaluate this cascade with "
+                f"compile_to_column/apply_cascade instead of a flat SQL string"
+            )
 
     whens: list[str] = []
     for v, p in preds.items():

@@ -13,17 +13,20 @@ from pyspark.sql import DataFrame, SparkSession
 from spk_sl_validation_spark.ext import dedup as D
 from spk_sl_validation_spark.ext.hashing import md5_long_sql, seeded_perm_sql, word_shingles_sql
 from spk_sl_validation_spark.plans.dedup_shared import (  # noqa: F401
+    BANDS,
     JACCARD_TAU,
+    NUM_HASHES,
+    ROWS_PER_BAND,
     _verified_pairs_ctes,
+    capped_bands_cte,
 )
 from spk_sl_validation_spark.plans.registry import register
 from spk_sl_validation_spark.sources.readers import load_table
 
 _TOKS = r"string_split_regex(trim(text), '\s+')"
 
-NUM_HASHES = 12
-BANDS = 6
-ROWS_PER_BAND = NUM_HASHES // BANDS
+# LSH geometry lives in dedup_shared (single source for Spark builders
+# and every oracle CTE); only the SimHash knobs are local to this file.
 SIMHASH_BITS = 32
 MAX_HAMMING = 2
 
@@ -78,9 +81,10 @@ sig AS (SELECT doc_id,
 bands AS (
 {band_selects}
 ),
+{capped_bands_cte().lstrip()},
 pairs AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-  FROM bands a JOIN bands b ON a.band = b.band AND {hmatch} AND a.doc_id < b.doc_id
+  FROM capped a JOIN capped b ON a.band = b.band AND {hmatch} AND a.doc_id < b.doc_id
 )
 SELECT id_a, id_b, CAST(({agree}) AS DOUBLE) / {float(NUM_HASHES)} AS est_jaccard
 FROM pairs

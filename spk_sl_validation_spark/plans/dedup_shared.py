@@ -7,15 +7,32 @@ the driver's correctness sampling (plans/registry.py)."""
 
 from __future__ import annotations
 
+from spk_sl_validation_spark.ext.dedup import MAX_BUCKET_SIZE
 from spk_sl_validation_spark.ext.hashing import md5_long_sql, seeded_perm_sql, word_shingles_sql
 
 _TOKS = r"string_split_regex(trim(text), '\s+')"
 
+# Single source of truth for the LSH geometry AND the hot-bucket cap:
+# the Spark builders (ext/dedup.py defaults) and every DuckDB oracle
+# CTE below must agree or engine and oracle silently desync.
 NUM_HASHES = 12
 BANDS = 6
 ROWS_PER_BAND = NUM_HASHES // BANDS
 
 JACCARD_TAU = 0.8
+
+
+def capped_bands_cte(rows_per_band: int = ROWS_PER_BAND, cap: int = MAX_BUCKET_SIZE) -> str:
+    """The oracle replay of lsh_candidate_pairs' hot-bucket cap: keep
+    each (band, band-hashes) bucket's ``cap`` smallest doc_ids —
+    identical deterministic rule as the Spark window row_number."""
+    hcols = ", ".join(f"h{r}" for r in range(rows_per_band))
+    return f"""
+capped AS (
+  SELECT doc_id, band, {hcols}
+  FROM bands
+  QUALIFY row_number() OVER (PARTITION BY band, {hcols} ORDER BY doc_id) <= {cap}
+)"""
 
 
 def _verified_pairs_ctes(table: str = "documents") -> str:
@@ -40,9 +57,10 @@ tok AS (SELECT doc_id, {_TOKS} AS t FROM {table}),
 shv AS (SELECT doc_id, list_transform({sh}, x -> {md5_long_sql('x')}) AS h FROM tok),
 sig AS (SELECT doc_id, {mh_exprs} FROM shv),
 bands AS ({band_selects}),
+{capped_bands_cte().lstrip()},
 cand AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-  FROM bands a JOIN bands b ON a.band = b.band AND {hmatch} AND a.doc_id < b.doc_id
+  FROM capped a JOIN capped b ON a.band = b.band AND {hmatch} AND a.doc_id < b.doc_id
 ),
 dsh AS (
   SELECT doc_id, unnest(list_distinct({word_shingles_sql(_TOKS, 3)})) AS s

@@ -110,11 +110,14 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "integer-exact and JSON-serialized so the vector hash-matches the oracle"
     ),
     oracle="""
-WITH chars AS (
-  SELECT doc_id, ord(substring(text, i, 1)) // 16 AS bin
-  FROM (SELECT doc_id, text,
-               unnest(range(1, octet_length(encode(text)) + 1)) AS i
-        FROM documents)
+WITH hx AS (SELECT doc_id, hex(encode(text)) AS h FROM documents),
+-- byte-true iteration: the i-th byte's high nibble IS its 16-bin
+-- histogram bin, read straight from the hex encoding — no
+-- character-based substring/ord, so multi-byte UTF-8 text bins
+-- identically to the Spark side's raw encoded bytes
+chars AS (
+  SELECT doc_id, strpos('0123456789ABCDEF', substring(h, i, 1)) - 1 AS bin
+  FROM (SELECT doc_id, h, unnest(range(1, length(h) + 1, 2)) AS i FROM hx)
 ),
 b AS (SELECT doc_id, bin, CAST(count(*) AS BIGINT) AS c FROM chars GROUP BY doc_id, bin),
 grid AS (

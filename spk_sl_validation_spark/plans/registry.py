@@ -45,14 +45,105 @@ def register(
     return deco
 
 
-def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+# The driver's correctness gate samples a PREFIX of the registry, so
+# iteration order is verification-provenance policy. Rounds 1–2 left 53
+# registered queries with self-check-only evidence (never in a driver
+# sample); round 3 pins them — plus the round-3-new
+# streaming_user_activity — into the first 50 positions explicitly:
+#   1–6   the six queries that were red in round 1 (fixed in round 2,
+#         fixes never driver-confirmed) — hardest-signal first;
+#   7     streaming_user_activity (new this round);
+#   8–17  the judge-named never-sampled set (bucketed near-dup, corpus
+#         pipeline, packing, TPC-H stragglers, validation, SCD2);
+#   18–50 the remaining never-sampled queries in registration order.
+# Positions 51–54 hold the four lowest-risk never-sampled queries
+# (pure-SQL agg/unpivot/datetime shapes) — first in line for round 4 —
+# followed by the 94 already-driver-green queries in registration order.
+SAMPLE_PRIORITY: tuple[str, ...] = (
+    # -- round-1 reds, fixed in round 2, never re-sampled --
+    "sessionize_events",
+    "text_feature_hashing",
+    "embedding_quantize_int8",
+    "kmeans_clusters",
+    "multimodal_features",
+    "events_json_extract",
+    # -- new this round --
+    "streaming_user_activity",
+    # -- judge-named never-sampled --
+    "similarity_near_dup_bucketed",
+    "training_corpus_pipeline",
+    "pack_sequences",
+    "sql_tpch_q3",
+    "sql_tpch_q17",
+    "sql_tpch_q18",
+    "sql_tpch_q22",
+    "validation_report",
+    "validation_flags",
+    "scd2_intervals",
+    # -- remaining never-sampled, registration order --
+    "config_rule_cascade",
+    "recursive_capped_cumsum",
+    "events_variant_extract",
+    "udtf_token_runs",
+    "mixture_sample",
+    "text_unigram_logprob",
+    "funnel_conversion",
+    "cohort_retention",
+    "cdc_apply_latest",
+    "temporal_dim_join",
+    "incremental_watermark_batch",
+    "timeseries_gapfill",
+    "zscore_outliers",
+    "time_rollup_multigrain",
+    "window_trailing_median",
+    "referential_integrity",
+    "table_profile",
+    "equidepth_histogram",
+    "dataset_drift_psi",
+    "table_checksum",
+    "dataset_version_diff",
+    "corpus_top_terms",
+    "text_tfidf",
+    "text_chunking",
+    "embedding_centroids",
+    "corpus_cooccurrence",
+    "text_textrank_keywords",
+    "dataset_split",
+    "stratified_sample",
+    "dataset_shard_assignment",
+    "pii_masking",
+    "text_bpe_pair_stats",
+    "range_join_clicks_before_purchase",
+    # -- positions 51+: never-sampled, deferred to round 4's prefix --
+    "conditional_agg_suite",
+    "approx_topk_event_types",
+    "unpivot_lineitem_measures",
+    "datetime_suite",
+)
+
+
+def _ordered_registry() -> dict[str, QuerySpec]:
+    """REGISTRY reordered: SAMPLE_PRIORITY names first (in that order),
+    then everything else in registration order. A priority name with no
+    registration is a hard error — a typo here would silently demote a
+    query out of the driver sample."""
     _ensure_loaded()
-    return {name: spec.builder for name, spec in REGISTRY.items()}
+    missing = [n for n in SAMPLE_PRIORITY if n not in REGISTRY]
+    if missing:
+        raise KeyError(f"SAMPLE_PRIORITY names not in REGISTRY: {missing}")
+    out = {n: REGISTRY[n] for n in SAMPLE_PRIORITY}
+    out.update((n, s) for n, s in REGISTRY.items() if n not in out)
+    return out
+
+
+def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: spec.builder for name, spec in _ordered_registry().items()}
 
 
 def all_oracles() -> dict[str, str]:
-    _ensure_loaded()
-    return {name: spec.oracle for name, spec in REGISTRY.items() if spec.oracle is not None}
+    return {
+        name: spec.oracle for name, spec in _ordered_registry().items() if spec.oracle is not None
+    }
 
 
 def headline_queries() -> dict[str, QuerySpec]:
@@ -67,11 +158,9 @@ _LOADED = False
 # any of these is a bug that must surface, never a reason to silently
 # shrink the driver-contract surface (a swallowed ImportError here would
 # make the driver report *nothing* for the lost queries instead of red).
-# Registration order drives the driver's correctness sample (it checks
-# a prefix of the registry). Round 1 verified the relational/text/dedup/
-# similarity/multimodal/scale/event block green; those now register
-# LAST so the rounds rotate verification onto the previously unsampled
-# queries (pipelines, TPC-H, sketches, streaming, ... first).
+# Module order is only a tiebreak now: SAMPLE_PRIORITY (above) pins
+# the driver's sample prefix explicitly; names not in that list follow
+# in registration order.
 QUERY_MODULES = (
     "pipeline_queries",
     "sql_tpch_suite",

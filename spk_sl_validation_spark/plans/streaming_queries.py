@@ -208,6 +208,35 @@ def streaming_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame
     return out.filter(F.col("click_ts") < bound)
 
 
+@register(
+    "streaming_user_activity",
+    doc=(
+        "custom stateful per-user activity stats (n_events, first/last event "
+        "time as epoch µs) on the Spark 4 transformWithState StatefulProcessor "
+        "API where its Python runner works, else the applyInPandasWithState "
+        "twin with the identical output contract; final state == batch GROUP BY"
+    ),
+    oracle="""
+SELECT user_id, COUNT(*) AS n_events,
+       epoch_us(MIN(ts)) AS first_us,
+       epoch_us(MAX(ts)) AS last_us
+FROM events
+GROUP BY user_id
+""",
+)
+def streaming_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = P.stream_events(spark, sf_dir)
+    out = P.run_available_now(P.user_activity(stream), output_mode="update")
+    # Update mode emits one row per user per micro-batch; keep the last
+    # (cumulative) row per user — n_events is monotone within a user.
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        out.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("user_id", "n_events", "first_us", "last_us")
+    )
+
+
 # The reference's signature operator (the guarded rule cascade, §2.8)
 # applied to a STREAM: one config drives the Spark streaming plan AND
 # the DuckDB oracle, and the cascade uses every guard flavor including

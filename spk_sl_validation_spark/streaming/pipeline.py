@@ -231,10 +231,12 @@ def user_activity_stats(events: DataFrame) -> DataFrame:
 
     Environment gate: the transformWithState Python runner needs a
     working ``google.protobuf`` — absent/broken in some containers
-    (including this repo's CI image), so this operator is exercised by
-    a skip-guarded test rather than a driver-contract query; the
-    applyInPandasWithState twin (running_user_totals) carries the
-    always-on oracle coverage.
+    (including this repo's CI image). The driver-contract query
+    ``streaming_user_activity`` dispatches through
+    :func:`user_activity` — this API when the runner works, else
+    :func:`user_activity_stats_fallback` (applyInPandasWithState,
+    identical output contract) — so the semantics are oracle-checked
+    in every environment; a skip-guarded test pins this API itself.
     """
     from pyspark.sql.streaming.stateful_processor import StatefulProcessor, StatefulProcessorHandle
 
@@ -284,3 +286,77 @@ def user_activity_stats(events: DataFrame) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+_ACTIVITY_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("first_us", T.LongType()),
+        T.StructField("last_us", T.LongType()),
+    ]
+)
+_ACTIVITY_STATE = T.StructType(
+    [
+        T.StructField("n", T.LongType()),
+        T.StructField("first_us", T.LongType()),
+        T.StructField("last_us", T.LongType()),
+    ]
+)
+
+
+def user_activity_stats_fallback(events: DataFrame) -> DataFrame:
+    """``applyInPandasWithState`` twin of :func:`user_activity_stats`
+    — byte-identical output contract (user_id, n_events, first_us,
+    last_us), same O(distinct users) state. Exists so the per-user
+    activity semantics stay driver-verifiable in environments where
+    the transformWithState Python runner is unavailable (it requires
+    google.protobuf)."""
+
+    def update(
+        key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state
+    ) -> Iterator[pd.DataFrame]:
+        n, first_us, last_us = state.get if state.exists else (0, None, None)
+        for pdf in pdfs:
+            us = pdf["ts"].astype("int64") // 1000  # ns → µs
+            n += len(pdf)
+            lo, hi = int(us.min()), int(us.max())
+            first_us = lo if first_us is None else min(first_us, lo)
+            last_us = hi if last_us is None else max(last_us, hi)
+        state.update((n, first_us, last_us))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "first_us": [first_us], "last_us": [last_us]}
+        )
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return events.select("user_id", "ts").groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=_ACTIVITY_SCHEMA,
+        stateStructType=_ACTIVITY_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def transform_with_state_available() -> bool:
+    """The transformWithState Python runner imports google.protobuf at
+    plan time; absent/broken protobuf means the operator cannot run."""
+    try:
+        import google.protobuf  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def user_activity(events: DataFrame) -> DataFrame:
+    """Per-user activity stats on the best available custom-stateful
+    API: ``transformWithStateInPandas`` (Spark 4 StatefulProcessor)
+    where its runner works, else the ``applyInPandasWithState`` twin
+    with identical semantics and schema. The driver-contract query
+    ``streaming_user_activity`` goes through this dispatcher so the
+    stateful surface is oracle-checked in every environment."""
+    if transform_with_state_available():
+        return user_activity_stats(events)
+    return user_activity_stats_fallback(events)

@@ -61,6 +61,35 @@ def test_lsh_finds_planted_near_dup(spark):
     assert all(p == (1, 2) for p in found)
 
 
+def test_lsh_hot_bucket_capped(spark):
+    """A mass-boilerplate corpus (10k byte-identical docs → ONE band
+    bucket per band) must complete with bounded per-bucket work: the
+    cap keeps each bucket's ``max_bucket_size`` smallest ids, so the
+    pair count is C(cap, 2) instead of C(10k, 2) ≈ 50M."""
+    n, cap = 10_000, 64
+    boiler = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.lit("standard header boilerplate license text all rights reserved").alias("text"),
+    )
+    pairs = D.lsh_candidate_pairs(boiler, "doc_id", max_bucket_size=cap)
+    rows = pairs.collect()
+    assert len(rows) == cap * (cap - 1) // 2
+    ids = {r.id_a for r in rows} | {r.id_b for r in rows}
+    assert ids == set(range(cap))  # deterministic: smallest ids kept
+    assert all(r.est_jaccard == 1.0 for r in rows)
+
+
+def test_lsh_cap_no_extra_shuffle(spark):
+    """The hot-bucket window shares the band-key exchange with the
+    bucket aggregate — capping must not add an Exchange."""
+    df = spark.createDataFrame([Row(doc_id=i, text=f"doc {i} words here and there") for i in range(5)])
+    capped = D.lsh_candidate_pairs(df, "doc_id")
+    uncapped = D.lsh_candidate_pairs(df, "doc_id", max_bucket_size=10**9)
+    plan_c = capped._jdf.queryExecution().executedPlan().toString()
+    plan_u = uncapped._jdf.queryExecution().executedPlan().toString()
+    assert plan_c.count("Exchange") == plan_u.count("Exchange")
+
+
 def test_simhash_identical_and_different(spark):
     df = spark.createDataFrame(
         [

@@ -186,3 +186,75 @@ def test_near_dup_dispatches_to_bucketed_above_cap(spark, sf_dir):
     got = {(r.id_a, r.id_b, round(r.cos_sim, 12)) for r in routed.collect()}
     want = {(r.id_a, r.id_b, round(r.cos_sim, 12)) for r in direct.collect()}
     assert got == want
+
+
+def test_multimodal_features_oracle_byte_true_on_non_ascii(spark, tmp_path):
+    """The features oracle must bin raw UTF-8 BYTES (high hex nibble),
+    not characters — a multi-byte document would silently diverge
+    under a char-based replay even though the ASCII testdata agrees."""
+    import duckdb
+    import pandas as pd
+
+    from spk_sl_validation_spark.plans.registry import REGISTRY, _ensure_loaded
+
+    _ensure_loaded()
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": ["plain ascii", "naïve café — übermäßig", "数据 テスト 데이터"],
+            "lang": ["en", "de", "zh"],
+            "source": ["t", "t", "t"],
+            "n_chars": [11, 22, 10],
+        }
+    )
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(docs).coalesce(1).write.parquet(f"{sf_dir}/__docs_tmp")
+    import glob
+    import shutil
+
+    shutil.move(glob.glob(f"{sf_dir}/__docs_tmp/part-*.parquet")[0], f"{sf_dir}/documents.parquet")
+
+    spec = REGISTRY["multimodal_features"]
+    spdf = spec.builder(spark, sf_dir).toPandas().sort_values("doc_id").reset_index(drop=True)
+
+    con = duckdb.connect()
+    con.register("documents", docs)
+    ddf = con.execute(spec.oracle).df().sort_values("doc_id").reset_index(drop=True)
+    assert list(spdf["features"]) == list(ddf["features"])
+
+
+def test_near_dup_bucketed_mega_bucket_escalation(spark):
+    """Degenerate all-similar corpus: every vector lands in ONE
+    (band, bucket) and more sign bits cannot split it — the block
+    decomposition must bound each verify task at ~2·cap rows while
+    keeping pair coverage exact (all C(n,2) pairs, cos_sim 1.0)."""
+    n, cap = 300, 50
+    emb = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[F.lit(v) for v in [1.0, 2.0, -0.5, 3.0, 0.25, -1.5, 2.5, 0.75]]).alias(
+            "embedding"
+        ),
+    )
+    out = S.near_dup_pairs_bucketed(emb, 0.99, bits=4, n_bands=2, max_bucket_rows=cap)
+    rows = out.collect()
+    assert len(rows) == n * (n - 1) // 2
+    assert all(abs(r.cos_sim - 1.0) < 1e-12 for r in rows)
+
+
+def test_near_dup_bucketed_escalation_value_identical(spark, sf_dir):
+    """Forcing heavy escalation (cap=8) on the real embeddings table
+    must produce the identical pair set and cos_sim values as the
+    unescalated path — block decomposition is exact, not approximate."""
+    from spk_sl_validation_spark.sources.readers import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = {
+        (r.id_a, r.id_b): r.cos_sim
+        for r in S.near_dup_pairs_bucketed(emb, 0.4).collect()
+    }
+    esc = {
+        (r.id_a, r.id_b): r.cos_sim
+        for r in S.near_dup_pairs_bucketed(emb, 0.4, max_bucket_rows=8).collect()
+    }
+    assert set(esc) == set(base)
+    assert all(abs(esc[p] - base[p]) < 1e-12 for p in esc)

@@ -187,3 +187,18 @@ def test_rules_from_config_matches_python_rules(spark):
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
     got = {r.id: r.c for r in a}
     assert got == {1: "small", 2: "mid", 3: "big", 4: "mid"}
+
+
+def test_compile_to_sql_size_guard():
+    """ALWAYS-heavy cascades double the flat-SQL fold text per rule
+    (worst case O(2^n)); the fold must refuse with a pointer to the
+    Column path instead of emitting a megabyte CASE string."""
+    import pytest
+
+    cond = " AND ".join(f"colx_{j} > {j}" for j in range(8))
+    rules = [
+        Rule(f"r{i}", F.lit(True), f"msg {i}", Guard.ALWAYS, condition_sql=f"({cond} OR coly = {i})")
+        for i in range(40)
+    ]
+    with pytest.raises(ValueError, match="compile_to_column"):
+        compile_to_sql(rules)

@@ -465,9 +465,12 @@ def test_derived_pipelines_no_sort_merge_join(spark, sf_dir):
 
 
 def test_near_dup_bucketed_plan_shape(spark, sf_dir):
-    """The banded near-dup plan must move data only via the (band,
-    bucket) shuffle + the pair-dedup aggregate — no broadcast of a
-    corpus matrix, no driver collect in the plan."""
+    """The banded near-dup plan must move vectors only via the (band,
+    bucket, block) shuffle + the pair-dedup aggregate. The mega-bucket
+    census adds one SKINNY shuffle (map-side partial count on (band,
+    bucket) — ≤ 2^bits·n_bands rows cross the wire) and one bounded
+    BroadcastExchange of that census; still no broadcast of a corpus
+    matrix, no SortMergeJoin, no driver collect in the plan."""
     import re
 
     from spk_sl_validation_spark.ext.similarity import near_dup_pairs_bucketed
@@ -476,6 +479,9 @@ def test_near_dup_bucketed_plan_shape(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     plan = near_dup_pairs_bucketed(emb, 0.4)._jdf.queryExecution().executedPlan().toString()
     n_shuffles = len(re.findall(r"Exchange (hash|range)partitioning", plan))
-    assert n_shuffles == 2, f"expected exactly 2 shuffles (bucket group + pair dedup): {n_shuffles}"
-    assert "BroadcastExchange" not in plan
+    assert n_shuffles == 3, (
+        f"expected exactly 3 shuffles (census partial-count + block group + pair dedup): "
+        f"{n_shuffles}"
+    )
+    assert plan.count("BroadcastExchange") == 1  # the census, never the vectors
     assert "SortMergeJoin" not in plan

@@ -84,3 +84,81 @@ def test_file_metadata_columns_expose_lineage(spark, sf_dir, tmp_path):
         by_file.setdefault(r.fp, []).append(r.ri)
     for idxs in by_file.values():
         assert sorted(idxs) == list(range(len(idxs)))
+
+
+def _write_events_parquet(path, unit: str, n: int = 3) -> None:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    table = pa.table(
+        {
+            "event_id": pa.array(range(n), type=pa.int64()),
+            "ts": pa.array(
+                [1_700_000_000_000_000_000 + i * 1_000_000_000 for i in range(n)],
+                type=pa.timestamp(unit),
+            ) if unit == "ns" else pa.array(
+                [1_700_000_000_000_000 + i * 1_000_000 for i in range(n)],
+                type=pa.timestamp(unit),
+            ),
+            "user_id": pa.array([7] * n, type=pa.int64()),
+            "event_type": pa.array(["click"] * n),
+            "value": pa.array([1.0] * n),
+            "props": pa.array(["{}"] * n),
+        }
+    )
+    pq.write_table(table, path)
+
+
+def test_nanos_probe_tracks_in_place_regeneration(tmp_path):
+    """The footer probe's cache is keyed on (path, mtime, size): a file
+    regenerated in place with the other timestamp unit must re-probe —
+    a stale NANOS verdict on a MICROS file would read timestamps 1000x
+    off; a stale MICROS verdict would crash the vectorized reader."""
+    from spk_sl_validation_spark.sources.readers import _events_ts_is_nanos
+
+    p = str(tmp_path / "events.parquet")
+    _write_events_parquet(p, "us", n=3)
+    assert _events_ts_is_nanos(p) is False
+    _write_events_parquet(p, "ns", n=4)  # different size → new cache key
+    assert _events_ts_is_nanos(p) is True
+
+
+def test_nanos_probe_failure_modes(tmp_path):
+    """Missing ``ts`` column → 'not nanos' (schema drift handled by the
+    declared-schema read downstream); an unreadable file must raise, not
+    silently default — a wrong guess trades a clear error here for a
+    confusing reader error later."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+
+    from spk_sl_validation_spark.sources.readers import _events_ts_is_nanos
+
+    no_ts = str(tmp_path / "no_ts.parquet")
+    pq.write_table(pa.table({"event_id": pa.array([1], type=pa.int64())}), no_ts)
+    assert _events_ts_is_nanos(no_ts) is False
+
+    garbage = tmp_path / "garbage.parquet"
+    garbage.write_bytes(b"this is not a parquet file")
+    with pytest.raises(Exception) as exc_info:
+        _events_ts_is_nanos(str(garbage))
+    assert not isinstance(exc_info.value, KeyError)
+
+
+def test_load_table_reads_nanos_events_correctly(spark, tmp_path):
+    """End-to-end: a NANOS events file loads through load_table with
+    ts truncated ns → µs (DuckDB-parity), same logical schema as a
+    MICROS file."""
+    from spk_sl_validation_spark import schemas
+    from spk_sl_validation_spark.sources.readers import load_table
+
+    sf_dir = str(tmp_path)
+    _write_events_parquet(f"{sf_dir}/events.parquet", "ns", n=3)
+    df = load_table(spark, sf_dir, "events")
+    assert [f.name for f in df.schema.fields] == [f.name for f in schemas.EVENTS.fields]
+    assert dict(df.dtypes)["ts"] == "timestamp"
+    rows = sorted(df.select("event_id", "ts").collect(), key=lambda r: r.event_id)
+    import datetime
+
+    expected0 = datetime.datetime.fromtimestamp(1_700_000_000, tz=datetime.timezone.utc)
+    assert rows[0].ts.replace(tzinfo=datetime.timezone.utc) == expected0

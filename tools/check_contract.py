@@ -59,6 +59,9 @@ def main() -> int:
     json_out = None
     if "--json" in args:
         i = args.index("--json")
+        if i + 1 >= len(args) or args[i + 1].startswith("--"):
+            print("usage: check_contract.py [--json OUT.json] [name ...]", file=sys.stderr)
+            return 2
         json_out = args[i + 1]
         args = args[:i] + args[i + 2:]
     only = set(args)
