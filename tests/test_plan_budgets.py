@@ -19,11 +19,16 @@ sys.path.insert(0, "/root/repo")
 from tools.dump_plans import plan_stats  # noqa: E402
 
 # name -> (max shuffle exchanges, max sort-merge joins)
+# pricing_summary / revenue_by_nation carry 2 exchanges by design:
+# exact_fixed_point_agg's level-2 merge shuffles only per-(group,
+# input-partition) partial rows — a few longs each — after the
+# row-level work completed map-side as long sums (1.3x the decimal
+# chain, corpus-size-safe; see operators/relational.py).
 BUDGETS = {
-    "pricing_summary": (1, 0),
+    "pricing_summary": (2, 0),
     "broadcast_enrich": (0, 0),
     "rule_cascade_comment": (0, 0),
-    "revenue_by_nation": (1, 0),
+    "revenue_by_nation": (2, 0),
     "text_quality": (0, 0),
     "text_repetition": (4, 0),
     "dedup_minhash_lsh": (3, 0),
