@@ -156,3 +156,52 @@ def rolling_fingerprints(df, id_col: str, text_col: str = "text", n: int = 3):
         .groupBy(id_col)
         .agg(F.min("h").alias("rolling_fp"))
     )
+
+
+def span_dedup(df, id_col: str = "doc_id", text_col: str = "text", span_w: int = 8):
+    """C4-style cross-document duplicated-span removal.
+
+    Splits each document into non-overlapping ``span_w``-word spans; a
+    span occurring in more than one document survives only in its
+    lowest-``id_col`` owner and is stripped everywhere else; documents
+    are reassembled in span order. Returns
+    ``(id, clean_text, n_spans_kept, n_spans_dropped)``.
+
+    Scale shape: narrow span build (one ``transform`` per row), then a
+    single window ``min(id) over (partition by span_hash)`` — "kept iff
+    this document is the span's lowest-id owner" already covers the
+    unique-span case (the only document IS the owner), so no separate
+    ownership aggregate, no self-join, and the corpus is scanned once
+    with exactly two exchanges end-to-end (span hash, then document
+    id). Window min streams within each sorted partition — bounded
+    memory even for a boilerplate span with millions of occurrences.
+    No driver state, no corpus-sized broadcast. Duplicate spans
+    *within* the owner document are kept — ownership is per-document,
+    not global uniqueness.
+    """
+    from pyspark.sql import Window
+
+    spans_per_doc = f"cast(greatest(ceil(size(__t) / {span_w}.0), 1) as int)"
+    t = df.select(F.col(id_col), ws_tokens(text_col).alias("__t"))
+    spans = t.select(
+        id_col,
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {spans_per_doc} - 1),"
+                f" i -> concat_ws(' ', slice(__t, i * {span_w} + 1, {span_w})))"
+            )
+        ).alias("span_idx", "span"),
+    )
+    hashed = spans.withColumn("h", md5_long("span"))
+    flagged = hashed.withColumn(
+        "kept", F.col(id_col) == F.min(id_col).over(Window.partitionBy("h"))
+    )
+    kept_struct = F.when(F.col("kept"), F.struct("span_idx", "span"))
+    return flagged.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(F.array_sort(F.collect_list(kept_struct)), lambda s: s["span"]),
+            " ",
+        ).alias("clean_text"),
+        F.count(F.when(F.col("kept"), 1)).alias("n_spans_kept"),
+        F.count(F.when(~F.col("kept"), 1)).alias("n_spans_dropped"),
+    )

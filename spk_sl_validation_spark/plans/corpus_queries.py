@@ -225,3 +225,69 @@ import dataclasses as _dc  # noqa: E402
 _REG["text_textrank_keywords"] = _dc.replace(
     _REG["text_textrank_keywords"], oracle=_tr_sql("documents", n_iter=3, top_k=20)
 )
+
+
+SPAN_W = 8  # words per non-overlapping span
+
+
+@register(
+    "corpus_span_dedup",
+    doc=(
+        f"C4-style cross-document span dedup: {SPAN_W}-word non-overlapping "
+        "spans, a span occurring in >1 document survives only in its "
+        "lowest-doc_id owner; documents are reassembled in span order with "
+        "kept/dropped counts. Narrow span build, ownership via a single "
+        "window min over the span hash (no self-join), one doc_id agg — "
+        "single corpus scan, two exchanges total"
+    ),
+    oracle=f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+spans AS (
+  SELECT doc_id, CAST(i AS INTEGER) AS span_idx,
+         array_to_string(list_slice(t, i * {SPAN_W} + 1, i * {SPAN_W} + {SPAN_W}), ' ') AS span
+  FROM toks, unnest(range(0, greatest(CAST(ceil(len(t) / {SPAN_W}.0) AS BIGINT), 1))) AS u(i)
+),
+hashed AS (
+  SELECT doc_id, span_idx, span,
+         CAST(('0x' || substr(md5(span), 1, 15)) AS BIGINT) AS h
+  FROM spans
+),
+flagged AS (
+  SELECT doc_id, span_idx, span,
+         (doc_id = min(doc_id) OVER (PARTITION BY h)) AS kept
+  FROM hashed
+)
+SELECT doc_id,
+       coalesce(string_agg(span, ' ' ORDER BY span_idx) FILTER (WHERE kept), '') AS clean_text,
+       count(*) FILTER (WHERE kept) AS n_spans_kept,
+       count(*) FILTER (WHERE NOT kept) AS n_spans_dropped
+FROM flagged GROUP BY doc_id
+""",
+)
+def corpus_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicated-span removal (C4/RefinedWeb move).
+
+    The reference has no corpus operators; this extends its dedup scope
+    (SURVEY.md SS2.6) to sub-document granularity: any 8-word span that
+    appears in more than one document is kept only in its first
+    (lowest doc_id) owner and stripped everywhere else, then each
+    document is stitched back together in span order.
+
+    Scale shape: the span build is a narrow per-row map (one
+    ``transform`` over token slices, ~n_words/8 spans per doc);
+    ownership is a single window ``min(doc_id) over (partition by
+    span_hash)`` — "kept iff this doc is the lowest-id owner" subsumes
+    the unique-span case, so there is no ownership aggregate and no
+    self-join: one corpus scan, two exchanges total (span hash, then
+    doc_id for reassembly). No collect, no broadcast of corpus-sized
+    state; window min streams within each sorted partition, so even a
+    boilerplate span with millions of occurrences stays bounded.
+
+    Duplicate spans *within* a single owner document are kept (the rule
+    is per-document ownership, not global uniqueness) — deterministic
+    and replayed identically by the oracle.
+    """
+    from spk_sl_validation_spark.ext.text import span_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    return span_dedup(docs, "doc_id", "text", SPAN_W)

@@ -69,6 +69,8 @@ SAMPLE_PRIORITY: tuple[str, ...] = (
     "events_json_extract",
     # -- new this round --
     "streaming_user_activity",
+    "corpus_span_dedup",
+    "k_anonymity",
     # -- judge-named never-sampled --
     "similarity_near_dup_bucketed",
     "training_corpus_pipeline",

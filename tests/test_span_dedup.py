@@ -1,0 +1,103 @@
+"""Semantic golden tests for ext.text.span_dedup (corpus_span_dedup).
+
+The registry-wide differential test (test_queries.py) already value-
+hashes the registered query against DuckDB at sf0.001; these tests pin
+the *semantics* on a hand-built corpus where the expected output is
+knowable by eye: ownership goes to the lowest doc id, unique content
+is untouched, reassembly preserves span order, and within-owner
+repeats survive.
+"""
+
+from __future__ import annotations
+
+from spk_sl_validation_spark.ext.text import span_dedup
+
+W = 2  # two-word spans keep the fixtures readable
+
+
+def _run(spark, rows):
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = span_dedup(df, "doc_id", "text", span_w=W)
+    return {r["doc_id"]: r for r in out.collect()}
+
+
+def test_shared_span_kept_only_in_lowest_doc(spark):
+    rows = [
+        (1, "alpha beta gamma delta"),  # spans: "alpha beta", "gamma delta"
+        (2, "alpha beta epsilon zeta"),  # shares "alpha beta" with doc 1
+    ]
+    got = _run(spark, rows)
+    assert got[1]["clean_text"] == "alpha beta gamma delta"
+    assert got[1]["n_spans_kept"] == 2 and got[1]["n_spans_dropped"] == 0
+    assert got[2]["clean_text"] == "epsilon zeta"
+    assert got[2]["n_spans_kept"] == 1 and got[2]["n_spans_dropped"] == 1
+
+
+def test_unique_corpus_roundtrips(spark):
+    rows = [(1, "a b c d"), (2, "e f g h"), (3, "i j")]
+    got = _run(spark, rows)
+    for doc_id, text in rows:
+        assert got[doc_id]["clean_text"] == text
+        assert got[doc_id]["n_spans_dropped"] == 0
+
+
+def test_reassembly_preserves_span_order(spark):
+    rows = [
+        (1, "one two three four five six"),
+        (2, "three four x y"),  # steals nothing; loses its copy of "three four"
+    ]
+    got = _run(spark, rows)
+    assert got[1]["clean_text"] == "one two three four five six"
+    assert got[2]["clean_text"] == "x y"
+
+
+def test_within_owner_repeat_survives(spark):
+    # "p q" appears twice in doc 1 (the owner) and once in doc 2: both
+    # owner copies stay, the foreign copy goes.
+    rows = [(1, "p q p q"), (2, "p q r s")]
+    got = _run(spark, rows)
+    assert got[1]["clean_text"] == "p q p q"
+    assert got[1]["n_spans_dropped"] == 0
+    assert got[2]["clean_text"] == "r s"
+
+
+def test_fully_duplicated_doc_empties(spark):
+    rows = [(1, "m n o p"), (2, "m n o p")]
+    got = _run(spark, rows)
+    assert got[1]["clean_text"] == "m n o p"
+    assert got[2]["clean_text"] == ""
+    assert got[2]["n_spans_kept"] == 0 and got[2]["n_spans_dropped"] == 2
+
+
+def test_short_doc_single_span(spark):
+    # Shorter than one span width: the whole doc is one span.
+    rows = [(1, "solo"), (2, "solo")]
+    got = _run(spark, rows)
+    assert got[1]["clean_text"] == "solo"
+    assert got[2]["clean_text"] == ""
+
+
+def test_span_dedup_plan_shape(spark, sf_dir):
+    """Single scan, two shuffle exchanges (span hash window, doc_id
+    reassembly), zero joins of any kind — the single-pass ownership
+    design. A third exchange or a join here means the window-min
+    formulation regressed to aggregate+self-join."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from tools.dump_plans import plan_stats
+
+    from spk_sl_validation_spark.plans.registry import REGISTRY, _ensure_loaded
+
+    _ensure_loaded()
+    df = REGISTRY["corpus_span_dedup"].builder(spark, sf_dir)
+    df.write.mode("overwrite").format("noop").save()
+    qe = df._jdf.queryExecution()
+    formatted = spark._jvm.PythonSQLUtils.explainString(qe, "formatted")
+    st = plan_stats(formatted)
+    assert st["shuffle_exchanges"] <= 2, st
+    assert st["sort_merge_joins"] == 0 and st["broadcast_hash_joins"] == 0, st
+    import re
+
+    n_scans = len(re.findall(r"\(\d+\) Scan parquet", formatted))
+    assert n_scans == 1, f"corpus scanned {n_scans}x — subtree no longer shared"
