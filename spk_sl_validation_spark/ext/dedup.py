@@ -119,6 +119,48 @@ def with_minhash_signature(
 MAX_BUCKET_SIZE = 256
 
 
+def capped_band_rows(
+    sig_df: DataFrame,
+    id_col: str,
+    rows_per_band: int,
+    bands: int,
+    max_bucket_size: int = MAX_BUCKET_SIZE,
+    carry: tuple[str, ...] = (),
+) -> DataFrame:
+    """(id, band, h0..h{r-1}, *carry): one row per (doc, band), each
+    (band, band-hashes) bucket capped to its ``max_bucket_size``
+    smallest ids via row_number BEFORE any downstream expansion.
+
+    Shared by symmetric candidate generation (:func:`lsh_candidate_pairs`)
+    and asymmetric batch-vs-index lookup (:func:`dedup_incremental`) so
+    the hot-bucket rule — and therefore the oracle replay
+    (dedup_shared.capped_bands_cte) — is defined exactly once. The
+    window and every consumer group/join on the same bucket key, so
+    the cap costs a sort inside the exchange consumers need anyway.
+    """
+    from pyspark.sql import Window
+
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                *[F.col("sig")[b * rows_per_band + r].alias(f"h{r}") for r in range(rows_per_band)],
+            )
+            for b in range(bands)
+        ]
+    )
+    hcols = [f"h{r}" for r in range(rows_per_band)]
+    exploded = sig_df.select(id_col, "sig", F.explode(band_structs).alias("bk")).select(
+        id_col, *carry, "bk.band", *[F.col(f"bk.{h}").alias(h) for h in hcols]
+    )
+    w = Window.partitionBy("band", *hcols).orderBy(id_col)
+    return (
+        exploded.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= max_bucket_size)
+        .drop("__rn")
+    )
+
+
 def lsh_candidate_pairs(
     df: DataFrame,
     id_col: str,
@@ -168,26 +210,9 @@ def lsh_candidate_pairs(
     # window and the aggregate share the same partitioning key, so
     # the cap costs a sort inside the existing exchange, not a new
     # shuffle.
-    from pyspark.sql import Window
-
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                *[F.col("sig")[b * rows_per_band + r].alias(f"h{r}") for r in range(rows_per_band)],
-            )
-            for b in range(bands)
-        ]
-    )
     hcols = [f"h{r}" for r in range(rows_per_band)]
-    exploded = sig_df.select(id_col, "sig", F.explode(band_structs).alias("bk")).select(
-        id_col, "sig", "bk.band", *[F.col(f"bk.{h}").alias(h) for h in hcols]
-    )
-    w = Window.partitionBy("band", *hcols).orderBy(id_col)
-    capped = (
-        exploded.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= max_bucket_size)
-        .drop("__rn")
+    capped = capped_band_rows(
+        sig_df, id_col, rows_per_band, bands, max_bucket_size, carry=("sig",)
     )
     buckets = (
         capped.groupBy("band", *hcols)
@@ -524,4 +549,98 @@ def ngram_jaccard_pairs(
         .join(F.broadcast(sb), "id_b")
         .select("id_a", "id_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def dedup_incremental(
+    df: DataFrame,
+    is_new: Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 12,
+    bands: int = 6,
+    shingle_n: int = 3,
+    jaccard_threshold: float = 0.8,
+    max_bucket_size: int = MAX_BUCKET_SIZE,
+) -> DataFrame:
+    """Incremental dedup: flag each NEW document against the existing
+    index — the shape a production corpus pipeline actually runs when
+    a fresh crawl shard arrives (dedup the delta against the corpus,
+    not the corpus against itself).
+
+    A new document (rows where ``is_new``) is dropped iff
+    - its normalized-text fingerprint matches any INDEX document
+      (``reason = 'exact_dup'``), else
+    - it shares a capped LSH band bucket with an index document and
+      the exact n-gram Jaccard of that pair is >= ``jaccard_threshold``
+      (``reason = 'near_dup'``); otherwise it is kept
+      (``reason = 'unique'``). Duplicates *within* the new batch are
+      deliberately out of scope — run :func:`dedup_corpus` on the
+      batch for that; composing both gives full-corpus semantics.
+
+    Scale shape: this is the asymmetric version of
+    :func:`lsh_candidate_pairs` — band rows for batch and index join
+    directly on the bucket key (new side vs index side), so candidate
+    generation never expands index-index pairs. At 100 TB the index
+    band table is a precomputed artifact (bucketed by band key) and
+    only the delta's signatures are computed fresh; per-bucket
+    expansion stays bounded by the shared hot-bucket cap
+    (:func:`capped_band_rows`, cap applied over batch+index together —
+    the same deterministic rule the oracle replays). Verification
+    touches only cross pairs.
+    """
+    assert num_hashes % bands == 0
+    rows_per_band = num_hashes // bands
+    tagged = df.withColumn("__new", is_new)
+
+    # -- exact stage: one fingerprint groupBy-free semi join ----------
+    fp = tagged.select(id_col, "__new", md5_fingerprint(text_col).alias("fp"))
+    idx_fp = fp.filter(~F.col("__new")).select("fp").distinct()
+    exact_hits = (
+        fp.filter(F.col("__new")).join(idx_fp, "fp", "left_semi").select(id_col)
+    )
+
+    # -- near stage: asymmetric capped-bucket join --------------------
+    sig_df = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
+    new_flags = tagged.select(id_col, "__new")
+    capped = capped_band_rows(
+        sig_df, id_col, rows_per_band, bands, max_bucket_size
+    ).join(new_flags, id_col)
+    hcols = [f"h{r}" for r in range(rows_per_band)]
+    lhs = capped.filter(F.col("__new")).select(F.col(id_col).alias("__nid"), "band", *hcols)
+    rhs = capped.filter(~F.col("__new")).select(F.col(id_col).alias("__iid"), "band", *hcols)
+    # cand feeds both the verify stage and the final semi join; without
+    # materialization the banding subtree runs twice (same trade as
+    # dedup_corpus — candidates ≪ corpus, three longs per row).
+    cand = (
+        lhs.join(rhs, ["band", *hcols])
+        .select(
+            F.least("__nid", "__iid").alias("id_a"),
+            F.greatest("__nid", "__iid").alias("id_b"),
+            F.col("__nid").alias("new_id"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    verified = ngram_jaccard_for_pairs(
+        df, cand.select("id_a", "id_b"), id_col, text_col, shingle_n
+    ).filter(F.col("jaccard") >= jaccard_threshold)
+    near_hits = (
+        cand.join(verified, ["id_a", "id_b"], "left_semi").select(F.col("new_id").alias(id_col)).distinct()
+    )
+
+    new_docs = tagged.filter(F.col("__new")).select(id_col)
+    out = (
+        new_docs.join(exact_hits.withColumn("__e", F.lit(True)), id_col, "left")
+        .join(near_hits.withColumn("__n", F.lit(True)), id_col, "left")
+    )
+    reason = (
+        F.when(F.col("__e"), F.lit("exact_dup"))
+        .when(F.col("__n"), F.lit("near_dup"))
+        .otherwise(F.lit("unique"))
+    )
+    return out.select(
+        id_col,
+        (F.col("__e").isNull() & F.col("__n").isNull()).alias("keep"),
+        reason.alias("reason"),
     )

@@ -582,3 +582,85 @@ SELECT h.key, h.bloom_hit,
        (h.bloom_hit AND NOT coalesce(a.act, FALSE)) AS false_positive
 FROM hits h LEFT JOIN actual a ON h.key = a.key
 """
+
+
+# ---------------------------------------------------------------------------
+# Bottom-k uniform-sample quantiles (mergeable)
+# ---------------------------------------------------------------------------
+
+def bottomk_sample_quantiles(
+    df: DataFrame,
+    value_col: str,
+    key_col: str,
+    k: int = 1024,
+    ps: tuple[float, ...] = (0.5, 0.9, 0.99),
+) -> DataFrame:
+    """Approximate quantiles from a bottom-k-by-hash uniform row sample
+    — the mergeable-quantile member of the sketch family.
+
+    The sketch is the ``k`` rows whose 60-bit key hash is smallest: a
+    deterministic uniform sample without replacement (the hash imposes
+    a random-but-fixed total order on rows). Like KMV, it merges by
+    "union partials, keep the k smallest hashes" — so per-partition
+    partials combine associatively and a streaming twin is the same
+    aggregation. Quantile estimates are exact interpolated percentiles
+    *within* the sample; standard error ~ sqrt(p(1-p)/k).
+
+    Scale shape: ``orderBy(h).limit(k)`` compiles to TakeOrdered —
+    per-partition bottom-k then one k-row merge; no full sort, no full
+    shuffle, driver traffic O(k). The exact column (for error
+    comparison, same pattern as :func:`kmv_jaccard`) is one
+    ObjectHashAggregate pass.
+    """
+    h = md5_long(F.col(key_col).cast("string"))
+    sample = (
+        df.select(
+            F.col(value_col).cast("double").alias("v"),
+            h.alias("h"),
+            F.col(key_col).alias("key"),
+        )
+        .orderBy("h", "key")
+        .limit(k)
+    )
+    est = sample.agg(
+        F.count(F.lit(1)).alias("k"),
+        *[F.percentile(F.col("v"), F.lit(p)).alias(f"est_p{int(p * 100)}") for p in ps],
+    )
+    exact = df.agg(
+        *[
+            F.percentile(F.col(value_col).cast("double"), F.lit(p)).alias(
+                f"exact_p{int(p * 100)}"
+            )
+            for p in ps
+        ]
+    )
+    return est.crossJoin(exact)
+
+
+def bottomk_sample_quantiles_sql(
+    table: str,
+    value_col: str,
+    key_col: str,
+    k: int = 1024,
+    ps: tuple[float, ...] = (0.5, 0.9, 0.99),
+) -> str:
+    """DuckDB twin of :func:`bottomk_sample_quantiles` (QUALIFY replays
+    the deterministic bottom-k rule; quantile_cont == Spark percentile)."""
+    hsql = md5_long_sql(f"CAST({key_col} AS VARCHAR)")
+    est_cols = ", ".join(
+        f"quantile_cont(v, {p}) AS est_p{int(p * 100)}" for p in ps
+    )
+    exact_cols = ", ".join(
+        f"quantile_cont(CAST({value_col} AS DOUBLE), {p}) AS exact_p{int(p * 100)}"
+        for p in ps
+    )
+    return f"""
+WITH s AS (
+  SELECT CAST({value_col} AS DOUBLE) AS v
+  FROM (SELECT {value_col}, {hsql} AS h, {key_col} FROM {table})
+  QUALIFY row_number() OVER (ORDER BY h, {key_col}) <= {k}
+),
+est AS (SELECT count(*) AS k, {est_cols} FROM s),
+ex AS (SELECT {exact_cols} FROM {table})
+SELECT est.*, ex.* FROM est CROSS JOIN ex
+"""

@@ -291,3 +291,86 @@ def corpus_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return span_dedup(docs, "doc_id", "text", SPAN_W)
+
+
+OVERLAP_N = 8  # shingle width for cross-source containment
+
+
+@register(
+    "corpus_source_overlap",
+    doc=(
+        f"corpus governance: cross-source content overlap matrix — distinct "
+        f"shared {OVERLAP_N}-gram count and Jaccard per source pair (which "
+        "sources copy from each other / share boilerplate). Distinct (source, "
+        "gram-hash) rows, hash-keyed self-join, per-pair aggregate"
+    ),
+    oracle=f"""
+WITH g AS (
+  SELECT DISTINCT source,
+         CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) AS h
+  FROM (
+    SELECT source,
+           unnest(list_transform(range(1, greatest(len(t) - {OVERLAP_N - 1}, 1) + 1),
+                  i -> array_to_string(list_slice(t, i, i + {OVERLAP_N - 1}), ' '))) AS s
+    FROM (SELECT source, {_TOKS} AS t FROM documents)
+  )
+),
+tot AS (SELECT source, count(*) AS n FROM g GROUP BY source),
+shared AS (
+  SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_shared
+  FROM g a JOIN g b ON a.h = b.h AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT s.source_a, s.source_b, s.n_shared,
+       CAST(s.n_shared AS DOUBLE) / CAST(ta.n + tb.n - s.n_shared AS DOUBLE) AS jaccard
+FROM shared s
+JOIN tot ta ON ta.source = s.source_a
+JOIN tot tb ON tb.source = s.source_b
+""",
+)
+def corpus_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which sources share content — the corpus-governance view that
+    decides per-source dedup priority and mixture down-weighting
+    (mirror sites, syndicated feeds, license boilerplate).
+
+    Scale shape: the gram build is a narrow per-row map; distinct
+    (source, gram-hash) collapses each source's shingle multiset
+    before anything wide happens (one shuffle on the pair); the
+    self-join is keyed on the 60-bit hash — uniformly distributed —
+    and the per-source totals are a tiny broadcast. The matrix itself
+    is at most |sources|² rows.
+    """
+    from spk_sl_validation_spark.ext.hashing import md5_long, word_shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    # word_shingles consumes a token-array column — pre-tokenize first
+    grams = (
+        docs.select("source", ws_tokens("text").alias("t"))
+        .select("source", F.explode(word_shingles("t", OVERLAP_N)).alias("s"))
+        .select("source", md5_long("s").alias("h"))
+        .distinct()
+    )
+    tot = grams.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    a = grams.select(F.col("source").alias("source_a"), "h")
+    b = grams.select(F.col("source").alias("source_b"), "h")
+    shared = (
+        a.join(b, "h")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    ta = F.broadcast(tot.select(F.col("source").alias("source_a"), F.col("n").alias("__na")))
+    tb = F.broadcast(tot.select(F.col("source").alias("source_b"), F.col("n").alias("__nb")))
+    return (
+        shared.join(ta, "source_a")
+        .join(tb, "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared",
+            (
+                F.col("n_shared").cast("double")
+                / (F.col("__na") + F.col("__nb") - F.col("n_shared")).cast("double")
+            ).alias("jaccard"),
+        )
+    )

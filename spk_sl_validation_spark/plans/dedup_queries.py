@@ -268,3 +268,68 @@ def decontaminate_benchmark(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench = docs.filter(F.col("doc_id") % 97 == 0)
     train = docs.filter(F.col("doc_id") % 97 != 0)
     return benchmark_overlap(train, bench, "doc_id", "text", n=8)
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup (delta vs corpus index)
+# ---------------------------------------------------------------------------
+
+def _dedup_incremental_oracle() -> str:
+    return rf"""
+WITH {_verified_pairs_ctes()},
+fp AS (
+  SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+  FROM documents
+),
+exact_hit AS (
+  SELECT DISTINCT n.doc_id
+  FROM fp n JOIN fp i ON n.fp = i.fp AND i.doc_id % 5 <> 0
+  WHERE n.doc_id % 5 = 0
+),
+near_hit AS (
+  SELECT DISTINCT CASE WHEN id_a % 5 = 0 THEN id_a ELSE id_b END AS doc_id
+  FROM verified
+  WHERE (id_a % 5 = 0) <> (id_b % 5 = 0)
+)
+SELECT d.doc_id,
+       (e.doc_id IS NULL AND h.doc_id IS NULL) AS keep,
+       CASE WHEN e.doc_id IS NOT NULL THEN 'exact_dup'
+            WHEN h.doc_id IS NOT NULL THEN 'near_dup'
+            ELSE 'unique' END AS reason
+FROM documents d
+LEFT JOIN exact_hit e ON e.doc_id = d.doc_id
+LEFT JOIN near_hit h ON h.doc_id = d.doc_id
+WHERE d.doc_id % 5 = 0
+"""
+
+
+@register(
+    "dedup_incremental",
+    doc=(
+        "incremental dedup: every 5th doc plays the fresh crawl batch, the rest "
+        "the corpus index; batch docs are flagged exact_dup (fingerprint in "
+        "index) / near_dup (capped-LSH candidate vs index, exact Jaccard "
+        f">= {JACCARD_TAU}) / unique — asymmetric band join, index-index pairs "
+        "never expand"
+    ),
+    oracle=None,
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyspark.sql.functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    return D.dedup_incremental(
+        docs,
+        is_new=F.col("doc_id") % 5 == 0,
+        id_col="doc_id",
+        text_col="text",
+        num_hashes=NUM_HASHES,
+        bands=BANDS,
+        shingle_n=3,
+        jaccard_threshold=JACCARD_TAU,
+    )
+
+
+_REG["dedup_incremental"] = _dc.replace(
+    _REG["dedup_incremental"], oracle=_dedup_incremental_oracle()
+)

@@ -107,3 +107,53 @@ def range_join_clicks_before_purchase(spark: SparkSession, sf_dir: str) -> DataF
         left_ts="ts", right_ts="ts", lookback_sec=3600,
     )
     return out.select("event_id", "user_id", "n_in_window")
+
+
+DEBOUNCE_GAP_HOURS = 6
+
+
+@register(
+    "events_debounce",
+    doc=(
+        f"time-window dedup (debounce): an event survives iff >= "
+        f"{DEBOUNCE_GAP_HOURS} h passed since the previous event of the same "
+        "(user, type) — telemetry retry/duplicate-burst suppression. One lag "
+        "window, one shuffle; lag-based (the timer resets on every event, "
+        "kept or not), so the rule stays a single window pass"
+    ),
+    oracle=f"""
+SELECT event_id, user_id, event_type, ts
+FROM (
+  SELECT event_id, user_id, event_type, ts,
+         lag(ts) OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS prev_ts
+  FROM events
+)
+WHERE prev_ts IS NULL OR ts - prev_ts >= INTERVAL {DEBOUNCE_GAP_HOURS} HOUR
+""",
+)
+def events_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burst suppression for event streams: duplicate submissions,
+    retry storms, and double-fires land within minutes of the
+    original — keep an event only when the immediately preceding
+    event of the same (user, type) is at least the gap older.
+
+    Lag-based semantics (not cascade-debounce): the comparison is
+    always against the previous RAW event, so the operator is one
+    window function — single shuffle on the partition key, streaming
+    frame, no state beyond one row. The cascade variant (timer resets
+    only on kept events) is a running fixpoint — that shape lives in
+    sessionize_events / streaming_sessionize.
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    return (
+        ev.withColumn("__prev", prev)
+        .filter(
+            F.col("__prev").isNull()
+            | (F.col("ts") >= F.col("__prev") + F.expr(f"INTERVAL {DEBOUNCE_GAP_HOURS} HOUR"))
+        )
+        .select("event_id", "user_id", "event_type", "ts")
+    )

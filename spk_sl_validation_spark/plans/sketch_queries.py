@@ -159,3 +159,21 @@ def streaming_cms_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("exact_n"))
     )
     return SK.cms_estimate_from_counters(counters, exact, CMS_DEPTH, CMS_WIDTH)
+
+
+QUANTILE_K = 1024
+
+
+@register(
+    "sketch_quantile_sample",
+    doc=(
+        f"mergeable quantile sketch: bottom-{QUANTILE_K}-by-hash uniform row "
+        "sample (KMV-style, merge = keep k smallest hashes), exact interpolated "
+        "p50/p90/p99 within the sample vs the true percentiles alongside. "
+        "TakeOrdered — per-partition bottom-k + one k-row merge, no full sort"
+    ),
+    oracle=SK.bottomk_sample_quantiles_sql("events", "value", "event_id", 1024),
+)
+def sketch_quantile_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return SK.bottomk_sample_quantiles(events, "value", "event_id", QUANTILE_K)

@@ -82,3 +82,38 @@ def test_kmv_jaccard_within_bounds(spark, sf_dir):
     assert abs(row.jaccard_est - row.jaccard_exact) < 0.2
     assert row.union_ndv_est > 0
     assert abs(row.union_ndv_est / row.union_ndv_exact - 1) < 0.5
+
+
+def test_bottomk_quantile_sample_mergeable(spark, sf_dir):
+    """The sketch's merge law: bottom-k of (bottom-k(A) ∪ bottom-k(B))
+    == bottom-k(A ∪ B) — partials from disjoint partitions combine
+    into exactly the global sketch."""
+    from spk_sl_validation_spark.ext.hashing import md5_long
+    from spk_sl_validation_spark.ext.sketches import bottomk_sample_quantiles
+
+    ev = load_table(spark, sf_dir, "events")
+    k = 64
+    h = md5_long(F.col("event_id").cast("string"))
+    hashed = ev.select("event_id", h.alias("h"))
+    a = hashed.filter(F.col("event_id") % 2 == 0).orderBy("h", "event_id").limit(k)
+    b = hashed.filter(F.col("event_id") % 2 == 1).orderBy("h", "event_id").limit(k)
+    merged = a.unionByName(b).orderBy("h", "event_id").limit(k)
+    direct = hashed.orderBy("h", "event_id").limit(k)
+    assert sorted(r["event_id"] for r in merged.collect()) == sorted(
+        r["event_id"] for r in direct.collect()
+    )
+
+
+def test_bottomk_quantile_estimates_near_exact(spark, sf_dir):
+    """With k=1024 the p50/p90 estimates must land within a few
+    percentage points of the true quantile rank (binomial bound)."""
+    from spk_sl_validation_spark.ext.sketches import bottomk_sample_quantiles
+
+    ev = load_table(spark, sf_dir, "events")
+    row = bottomk_sample_quantiles(ev, "value", "event_id", 1024).collect()[0]
+    n = ev.count()
+    for p in (50, 90):
+        est, exact = row[f"est_p{p}"], row[f"exact_p{p}"]
+        # rank of the estimate in the full distribution ≈ p ± 5pp
+        rank = ev.filter(F.col("value").cast("double") <= est).count() / n
+        assert abs(rank - p / 100) < 0.06, (p, est, exact, rank)
