@@ -169,8 +169,18 @@ def lsh_candidate_pairs(
     bands: int = 6,
     shingle_n: int = 3,
     max_bucket_size: int = MAX_BUCKET_SIZE,
+    with_estimate: bool = True,
 ) -> DataFrame:
     """MinHash-LSH candidate pairs: (id_a, id_b, est_jaccard).
+
+    ``with_estimate=False`` drops est_jaccard and, more importantly,
+    stops carrying the signature arrays through banding: buckets
+    collect bare ids (8 bytes/member instead of ~104) and the
+    pair-distinct shuffles two longs per row instead of two longs plus
+    two signatures. Callers that re-verify candidates with exact
+    Jaccard anyway (:func:`dedup_corpus`, :func:`dedup_clusters`)
+    never read the estimate — the id-only path is identical output
+    minus the column.
 
     Signature → split into ``bands`` bands of ``num_hashes/bands``
     rows → self-join on (band index, band hashes) → distinct pairs,
@@ -211,6 +221,25 @@ def lsh_candidate_pairs(
     # the cap costs a sort inside the existing exchange, not a new
     # shuffle.
     hcols = [f"h{r}" for r in range(rows_per_band)]
+    if not with_estimate:
+        capped = capped_band_rows(sig_df, id_col, rows_per_band, bands, max_bucket_size)
+        buckets = (
+            capped.groupBy("band", *hcols)
+            .agg(F.collect_list(F.col(id_col)).alias("members"))
+            .filter(F.size("members") > 1)
+        )
+        # ids within a bucket are distinct, so j > i suffices.
+        pair_expr = F.expr(
+            "flatten(transform(members, (m1, i) -> "
+            "filter(transform(members, (m2, j) -> "
+            "IF(j > i, struct(least(m1, m2) AS a, greatest(m1, m2) AS b), NULL)), "
+            "p -> p IS NOT NULL)))"
+        )
+        return (
+            buckets.select(F.explode(pair_expr).alias("p"))
+            .select(F.col("p.a").alias("id_a"), F.col("p.b").alias("id_b"))
+            .distinct()
+        )
     capped = capped_band_rows(
         sig_df, id_col, rows_per_band, bands, max_bucket_size, carry=("sig",)
     )
@@ -323,8 +352,8 @@ def dedup_corpus(
     # At 100 TB the same holds: candidates ≪ corpus, so materializing
     # them is the cheap side of the trade.
     candidates = lsh_candidate_pairs(
-        df, id_col, text_col, num_hashes, bands, shingle_n
-    ).select("id_a", "id_b").localCheckpoint(eager=True)
+        df, id_col, text_col, num_hashes, bands, shingle_n, with_estimate=False
+    ).localCheckpoint(eager=True)
     verified = ngram_jaccard_for_pairs(df, candidates, id_col, text_col, shingle_n).filter(
         F.col("jaccard") >= jaccard_threshold
     )
@@ -367,8 +396,8 @@ def dedup_clusters(
     # symmetric edges come from ONE explode over verified rather than a
     # self-union, so the verify subtree appears once in the plan.
     candidates = lsh_candidate_pairs(
-        df, id_col, text_col, num_hashes, bands, shingle_n
-    ).select("id_a", "id_b").localCheckpoint(eager=True)
+        df, id_col, text_col, num_hashes, bands, shingle_n, with_estimate=False
+    ).localCheckpoint(eager=True)
     verified = ngram_jaccard_for_pairs(df, candidates, id_col, text_col, shingle_n).filter(
         F.col("jaccard") >= jaccard_threshold
     )

@@ -101,3 +101,27 @@ def test_span_dedup_plan_shape(spark, sf_dir):
 
     n_scans = len(re.findall(r"\(\d+\) Scan parquet", formatted))
     assert n_scans == 1, f"corpus scanned {n_scans}x — subtree no longer shared"
+
+
+def test_span_dedup_boilerplate_bounded(spark):
+    """A mega-hot span (the same license header in 20k documents) must
+    complete with bounded task state: the window min streams within the
+    sorted bucket instead of collecting members. Also pins the
+    semantics at volume — exactly one owner keeps the span."""
+    n = 20_000
+    df = spark.range(n).selectExpr(
+        "id AS doc_id",
+        # shared 2-word boilerplate + a unique tail word per doc
+        "concat('shared header unique', id, ' tail', id) AS text",
+    )
+    from spk_sl_validation_spark.ext.text import span_dedup
+
+    out = span_dedup(df, "doc_id", "text", span_w=2)
+    agg = out.selectExpr(
+        "sum(n_spans_dropped) AS dropped",
+        "sum(n_spans_kept) AS kept",
+    ).collect()[0]
+    # every doc has 2 spans ("shared header", "uniqueN tailN"); the
+    # boilerplate span survives only in doc 0.
+    assert agg["dropped"] == n - 1
+    assert agg["kept"] == n + 1
