@@ -125,3 +125,41 @@ def test_span_dedup_boilerplate_bounded(spark):
     # boilerplate span survives only in doc 0.
     assert agg["dropped"] == n - 1
     assert agg["kept"] == n + 1
+
+
+# ---------------------------------------------------------------------------
+# Property-based invariants (hypothesis)
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_word = st.sampled_from(["a", "b", "c", "dd", "ee", "ff"])
+_doc = st.lists(_word, min_size=1, max_size=12).map(" ".join)
+_corpus = st.lists(_doc, min_size=1, max_size=8)
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(texts=_corpus)
+def test_span_dedup_invariants(spark, texts):
+    """For ANY corpus: (1) span counts add up to the doc's span total;
+    (2) clean_text is the in-order concatenation of a subset of the
+    doc's spans; (3) the lowest-id doc containing a given span never
+    drops it; (4) every doc is present in the output exactly once."""
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in span_dedup(df, "doc_id", "text", span_w=W).collect()}
+
+    assert sorted(out) == list(range(len(texts)))  # (4)
+    for i, t in rows:
+        toks = t.split(" ")
+        spans = [" ".join(toks[j : j + W]) for j in range(0, len(toks), W)]
+        r = out[i]
+        assert r["n_spans_kept"] + r["n_spans_dropped"] == len(spans)  # (1)
+        owner = {}
+        for j, (_, t2) in enumerate(rows):
+            toks2 = t2.split(" ")
+            for s in {" ".join(toks2[j2 : j2 + W]) for j2 in range(0, len(toks2), W)}:
+                owner.setdefault(s, j)
+        expect = [s for s in spans if owner[s] == i]
+        assert r["clean_text"] == " ".join(expect)  # (2) + (3)
