@@ -1,0 +1,126 @@
+"""Scale probe: run the heavy corpus operators on a synthesized corpus
+hundreds of times larger than sf0.1 and record wall clock + throughput.
+
+The sf tests prove CORRECTNESS; this probe provides measured evidence
+for the SCALE story — that the dedup/span operators complete with
+bounded memory and near-linear cost when the corpus is 2–3 orders of
+magnitude past the bench scale, on the same local[32] profile. Results
+are recorded in SCALE.md §"Measured scale probe".
+
+Synthesized corpus (deterministic, seedless — pure id arithmetic):
+- ~55 words/doc drawn from a small vocabulary by affine hashing;
+- 10% of docs are EXACT duplicates of a base doc (id - id%7 when
+  id%7 aints to a dup slot);
+- 5% are NEAR duplicates (base text + a unique tail);
+- every doc shares one corpus-wide boilerplate span (hot-bucket /
+  hot-span pressure on LSH banding and span ownership).
+
+Usage:  python tools/scale_probe.py [--docs 2000000] [--ops span,pipeline,incremental]
+Prints one JSON line per op: {"op", "docs", "wall_sec", "docs_per_sec"}.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+
+def synth_docs(spark, n: int):
+    """(doc_id, text): deterministic corpus with dup structure."""
+    from pyspark.sql import functions as F
+
+    base = spark.range(n).withColumnRenamed("id", "doc_id")
+    # 40 payload words from a 4096-word hashed vocabulary + shared header
+    words = F.concat_ws(
+        " ",
+        *[
+            F.concat(
+                F.lit("w"),
+                ((F.col("doc_id") * (2 * i + 1) + i * i) % 4096).cast("string"),
+            )
+            for i in range(40)
+        ],
+    )
+    body = F.concat(F.lit("corpus shared header boilerplate span marker "), words)
+    is_exact_dup = (F.col("doc_id") % 10 == 9) & (F.col("doc_id") % 7 != 0)
+    is_near_dup = F.col("doc_id") % 20 == 10
+    base_id = F.col("doc_id") - (F.col("doc_id") % 7)
+    base_words = F.concat_ws(
+        " ",
+        *[
+            F.concat(
+                F.lit("w"),
+                ((base_id * (2 * i + 1) + i * i) % 4096).cast("string"),
+            )
+            for i in range(40)
+        ],
+    )
+    base_body = F.concat(F.lit("corpus shared header boilerplate span marker "), base_words)
+    text = (
+        F.when(is_exact_dup, base_body)
+        .when(is_near_dup, F.concat(base_body, F.lit(" tail"), F.col("doc_id").cast("string")))
+        .otherwise(body)
+    )
+    return base.select("doc_id", text.alias("text"))
+
+
+def run(op: str, docs, n: int) -> dict:
+    from pyspark.sql import functions as F
+
+    from spk_sl_validation_spark.ext.dedup import dedup_corpus, dedup_incremental
+    from spk_sl_validation_spark.ext.text import span_dedup
+
+    t0 = time.time()
+    if op == "span":
+        out = span_dedup(docs, "doc_id", "text", 8)
+    elif op == "pipeline":
+        out = dedup_corpus(docs, "doc_id", "text")
+    elif op == "pipeline_exact_first":
+        out = dedup_corpus(docs, "doc_id", "text", exact_first=True)
+    elif op == "incremental":
+        out = dedup_incremental(docs, is_new=F.col("doc_id") % 5 == 0)
+    else:
+        raise SystemExit(f"unknown op {op!r}")
+    out.write.mode("overwrite").format("noop").save()
+    wall = time.time() - t0
+    return {"op": op, "docs": n, "wall_sec": round(wall, 1), "docs_per_sec": int(n / wall)}
+
+
+def main() -> None:
+    n = 2_000_000
+    ops = ["span", "pipeline", "incremental"]
+    args = sys.argv[1:]
+    for i, a in enumerate(args):
+        if a == "--docs" and i + 1 < len(args):
+            n = int(args[i + 1])
+        if a == "--ops" and i + 1 < len(args):
+            ops = args[i + 1].split(",")
+
+    import os
+
+    # Size the local profile for a 100–400× bench corpus the same way
+    # SCALE.md §1 sizes a cluster: enough heap for 32 concurrent tasks
+    # (this box has 128 GiB; the default 16 g is bench-scale) and
+    # enough shuffle partitions that per-task sort/agg state stays
+    # small — AQE coalesces the excess.
+    os.environ.setdefault("SPARK_DRIVER_MEMORY", "64g")
+    from spk_sl_validation_spark.session import build_session
+
+    spark = build_session(
+        app_name="scale-probe",
+        extra_conf={"spark.sql.shuffle.partitions": "256"},
+    )
+    docs = synth_docs(spark, n)
+    # Materialize the corpus once so every op measures ITS cost, not
+    # the synthesis projection (localCheckpoint: executor-local blocks,
+    # no driver collect).
+    docs = docs.localCheckpoint(eager=True)
+    for op in ops:
+        print(json.dumps(run(op, docs, n)), flush=True)
+
+
+if __name__ == "__main__":
+    main()
