@@ -329,6 +329,7 @@ def dedup_corpus(
     bands: int = 6,
     shingle_n: int = 3,
     jaccard_threshold: float = 0.8,
+    exact_first: bool = False,
 ) -> DataFrame:
     """The full near-dup dedup pipeline: MinHash-LSH candidates →
     exact n-gram-Jaccard verification → keep/drop decision (a doc is
@@ -340,7 +341,40 @@ def dedup_corpus(
     composition a training-corpus pipeline actually runs at 100 TB:
     narrow signature maps, one banded LSH join, exact verification
     only on candidates, one anti-join-shaped decision.
+
+    ``exact_first=True`` collapses exact-duplicate groups (normalized
+    fingerprint) to their min-id representative BEFORE LSH: non-reps
+    get ``keep = False`` directly and only representatives pay for
+    signatures/banding/verification. The keep set is provably
+    identical when no capped band bucket overflows: an exact copy has
+    the same text as its rep, so every near-dup relation through a
+    copy exists through the rep with a smaller-or-equal id. (Under a
+    >``max_bucket_size`` bucket, removing copies can only RESTORE
+    candidacy the copies' cap slots were wasting — strictly better
+    recall.) On a dup-heavy corpus this removes the dominant LSH cost
+    — the scale probe (tools/scale_probe.py) measures the difference
+    at 1M docs — which is why the production composition is
+    exact → near, the same order :func:`dedup_incremental` uses.
     """
+    if exact_first:
+        fp = df.select(F.col(id_col), md5_fingerprint(text_col).alias("__fp"))
+        reps = fp.groupBy("__fp").agg(F.min(id_col).alias("__rep"))
+        membership = fp.join(reps, "__fp").select(id_col, "__rep")
+        rep_docs = df.join(
+            membership.filter(F.col(id_col) == F.col("__rep")).select(id_col),
+            id_col,
+            "left_semi",
+        )
+        rep_keep = dedup_corpus(
+            rep_docs, id_col, text_col, num_hashes, bands, shingle_n,
+            jaccard_threshold, exact_first=False,
+        ).withColumnRenamed(id_col, "__rep").withColumnRenamed("keep", "__rep_keep")
+        return membership.join(rep_keep, "__rep").select(
+            id_col,
+            F.when(F.col(id_col) == F.col("__rep"), F.col("__rep_keep"))
+            .otherwise(F.lit(False))
+            .alias("keep"),
+        )
     # The candidate set is consumed three times downstream (involved-docs
     # union ×2, restrict join). ReuseExchange shares only identical
     # exchange subtrees, not the whole LSH pipeline, and .cache() inserts

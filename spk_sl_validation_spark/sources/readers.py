@@ -144,3 +144,25 @@ def load_jsonl_table(
     declares it (PERMISSIVE) instead of failing the job.
     """
     return spark.read.json(path, schema=schema, mode="PERMISSIVE")
+
+
+def load_xml_table(
+    spark: SparkSession, path: str, row_tag: str, schema: T.StructType
+) -> DataFrame:
+    """XML source (native in Spark 4 — the merged spark-xml reader)
+    with a declared schema: each ``row_tag`` element becomes a row.
+
+    Same policy as :func:`load_jsonl_table`: the explicit schema
+    skips the inference pass (a full extra scan at 100 TB) and pins
+    types independent of element order; attributes surface as
+    ``_attrName`` fields when declared. XML is the interchange edge
+    for the reference's SAP-flavored domain (IDoc/ALE exports) —
+    parse at the edge, convert to parquet for the hot path, exactly
+    like the xlsx edge converter (readers.py:102).
+    """
+    return (
+        spark.read.format("xml")
+        .option("rowTag", row_tag)
+        .schema(schema)
+        .load(path)
+    )

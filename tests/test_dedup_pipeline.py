@@ -50,3 +50,16 @@ def test_dedup_corpus_keeps_everything_when_no_dups(spark):
     )
     out = dedup_corpus(df).collect()
     assert all(r.keep for r in out)
+
+
+def test_exact_first_equivalent_keep_set(spark, sf_dir):
+    """dedup_corpus(exact_first=True) must produce the identical keep
+    set as the plain LSH-over-everything path (provable equivalence —
+    copies relate through their representative)."""
+    from spk_sl_validation_spark.ext.dedup import dedup_corpus
+    from spk_sl_validation_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    plain = {r["doc_id"]: r["keep"] for r in dedup_corpus(docs).collect()}
+    fast = {r["doc_id"]: r["keep"] for r in dedup_corpus(docs, exact_first=True).collect()}
+    assert plain == fast

@@ -162,3 +162,34 @@ def test_load_table_reads_nanos_events_correctly(spark, tmp_path):
 
     expected0 = datetime.datetime.fromtimestamp(1_700_000_000, tz=datetime.timezone.utc)
     assert rows[0].ts.replace(tzinfo=datetime.timezone.utc) == expected0
+
+
+def test_xml_declared_schema_roundtrip(spark, tmp_path):
+    """Native Spark 4 XML source through load_xml_table: declared
+    schema (no inference pass), rowTag extraction, attribute field."""
+    from pyspark.sql import types as T
+
+    from spk_sl_validation_spark.sources.readers import load_xml_table
+
+    p = tmp_path / "plants.xml"
+    p.write_text(
+        "<export>"
+        '<plant code="5S"><name>Temse</name><qty>70</qty></plant>'
+        '<plant code="9X"><name>Apex</name><qty>12</qty></plant>'
+        "</export>"
+    )
+    schema = T.StructType(
+        [
+            T.StructField("_code", T.StringType(), True),
+            T.StructField("name", T.StringType(), True),
+            T.StructField("qty", T.LongType(), True),
+        ]
+    )
+    df = load_xml_table(spark, str(p), "plant", schema)
+    rows = {r["_code"]: (r["name"], r["qty"]) for r in df.collect()}
+    assert rows == {"5S": ("Temse", 70), "9X": ("Apex", 12)}
+    assert [f.dataType for f in df.schema.fields] == [
+        T.StringType(),
+        T.StringType(),
+        T.LongType(),
+    ]
