@@ -48,19 +48,19 @@ def register(
 # The driver's correctness gate samples a PREFIX of the registry, so
 # iteration order is verification-provenance policy. Rounds 1–2 left 53
 # registered queries with self-check-only evidence (never in a driver
-# sample); round 3 pins them — plus the eight round-3-new queries —
+# sample); round 3 pins them — plus the nine round-3-new queries —
 # into the prefix explicitly:
 #   1–6   the six queries that were red in round 1 (fixed in round 2,
 #         fixes never driver-confirmed) — hardest-signal first;
-#   7–14  the eight queries NEW in round 3 (streaming_user_activity,
+#   7–15  the nine queries NEW in round 3 (streaming_user_activity,
 #         corpus_span_dedup, k_anonymity, dedup_incremental,
 #         sketch_quantile_sample, corpus_source_overlap,
-#         events_debounce, fuzzy_match_parts) — new code has the
-#         least evidence;
-#   15–24 the judge-named never-sampled set (bucketed near-dup, corpus
+#         events_debounce, fuzzy_match_parts, streaming_debounce) —
+#         new code has the least evidence;
+#   16–25 the judge-named never-sampled set (bucketed near-dup, corpus
 #         pipeline, packing, TPC-H stragglers, validation, SCD2);
-#   25+   the remaining never-sampled queries in registration order.
-# The 7 new insertions push the tail of the old 50-prefix
+#   26+   the remaining never-sampled queries in registration order.
+# The 8 new insertions push the tail of the old 50-prefix
 # (corpus_top_terms, text_tfidf … range join) past position 50; they
 # join the four deferred pure-SQL shapes as round 4's sample prefix,
 # followed by the 94 already-driver-green queries in registration
@@ -82,6 +82,7 @@ SAMPLE_PRIORITY: tuple[str, ...] = (
     "corpus_source_overlap",
     "events_debounce",
     "fuzzy_match_parts",
+    "streaming_debounce",
     # -- judge-named never-sampled --
     "similarity_near_dup_bucketed",
     "training_corpus_pipeline",

@@ -298,3 +298,26 @@ import dataclasses as _dc  # noqa: E402
 _REG["streaming_rule_cascade"] = _dc.replace(
     _REG["streaming_rule_cascade"], oracle=_streaming_cascade_oracle()
 )
+
+
+@register(
+    "streaming_debounce",
+    doc=(
+        "stateful streaming debounce (applyInPandasWithState): emit an event "
+        "iff >= 6 h since the previous raw event of the same (user, type); "
+        "state = one timestamp per key. Identical contract to the batch "
+        "events_debounce lag window — the oracle is the same SQL"
+    ),
+    oracle="""
+SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us
+FROM (
+  SELECT event_id, user_id, event_type, ts,
+         lag(ts) OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS prev_ts
+  FROM events
+)
+WHERE prev_ts IS NULL OR ts - prev_ts >= INTERVAL 6 HOUR
+""",
+)
+def streaming_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = P.stream_events(spark, sf_dir)
+    return P.run_available_now(P.debounce_events(stream), output_mode="append")

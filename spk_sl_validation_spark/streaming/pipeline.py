@@ -360,3 +360,63 @@ def user_activity(events: DataFrame) -> DataFrame:
     if transform_with_state_available():
         return user_activity_stats(events)
     return user_activity_stats_fallback(events)
+
+
+DEBOUNCE_GAP_US = 6 * 3600 * 1_000_000  # 6 hours in epoch-µs
+
+_DEBOUNCE_OUT = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("ts_us", T.LongType()),
+    ]
+)
+_DEBOUNCE_STATE = T.StructType([T.StructField("last_us", T.LongType())])
+
+
+def debounce_events(events: DataFrame, gap_us: int = DEBOUNCE_GAP_US) -> DataFrame:
+    """Stateful streaming debounce: an event is emitted iff at least
+    ``gap_us`` elapsed since the previous RAW event of the same
+    (user, type) — the streaming twin of the batch lag-window
+    ``events_debounce`` with the identical contract (the timer resets
+    on every event, kept or not, so state is ONE timestamp per key).
+
+    Within a micro-batch the group's rows are ordered by (ts,
+    event_id) in pandas; across batches the previous-event timestamp
+    carries in ValueState — O(distinct keys) state, watermark-free
+    because the rule only ever looks backward. Cross-batch parity
+    with the batch lag window assumes batches arrive in event-time
+    order per key (true for append-style file/log sources); an
+    out-of-order LATE batch would be compared against the newer
+    timestamp already in state — same caveat as any lag-based
+    streaming rule without a reorder buffer.
+    """
+
+    def update(
+        key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state
+    ) -> Iterator[pd.DataFrame]:
+        (last_us,) = state.get if state.exists else (None,)
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if not chunks:
+            return
+        pdf = pd.concat(chunks).sort_values(["ts", "event_id"])
+        ts_us = pdf["ts"].astype("datetime64[ns]").astype("int64") // 1000
+        keep = []
+        for t in ts_us:
+            keep.append(last_us is None or t - last_us >= gap_us)
+            last_us = int(t)
+        state.update((last_us,))
+        out = pdf.loc[keep, ["event_id", "user_id", "event_type"]].copy()
+        out["ts_us"] = ts_us[keep]
+        yield out
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return events.groupBy("user_id", "event_type").applyInPandasWithState(
+        update,
+        outputStructType=_DEBOUNCE_OUT,
+        stateStructType=_DEBOUNCE_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
