@@ -688,14 +688,21 @@ def dedup_incremental(
     verified = ngram_jaccard_for_pairs(
         df, cand.select("id_a", "id_b"), id_col, text_col, shingle_n
     ).filter(F.col("jaccard") >= jaccard_threshold)
+    # cand's checkpoint erased size stats, so the planner would default
+    # these two joins to sort-merge. Neither side is broadcastable at
+    # scale (a dup-heavy batch verifies most candidates), so pin
+    # shuffle-HASH — sort-merge's exchanges minus both sorts; AQE still
+    # upgrades to broadcast at runtime when the side turns out small.
     near_hits = (
-        cand.join(verified, ["id_a", "id_b"], "left_semi").select(F.col("new_id").alias(id_col)).distinct()
+        cand.join(verified.hint("shuffle_hash"), ["id_a", "id_b"], "left_semi")
+        .select(F.col("new_id").alias(id_col))
+        .distinct()
     )
 
     new_docs = tagged.filter(F.col("__new")).select(id_col)
     out = (
         new_docs.join(exact_hits.withColumn("__e", F.lit(True)), id_col, "left")
-        .join(near_hits.withColumn("__n", F.lit(True)), id_col, "left")
+        .join(near_hits.withColumn("__n", F.lit(True)).hint("shuffle_hash"), id_col, "left")
     )
     reason = (
         F.when(F.col("__e"), F.lit("exact_dup"))

@@ -232,6 +232,7 @@ SPAN_W = 8  # words per non-overlapping span
 
 @register(
     "corpus_span_dedup",
+    headline=True,
     doc=(
         f"C4-style cross-document span dedup: {SPAN_W}-word non-overlapping "
         "spans, a span occurring in >1 document survives only in its "

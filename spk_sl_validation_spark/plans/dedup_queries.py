@@ -305,6 +305,7 @@ WHERE d.doc_id % 5 = 0
 
 @register(
     "dedup_incremental",
+    headline=True,
     doc=(
         "incremental dedup: every 5th doc plays the fresh crawl batch, the rest "
         "the corpus index; batch docs are flagged exact_dup (fingerprint in "

@@ -36,6 +36,11 @@ BUDGETS = {
     "similarity_topk_bruteforce": (1, 0),
     "range_join_clicks_before_purchase": (1, 0),
     "scd2_intervals": (1, 0),
+    # round-3 additions: span ownership = window min (no joins at all);
+    # incremental dedup = exact fp semi + asymmetric banding + verify,
+    # every join broadcast or pinned shuffle-hash (checkpointed sides).
+    "corpus_span_dedup": (2, 0),
+    "dedup_incremental": (6, 0),
 }
 
 
