@@ -38,6 +38,10 @@ RATIO_BUDGETS = {
     "dedup_pipeline": 11.0,
     "similarity_topk_bruteforce": 1.6,
     "range_join_clicks_before_purchase": 0.8,
+    # round-3 promotions (measured vs pricing_summary on the 13-query
+    # bench row: span 0.98, incremental 5.0 — x3 headroom)
+    "corpus_span_dedup": 3.0,
+    "dedup_incremental": 15.0,
 }
 # catastrophic-only absolute cap for the calibrator itself (sf0.1)
 CALIBRATOR_MAX_SEC = 20.0
