@@ -52,19 +52,20 @@ def register(
 # into the prefix explicitly:
 #   1–6   the six queries that were red in round 1 (fixed in round 2,
 #         fixes never driver-confirmed) — hardest-signal first;
-#   7–15  the nine queries NEW in round 3 (streaming_user_activity,
+#   7–18  the twelve queries NEW in round 3 (streaming_user_activity,
 #         corpus_span_dedup, k_anonymity, dedup_incremental,
 #         sketch_quantile_sample, corpus_source_overlap,
-#         events_debounce, fuzzy_match_parts, streaming_debounce) —
-#         new code has the least evidence;
-#   16–25 the judge-named never-sampled set (bucketed near-dup, corpus
+#         events_debounce, fuzzy_match_parts, streaming_debounce,
+#         text_gopher_filters, sample_priority_weighted,
+#         layout_zorder_stats) — new code has the least evidence;
+#   19–28 the judge-named never-sampled set (bucketed near-dup, corpus
 #         pipeline, packing, TPC-H stragglers, validation, SCD2);
-#   26+   the remaining never-sampled queries in registration order.
-# The 8 new insertions push the tail of the old 50-prefix
-# (corpus_top_terms, text_tfidf … range join) past position 50; they
-# join the four deferred pure-SQL shapes as round 4's sample prefix,
-# followed by the 94 already-driver-green queries in registration
-# order.
+#   29+   the remaining never-sampled queries in registration order.
+# The insertions push the tail of the old 50-prefix
+# (dataset_shard_assignment, pii_masking, text_bpe_pair_stats,
+# range_join … ) past position 50; they join the four deferred
+# pure-SQL shapes as round 4's sample prefix, followed by the 94
+# already-driver-green queries in registration order.
 SAMPLE_PRIORITY: tuple[str, ...] = (
     # -- round-1 reds, fixed in round 2, never re-sampled --
     "sessionize_events",
@@ -83,6 +84,9 @@ SAMPLE_PRIORITY: tuple[str, ...] = (
     "events_debounce",
     "fuzzy_match_parts",
     "streaming_debounce",
+    "text_gopher_filters",
+    "sample_priority_weighted",
+    "layout_zorder_stats",
     # -- judge-named never-sampled --
     "similarity_near_dup_bucketed",
     "training_corpus_pipeline",

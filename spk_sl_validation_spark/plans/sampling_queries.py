@@ -125,3 +125,62 @@ def dataset_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(w.orderBy(h.asc(), F.col("doc_id").asc())).cast("long").alias("pos_in_shard"),
         F.count(F.lit(1)).over(w).cast("long").alias("shard_size"),
     )
+
+
+# Priority sampling (Duffield, Lund & Thorup 2007): weight-proportional
+# sampling without replacement with an unbiased subset-sum estimator.
+# priority q_i = w_i / u_i with u_i uniform on (0,1]; keep the k largest
+# priorities; tau = (k+1)-th priority; est_w_i = max(w_i, tau).
+# u_i derives from the cross-engine md5 hash, so the "random" draw is a
+# pure row function and the oracle replays the exact sample.
+PRIORITY_K = 50
+_U_DENOM = 1 << 30  # u = (h % 2^30 + 1) / 2^30  in (0, 1]
+
+
+@register(
+    "sample_priority_weighted",
+    doc=(
+        f"deterministic weight-proportional sampling (priority sampling, "
+        f"Duffield-Lund-Thorup): k={PRIORITY_K} docs by priority w/u with "
+        "hash-derived u and the unbiased max(w, tau) estimator. Spark plan is "
+        "two TakeOrdered passes (top k+1, then top k) + a 1-row broadcast for "
+        "tau — per-partition top-k partials, no global sort, no full shuffle "
+        "at any corpus size"
+    ),
+    oracle=f"""
+WITH p AS (
+  SELECT doc_id, n_chars AS w,
+         CAST(n_chars * {_U_DENOM} AS DOUBLE)
+           / CAST(({_H} % {_U_DENOM}) + 1 AS DOUBLE) AS priority
+  FROM documents
+),
+r AS (
+  SELECT *, row_number() OVER (ORDER BY priority DESC, doc_id ASC) AS rn FROM p
+)
+SELECT doc_id, w, priority,
+       greatest(CAST(w AS DOUBLE),
+                (SELECT min(priority) FROM r WHERE rn <= {PRIORITY_K + 1})) AS est_w
+FROM r WHERE rn <= {PRIORITY_K}
+""",
+)
+def sample_priority_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    h = md5_long(F.col("doc_id").cast("string"))
+    pri = docs.select(
+        "doc_id",
+        F.col("n_chars").alias("w"),
+        (
+            (F.col("n_chars") * F.lit(_U_DENOM)).cast("double")
+            / ((h % _U_DENOM) + F.lit(1)).cast("double")
+        ).alias("priority"),
+    )
+    order = [F.col("priority").desc(), F.col("doc_id").asc()]
+    top_k1 = pri.orderBy(*order).limit(PRIORITY_K + 1)
+    tau = top_k1.agg(F.min("priority").alias("tau"))
+    sampled = top_k1.orderBy(*order).limit(PRIORITY_K)
+    return sampled.crossJoin(F.broadcast(tau)).select(
+        "doc_id",
+        "w",
+        "priority",
+        F.greatest(F.col("w").cast("double"), F.col("tau")).alias("est_w"),
+    )

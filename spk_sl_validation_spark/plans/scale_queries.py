@@ -73,3 +73,76 @@ def salted_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
         F.max("type_avg").alias("type_avg"),
     )
+
+
+# --- Z-order (Morton) clustered layout -------------------------------------
+#
+# Data-layout machinery for multi-dimensional range pruning at rest: rows
+# sort by the bit-interleave of two key columns, files split on z-ranges,
+# and each file's min/max footer then bounds BOTH dimensions, so a scan
+# with a predicate on either key prunes most files (the technique behind
+# Delta/Iceberg OPTIMIZE ZORDER). The z-value is pure integer bit math —
+# identical in Spark and DuckDB — so the oracle replays the layout and the
+# per-file stats exactly.
+
+_Z_BITS = 16
+_Z_FILES_SHIFT = 2 * _Z_BITS - 4  # top 4 z-bits -> 16 files
+
+
+def _z_spark(x: str, y: str) -> str:
+    terms = [
+        f"shiftleft(shiftright({x}, {i}) & 1, {2 * i}) + "
+        f"shiftleft(shiftright({y}, {i}) & 1, {2 * i + 1})"
+        for i in range(_Z_BITS)
+    ]
+    return " + ".join(terms)
+
+
+def _z_duck(x: str, y: str) -> str:
+    terms = [
+        f"((({x} >> {i}) & 1) << {2 * i}) + ((({y} >> {i}) & 1) << {2 * i + 1})"
+        for i in range(_Z_BITS)
+    ]
+    return " + ".join(terms)
+
+
+@register(
+    "layout_zorder_stats",
+    doc=(
+        "Z-order clustered file layout: interleave 16 bits of l_orderkey and "
+        "l_partkey, split into 16 files on the top z-bits, report per-file "
+        "min/max of both dims — the footer stats a z-clustered rewrite gives "
+        "a 100 TB table so point/range predicates on either key prune files. "
+        "One hash-agg shuffle of 16 groups; the z-value itself is codegen'd "
+        "integer bit math, no UDF"
+    ),
+    oracle=f"""
+WITH k AS (
+  SELECT l_orderkey & 65535 AS x, l_partkey & 65535 AS y FROM lineitem
+),
+z AS (
+  SELECT x, y, ({_z_duck("x", "y")}) AS zval FROM k
+)
+SELECT zval >> {_Z_FILES_SHIFT} AS file_id,
+       COUNT(*) AS n_rows,
+       MIN(x) AS min_x, MAX(x) AS max_x,
+       MIN(y) AS min_y, MAX(y) AS max_y
+FROM z
+GROUP BY file_id
+""",
+)
+def layout_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    k = li.selectExpr("l_orderkey & 65535 AS x", "l_partkey & 65535 AS y")
+    z = k.selectExpr("x", "y", f"({_z_spark('x', 'y')}) AS zval")
+    return (
+        z.selectExpr(f"shiftright(zval, {_Z_FILES_SHIFT}) AS file_id", "x", "y")
+        .groupBy("file_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("x").alias("min_x"),
+            F.max("x").alias("max_x"),
+            F.min("y").alias("min_y"),
+            F.max("y").alias("max_y"),
+        )
+    )

@@ -293,3 +293,68 @@ def text_bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = pairs.groupBy("pair").agg(F.count(F.lit(1)).alias("n"))
     w = Window.orderBy(F.col("n").desc(), F.col("pair").asc())
     return counts.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 20).select("pair", "n")
+
+
+# Gopher rule thresholds (Rae et al. 2021, "Scaling Language Models",
+# §A1.1 quality-filter heuristics — doc-level bounds, not the line
+# rules, which need newline structure the driver corpus lacks).
+GOPHER_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
+_GOPHER_IN = ", ".join(f"'{w}'" for w in GOPHER_STOPS)
+
+
+@register(
+    "text_gopher_filters",
+    doc=(
+        "Gopher-style document quality gate (Rae et al. 2021 §A1.1): word-count "
+        "bounds, mean word length, alpha-word fraction, short-word fraction, "
+        "required-stopword hits, and the combined pass verdict. Explode + "
+        "one map-side-combined hash aggregate keyed on doc_id — the same "
+        "linear-scan shape as text_repetition; no window, no wide shuffle of "
+        "raw text at any corpus size"
+    ),
+    oracle=rf"""
+WITH t AS (
+  SELECT doc_id, unnest({_TOKS}) AS w FROM documents
+)
+SELECT doc_id,
+       COUNT(*) AS n_words,
+       CAST(SUM(length(w)) AS DOUBLE) / COUNT(*) AS mean_word_len,
+       CAST(SUM(CASE WHEN regexp_matches(w, '[a-z]') THEN 1 ELSE 0 END) AS DOUBLE)
+           / COUNT(*) AS alpha_word_frac,
+       CAST(SUM(CASE WHEN length(w) <= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+           / COUNT(*) AS short_word_frac,
+       CAST(COUNT(DISTINCT CASE WHEN w IN ({_GOPHER_IN}) THEN w END) AS BIGINT)
+           AS gopher_stop_hits,
+       (COUNT(*) BETWEEN 50 AND 100000)
+         AND (CAST(SUM(length(w)) AS DOUBLE) / COUNT(*)) BETWEEN 3.0 AND 10.0
+         AND (CAST(SUM(CASE WHEN regexp_matches(w, '[a-z]') THEN 1 ELSE 0 END) AS DOUBLE)
+              / COUNT(*)) >= 0.8
+         AND COUNT(DISTINCT CASE WHEN w IN ({_GOPHER_IN}) THEN w END) >= 1
+         AS passes
+FROM t
+GROUP BY doc_id
+""",
+)
+def text_gopher_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spk_sl_validation_spark.ext.hashing import ws_tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", F.explode(ws_tokens("text")).alias("w"))
+    n = F.count(F.lit(1))
+    mean_len = F.sum(F.length("w")).cast("double") / n
+    alpha = F.sum(F.col("w").rlike("[a-z]").cast("long")).cast("double") / n
+    short = F.sum((F.length("w") <= 2).cast("long")).cast("double") / n
+    stops = F.count_distinct(F.when(F.col("w").isin(*GOPHER_STOPS), F.col("w")))
+    return t.groupBy("doc_id").agg(
+        n.alias("n_words"),
+        mean_len.alias("mean_word_len"),
+        alpha.alias("alpha_word_frac"),
+        short.alias("short_word_frac"),
+        stops.cast("long").alias("gopher_stop_hits"),
+        (
+            n.between(50, 100000)
+            & mean_len.between(3.0, 10.0)
+            & (alpha >= 0.8)
+            & (stops >= 1)
+        ).alias("passes"),
+    )
