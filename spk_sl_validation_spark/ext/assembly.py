@@ -246,3 +246,91 @@ SELECT {id_col}, CAST(count(*) AS BIGINT) AS n_tokens,
                          (x, y) -> x + y) / count(*), {round_digits}) AS avg_logprob
 FROM j GROUP BY {id_col}
 """
+
+
+# ---------------------------------------------------------------------------
+# Bigram LM document scoring
+# ---------------------------------------------------------------------------
+
+def bigram_logprob(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Score each document by mean CONDITIONAL log-probability
+    ``ln P(tok | prev)`` under the corpus's own bigram LM (MLE; every
+    scored bigram exists in the model because the model is trained on
+    the same corpus, so no smoothing term is needed).
+
+    Sharper than :func:`unigram_logprob` at catching shuffled-word and
+    stitched-boilerplate text, which keeps a normal unigram profile
+    but improbable transitions.
+
+    Output: (id, n_bigrams, avg_logprob); single-token documents have
+    no bigrams and are absent, by contract. Shape: one posexplode +
+    per-doc lag window builds (prev, tok) rows; bigram and context
+    counts are two hash aggregates of those skinny rows; scoring joins
+    rows to the model on the bigram key — an equi-join AQE upgrades to
+    broadcast while the model is small and shuffles once it is truly
+    vocab²-scale. Mean uses the same position-ordered fold +
+    ``round`` rule as the unigram scorer (libm ``ln`` ulp drift).
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(F.col(id_col), F.posexplode(ws_tokens(text_col)).alias("pos", "tok"))
+    w = Window.partitionBy(id_col).orderBy("pos")
+    bi = (
+        toks.select(id_col, "pos", F.lag("tok").over(w).alias("prev"), "tok")
+        .filter(F.col("prev").isNotNull())
+    )
+    bfreq = bi.groupBy("prev", "tok").agg(F.count(F.lit(1)).alias("cnt"))
+    cfreq = bfreq.groupBy("prev").agg(F.sum("cnt").alias("ctx"))
+    model = bfreq.join(cfreq, "prev").select(
+        "prev",
+        "tok",
+        F.log(F.col("cnt").cast("double") / F.col("ctx").cast("double")).alias("logp"),
+    )
+    joined = bi.join(model, ["prev", "tok"]).select(id_col, "pos", "logp")
+    per_doc = joined.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("pos", "logp"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["logp"],
+        ).alias("__sum_logp"),
+    )
+    return per_doc.select(
+        id_col,
+        "n_bigrams",
+        F.round(F.col("__sum_logp") / F.col("n_bigrams"), round_digits).alias("avg_logprob"),
+    )
+
+
+def bigram_logprob_sql(
+    table: str, id_col: str = "doc_id", text_col: str = "text", round_digits: int = 6
+) -> str:
+    """DuckDB twin of :func:`bigram_logprob` (same fold order)."""
+    toks = rf"string_split_regex(trim({text_col}), '\s+')"
+    return f"""
+WITH t AS (
+  SELECT {id_col}, u.pos, u.prev, u.tok FROM (
+    SELECT {id_col},
+           unnest(list_transform(range(2, len(tk) + 1),
+                  i -> struct_pack(pos := i, prev := tk[i - 1], tok := tk[i]))) AS u
+    FROM (SELECT {id_col}, {toks} AS tk FROM {table})
+  )
+),
+bf AS (SELECT prev, tok, count(*) AS cnt FROM t GROUP BY prev, tok),
+cf AS (SELECT prev, sum(cnt) AS ctx FROM bf GROUP BY prev),
+j AS (
+  SELECT t.{id_col}, t.pos,
+         ln(CAST(bf.cnt AS DOUBLE) / CAST(cf.ctx AS DOUBLE)) AS logp
+  FROM t JOIN bf ON t.prev = bf.prev AND t.tok = bf.tok
+         JOIN cf ON t.prev = cf.prev
+)
+SELECT {id_col}, CAST(count(*) AS BIGINT) AS n_bigrams,
+       round(list_reduce(list_prepend(CAST(0 AS DOUBLE), list(logp ORDER BY pos)),
+                         (x, y) -> x + y) / count(*), {round_digits}) AS avg_logprob
+FROM j GROUP BY {id_col}
+"""

@@ -138,3 +138,18 @@ import dataclasses as _dc  # noqa: E402
 _REG["training_corpus_pipeline"] = _dc.replace(
     _REG["training_corpus_pipeline"], oracle=_corpus_pipeline_oracle()
 )
+
+
+@register(
+    "text_bigram_logprob",
+    doc=(
+        "mean conditional log-prob ln P(tok|prev) under the corpus's own "
+        "bigram LM — catches shuffled-word/stitched text that keeps a normal "
+        "unigram profile; lag-window bigrams, two hash aggregates, equi-join "
+        "scoring (AQE broadcast while the model is small)"
+    ),
+    oracle=A.bigram_logprob_sql("documents"),
+)
+def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return A.bigram_logprob(docs)

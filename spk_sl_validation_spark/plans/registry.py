@@ -87,6 +87,7 @@ SAMPLE_PRIORITY: tuple[str, ...] = (
     "text_gopher_filters",
     "sample_priority_weighted",
     "layout_zorder_stats",
+    "text_bigram_logprob",
     # -- judge-named never-sampled --
     "similarity_near_dup_bucketed",
     "training_corpus_pipeline",
