@@ -153,3 +153,68 @@ _REG["training_corpus_pipeline"] = _dc.replace(
 def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return A.bigram_logprob(docs)
+
+
+TOKEN_BUDGET = 100_000
+_W_SUM = sum(MIX_WEIGHTS.values())
+# Per-source token targets precomputed in Python so both engines see
+# identical double literals (no cross-engine arithmetic-order risk).
+_TARGETS = {s: TOKEN_BUDGET * w / _W_SUM for s, w in MIX_WEIGHTS.items()}
+
+
+def _case(mapping: dict[str, float], col: str = "source") -> str:
+    arms = " ".join(f"WHEN {col} = '{s}' THEN {v!r}" for s, v in sorted(mapping.items()))
+    return f"(CASE {arms} ELSE 0.0 END)"
+
+
+@register(
+    "mixture_token_budget",
+    doc=(
+        f"mixture planning: allocate a {TOKEN_BUDGET}-token training budget "
+        "across sources by configured weight and derive each source's "
+        "sampling rate (least(1, target/actual)) plus an oversubscribed flag "
+        "where the corpus cannot fill its allocation — the step that PRODUCES "
+        "the rates mixture_sample consumes. One hash aggregate of per-doc "
+        "token counts; scales as a pure map + 20-group agg"
+    ),
+    oracle=rf"""
+WITH s AS (
+  SELECT source, count(*) AS n_docs,
+         CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+)
+SELECT source, n_docs, n_tokens,
+       {_case(MIX_WEIGHTS)} AS weight,
+       {_case(_TARGETS)} AS target_tokens,
+       least(1.0, {_case(_TARGETS)} / CAST(n_tokens AS DOUBLE)) AS sample_rate,
+       {_case(_TARGETS)} > CAST(n_tokens AS DOUBLE) AS oversubscribed
+FROM s
+""",
+)
+def mixture_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from spk_sl_validation_spark.ext.hashing import ws_tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    per_source = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(ws_tokens("text"))).cast("long").alias("n_tokens"),
+    )
+    weight = F.coalesce(
+        *[F.when(F.col("source") == s, F.lit(w)) for s, w in sorted(MIX_WEIGHTS.items())],
+        F.lit(0.0),
+    )
+    target = F.coalesce(
+        *[F.when(F.col("source") == s, F.lit(t)) for s, t in sorted(_TARGETS.items())],
+        F.lit(0.0),
+    )
+    return per_source.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        weight.alias("weight"),
+        target.alias("target_tokens"),
+        F.least(F.lit(1.0), target / F.col("n_tokens").cast("double")).alias("sample_rate"),
+        (target > F.col("n_tokens").cast("double")).alias("oversubscribed"),
+    )

@@ -88,6 +88,7 @@ SAMPLE_PRIORITY: tuple[str, ...] = (
     "sample_priority_weighted",
     "layout_zorder_stats",
     "text_bigram_logprob",
+    "mixture_token_budget",
     # -- judge-named never-sampled --
     "similarity_near_dup_bucketed",
     "training_corpus_pipeline",
