@@ -63,3 +63,31 @@ def test_gopher_filters_match_plain_python(spark, sf_dir):
             and r.gopher_stop_hits >= 1
         )
         assert r.passes == expected_pass
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_new_query_plan_shapes(spark, sf_dir):
+    """100 TB posture for the round-3 additions: no sort-merge joins,
+    bounded exchange counts, and the z-order/gopher shapes stay pure
+    scan → (explode) → partial-agg → one keyed exchange."""
+    from spk_sl_validation_spark.plans.sampling_queries import sample_priority_weighted
+    from spk_sl_validation_spark.plans.scale_queries import layout_zorder_stats
+    from spk_sl_validation_spark.plans.text_queries import text_gopher_filters
+
+    z = _plan(layout_zorder_stats(spark, sf_dir))
+    assert "SortMergeJoin" not in z
+    assert z.count("Exchange hashpartitioning") <= 1  # the 16-group agg
+
+    g = _plan(text_gopher_filters(spark, sf_dir))
+    assert "SortMergeJoin" not in g and "Join" not in g
+    # count_distinct adds an Expand + second agg level, still ≤2 keyed
+    # exchanges of per-doc partials — never a shuffle of raw text
+    assert g.count("Exchange hashpartitioning") <= 2
+
+    p = _plan(sample_priority_weighted(spark, sf_dir))
+    assert "SortMergeJoin" not in p
+    assert "TakeOrderedAndProject" in p  # per-partition top-k, no global sort
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p  # 1-row tau
