@@ -286,12 +286,20 @@ def bigram_logprob(
     )
     bfreq = bi.groupBy("prev", "tok").agg(F.count(F.lit(1)).alias("cnt"))
     cfreq = bfreq.groupBy("prev").agg(F.sum("cnt").alias("ctx"))
-    model = bfreq.join(cfreq, "prev").select(
+    # Build sides are pinned with shuffle_hash hints on the MODEL side:
+    # planner size estimates for a synthesized/checkpointed corpus can
+    # be tiny, and an estimate-driven BuildLeft would broadcast the
+    # full token stream (measured: 2M-doc probe died on
+    # driver.maxResultSize collecting an 88M-row "broadcast"). The
+    # model is the vocab²-bounded side; hashing it per partition is
+    # safe at any corpus size, and AQE still upgrades the join to
+    # broadcast at runtime when the model proves small.
+    model = bfreq.join(cfreq.hint("shuffle_hash"), "prev").select(
         "prev",
         "tok",
         F.log(F.col("cnt").cast("double") / F.col("ctx").cast("double")).alias("logp"),
     )
-    joined = bi.join(model, ["prev", "tok"]).select(id_col, "pos", "logp")
+    joined = bi.join(model.hint("shuffle_hash"), ["prev", "tok"]).select(id_col, "pos", "logp")
     per_doc = joined.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_bigrams"),
         F.aggregate(

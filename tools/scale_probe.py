@@ -70,6 +70,7 @@ def synth_docs(spark, n: int):
 def run(op: str, docs, n: int) -> dict:
     from pyspark.sql import functions as F
 
+    from spk_sl_validation_spark.ext.assembly import bigram_logprob
     from spk_sl_validation_spark.ext.dedup import dedup_corpus, dedup_incremental
     from spk_sl_validation_spark.ext.text import span_dedup
 
@@ -82,6 +83,8 @@ def run(op: str, docs, n: int) -> dict:
         out = dedup_corpus(docs, "doc_id", "text", exact_first=True)
     elif op == "incremental":
         out = dedup_incremental(docs, is_new=F.col("doc_id") % 5 == 0)
+    elif op == "bigram":
+        out = bigram_logprob(docs, "doc_id", "text")
     else:
         raise SystemExit(f"unknown op {op!r}")
     out.write.mode("overwrite").format("noop").save()
