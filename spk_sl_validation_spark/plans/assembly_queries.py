@@ -163,8 +163,11 @@ _TARGETS = {s: TOKEN_BUDGET * w / _W_SUM for s, w in MIX_WEIGHTS.items()}
 
 
 def _case(mapping: dict[str, float], col: str = "source") -> str:
+    # CAST the whole CASE: bare decimal literals type as DECIMAL in
+    # DuckDB, which pandas-converts differently from Spark doubles
+    # under the driver's hasher.
     arms = " ".join(f"WHEN {col} = '{s}' THEN {v!r}" for s, v in sorted(mapping.items()))
-    return f"(CASE {arms} ELSE 0.0 END)"
+    return f"CAST((CASE {arms} ELSE 0.0 END) AS DOUBLE)"
 
 
 @register(
