@@ -714,3 +714,132 @@ def dedup_incremental(
         (F.col("__e").isNull() & F.col("__n").isNull()).alias("keep"),
         reason.alias("reason"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Precomputed dedup index (the 100 TB incremental path made literal)
+# ---------------------------------------------------------------------------
+
+def shingle_hash_sets(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """(id, hs): each document's sorted distinct shingle-hash array —
+    the verification-stage representation (see
+    :func:`ngram_jaccard_for_pairs`), exposed as a persistable
+    artifact so an index can verify candidates without re-reading
+    corpus text."""
+    from spk_sl_validation_spark.ext.hashing import md5_long, shingle_rows
+
+    sh = shingle_rows(df, id_col, text_col, n)
+    return (
+        sh.select(id_col, md5_long("s").alias("h"))
+        .groupBy(id_col)
+        .agg(F.array_sort(F.array_distinct(F.collect_list("h"))).alias("hs"))
+    )
+
+
+def dedup_index_tables(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 12,
+    bands: int = 6,
+    shingle_n: int = 3,
+    max_bucket_size: int = MAX_BUCKET_SIZE,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """The three persistable artifacts of a corpus dedup index:
+
+    - ``fp``        (id, fp): exact-dup fingerprints;
+    - ``band_rows`` (id, band, h0..h{r-1}): capped LSH band rows —
+      write this one bucketed (and sorted) on ``(band, h0..h{r-1})``
+      so every future delta joins against it with ZERO exchange on
+      the index side (tests/test_dedup_index.py pins the plan);
+    - ``hs``        (id, hs): shingle-hash sets for Jaccard verify
+      without corpus-text access.
+
+    At 100 TB the index is built once per corpus version and each
+    arriving shard runs :func:`dedup_incremental_indexed` against it —
+    index-side work is a bucketed scan, never a recompute."""
+    assert num_hashes % bands == 0
+    fp = df.select(id_col, md5_fingerprint(text_col).alias("fp"))
+    sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
+    band_rows = capped_band_rows(sig, id_col, num_hashes // bands, bands, max_bucket_size)
+    hs = shingle_hash_sets(df, id_col, text_col, shingle_n)
+    return fp, band_rows, hs
+
+
+def dedup_incremental_indexed(
+    batch_df: DataFrame,
+    index_fp: DataFrame,
+    index_bands: DataFrame,
+    index_hs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 12,
+    bands: int = 6,
+    shingle_n: int = 3,
+    jaccard_threshold: float = 0.8,
+    max_bucket_size: int = MAX_BUCKET_SIZE,
+) -> DataFrame:
+    """:func:`dedup_incremental` against a PRECOMPUTED index — the
+    production shape where the corpus artifacts (from
+    :func:`dedup_index_tables`) are read from storage and only the
+    arriving batch pays signature/shingle computation.
+
+    Same output contract: (id, keep, reason∈{exact_dup, near_dup,
+    unique}) for every batch document. One deliberate semantic
+    difference: the hot-bucket cap applies per side (index capped at
+    build time, batch capped here) rather than over batch+index
+    jointly, so a bucket may admit up to 2×cap members across the two
+    sides; whenever no bucket is cap-bound the keep/drop set is
+    IDENTICAL to :func:`dedup_incremental` (pinned by test).
+    """
+    assert num_hashes % bands == 0
+    rows_per_band = num_hashes // bands
+    hcols = [f"h{r}" for r in range(rows_per_band)]
+
+    fp = batch_df.select(id_col, md5_fingerprint(text_col).alias("fp"))
+    exact_hits = fp.join(index_fp.select("fp").distinct(), "fp", "left_semi").select(id_col)
+
+    sig = minhash_signatures(batch_df, id_col, text_col, num_hashes, shingle_n)
+    batch_bands = capped_band_rows(sig, id_col, rows_per_band, bands, max_bucket_size)
+    cand = (
+        batch_bands.select(F.col(id_col).alias("__nid"), "band", *hcols)
+        .join(index_bands.select(F.col(id_col).alias("__iid"), "band", *hcols), ["band", *hcols])
+        .select("__nid", "__iid")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    batch_hs = shingle_hash_sets(batch_df, id_col, text_col, shingle_n)
+    pairs = (
+        cand.join(batch_hs.select(F.col(id_col).alias("__nid"), F.col("hs").alias("__ha")), "__nid")
+        .join(
+            index_hs.select(F.col(id_col).alias("__iid"), F.col("hs").alias("__hb")).hint(
+                "shuffle_hash"
+            ),
+            "__iid",
+        )
+    )
+    inter = F.size(F.array_intersect("__ha", "__hb"))
+    jac = inter.cast("double") / (F.size("__ha") + F.size("__hb") - inter).cast("double")
+    near_hits = (
+        pairs.filter(jac >= jaccard_threshold)
+        .select(F.col("__nid").alias(id_col))
+        .distinct()
+    )
+
+    out = (
+        batch_df.select(id_col)
+        .join(exact_hits.withColumn("__e", F.lit(True)), id_col, "left")
+        .join(near_hits.withColumn("__n", F.lit(True)).hint("shuffle_hash"), id_col, "left")
+    )
+    reason = (
+        F.when(F.col("__e"), F.lit("exact_dup"))
+        .when(F.col("__n"), F.lit("near_dup"))
+        .otherwise(F.lit("unique"))
+    )
+    return out.select(
+        id_col,
+        (F.col("__e").isNull() & F.col("__n").isNull()).alias("keep"),
+        reason.alias("reason"),
+    )
