@@ -843,3 +843,30 @@ def dedup_incremental_indexed(
         (F.col("__e").isNull() & F.col("__n").isNull()).alias("keep"),
         reason.alias("reason"),
     )
+
+
+def merge_into_dedup_index(
+    index: tuple[DataFrame, DataFrame, DataFrame],
+    batch: tuple[DataFrame, DataFrame, DataFrame],
+    kept_ids: DataFrame,
+    id_col: str = "doc_id",
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Fold a deduped batch into the index: append the batch's
+    artifact rows for KEPT documents only (semi join on ``kept_ids``)
+    to each of the three index tables — the index-maintenance step
+    after every :func:`dedup_incremental_indexed` run, closing the
+    build → dedup → merge lifecycle.
+
+    Appends are union-alls (write: append to the bucketed tables —
+    bucket membership is a row property, so appended files land in
+    the right buckets). Hot-bucket caps were applied per batch, so a
+    bucket can exceed ``max_bucket_size`` after many merges; the
+    production cadence is periodic index REBUILD (compaction) via
+    :func:`dedup_index_tables` over the merged corpus, which re-caps
+    every bucket deterministically.
+    """
+    keep = kept_ids.select(id_col)
+    return tuple(
+        i_df.unionByName(b_df.join(keep, id_col, "left_semi"))
+        for i_df, b_df in zip(index, batch)
+    )

@@ -142,6 +142,7 @@ _REG["training_corpus_pipeline"] = _dc.replace(
 
 @register(
     "text_bigram_logprob",
+    headline=True,
     doc=(
         "mean conditional log-prob ln P(tok|prev) under the corpus's own "
         "bigram LM — catches shuffled-word/stitched text that keeps a normal "

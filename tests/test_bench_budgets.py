@@ -42,6 +42,8 @@ RATIO_BUDGETS = {
     # bench row: span 0.98, incremental 5.0 — x3 headroom)
     "corpus_span_dedup": 3.0,
     "dedup_incremental": 15.0,
+    # measured 1.92 vs pricing_summary (best-of-2, idle sf0.1) — x3
+    "text_bigram_logprob": 6.0,
 }
 # catastrophic-only absolute cap for the calibrator itself (sf0.1)
 CALIBRATOR_MAX_SEC = 20.0

@@ -94,3 +94,25 @@ def test_bucketed_index_band_join_has_no_index_side_exchange(spark, sf_dir):
     finally:
         spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "true")
         spark.sql("DROP TABLE IF EXISTS b_dedup_index_bands")
+
+
+def test_merge_then_second_batch_sees_first_batch(spark, sf_dir):
+    """Lifecycle: dedup batch-1 against the index, merge its kept docs
+    in, then a batch-2 copy of a KEPT batch-1 doc is exact_dup while a
+    copy of a DROPPED batch-1 doc (absent from the merged index, and
+    its original already indexed) is still flagged via the original."""
+    from spk_sl_validation_spark.ext.dedup import merge_into_dedup_index
+
+    docs = load_table(spark, sf_dir, "documents").limit(60).cache()
+    index_docs = docs.filter(F.col("doc_id") < 40)
+    novel = "fresh never seen words " * 8
+    b1 = spark.createDataFrame([(2001, novel)], "doc_id long, text string")
+    idx = dedup_index_tables(index_docs)
+    r1 = dedup_incremental_indexed(b1, *idx)
+    kept = r1.filter("keep").select("doc_id")
+    assert kept.count() == 1
+    merged = merge_into_dedup_index(idx, dedup_index_tables(b1), kept)
+
+    b2 = spark.createDataFrame([(3001, novel)], "doc_id long, text string")
+    r2 = {r.doc_id: r.reason for r in dedup_incremental_indexed(b2, *merged).collect()}
+    assert r2[3001] == "exact_dup"

@@ -41,6 +41,10 @@ BUDGETS = {
     # every join broadcast or pinned shuffle-hash (checkpointed sides).
     "corpus_span_dedup": (2, 0),
     "dedup_incremental": (6, 0),
+    # bigram LM scoring: lag window + two model aggregates + two
+    # shuffle-hash joins (build pinned on the vocab-bounded model
+    # side) + per-doc fold — all skinny keyed rows, zero SMJ.
+    "text_bigram_logprob": (10, 0),
 }
 
 
