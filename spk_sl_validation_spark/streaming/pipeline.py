@@ -420,3 +420,99 @@ def debounce_events(events: DataFrame, gap_us: int = DEBOUNCE_GAP_US) -> DataFra
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming ingest dedup (foreachBatch against a persisted dedup index)
+# ---------------------------------------------------------------------------
+
+DOC_STREAM_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("text", T.StringType(), True),
+    ]
+)
+
+_INDEX_PARTS = ("fp", "bands", "hs")
+
+
+def write_dedup_index(docs: DataFrame, index_dir: str, batch_id: int = -1) -> None:
+    """Persist the three dedup-index artifacts (ext/dedup.py
+    dedup_index_tables) under ``index_dir``, partitioned by the batch
+    that contributed them — the layout :func:`ingest_dedup_stream`
+    appends to with exactly-once semantics (a replayed batch
+    dynamically overwrites ITS OWN partition instead of duplicating
+    rows)."""
+    from spk_sl_validation_spark.ext.dedup import dedup_index_tables
+
+    for name, part in zip(_INDEX_PARTS, dedup_index_tables(docs)):
+        (
+            part.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(f"{index_dir}/{name}")
+        )
+
+
+def ingest_dedup_stream(
+    spark: SparkSession,
+    source_dir: str,
+    index_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int = 1,
+):
+    """The production crawl-ingest shape: a file stream of document
+    shards, each micro-batch deduped against the PERSISTED index
+    (ext/dedup.py dedup_incremental_indexed — index-side cost is a
+    scan, not a recompute), results written per batch, and the kept
+    documents' artifacts folded back into the index so later batches
+    see earlier ones.
+
+    Exactly-once across restarts without a transactional store: every
+    write (results AND the three index parts) is partitioned by
+    batch_id with dynamic partition overwrite, so a batch replayed
+    from the checkpoint overwrites its own partitions — the same
+    idempotent-sink recipe as the foreachBatch file sink test.
+
+    Returns the started StreamingQuery (availableNow trigger).
+    """
+    from spk_sl_validation_spark.ext.dedup import (
+        dedup_incremental_indexed,
+        dedup_index_tables,
+    )
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df = batch_df.localCheckpoint(eager=True)
+        index = tuple(spark.read.parquet(f"{index_dir}/{n}") for n in _INDEX_PARTS)
+        res = dedup_incremental_indexed(batch_df, *index).localCheckpoint(eager=True)
+        (
+            res.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(out_dir)
+        )
+        kept = res.filter("keep").select("doc_id")
+        for name, part in zip(_INDEX_PARTS, dedup_index_tables(batch_df)):
+            (
+                part.join(kept, "doc_id", "left_semi")
+                .withColumn("batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch_id")
+                .parquet(f"{index_dir}/{name}")
+            )
+
+    stream = (
+        spark.readStream.schema(DOC_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(source_dir)
+    )
+    return (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
