@@ -798,8 +798,17 @@ def dedup_incremental_indexed(
     rows_per_band = num_hashes // bands
     hcols = [f"h{r}" for r in range(rows_per_band)]
 
+    # Exact stage: the index is PROBED with a broadcast of the batch's
+    # fingerprints (shard-bounded), then the handful of hit
+    # fingerprints broadcasts back — the index fp table is scanned,
+    # never shuffled, so this stage's data movement is ∝ shard even
+    # against a corpus-scale index.
     fp = batch_df.select(id_col, md5_fingerprint(text_col).alias("fp"))
-    exact_hits = fp.join(index_fp.select("fp").distinct(), "fp", "left_semi").select(id_col)
+    batch_fps = fp.select("fp").distinct()
+    hit_fps = (
+        index_fp.join(F.broadcast(batch_fps), "fp", "left_semi").select("fp").distinct()
+    )
+    exact_hits = fp.join(F.broadcast(hit_fps), "fp", "left_semi").select(id_col)
 
     sig = minhash_signatures(batch_df, id_col, text_col, num_hashes, shingle_n)
     batch_bands = capped_band_rows(sig, id_col, rows_per_band, bands, max_bucket_size)
@@ -811,10 +820,18 @@ def dedup_incremental_indexed(
         .localCheckpoint(eager=True)
     )
     batch_hs = shingle_hash_sets(batch_df, id_col, text_col, shingle_n)
+    # Verify stage: restrict the index's shingle-hash sets to the
+    # docs that appear in a candidate pair via a BROADCAST semi join
+    # (candidate ids are shard-bounded) BEFORE any shuffle — without
+    # this, joining candidates to the full hs table moves the entire
+    # index's shingle arrays (measured: a 50k-doc shard against a
+    # 950k-doc index spent its whole 58 s budget there).
+    involved = cand.select(F.col("__iid").alias(id_col)).distinct()
+    idx_hs = index_hs.join(F.broadcast(involved), id_col, "left_semi")
     pairs = (
         cand.join(batch_hs.select(F.col(id_col).alias("__nid"), F.col("hs").alias("__ha")), "__nid")
         .join(
-            index_hs.select(F.col(id_col).alias("__iid"), F.col("hs").alias("__hb")).hint(
+            idx_hs.select(F.col(id_col).alias("__iid"), F.col("hs").alias("__hb")).hint(
                 "shuffle_hash"
             ),
             "__iid",
