@@ -656,22 +656,11 @@ def dedup_incremental(
     rows_per_band = num_hashes // bands
     tagged = df.withColumn("__new", is_new)
 
-    # -- exact stage: probe the index side, never shuffle it ----------
-    # Batch fingerprints (∝ delta) broadcast INTO the index projection
-    # as a semi-join filter, and the surviving hit-fingerprints (∝
-    # actual dup mass) broadcast back — the corpus-side fp column is a
-    # narrow scan projection with zero exchanges, same pattern as
-    # dedup_incremental_indexed.
+    # -- exact stage: one fingerprint groupBy-free semi join ----------
     fp = tagged.select(id_col, "__new", md5_fingerprint(text_col).alias("fp"))
-    batch_fps = fp.filter(F.col("__new")).select("fp").distinct()
-    hit_fps = (
-        fp.filter(~F.col("__new"))
-        .join(F.broadcast(batch_fps), "fp", "left_semi")
-        .select("fp")
-        .distinct()
-    )
+    idx_fp = fp.filter(~F.col("__new")).select("fp").distinct()
     exact_hits = (
-        fp.filter(F.col("__new")).join(F.broadcast(hit_fps), "fp", "left_semi").select(id_col)
+        fp.filter(F.col("__new")).join(idx_fp, "fp", "left_semi").select(id_col)
     )
 
     # -- near stage: asymmetric capped-bucket join --------------------

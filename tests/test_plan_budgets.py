@@ -40,12 +40,7 @@ BUDGETS = {
     # incremental dedup = exact fp semi + asymmetric banding + verify,
     # every join broadcast or pinned shuffle-hash (checkpointed sides).
     "corpus_span_dedup": (2, 0),
-    # 7 = one MORE exchange than the original 6, deliberately: the
-    # exact stage's corpus-sized fp semi-join shuffle became two
-    # broadcast semis whose two distinct() exchanges carry only
-    # DELTA-sized fingerprint rows — count up, bytes-moved way down
-    # (the budget gate counts exchanges; the probe measures volume).
-    "dedup_incremental": (7, 0),
+    "dedup_incremental": (6, 0),
     # bigram LM scoring: lag window + two model aggregates + two
     # shuffle-hash joins (build pinned on the vocab-bounded model
     # side) + per-doc fold — all skinny keyed rows, zero SMJ.
