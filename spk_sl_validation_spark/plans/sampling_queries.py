@@ -165,21 +165,28 @@ FROM r WHERE rn <= {PRIORITY_K}
 )
 def sample_priority_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    h = md5_long(F.col("doc_id").cast("string"))
-    pri = docs.select(
-        "doc_id",
-        F.col("n_chars").alias("w"),
+    return priority_sample(docs, "doc_id", "n_chars", PRIORITY_K)
+
+
+def priority_sample(df: DataFrame, id_col: str, w_col: str, k: int) -> DataFrame:
+    """Priority sampling core (reused by the registered query and the
+    property tests): k rows of (id, w, priority, est_w) for any
+    positive integer weight column."""
+    h = md5_long(F.col(id_col).cast("string"))
+    pri = df.select(
+        id_col,
+        F.col(w_col).alias("w"),
         (
-            (F.col("n_chars") * F.lit(_U_DENOM)).cast("double")
+            (F.col(w_col) * F.lit(_U_DENOM)).cast("double")
             / ((h % _U_DENOM) + F.lit(1)).cast("double")
         ).alias("priority"),
     )
-    order = [F.col("priority").desc(), F.col("doc_id").asc()]
-    top_k1 = pri.orderBy(*order).limit(PRIORITY_K + 1)
+    order = [F.col("priority").desc(), F.col(id_col).asc()]
+    top_k1 = pri.orderBy(*order).limit(k + 1)
     tau = top_k1.agg(F.min("priority").alias("tau"))
-    sampled = top_k1.orderBy(*order).limit(PRIORITY_K)
+    sampled = top_k1.orderBy(*order).limit(k)
     return sampled.crossJoin(F.broadcast(tau)).select(
-        "doc_id",
+        id_col,
         "w",
         "priority",
         F.greatest(F.col("w").cast("double"), F.col("tau")).alias("est_w"),

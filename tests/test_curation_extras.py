@@ -91,3 +91,49 @@ def test_new_query_plan_shapes(spark, sf_dir):
     assert "SortMergeJoin" not in p
     assert "TakeOrderedAndProject" in p  # per-partition top-k, no global sort
     assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p  # 1-row tau
+
+
+# ---------------------------------------------------------------------------
+# Priority sampling vs a pure-python reference on arbitrary inputs
+# ---------------------------------------------------------------------------
+
+def _py_priority_sample(rows, k):
+    """Independent python reference of the Duffield-Lund-Thorup scheme
+    with the engine's md5-derived u (hashlib, not Spark)."""
+    import hashlib
+
+    denom = 1 << 30
+    pri = []
+    for rid, w in rows:
+        h = int(hashlib.md5(str(rid).encode()).hexdigest()[:15], 16)
+        pri.append((rid, w, float(w * denom) / float(h % denom + 1)))
+    pri.sort(key=lambda t: (-t[2], t[0]))
+    tau = pri[k][2] if len(pri) > k else float("-inf")
+    return {(rid, w, p, max(float(w), tau)) for rid, w, p in pri[:k]}
+
+
+def test_priority_sample_matches_python_reference(spark):
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from spk_sl_validation_spark.plans.sampling_queries import priority_sample
+
+    @settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+    @given(
+        rows=st.lists(
+            st.tuples(st.integers(0, 10**9), st.integers(1, 10**6)),
+            min_size=6,
+            max_size=40,
+            unique_by=lambda t: t[0],
+        ),
+        k=st.integers(1, 5),
+    )
+    def check(rows, k):
+        df = spark.createDataFrame(rows, "rid long, w long")
+        got = {
+            (r.rid, r.w, r.priority, r.est_w)
+            for r in priority_sample(df, "rid", "w", k).collect()
+        }
+        assert got == _py_priority_sample(rows, k)
+
+    check()
