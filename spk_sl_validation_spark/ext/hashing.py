@@ -147,3 +147,29 @@ def word_shingles_sql(tokens_expr: str, n: int = 3) -> str:
         f"list_transform(range(1, greatest(len({tokens_expr}) - {n - 1}, 1) + 1),"
         f" i -> array_to_string(list_slice({tokens_expr}, i, i + {n - 1}), ' '))"
     )
+
+
+# ---------------------------------------------------------------------------
+# Z-order (Morton) bit interleave
+# ---------------------------------------------------------------------------
+
+def z_value_expr(x: str, y: str, bits: int = 16) -> str:
+    """Spark SQL expression interleaving the low ``bits`` of two
+    integer expressions into a Morton z-value (x at even positions).
+    Pure codegen'd integer bit math; shared by the z-order layout
+    stats query and the z-order writer."""
+    terms = [
+        f"shiftleft(shiftright({x}, {i}) & 1, {2 * i}) + "
+        f"shiftleft(shiftright({y}, {i}) & 1, {2 * i + 1})"
+        for i in range(bits)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def z_value_sql(x: str, y: str, bits: int = 16) -> str:
+    """DuckDB twin of :func:`z_value_expr` (operator syntax)."""
+    terms = [
+        f"((({x} >> {i}) & 1) << {2 * i}) + ((({y} >> {i}) & 1) << {2 * i + 1})"
+        for i in range(bits)
+    ]
+    return "(" + " + ".join(terms) + ")"

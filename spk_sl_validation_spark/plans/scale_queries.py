@@ -89,21 +89,15 @@ _Z_BITS = 16
 _Z_FILES_SHIFT = 2 * _Z_BITS - 4  # top 4 z-bits -> 16 files
 
 
+from spk_sl_validation_spark.ext.hashing import z_value_expr, z_value_sql
+
+
 def _z_spark(x: str, y: str) -> str:
-    terms = [
-        f"shiftleft(shiftright({x}, {i}) & 1, {2 * i}) + "
-        f"shiftleft(shiftright({y}, {i}) & 1, {2 * i + 1})"
-        for i in range(_Z_BITS)
-    ]
-    return " + ".join(terms)
+    return z_value_expr(x, y, _Z_BITS)
 
 
 def _z_duck(x: str, y: str) -> str:
-    terms = [
-        f"((({x} >> {i}) & 1) << {2 * i}) + ((({y} >> {i}) & 1) << {2 * i + 1})"
-        for i in range(_Z_BITS)
-    ]
-    return " + ".join(terms)
+    return z_value_sql(x, y, _Z_BITS)
 
 
 @register(

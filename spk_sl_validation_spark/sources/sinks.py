@@ -301,3 +301,44 @@ def phase(name: str) -> Iterator[None]:
         yield
     finally:
         logger.info("phase %s: %.3fs", name, time.time() - t0)
+
+
+def write_zorder(
+    df: DataFrame,
+    path: str,
+    col_x: str,
+    col_y: str,
+    bits: int = 16,
+    n_files: int = 32,
+    mode: str = "overwrite",
+) -> None:
+    """Z-order-clustered parquet: rows range-partitioned and sorted by
+    the Morton interleave of ``col_x`` and ``col_y``, so every output
+    file's footer carries tight min/max stats on BOTH columns — a
+    range/point predicate on EITHER key prunes most files, where a
+    single-column sort bounds only its own column (the Delta/Iceberg
+    OPTIMIZE ZORDER layout; both-dims-bounded property asserted from
+    written footers in tests/test_scale_plans.py).
+
+    Each column is first NORMALIZED onto the full ``bits``-wide domain
+    from its min/max (one cheap agg action — in production these come
+    from table stats): naive interleaving of unequal domains
+    degenerates to a single-column sort, because only the wider
+    column populates the high z-bits.
+    """
+    from spk_sl_validation_spark.ext.hashing import z_value_expr
+
+    top = (1 << bits) - 1
+    lo_x, hi_x, lo_y, hi_y = df.agg(
+        F.min(col_x), F.max(col_x), F.min(col_y), F.max(col_y)
+    ).first()
+
+    def norm(col: str, lo: int, hi: int) -> str:
+        if hi <= lo:
+            return "0"
+        return f"CAST((CAST({col} AS BIGINT) - {lo}) * {top} / {hi - lo} AS BIGINT)"
+
+    z = z_value_expr(norm(col_x, lo_x, hi_x), norm(col_y, lo_y, hi_y), bits)
+    out = df.withColumn("__z", F.expr(z)).repartitionByRange(n_files, "__z")
+    out = out.sortWithinPartitions("__z").drop("__z")
+    out.write.mode(mode).parquet(path)

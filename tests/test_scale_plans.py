@@ -485,3 +485,55 @@ def test_near_dup_bucketed_plan_shape(spark, sf_dir):
     )
     assert plan.count("BroadcastExchange") == 1  # the census, never the vectors
     assert "SortMergeJoin" not in plan
+
+
+def test_write_zorder_bounds_both_dims(spark, sf_dir, tmp_path):
+    """Z-order layout: every file's footer bounds BOTH cluster columns
+    tightly, unlike a single-column sort which leaves the other
+    column's per-file span at the full domain — the property that
+    makes either-key predicates prune files."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from spk_sl_validation_spark.sources.sinks import write_clustered, write_zorder
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+
+    def spans(path, col):
+        out = []
+        for f in glob.glob(f"{path}/part-*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            mins, maxs = [], []
+            for rg in range(md.num_row_groups):
+                c = next(
+                    md.row_group(rg).column(i)
+                    for i in range(md.num_columns)
+                    if md.row_group(rg).column(i).path_in_schema == col
+                )
+                mins.append(c.statistics.min)
+                maxs.append(c.statistics.max)
+            out.append(max(maxs) - min(mins))
+        return out
+
+    zpath = str(tmp_path / "z")
+    xpath = str(tmp_path / "x")
+    write_zorder(li, zpath, "l_orderkey", "l_partkey", n_files=16)
+    write_clustered(li, xpath, ["l_orderkey"], n_files=16)
+
+    g_x = li.agg(F.max("l_orderkey") - F.min("l_orderkey")).first()[0]
+    g_y = li.agg(F.max("l_partkey") - F.min("l_partkey")).first()[0]
+
+    # z-order: both dims bounded in the large majority of files (range
+    # partitioner boundaries straddle z-cells, so a few files span
+    # wider — the expected file-hit fraction for an either-key point
+    # predicate is the MEAN span fraction, which must stay low).
+    for col, g in (("l_orderkey", g_x), ("l_partkey", g_y)):
+        zs = spans(zpath, col)
+        assert sum(s <= 0.55 * g for s in zs) >= 0.75 * len(zs), (col, zs, g)
+        assert sum(zs) / len(zs) < 0.5 * g, (col, zs, g)
+    # single-column clustering: its own column tight, the OTHER at ~full span
+    assert all(s < 0.3 * g_x for s in spans(xpath, "l_orderkey"))
+    assert max(spans(xpath, "l_partkey")) > 0.9 * g_y
+
+    assert spark.read.parquet(zpath).count() == li.count()
