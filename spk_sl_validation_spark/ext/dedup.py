@@ -780,6 +780,7 @@ def dedup_incremental_indexed(
     shingle_n: int = 3,
     jaccard_threshold: float = 0.8,
     max_bucket_size: int = MAX_BUCKET_SIZE,
+    batch_tables: tuple[DataFrame, DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """:func:`dedup_incremental` against a PRECOMPUTED index — the
     production shape where the corpus artifacts (from
@@ -803,15 +804,24 @@ def dedup_incremental_indexed(
     # fingerprints broadcasts back — the index fp table is scanned,
     # never shuffled, so this stage's data movement is ∝ shard even
     # against a corpus-scale index.
-    fp = batch_df.select(id_col, md5_fingerprint(text_col).alias("fp"))
+    if batch_tables is not None:
+        # Caller already built the batch's artifacts (e.g. the
+        # streaming ingest loop, which also merges them into the
+        # index) — reuse instead of recomputing the tokenize→hash→
+        # aggregate pipeline. Must come from dedup_index_tables with
+        # the same num_hashes/bands/shingle_n/cap parameters.
+        fp, batch_bands, batch_hs = batch_tables
+    else:
+        sig = minhash_signatures(batch_df, id_col, text_col, num_hashes, shingle_n)
+        fp = batch_df.select(id_col, md5_fingerprint(text_col).alias("fp"))
+        batch_bands = capped_band_rows(sig, id_col, rows_per_band, bands, max_bucket_size)
+        batch_hs = shingle_hash_sets(batch_df, id_col, text_col, shingle_n)
     batch_fps = fp.select("fp").distinct()
     hit_fps = (
         index_fp.join(F.broadcast(batch_fps), "fp", "left_semi").select("fp").distinct()
     )
     exact_hits = fp.join(F.broadcast(hit_fps), "fp", "left_semi").select(id_col)
 
-    sig = minhash_signatures(batch_df, id_col, text_col, num_hashes, shingle_n)
-    batch_bands = capped_band_rows(sig, id_col, rows_per_band, bands, max_bucket_size)
     cand = (
         batch_bands.select(F.col(id_col).alias("__nid"), "band", *hcols)
         .join(index_bands.select(F.col(id_col).alias("__iid"), "band", *hcols), ["band", *hcols])
@@ -819,7 +829,6 @@ def dedup_incremental_indexed(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    batch_hs = shingle_hash_sets(batch_df, id_col, text_col, shingle_n)
     # Verify stage: restrict the index's shingle-hash sets to the
     # docs that appear in a candidate pair via a BROADCAST semi join
     # (candidate ids are shard-bounded) BEFORE any shuffle — without

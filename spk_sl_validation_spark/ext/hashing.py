@@ -157,19 +157,26 @@ def z_value_expr(x: str, y: str, bits: int = 16) -> str:
     """Spark SQL expression interleaving the low ``bits`` of two
     integer expressions into a Morton z-value (x at even positions).
     Pure codegen'd integer bit math; shared by the z-order layout
-    stats query and the z-order writer."""
+    stats query and the z-order writer.
+
+    Inputs are CAST to BIGINT first: on 32-bit ints a shift by 31
+    wraps negative in Spark but raises Out-of-Range in DuckDB, so the
+    cross-engine twin would silently diverge for int32 callers."""
+    xb, yb = f"CAST({x} AS BIGINT)", f"CAST({y} AS BIGINT)"
     terms = [
-        f"shiftleft(shiftright({x}, {i}) & 1, {2 * i}) + "
-        f"shiftleft(shiftright({y}, {i}) & 1, {2 * i + 1})"
+        f"shiftleft(shiftright({xb}, {i}) & 1, {2 * i}) + "
+        f"shiftleft(shiftright({yb}, {i}) & 1, {2 * i + 1})"
         for i in range(bits)
     ]
     return "(" + " + ".join(terms) + ")"
 
 
 def z_value_sql(x: str, y: str, bits: int = 16) -> str:
-    """DuckDB twin of :func:`z_value_expr` (operator syntax)."""
+    """DuckDB twin of :func:`z_value_expr` (operator syntax; same
+    BIGINT widening)."""
+    xb, yb = f"CAST({x} AS BIGINT)", f"CAST({y} AS BIGINT)"
     terms = [
-        f"((({x} >> {i}) & 1) << {2 * i}) + ((({y} >> {i}) & 1) << {2 * i + 1})"
+        f"((({xb} >> {i}) & 1) << {2 * i}) + ((({yb} >> {i}) & 1) << {2 * i + 1})"
         for i in range(bits)
     ]
     return "(" + " + ".join(terms) + ")"

@@ -52,15 +52,16 @@ def register(
 # into the prefix explicitly:
 #   1–6   the six queries that were red in round 1 (fixed in round 2,
 #         fixes never driver-confirmed) — hardest-signal first;
-#   7–18  the twelve queries NEW in round 3 (streaming_user_activity,
+#   7–20  the fourteen queries NEW in round 3 (streaming_user_activity,
 #         corpus_span_dedup, k_anonymity, dedup_incremental,
 #         sketch_quantile_sample, corpus_source_overlap,
 #         events_debounce, fuzzy_match_parts, streaming_debounce,
 #         text_gopher_filters, sample_priority_weighted,
-#         layout_zorder_stats) — new code has the least evidence;
-#   19–28 the judge-named never-sampled set (bucketed near-dup, corpus
+#         layout_zorder_stats, text_bigram_logprob,
+#         mixture_token_budget) — new code has the least evidence;
+#   21–30 the judge-named never-sampled set (bucketed near-dup, corpus
 #         pipeline, packing, TPC-H stragglers, validation, SCD2);
-#   29+   the remaining never-sampled queries in registration order.
+#   31+   the remaining never-sampled queries in registration order.
 # The insertions push the tail of the old 50-prefix
 # (dataset_shard_assignment, pii_masking, text_bpe_pair_stats,
 # range_join … ) past position 50; they join the four deferred

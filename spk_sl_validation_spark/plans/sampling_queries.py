@@ -159,7 +159,9 @@ r AS (
 )
 SELECT doc_id, w, priority,
        greatest(CAST(w AS DOUBLE),
-                (SELECT min(priority) FROM r WHERE rn <= {PRIORITY_K + 1})) AS est_w
+                (SELECT CASE WHEN count(*) >= {PRIORITY_K + 1} THEN min(priority)
+                        ELSE CAST('-infinity' AS DOUBLE) END
+                 FROM r WHERE rn <= {PRIORITY_K + 1})) AS est_w
 FROM r WHERE rn <= {PRIORITY_K}
 """,
 )
@@ -183,7 +185,14 @@ def priority_sample(df: DataFrame, id_col: str, w_col: str, k: int) -> DataFrame
     )
     order = [F.col("priority").desc(), F.col(id_col).asc()]
     top_k1 = pri.orderBy(*order).limit(k + 1)
-    tau = top_k1.agg(F.min("priority").alias("tau"))
+    # tau is the (k+1)-th priority ONLY when one exists; with n <= k
+    # every row is sampled and the unbiased estimator is est_w = w,
+    # i.e. tau = -inf (min-of-all would inflate est_w above w).
+    tau = top_k1.agg(
+        F.when(F.count(F.lit(1)) >= k + 1, F.min("priority"))
+        .otherwise(F.lit(float("-inf")))
+        .alias("tau")
+    )
     sampled = top_k1.orderBy(*order).limit(k)
     return sampled.crossJoin(F.broadcast(tau)).select(
         id_col,

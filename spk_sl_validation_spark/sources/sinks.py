@@ -333,8 +333,9 @@ def write_zorder(
         F.min(col_x), F.max(col_x), F.min(col_y), F.max(col_y)
     ).first()
 
-    def norm(col: str, lo: int, hi: int) -> str:
-        if hi <= lo:
+    def norm(col: str, lo, hi) -> str:
+        if lo is None or hi is None or hi <= lo:
+            # empty input or constant column: no spread to encode
             return "0"
         return f"CAST((CAST({col} AS BIGINT) - {lo}) * {top} / {hi - lo} AS BIGINT)"
 

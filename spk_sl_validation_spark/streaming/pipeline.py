@@ -455,6 +455,51 @@ def write_dedup_index(docs: DataFrame, index_dir: str, batch_id: int = -1) -> No
         )
 
 
+def _ingest_process_batch(
+    spark: SparkSession, batch_df: DataFrame, batch_id: int, index_dir: str, out_dir: str
+) -> None:
+    """One micro-batch of :func:`ingest_dedup_stream` (module-level so
+    tests can drive a replay directly). Idempotent for a fixed
+    (batch contents, batch_id): the index read excludes partitions
+    with ``batch_id >= current`` — i.e. anything a previous attempt of
+    THIS batch wrote — and every output partition is dynamically
+    overwritten."""
+    from spk_sl_validation_spark.ext.dedup import (
+        dedup_incremental_indexed,
+        dedup_index_tables,
+    )
+
+    batch_df = batch_df.localCheckpoint(eager=True)
+    index = tuple(
+        spark.read.parquet(f"{index_dir}/{n}").filter(F.col("batch_id") < batch_id)
+        for n in _INDEX_PARTS
+    )
+    # Batch artifacts are computed ONCE (materialized) and shared by
+    # the dedup pass and the index-merge writes — without this the
+    # tokenize→hash→aggregate pipeline would run twice per trigger.
+    arts = tuple(t.localCheckpoint(eager=True) for t in dedup_index_tables(batch_df))
+    res = dedup_incremental_indexed(
+        batch_df, *index, batch_tables=arts
+    ).localCheckpoint(eager=True)
+    (
+        res.withColumn("batch_id", F.lit(batch_id))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(out_dir)
+    )
+    kept = res.filter("keep").select("doc_id")
+    for name, part in zip(_INDEX_PARTS, arts):
+        (
+            part.join(kept, "doc_id", "left_semi")
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(f"{index_dir}/{name}")
+        )
+
+
 def ingest_dedup_stream(
     spark: SparkSession,
     source_dir: str,
@@ -474,36 +519,16 @@ def ingest_dedup_stream(
     write (results AND the three index parts) is partitioned by
     batch_id with dynamic partition overwrite, so a batch replayed
     from the checkpoint overwrites its own partitions — the same
-    idempotent-sink recipe as the foreachBatch file sink test.
+    idempotent-sink recipe as the foreachBatch file sink test. The
+    index read filters to ``batch_id < current`` so a replayed batch
+    never sees the partition its own failed attempt wrote (it would
+    misclassify its kept docs as exact dups of themselves).
 
     Returns the started StreamingQuery (availableNow trigger).
     """
-    from spk_sl_validation_spark.ext.dedup import (
-        dedup_incremental_indexed,
-        dedup_index_tables,
-    )
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
-        batch_df = batch_df.localCheckpoint(eager=True)
-        index = tuple(spark.read.parquet(f"{index_dir}/{n}") for n in _INDEX_PARTS)
-        res = dedup_incremental_indexed(batch_df, *index).localCheckpoint(eager=True)
-        (
-            res.withColumn("batch_id", F.lit(batch_id))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("batch_id")
-            .parquet(out_dir)
-        )
-        kept = res.filter("keep").select("doc_id")
-        for name, part in zip(_INDEX_PARTS, dedup_index_tables(batch_df)):
-            (
-                part.join(kept, "doc_id", "left_semi")
-                .withColumn("batch_id", F.lit(batch_id))
-                .write.mode("overwrite")
-                .option("partitionOverwriteMode", "dynamic")
-                .partitionBy("batch_id")
-                .parquet(f"{index_dir}/{name}")
-            )
+        _ingest_process_batch(spark, batch_df, batch_id, index_dir, out_dir)
 
     stream = (
         spark.readStream.schema(DOC_STREAM_SCHEMA)

@@ -122,11 +122,11 @@ def test_priority_sample_matches_python_reference(spark):
     @given(
         rows=st.lists(
             st.tuples(st.integers(0, 10**9), st.integers(1, 10**6)),
-            min_size=6,
+            min_size=1,
             max_size=40,
             unique_by=lambda t: t[0],
         ),
-        k=st.integers(1, 5),
+        k=st.integers(1, 8),  # includes n <= k: all rows sampled, tau = -inf
     )
     def check(rows, k):
         df = spark.createDataFrame(rows, "rid long, w long")

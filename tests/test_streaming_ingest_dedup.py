@@ -56,3 +56,31 @@ def test_streaming_batches_dedup_against_index_and_each_other(spark, sf_dir, tmp
     fp = spark.read.parquet(f"{index_dir}/fp")
     assert fp.count() == 50 + 2
     assert {r.batch_id for r in fp.select("batch_id").distinct().collect()} >= {-1, 0, 1}
+
+
+def test_batch_replay_is_idempotent(spark, sf_dir, tmp_path):
+    """A replayed micro-batch (same contents, same batch_id — the
+    crash-before-checkpoint-commit case) must reproduce its original
+    verdicts: the index read excludes the partition the failed attempt
+    wrote, so a batch never sees its own docs as 'index' and
+    misclassifies them as exact dups of themselves."""
+    from spk_sl_validation_spark.streaming.pipeline import _ingest_process_batch
+
+    docs = load_table(spark, sf_dir, "documents").limit(30).cache()
+    index_dir, out_dir = str(tmp_path / "index"), str(tmp_path / "results")
+    write_dedup_index(docs, index_dir)
+    batch = spark.createDataFrame(
+        [(501, "replayed novel content " * 8)], "doc_id long, text string"
+    )
+
+    def run():
+        _ingest_process_batch(spark, batch, 0, index_dir, out_dir)
+        return sorted(
+            (r.doc_id, r.keep, r.reason) for r in spark.read.parquet(out_dir).collect()
+        )
+
+    first = run()
+    assert first == [(501, True, "unique")]
+    assert run() == first  # replay after the first attempt's index write
+    fp = spark.read.parquet(f"{index_dir}/fp")
+    assert fp.filter("batch_id = 0").count() == 1  # no duplicate artifact rows
