@@ -321,6 +321,59 @@ def ngram_jaccard_for_pairs(
     return joined.select("id_a", "id_b", jac.alias("jaccard"))
 
 
+def containment_for_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Directional n-gram containment for the given (id_a, id_b)
+    pairs: ``cont_a_in_b = |A ∩ B| / |A|`` and symmetrically
+    ``cont_b_in_a`` (A, B = the docs' distinct shingle sets).
+
+    Jaccard under-scores doc-in-doc duplication — a paragraph pasted
+    verbatim into a 100× larger page has J ≈ 0.01 but containment
+    ≈ 1.0 (Lee et al., "Deduplicating Training Data Makes Language
+    Models Better" motivates exactly this case for training corpora).
+    Same physical shape as :func:`ngram_jaccard_for_pairs` (semi-join
+    to involved docs, one collected hash-set per doc, per-pair
+    ``array_intersect``), just a different final formula — the two
+    share cost, not code, because each checkpoints its own doc-set
+    relation.
+
+    Recall caveat (documented contract): candidates normally come from
+    MinHash-LSH, whose banding estimates *Jaccard* — a containment
+    pair with tiny Jaccard may never become a candidate. At scale the
+    remedy is candidate generation biased toward the small side
+    (suffix-array / seed-shingle sampling), out of scope here; within
+    the candidate set the computed containment is exact.
+    """
+    from spk_sl_validation_spark.ext.hashing import md5_long, shingle_rows
+
+    involved = pairs.select(F.col("id_a").alias(id_col)).unionByName(
+        pairs.select(F.col("id_b").alias(id_col))
+    ).distinct()
+    sh = shingle_rows(df.join(involved, id_col, "left_semi"), id_col, text_col, n)
+    doc_sets = (
+        sh.select(id_col, md5_long("s").alias("h"))
+        .groupBy(id_col)
+        .agg(F.array_sort(F.array_distinct(F.collect_list("h"))).alias("hs"))
+    )
+    # Feeds both join sides — materialize once (see ngram_jaccard_for_pairs).
+    doc_sets = doc_sets.localCheckpoint(eager=True)
+    a = doc_sets.select(F.col(id_col).alias("id_a"), F.col("hs").alias("__ha"))
+    b = doc_sets.select(F.col(id_col).alias("id_b"), F.col("hs").alias("__hb"))
+    joined = pairs.select("id_a", "id_b").join(a, "id_a").join(b, "id_b")
+    inter = F.size(F.array_intersect("__ha", "__hb")).cast("double")
+    return joined.select(
+        "id_a",
+        "id_b",
+        (inter / F.size("__ha").cast("double")).alias("cont_a_in_b"),
+        (inter / F.size("__hb").cast("double")).alias("cont_b_in_a"),
+    )
+
+
 def dedup_corpus(
     df: DataFrame,
     id_col: str = "doc_id",

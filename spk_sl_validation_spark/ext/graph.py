@@ -1,0 +1,132 @@
+"""Graph centrality over event-derived edges: fixed-iteration PageRank.
+
+North-star extension (no counterpart in the reference, whose surface
+is tabular cleansing — SURVEY.md §2). Link-style centrality is a
+standard web-corpus curation signal (Common Crawl ranks hosts by
+harmonic/PageRank centrality to pick what to fetch and keep), and the
+natural Spark shape is exactly this: derive an aggregated edge list
+from the raw 100 TB fact table (the only scale-heavy stage, one
+window + one shuffle), then run power iterations as joins over the
+small aggregated graph.
+
+Design notes for scale and determinism:
+
+- **Edge derivation is the 100 TB stage.** ``transition_edges`` is a
+  per-user ``lag`` window (one shuffle on user_id) followed by a
+  groupBy count (one shuffle on the edge key). Both keys are
+  well-distributed; no driver state.
+- **Power iterations run on the aggregated graph.** The edge list is
+  ``localCheckpoint``-ed once — each of the 3 fixed iterations joins
+  against the materialized small relation instead of replaying the
+  events scan (lineage otherwise doubles per iteration: rank_i feeds
+  both the inflow term and the dangling-mass term).
+- **No ``.collect()``.** Scalar fan-in (node count, dangling mass)
+  stays in the plan as 1-row broadcast cross joins, the same pattern
+  the quality queries use for corpus-level constants.
+- **Cross-engine determinism.** Ranks are rounded to 12 decimals
+  after every update and every per-edge contribution in BOTH engines
+  (the DuckDB oracle replays the same rounds), so double noise from
+  engine-specific summation order cannot compound across iterations;
+  the final output rounds to 6.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+#: Standard damping factor (Page et al. 1999).
+DAMPING = 0.85
+
+#: Fixed iteration count — enough to rank a near-complete transition
+#: graph, and cheap to unroll in the SQL oracle.
+ITERATIONS = 3
+
+
+def transition_edges(
+    events: DataFrame,
+    node_col: str = "event_type",
+    user_col: str = "user_id",
+    order_cols: tuple[str, ...] = ("ts", "event_id"),
+) -> DataFrame:
+    """(src, dst, w): per-user consecutive-event transitions, counted.
+
+    The per-user ordering includes a unique tiebreak column so the
+    edge multiset is deterministic under timestamp ties.
+    """
+    w = Window.partitionBy(user_col).orderBy(*order_cols)
+    seq = events.select(user_col, *order_cols, node_col).withColumn(
+        "__prev", F.lag(node_col).over(w)
+    )
+    return (
+        seq.filter(F.col("__prev").isNotNull())
+        .groupBy(F.col("__prev").alias("src"), F.col(node_col).alias("dst"))
+        .agg(F.count(F.lit(1)).cast("double").alias("w"))
+    )
+
+
+def pagerank(
+    edges: DataFrame,
+    damping: float = DAMPING,
+    iterations: int = ITERATIONS,
+) -> DataFrame:
+    """(node, rank): weighted PageRank with dangling-mass
+    redistribution, ``iterations`` fixed power iterations.
+
+    update: rank'(v) = (1-d)/N + d * (Σ_{u→v} rank(u)·w(u,v)/out(u)
+    + dangling/N), where dangling = Σ rank(u) over nodes with no
+    out-edges. Every arithmetic step is rounded to 12 decimals so the
+    DuckDB oracle's unrolled-CTE replay lands on identical doubles.
+    """
+    edges = edges.localCheckpoint(eager=True)
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    n_df = nodes.agg(F.count(F.lit(1)).cast("double").alias("__n"))
+    out_w = edges.groupBy("src").agg(F.sum("w").alias("out_w"))
+    ranks = nodes.crossJoin(F.broadcast(n_df)).select(
+        "node", F.round(F.lit(1.0) / F.col("__n"), 12).alias("rank")
+    )
+    for _ in range(iterations):
+        contribs = (
+            edges.join(F.broadcast(out_w), "src")
+            .join(
+                F.broadcast(ranks.withColumnRenamed("node", "src")),
+                "src",
+            )
+            .groupBy(F.col("dst").alias("node"))
+            .agg(
+                F.sum(
+                    F.round(F.col("rank") * F.col("w") / F.col("out_w"), 12)
+                ).alias("__inflow")
+            )
+        )
+        dangling = (
+            ranks.join(out_w, ranks.node == out_w.src, "left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dm"))
+        )
+        ranks = (
+            nodes.join(F.broadcast(contribs), "node", "left")
+            .crossJoin(F.broadcast(n_df))
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                F.round(
+                    F.lit(1.0 - damping) / F.col("__n")
+                    + F.lit(damping)
+                    * (
+                        F.coalesce(F.col("__inflow"), F.lit(0.0))
+                        + F.col("__dm") / F.col("__n")
+                    ),
+                    12,
+                ).alias("rank"),
+            )
+        )
+        # rank_i feeds both next-iteration terms (inflow + dangling);
+        # without truncation the lineage doubles per iteration. Lazy
+        # checkpoint: materialized once at first use, N-node relation.
+        ranks = ranks.localCheckpoint(eager=False)
+    return ranks.select("node", F.round("rank", 6).alias("rank"))

@@ -95,6 +95,52 @@ def quality_score(col: str | Column) -> Column:
     )
 
 
+#: Fixed logistic-model weights for :func:`quality_model_prob` —
+#: (bias, length, stopword-ratio, punct-ratio, distinct-token-ratio).
+#: Hand-set in the spirit of the fasttext-style quality classifiers
+#: production corpus pipelines run (CCNet, Llama/GPT-3 data work):
+#: rewards length and function-word density, punishes symbol soup and
+#: token repetition. The weights are part of the operator's contract
+#: (the oracle replays them verbatim), standing in for a trained
+#: coefficient vector shipped as a config artifact.
+QUALITY_MODEL_WEIGHTS = {
+    "bias": -1.2,
+    "length": 2.0,
+    "stopword": 3.0,
+    "punct": -4.0,
+    "distinct": 1.5,
+}
+
+
+def quality_model_prob(col: str | Column) -> Column:
+    """P(keep) from a fixed-weight logistic model over engineered
+    quality features — the model-scoring stage of a corpus filter,
+    as one codegen'd column expression (no UDF).
+
+    Feature vector (all deterministic double ratios):
+    ``least(n_chars/500, 1)``, stopword ratio, punctuation ratio, and
+    distinct-token ratio. The linear term is built strictly
+    left-associative so the SQL oracle's identical expression tree
+    lands on the same double before the (≤1 ulp engine-dependent)
+    ``exp``; consumers round the probability for cross-engine hashes.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    q = quality_components(c)
+    toks = ws_tokens(c)
+    n_tokens = F.size(toks).cast("double")
+    x_len = F.least(q["n_chars"].cast("double") / F.lit(500.0), F.lit(1.0))
+    x_distinct = F.size(F.array_distinct(toks)).cast("double") / n_tokens
+    w = QUALITY_MODEL_WEIGHTS
+    z = (
+        F.lit(w["bias"])
+        + F.lit(w["length"]) * x_len
+        + F.lit(w["stopword"]) * q["stopword_ratio"]
+        + F.lit(w["punct"]) * q["punct_ratio"]
+        + F.lit(w["distinct"]) * x_distinct
+    )
+    return F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+
+
 def lang_hits(col: str | Column, lang: str) -> Column:
     markers = LANG_MARKERS[lang]
     return F.size(F.filter(ws_tokens(col), lambda t: t.isin(*markers)))

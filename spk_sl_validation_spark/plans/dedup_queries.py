@@ -334,3 +334,59 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 _REG["dedup_incremental"] = _dc.replace(
     _REG["dedup_incremental"], oracle=_dedup_incremental_oracle()
 )
+
+
+# ---------------------------------------------------------------------------
+# Directional containment (doc-in-doc duplication)
+# ---------------------------------------------------------------------------
+
+#: Containment threshold for dedup_containment — higher than the
+#: Jaccard tau because containment ≈ 1.0 for verbatim inclusion even
+#: when sizes differ wildly.
+CONTAINMENT_TAU = 0.9
+
+
+def _dedup_containment_oracle() -> str:
+    from spk_sl_validation_spark.plans.dedup_shared import _candidate_overlap_ctes
+
+    return f"""
+WITH {_candidate_overlap_ctes()}
+SELECT c.id_a, c.id_b,
+       CAST(i.n_inter AS DOUBLE) / CAST(sa.n_sh AS DOUBLE) AS cont_a_in_b,
+       CAST(i.n_inter AS DOUBLE) / CAST(sb.n_sh AS DOUBLE) AS cont_b_in_a
+FROM cand c
+JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+JOIN sizes sa ON sa.doc_id = c.id_a
+JOIN sizes sb ON sb.doc_id = c.id_b
+WHERE greatest(CAST(i.n_inter AS DOUBLE) / CAST(sa.n_sh AS DOUBLE),
+               CAST(i.n_inter AS DOUBLE) / CAST(sb.n_sh AS DOUBLE)) >= {CONTAINMENT_TAU}
+"""
+
+
+@register(
+    "dedup_containment",
+    doc=(
+        "doc-in-doc dedup: LSH candidates scored by DIRECTIONAL n-gram "
+        f"containment |A∩B|/|A| (either direction >= {CONTAINMENT_TAU}) — "
+        "catches a small doc pasted into a large one, which Jaccard "
+        "under-scores by the size ratio"
+    ),
+    oracle=_dedup_containment_oracle(),
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment-verified near-dup pairs on the documents table.
+
+    Integer-ratio doubles are bit-deterministic across engines
+    (IEEE-754 division of exact integers), so the threshold filter and
+    the output values replay exactly in the DuckDB oracle.
+    """
+    import pyspark.sql.functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.lsh_candidate_pairs(
+        docs, "doc_id", "text", NUM_HASHES, BANDS, 3, with_estimate=False
+    )
+    scored = D.containment_for_pairs(docs, pairs, "doc_id", "text", 3)
+    return scored.filter(
+        F.greatest("cont_a_in_b", "cont_b_in_a") >= CONTAINMENT_TAU
+    )

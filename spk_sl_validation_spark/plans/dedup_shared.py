@@ -35,10 +35,13 @@ capped AS (
 )"""
 
 
-def _verified_pairs_ctes(table: str = "documents") -> str:
-    """Shared CTE body: ``table`` → LSH candidates → exact-Jaccard
-    verified pairs (id_a < id_b). Reused by the pipeline, cluster, and
-    end-to-end corpus oracles (``table`` may be an upstream CTE)."""
+def _candidate_overlap_ctes(table: str = "documents") -> str:
+    """Shared CTE body up to the exact-overlap statistics: ``table`` →
+    LSH candidates (``cand``) plus per-pair shingle intersection
+    (``inter``) and per-doc shingle-set sizes (``sizes``). Both the
+    Jaccard-verified dedup oracles (:func:`_verified_pairs_ctes`) and
+    the containment oracle (dedup_queries.dedup_containment) finish
+    from these three CTEs with their own similarity formula."""
     sh = word_shingles_sql("t", 3)
     mh_exprs = ", ".join(
         f"list_min(list_transform(h, x -> {seeded_perm_sql('x', i)})) AS mh{i}"
@@ -71,7 +74,14 @@ inter AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
   FROM dsh a JOIN dsh b ON a.s = b.s AND a.doc_id < b.doc_id
   GROUP BY 1, 2
-),
+)"""
+
+
+def _verified_pairs_ctes(table: str = "documents") -> str:
+    """Shared CTE body: ``table`` → LSH candidates → exact-Jaccard
+    verified pairs (id_a < id_b). Reused by the pipeline, cluster, and
+    end-to-end corpus oracles (``table`` may be an upstream CTE)."""
+    return f"""{_candidate_overlap_ctes(table)},
 verified AS (
   SELECT c.id_a, c.id_b
   FROM cand c

@@ -140,6 +140,10 @@ SAMPLE_PRIORITY: tuple[str, ...] = (
     "approx_topk_event_types",
     "unpivot_lineitem_measures",
     "datetime_suite",
+    # -- new in round 3's second half (self-check evidence only so far) --
+    "dedup_containment",
+    "graph_pagerank_events",
+    "text_quality_model",
 )
 
 
@@ -206,6 +210,7 @@ QUERY_MODULES = (
     "multimodal_queries",
     "scale_queries",
     "event_queries",
+    "graph_queries",
 )
 
 

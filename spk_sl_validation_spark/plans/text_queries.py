@@ -358,3 +358,48 @@ def text_gopher_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (stops >= 1)
         ).alias("passes"),
     )
+
+
+_W = X.QUALITY_MODEL_WEIGHTS
+_STOP_RATIO = (
+    f"CAST(len(list_filter({_TOKS}, t -> t IN ({_STOP_IN}))) AS DOUBLE)"
+    f" / CAST(len({_TOKS}) AS DOUBLE)"
+)
+_PUNCT_RATIO = (
+    r"CAST(len(regexp_extract_all(lower(text), '[^a-z0-9\s]')) AS DOUBLE)"
+    " / CAST(length(text) AS DOUBLE)"
+)
+_DISTINCT_RATIO = f"CAST(len(list_distinct({_TOKS})) AS DOUBLE) / CAST(len({_TOKS}) AS DOUBLE)"
+# Strictly left-associative — must mirror ext.text.quality_model_prob's
+# expression tree so both engines feed exp() the identical double.
+_Z = (
+    f"{_W['bias']} + {_W['length']} * least(CAST(length(text) AS DOUBLE) / 500.0, 1.0)"
+    f" + {_W['stopword']} * ({_STOP_RATIO})"
+    f" + {_W['punct']} * ({_PUNCT_RATIO})"
+    f" + {_W['distinct']} * ({_DISTINCT_RATIO})"
+)
+
+
+@register(
+    "text_quality_model",
+    doc=(
+        "model-based corpus filter: fixed-weight logistic classifier over "
+        "engineered quality features (length, stopword/punct ratios, distinct-"
+        "token ratio) as one codegen'd expression — the fasttext-classifier "
+        "stage of a training-data pipeline, no UDF"
+    ),
+    oracle=rf"""
+SELECT doc_id,
+       round(1.0 / (1.0 + exp(-({_Z}))), 6) AS quality_prob,
+       (1.0 / (1.0 + exp(-({_Z}))) >= 0.5) AS keep
+FROM documents
+""",
+)
+def text_quality_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    prob = X.quality_model_prob("text")
+    return docs.select(
+        "doc_id",
+        F.round(prob, 6).alias("quality_prob"),
+        (prob >= 0.5).alias("keep"),
+    )
