@@ -191,59 +191,61 @@ def unigram_logprob(
     boilerplate score far from the corpus mean.
 
     Output: (id, n_tokens, avg_logprob). Shape: one token explode →
-    corpus frequency aggregate (vocab-bounded, broadcast back) → per-
-    document ordered fold of ``ln(cnt/total)`` in token-position
-    order; the mean is rounded to ``round_digits`` to absorb libm
-    ``ln`` ulp drift (same rule as the HLL linear-counting path).
+    corpus frequency aggregate (vocab-bounded, broadcast back) →
+    per-document EXACT sum of ``round(ln(cnt/total), 12)`` as
+    DECIMAL(28,12): rounding absorbs libm ``ln`` ulp drift, and a
+    decimal sum is order-independent, so both engines land on the
+    identical total with a plain codegen'd hash aggregate — no
+    position-ordered fold (the previous collect_list + interpreted
+    array fold cost ~40% of the query).
     """
-    toks = df.select(F.col(id_col), F.posexplode(ws_tokens(text_col)).alias("pos", "tok"))
+    toks = df.select(F.col(id_col), F.explode(ws_tokens(text_col)).alias("tok"))
     freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
     total = freq.agg(F.sum("cnt").alias("total"))
     freq_p = freq.crossJoin(F.broadcast(total))
     joined = toks.join(F.broadcast(freq_p), "tok").select(
         id_col,
-        "pos",
-        F.log(F.col("cnt").cast("double") / F.col("total").cast("double")).alias("logp"),
+        F.round(
+            F.log(F.col("cnt").cast("double") / F.col("total").cast("double")), 12
+        )
+        .cast("decimal(28,12)")
+        .alias("logp"),
     )
     per_doc = joined.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_tokens"),
-        F.aggregate(
-            F.array_sort(F.collect_list(F.struct("pos", "logp"))),
-            F.lit(0.0),
-            lambda acc, x: acc + x["logp"],
-        ).alias("__sum_logp"),
+        F.sum("logp").alias("__sum_logp"),
     )
     return per_doc.select(
         id_col,
         "n_tokens",
-        F.round(F.col("__sum_logp") / F.col("n_tokens"), round_digits).alias("avg_logprob"),
+        F.round(
+            F.col("__sum_logp").cast("double") / F.col("n_tokens").cast("double"),
+            round_digits,
+        ).alias("avg_logprob"),
     )
 
 
 def unigram_logprob_sql(
     table: str, id_col: str = "doc_id", text_col: str = "text", round_digits: int = 6
 ) -> str:
-    """DuckDB twin of :func:`unigram_logprob` (same fold order)."""
+    """DuckDB twin of :func:`unigram_logprob` (same round-then-exact-
+    decimal-sum rule, so summation order cannot matter)."""
     toks = rf"string_split_regex(trim({text_col}), '\s+')"
     return f"""
 WITH t AS (
-  SELECT {id_col}, u.pos, u.tok FROM (
-    SELECT {id_col},
-           unnest(list_transform(range(1, len(tk) + 1),
-                  i -> struct_pack(pos := i, tok := tk[i]))) AS u
-    FROM (SELECT {id_col}, {toks} AS tk FROM {table})
-  )
+  SELECT {id_col}, unnest(tk) AS tok
+  FROM (SELECT {id_col}, {toks} AS tk FROM {table})
 ),
 freq AS (SELECT tok, count(*) AS cnt FROM t GROUP BY tok),
 tot AS (SELECT sum(cnt) AS total FROM freq),
 j AS (
-  SELECT t.{id_col}, t.pos,
-         ln(CAST(f.cnt AS DOUBLE) / CAST(tot.total AS DOUBLE)) AS logp
+  SELECT t.{id_col},
+         CAST(round(ln(CAST(f.cnt AS DOUBLE) / CAST(tot.total AS DOUBLE)), 12)
+              AS DECIMAL(28,12)) AS logp
   FROM t JOIN freq f ON t.tok = f.tok CROSS JOIN tot
 )
 SELECT {id_col}, CAST(count(*) AS BIGINT) AS n_tokens,
-       round(list_reduce(list_prepend(CAST(0 AS DOUBLE), list(logp ORDER BY pos)),
-                         (x, y) -> x + y) / count(*), {round_digits}) AS avg_logprob
+       round(CAST(sum(logp) AS DOUBLE) / count(*), {round_digits}) AS avg_logprob
 FROM j GROUP BY {id_col}
 """
 
@@ -273,8 +275,9 @@ def bigram_logprob(
     counts are two hash aggregates of those skinny rows; scoring joins
     rows to the model on the bigram key — an equi-join AQE upgrades to
     broadcast while the model is small and shuffles once it is truly
-    vocab²-scale. Mean uses the same position-ordered fold +
-    ``round`` rule as the unigram scorer (libm ``ln`` ulp drift).
+    vocab²-scale. Mean uses the same round-then-exact-decimal-sum
+    rule as the unigram scorer (rounding absorbs libm ``ln`` ulp
+    drift; the decimal sum is order-independent, so no ordered fold).
     """
     from pyspark.sql import Window
 
@@ -297,48 +300,52 @@ def bigram_logprob(
     model = bfreq.join(cfreq.hint("shuffle_hash"), "prev").select(
         "prev",
         "tok",
-        F.log(F.col("cnt").cast("double") / F.col("ctx").cast("double")).alias("logp"),
+        F.round(
+            F.log(F.col("cnt").cast("double") / F.col("ctx").cast("double")), 12
+        )
+        .cast("decimal(28,12)")
+        .alias("logp"),
     )
-    joined = bi.join(model.hint("shuffle_hash"), ["prev", "tok"]).select(id_col, "pos", "logp")
+    joined = bi.join(model.hint("shuffle_hash"), ["prev", "tok"]).select(id_col, "logp")
     per_doc = joined.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_bigrams"),
-        F.aggregate(
-            F.array_sort(F.collect_list(F.struct("pos", "logp"))),
-            F.lit(0.0),
-            lambda acc, x: acc + x["logp"],
-        ).alias("__sum_logp"),
+        F.sum("logp").alias("__sum_logp"),
     )
     return per_doc.select(
         id_col,
         "n_bigrams",
-        F.round(F.col("__sum_logp") / F.col("n_bigrams"), round_digits).alias("avg_logprob"),
+        F.round(
+            F.col("__sum_logp").cast("double") / F.col("n_bigrams").cast("double"),
+            round_digits,
+        ).alias("avg_logprob"),
     )
 
 
 def bigram_logprob_sql(
     table: str, id_col: str = "doc_id", text_col: str = "text", round_digits: int = 6
 ) -> str:
-    """DuckDB twin of :func:`bigram_logprob` (same fold order)."""
+    """DuckDB twin of :func:`bigram_logprob` (same round-then-exact-
+    decimal-sum rule, so summation order cannot matter)."""
     toks = rf"string_split_regex(trim({text_col}), '\s+')"
     return f"""
 WITH t AS (
-  SELECT {id_col}, u.pos, u.prev, u.tok FROM (
+  SELECT {id_col}, u.prev, u.tok FROM (
     SELECT {id_col},
            unnest(list_transform(range(2, len(tk) + 1),
-                  i -> struct_pack(pos := i, prev := tk[i - 1], tok := tk[i]))) AS u
+                  i -> struct_pack(prev := tk[i - 1], tok := tk[i]))) AS u
     FROM (SELECT {id_col}, {toks} AS tk FROM {table})
   )
 ),
 bf AS (SELECT prev, tok, count(*) AS cnt FROM t GROUP BY prev, tok),
 cf AS (SELECT prev, sum(cnt) AS ctx FROM bf GROUP BY prev),
 j AS (
-  SELECT t.{id_col}, t.pos,
-         ln(CAST(bf.cnt AS DOUBLE) / CAST(cf.ctx AS DOUBLE)) AS logp
+  SELECT t.{id_col},
+         CAST(round(ln(CAST(bf.cnt AS DOUBLE) / CAST(cf.ctx AS DOUBLE)), 12)
+              AS DECIMAL(28,12)) AS logp
   FROM t JOIN bf ON t.prev = bf.prev AND t.tok = bf.tok
          JOIN cf ON t.prev = cf.prev
 )
 SELECT {id_col}, CAST(count(*) AS BIGINT) AS n_bigrams,
-       round(list_reduce(list_prepend(CAST(0 AS DOUBLE), list(logp ORDER BY pos)),
-                         (x, y) -> x + y) / count(*), {round_digits}) AS avg_logprob
+       round(CAST(sum(logp) AS DOUBLE) / count(*), {round_digits}) AS avg_logprob
 FROM j GROUP BY {id_col}
 """
