@@ -642,3 +642,127 @@ def quantize_int8(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
         )
         .drop("__vd")
     )
+
+
+# ---------------------------------------------------------------------------
+# Johnson-Lindenstrauss random projection + projected-shortlist rerank
+# ---------------------------------------------------------------------------
+
+#: Seed for the shared ±1 projection matrix. The matrix is generated
+#: in Python (Mersenne Twister, deterministic) and embedded as sign
+#: literals in BOTH the Spark expression and the SQL oracle — the
+#: projection is part of the operator contract, like a shipped model.
+RP_SEED = 1234
+RP_OUT_DIM = 16
+
+
+def _rp_signs(in_dim: int, out_dim: int = RP_OUT_DIM, seed: int = RP_SEED) -> list[list[int]]:
+    import random
+
+    rng = random.Random(seed)
+    return [[1 if rng.random() < 0.5 else -1 for _ in range(in_dim)] for _ in range(out_dim)]
+
+
+def random_projection(
+    vec: str, in_dim: int, out_dim: int = RP_OUT_DIM, seed: int = RP_SEED
+) -> Column:
+    """JL sign random projection to ``out_dim`` dims: y_j = Σ_i ±x_i,
+    as a fully codegen'd unrolled expression (no interpreted HOFs, no
+    UDF). With ±1 entries each output coordinate is a fixed
+    left-associative chain of adds/subtracts of the (double-widened)
+    inputs — bit-deterministic, so the SQL oracle replays it exactly.
+
+    ``vec`` is a Spark-SQL expression string (column name), not a
+    Column: the whole out_dim×in_dim tree is built as ONE ``F.expr``
+    text and parsed JVM-side in a single call — building it from
+    Column operators costs ~3 000 py4j round-trips (~5 s of plan
+    analysis per query, measured), 12× the whole query.
+
+    Scale story: projecting 64→16 dims cuts the candidate-scoring
+    bytes and FLOPs 4× before the exact rerank touches full vectors —
+    the standard two-stage ANN shortcut (JL lemma bounds the distance
+    distortion; the rerank restores exactness of the final ranking
+    within the shortlist).
+    """
+    signs = _rp_signs(in_dim, out_dim, seed)
+    coords = []
+    for j in range(out_dim):
+        terms = []
+        for i in range(in_dim):
+            t = f"CAST({vec}[{i}] AS DOUBLE)"
+            terms.append(t if signs[j][i] > 0 else f"(- {t})")
+        coords.append(" + ".join(terms))
+    return F.expr("array(" + ", ".join(coords) + ")")
+
+
+def random_projection_sql(
+    vec: str, in_dim: int, out_dim: int = RP_OUT_DIM, seed: int = RP_SEED
+) -> str:
+    """DuckDB twin of :func:`random_projection` — same signs, same
+    left-associative order (1-based list indexing)."""
+    signs = _rp_signs(in_dim, out_dim, seed)
+    coords = []
+    for j in range(out_dim):
+        terms = []
+        for i in range(in_dim):
+            t = f"CAST({vec}[{i + 1}] AS DOUBLE)"
+            terms.append(t if signs[j][i] > 0 else f"(- {t})")
+        coords.append(" + ".join(terms))
+    return "[" + ", ".join(coords) + "]"
+
+
+def projected_rerank_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    in_dim: int = 64,
+    out_dim: int = RP_OUT_DIM,
+    shortlist_mult: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Two-stage ANN: shortlist by projected dot product (cheap,
+    ``out_dim``-dim), exact-cosine rerank of the ``k·shortlist_mult``
+    survivors (full ``in_dim``-dim) — top-k per query.
+
+    Same physical shape as :func:`brute_force_topk` (broadcast
+    queries, WindowGroupLimit top-k consolidation), but the per-pair
+    scoring in the wide crossJoin phase runs on the projected vectors;
+    the expensive exact cosine touches only shortlist rows. Both
+    windows partition by q_id, so the shortlist and the final rank
+    share one exchange. The projected corpus is lazily checkpointed so
+    CollapseProject cannot push the out_dim×in_dim projection past the
+    join — it must evaluate once per corpus ROW, never once per PAIR.
+    """
+    from pyspark.sql import Window
+
+    cp = corpus.select(
+        id_col, vec_col, random_projection(vec_col, in_dim, out_dim).alias("__p")
+    ).localCheckpoint(eager=False)
+    qp = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("q_id"),
+            F.col(vec_col).alias("__q_vec"),
+            random_projection(vec_col, in_dim, out_dim).alias("__q_p"),
+        )
+    )
+    scored = (
+        cp.crossJoin(qp)
+        .filter(F.col(id_col) != F.col("q_id"))
+        .select(
+            "q_id",
+            id_col,
+            vec_col,
+            "__q_vec",
+            dot_double(F.col("__q_p"), F.col("__p")).alias("__pscore"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("__pscore").desc(), F.col(id_col).asc())
+    short = scored.withColumn("__rs", F.row_number().over(w)).filter(
+        F.col("__rs") <= k * shortlist_mult
+    )
+    reranked = short.select(
+        "q_id", id_col, cosine(F.col("__q_vec"), F.col(vec_col)).alias("cos_sim")
+    )
+    w2 = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col(id_col).asc())
+    return reranked.withColumn("rank", F.row_number().over(w2)).filter(F.col("rank") <= k)

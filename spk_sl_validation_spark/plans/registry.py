@@ -144,6 +144,7 @@ SAMPLE_PRIORITY: tuple[str, ...] = (
     "dedup_containment",
     "graph_pagerank_events",
     "text_quality_model",
+    "similarity_topk_projected",
 )
 
 

@@ -389,3 +389,53 @@ def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     assigned, _ = kmeans(emb, "vec_id", "embedding", k=4, n_iter=3)
     return assigned
+
+
+EMB_DIM = 64
+RP_SHORTLIST_MULT = 4
+
+_RP = S.random_projection_sql("embedding", EMB_DIM)
+
+
+@register(
+    "similarity_topk_projected",
+    doc=(
+        f"two-stage ANN: JL ±1 random projection {EMB_DIM}->{S.RP_OUT_DIM} dims "
+        f"scores the crossJoin shortlist (top {TOP_K}x{RP_SHORTLIST_MULT}), exact "
+        f"cosine reranks only the shortlist — the projection matrix is a seeded "
+        "shared literal, so both engines project identically"
+    ),
+    oracle=f"""
+WITH proj AS (
+  SELECT vec_id, embedding, {_RP} AS p FROM embeddings
+),
+scored AS (
+  SELECT q.vec_id AS q_id, c.vec_id AS vec_id, c.embedding AS ce, q.embedding AS qe,
+         {S.dot_sql('q.p', 'c.p')} AS pscore
+  FROM proj q JOIN proj c ON c.vec_id <> q.vec_id
+  WHERE q.vec_id < {N_QUERIES}
+),
+short AS (
+  SELECT q_id, vec_id, qe, ce,
+         row_number() OVER (PARTITION BY q_id ORDER BY pscore DESC, vec_id ASC) AS rs
+  FROM scored
+),
+rr AS (
+  SELECT q_id, vec_id, {S.cosine_sql('qe', 'ce')} AS cos_sim
+  FROM short WHERE rs <= {TOP_K * RP_SHORTLIST_MULT}
+),
+ranked AS (
+  SELECT q_id, vec_id, cos_sim,
+         row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id ASC) AS rank
+  FROM rr
+)
+SELECT q_id, vec_id, cos_sim, CAST(rank AS INTEGER) AS rank FROM ranked WHERE rank <= {TOP_K}
+""",
+)
+def similarity_topk_projected(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    out = S.projected_rerank_topk(
+        emb, queries, TOP_K, EMB_DIM, S.RP_OUT_DIM, RP_SHORTLIST_MULT
+    )
+    return out.select("q_id", "vec_id", "cos_sim", F.col("rank").cast("int").alias("rank"))

@@ -258,3 +258,84 @@ def test_near_dup_bucketed_escalation_value_identical(spark, sf_dir):
     }
     assert set(esc) == set(base)
     assert all(abs(esc[p] - base[p]) < 1e-12 for p in esc)
+
+
+def test_random_projection_matches_python(spark, sf_dir):
+    from spk_sl_validation_spark.ext.similarity import _rp_signs, random_projection
+    from spk_sl_validation_spark.sources.readers import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    row = emb.select("vec_id", "embedding", random_projection("embedding", 64, 16).alias("p")).first()
+    signs = _rp_signs(64, 16)
+
+    def chain(j):  # same left-associative order as the expression
+        acc = None
+        for i in range(64):
+            t = float(row["embedding"][i])
+            t = t if signs[j][i] > 0 else -t
+            acc = t if acc is None else acc + t
+        return acc
+
+    assert all(abs(chain(j) - row["p"][j]) < 1e-12 for j in range(16))
+
+
+def test_projected_rerank_results_are_exact_cosines(spark, sf_dir):
+    """The rerank stage outputs EXACT cosines: every returned pair that
+    is also in the exact top-10 must carry the identical score."""
+    from pyspark.sql import functions as F
+
+    from spk_sl_validation_spark.ext.similarity import brute_force_topk, projected_rerank_topk
+    from spk_sl_validation_spark.sources.readers import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 3)
+    brute = {(r["q_id"], r["vec_id"]): r["cos_sim"] for r in brute_force_topk(emb, q, 10).collect()}
+    proj = projected_rerank_topk(emb, q, 10, 64, 16, 4).collect()
+    assert len(proj) > 0
+    overlap = 0
+    for r in proj:
+        key = (r["q_id"], r["vec_id"])
+        if key in brute:
+            assert r["cos_sim"] == brute[key]
+            overlap += 1
+    assert overlap > 0  # shortlist keeps at least some exact neighbors
+
+
+def test_projected_rerank_recall_on_structured_corpus(spark):
+    """On a corpus with REAL near neighbors (query + small noise), the
+    JL shortlist keeps them: recall@3 of the planted neighbors is
+    perfect. (The sf testdata embeddings are near-uniform noise, where
+    no sub-linear ANN can beat chance — that is a property of the
+    data, not the operator.)"""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from spk_sl_validation_spark.ext.similarity import projected_rerank_topk
+
+    rng = random.Random(7)
+    base = [[rng.gauss(0, 1) for _ in range(64)] for _ in range(5)]
+    rows = []
+    vid = 0
+    planted = {}
+    for qi, b in enumerate(base):
+        planted[qi * 100] = []
+        for copy in range(4):
+            vec = [x + rng.gauss(0, 0.05) for x in b] if copy else b
+            rid = qi * 100 + copy
+            rows.append((rid, [float(v) for v in vec]))
+            if copy:
+                planted[qi * 100].append(rid)
+    for _ in range(100):  # background noise vectors
+        vid += 1
+        rows.append((1000 + vid, [rng.gauss(0, 1) for _ in range(64)]))
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"]).select(
+        "vec_id", F.col("embedding").cast("array<float>").alias("embedding")
+    )
+    q = emb.filter(F.col("vec_id") % 100 == 0).filter(F.col("vec_id") < 1000)
+    out = projected_rerank_topk(emb, q, 3, 64, 16, 4).collect()
+    got = {}
+    for r in out:
+        got.setdefault(r["q_id"], set()).add(r["vec_id"])
+    for qid, expected in planted.items():
+        assert set(expected) == got[qid], f"query {qid}: {got[qid]} != {expected}"

@@ -70,3 +70,23 @@ def test_transition_edges_counts(spark):
         for r in transition_edges(events, order_cols=("ts", "event_id")).collect()
     }
     assert got == {("x", "y"): 2.0, ("y", "x"): 1.0}
+
+
+def test_transition_edges_plan_shape(spark, sf_dir):
+    """Edge derivation is the 100 TB stage: one window shuffle + one
+    aggregate shuffle, no sort-merge join."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from tools.dump_plans import plan_stats
+
+    from spk_sl_validation_spark.sources.readers import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    df = transition_edges(events)
+    df.write.mode("overwrite").format("noop").save()
+    qe = df._jdf.queryExecution()
+    formatted = spark._jvm.PythonSQLUtils.explainString(qe, "formatted")
+    st = plan_stats(formatted)
+    assert st["shuffle_exchanges"] <= 2
+    assert st["sort_merge_joins"] == 0
