@@ -112,6 +112,29 @@ def run(op: str, docs, n: int) -> dict:
             "docs_per_sec": int(n_batch / wall),
             "index_docs": n - n_batch,
         }
+    elif op == "pagerank":
+        # Synthesized event stream: n "events" over n/200 users and 64
+        # event types; the corpus-scale stage (per-user lag window +
+        # edge aggregation) dominates, the power iterations run on the
+        # aggregated 64-node graph.
+        from spk_sl_validation_spark.ext.graph import pagerank, transition_edges
+
+        events = (
+            docs.sparkSession.range(n)
+            .select(
+                (F.col("id") % (n // 200)).alias("user_id"),
+                F.col("id").alias("ts"),
+                F.col("id").alias("event_id"),
+                F.concat(F.lit("e"), ((F.col("id") * 2654435761) % 64).cast("string")).alias(
+                    "event_type"
+                ),
+            )
+        )
+        t0 = time.time()
+        out = pagerank(transition_edges(events))
+        out.write.mode("overwrite").format("noop").save()
+        wall = time.time() - t0
+        return {"op": op, "docs": n, "wall_sec": round(wall, 1), "docs_per_sec": int(n / wall)}
     else:
         raise SystemExit(f"unknown op {op!r}")
     out.write.mode("overwrite").format("noop").save()
