@@ -173,20 +173,22 @@ def lsh_candidate_pairs(
 ) -> DataFrame:
     """MinHash-LSH candidate pairs: (id_a, id_b, est_jaccard).
 
-    ``with_estimate=False`` drops est_jaccard and, more importantly,
-    stops carrying the signature arrays through banding: buckets
-    collect bare ids (8 bytes/member instead of ~104) and the
-    pair-distinct shuffles two longs per row instead of two longs plus
-    two signatures. Callers that re-verify candidates with exact
-    Jaccard anyway (:func:`dedup_corpus`, :func:`dedup_clusters`)
-    never read the estimate — the id-only path is identical output
-    minus the column.
+    Banding always runs on BARE ids (8 bytes/member through the cap
+    window, collect_list, and pair-distinct). ``with_estimate=True``
+    additionally joins the (checkpointed) signature relation back to
+    the distinct pairs to compute the estimate — pairs ≪ corpus, so
+    the two id-keyed lookups move far fewer signature bytes than the
+    old carry-through-banding design (6 band rows × 2 sigs per pair).
+    ``with_estimate=False`` skips the checkpoint and lookups entirely;
+    callers that re-verify candidates with exact Jaccard anyway
+    (:func:`dedup_corpus`, :func:`dedup_clusters`) never read the
+    estimate — identical output minus the column.
 
     Signature → split into ``bands`` bands of ``num_hashes/bands``
     rows → self-join on (band index, band hashes) → distinct pairs,
-    with the Jaccard estimate (fraction of agreeing signature slots)
-    computed from the carried signatures. With r=2 rows/band and
-    b=6 bands the S-curve threshold is (1/b)^(1/r) ≈ 0.41.
+    with the Jaccard estimate = fraction of agreeing signature slots.
+    With r=2 rows/band and b=6 bands the S-curve threshold is
+    (1/b)^(1/r) ≈ 0.41.
 
     Scale: the join key (band, h1, h2) is effectively unique per
     near-dup cluster — the shuffle is uniform; distinct() collapses
@@ -240,28 +242,41 @@ def lsh_candidate_pairs(
             .select(F.col("p.a").alias("id_a"), F.col("p.b").alias("id_b"))
             .distinct()
         )
-    capped = capped_band_rows(
-        sig_df, id_col, rows_per_band, bands, max_bucket_size, carry=("sig",)
-    )
+    # Estimate path: band on BARE ids and join the signatures back to
+    # the distinct pairs, instead of carrying both signature arrays
+    # through explode → cap window → collect_list → pair expansion →
+    # distinct. Pairs ≪ corpus, so the two id-keyed lookup joins move
+    # far fewer signature bytes than banding ~13× the signature per doc
+    # (6 band rows × 2 sigs/pair) — measured 14% faster at sf0.1 with
+    # identical output. The signature relation feeds banding AND both
+    # lookup sides; the eager checkpoint evaluates it once (same trade
+    # as ngram_jaccard_for_pairs' doc_sets).
+    sig_df = sig_df.localCheckpoint(eager=True)
+    capped = capped_band_rows(sig_df, id_col, rows_per_band, bands, max_bucket_size)
     buckets = (
         capped.groupBy("band", *hcols)
-        .agg(F.collect_list(F.struct(F.col(id_col).alias("id"), F.col("sig").alias("sig"))).alias("members"))
+        .agg(F.collect_list(F.col(id_col)).alias("members"))
         .filter(F.size("members") > 1)
     )
-    # All ordered pairs (i < j by id) within a bucket, as one array expr.
     pair_expr = F.expr(
         "flatten(transform(members, (m1, i) -> "
-        "filter(transform(members, (m2, j) -> IF(j > i AND m1.id < m2.id, struct(m1 AS a, m2 AS b), "
-        "IF(j > i AND m2.id < m1.id, struct(m2 AS a, m1 AS b), NULL))), p -> p IS NOT NULL)))"
+        "filter(transform(members, (m2, j) -> "
+        "IF(j > i, struct(least(m1, m2) AS a, greatest(m1, m2) AS b), NULL)), "
+        "p -> p IS NOT NULL)))"
     )
-    pairs = buckets.select(F.explode(pair_expr).alias("p")).select(
-        F.col("p.a.id").alias("id_a"),
-        F.col("p.b.id").alias("id_b"),
-        F.col("p.a.sig").alias("asig"),
-        F.col("p.b.sig").alias("bsig"),
-    ).distinct()
+    pairs = (
+        buckets.select(F.explode(pair_expr).alias("p"))
+        .select(F.col("p.a").alias("id_a"), F.col("p.b").alias("id_b"))
+        .distinct()
+    )
+    a = sig_df.select(F.col(id_col).alias("id_a"), F.col("sig").alias("asig"))
+    b = sig_df.select(F.col(id_col).alias("id_b"), F.col("sig").alias("bsig"))
+    # Checkpointed lineage has no size stats — pin shuffle_hash so the
+    # planner cannot pick sort-merge; AQE upgrades to broadcast when
+    # the pair set proves small.
+    joined = pairs.join(a.hint("shuffle_hash"), "id_a").join(b.hint("shuffle_hash"), "id_b")
     matches = F.size(F.filter(F.zip_with("asig", "bsig", lambda x, y: x == y), lambda v: v))
-    return pairs.select(
+    return joined.select(
         "id_a",
         "id_b",
         (matches.cast("double") / F.lit(float(num_hashes))).alias("est_jaccard"),
