@@ -145,6 +145,7 @@ SAMPLE_PRIORITY: tuple[str, ...] = (
     "graph_pagerank_events",
     "text_quality_model",
     "similarity_topk_projected",
+    "text_quality_topfrac",
 )
 
 

@@ -403,3 +403,44 @@ def text_quality_model(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(prob, 6).alias("quality_prob"),
         (prob >= 0.5).alias("keep"),
     )
+
+
+TOPFRAC_Q = 0.75
+
+
+@register(
+    "text_quality_topfrac",
+    doc=(
+        "global-statistic corpus gate: keep documents whose logistic quality "
+        f"score clears the corpus's q={TOPFRAC_Q} percentile — exact "
+        "distributed percentile (no global sort), threshold broadcast back as "
+        "a 1-row cross join; scores rounded to 6 before the percentile so both "
+        "engines rank the identical multiset"
+    ),
+    oracle=rf"""
+WITH s AS (
+  SELECT doc_id, round(1.0 / (1.0 + exp(-({_Z}))), 6) AS quality_prob
+  FROM documents
+),
+t AS (SELECT round(quantile_cont(quality_prob, {TOPFRAC_Q}), 6) AS threshold FROM s)
+SELECT s.doc_id, s.quality_prob, t.threshold, (s.quality_prob >= t.threshold) AS keep
+FROM s CROSS JOIN t
+""",
+)
+def text_quality_topfrac(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id", F.round(X.quality_model_prob("text"), 6).alias("quality_prob")
+    )
+    thr = scored.agg(
+        F.round(F.expr(f"percentile(quality_prob, {TOPFRAC_Q})"), 6).alias("threshold")
+    )
+    return (
+        scored.crossJoin(F.broadcast(thr))
+        .select(
+            "doc_id",
+            "quality_prob",
+            "threshold",
+            (F.col("quality_prob") >= F.col("threshold")).alias("keep"),
+        )
+    )

@@ -70,3 +70,40 @@ def test_mixture_samples_are_nested(spark, sf_dir):
     lo_ids = {r.doc_id for r in lo.select("doc_id").collect()}
     hi_ids = {r.doc_id for r in hi.select("doc_id").collect()}
     assert lo_ids < hi_ids  # strict subset (and non-empty gap at these sizes)
+
+
+def test_bigram_logprob_matches_python_reference(spark):
+    """End-to-end replication of the round-then-exact-decimal-sum rule
+    in plain python: MLE bigram model over the corpus, per-doc mean of
+    round(ln P(tok|prev), 12), rounded to 6."""
+    import math
+    from collections import Counter
+    from decimal import Decimal
+
+    from spk_sl_validation_spark.ext.assembly import bigram_logprob
+
+    texts = {
+        1: "a b a b a c",
+        2: "a b a b a b a b",
+        3: "c c c a",
+        4: "b a",
+    }
+    docs = spark.createDataFrame(list(texts.items()), ["doc_id", "text"])
+    got = {r["doc_id"]: (r["n_bigrams"], r["avg_logprob"]) for r in bigram_logprob(docs).collect()}
+
+    bi = Counter()
+    for t in texts.values():
+        toks = t.split()
+        for p, n in zip(toks, toks[1:]):
+            bi[(p, n)] += 1
+    ctx = Counter()
+    for (p, _), c in bi.items():
+        ctx[p] += c
+    for doc_id, t in texts.items():
+        toks = t.split()
+        pairs = list(zip(toks, toks[1:]))
+        s = sum(
+            Decimal(str(round(math.log(bi[pr] / ctx[pr[0]]), 12))) for pr in pairs
+        )
+        expected = round(float(s) / len(pairs), 6)
+        assert got[doc_id] == (len(pairs), expected), doc_id

@@ -1,0 +1,95 @@
+"""Property tests: PageRank and containment vs independent python
+references on hypothesis-generated inputs."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from spk_sl_validation_spark.ext import dedup as D
+from spk_sl_validation_spark.ext.graph import DAMPING, ITERATIONS, pagerank
+
+
+def _python_pagerank(edges, damping=DAMPING, iterations=ITERATIONS):
+    nodes = sorted({s for s, _, _ in edges} | {d for _, d, _ in edges})
+    n = float(len(nodes))
+    out_w: dict[str, float] = {}
+    for s, _, w in edges:
+        out_w[s] = out_w.get(s, 0.0) + w
+    rank = {v: round(1.0 / n, 12) for v in nodes}
+    for _ in range(iterations):
+        inflow = {v: 0.0 for v in nodes}
+        for s, d, w in edges:
+            inflow[d] += round(rank[s] * w / out_w[s], 12)
+        dm = sum(rank[v] for v in nodes if v not in out_w)
+        rank = {
+            v: round((1.0 - damping) / n + damping * (inflow[v] + dm / n), 12)
+            for v in nodes
+        }
+    return {v: round(r, 6) for v, r in rank.items()}
+
+
+edge_strategy = st.lists(
+    st.tuples(
+        st.sampled_from("abcdef"),
+        st.sampled_from("abcdef"),
+        st.integers(min_value=1, max_value=9),
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(raw=edge_strategy)
+def test_pagerank_property_matches_python(spark, raw):
+    # collapse duplicate (src, dst) into summed weights — the operator
+    # takes an aggregated edge list
+    agg: dict[tuple[str, str], float] = {}
+    for s, d, w in raw:
+        agg[(s, d)] = agg.get((s, d), 0.0) + float(w)
+    edges = [(s, d, w) for (s, d), w in sorted(agg.items())]
+    df = spark.createDataFrame(edges, ["src", "dst", "w"]).withColumn(
+        "w", F.col("w").cast("double")
+    )
+    got = {r["node"]: r["rank"] for r in pagerank(df).collect()}
+    expected = _python_pagerank(edges)
+    # allow 1-ulp-at-the-rounding-boundary slack: compare at 1e-6
+    assert set(got) == set(expected)
+    assert all(abs(got[k] - expected[k]) <= 1e-6 for k in got)
+
+
+def _py_shingles(text: str, n: int = 3) -> set[str]:
+    toks = text.strip().split()
+    if len(toks) <= n:
+        return {" ".join(toks)}
+    return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+
+doc_strategy = st.lists(
+    st.lists(st.sampled_from([f"t{i}" for i in range(12)]), min_size=1, max_size=20).map(
+        " ".join
+    ),
+    min_size=2,
+    max_size=5,
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(texts=doc_strategy)
+def test_containment_property_matches_python(spark, texts):
+    docs = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    pairs = spark.createDataFrame(
+        [(i, j) for i in range(len(texts)) for j in range(i + 1, len(texts))],
+        ["id_a", "id_b"],
+    )
+    got = {
+        (r["id_a"], r["id_b"]): (r["cont_a_in_b"], r["cont_b_in_a"])
+        for r in D.containment_for_pairs(docs, pairs, "doc_id", "text", 3).collect()
+    }
+    for (i, j), (cab, cba) in got.items():
+        a, b = _py_shingles(texts[i]), _py_shingles(texts[j])
+        inter = len(a & b)
+        assert cab == inter / len(a)
+        assert cba == inter / len(b)
