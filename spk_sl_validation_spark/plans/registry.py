@@ -146,6 +146,7 @@ SAMPLE_PRIORITY: tuple[str, ...] = (
     "text_quality_model",
     "similarity_topk_projected",
     "text_quality_topfrac",
+    "streaming_quality_gate",
 )
 
 

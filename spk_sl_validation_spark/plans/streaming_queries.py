@@ -321,3 +321,55 @@ WHERE prev_ts IS NULL OR ts - prev_ts >= INTERVAL 6 HOUR
 def streaming_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = P.stream_events(spark, sf_dir)
     return P.run_available_now(P.debounce_events(stream), output_mode="append")
+
+
+def _streaming_quality_gate_oracle() -> str:
+    from spk_sl_validation_spark.plans.text_queries import _Z
+
+    return rf"""
+WITH s AS (
+  SELECT source, 1.0 / (1.0 + exp(-({_Z}))) AS p FROM documents
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(*) FILTER (WHERE p >= 0.5) AS BIGINT) AS n_kept,
+       round(CAST(sum(CAST(round(p, 12) AS DECIMAL(28,12))) AS DOUBLE) / count(*), 6)
+         AS mean_prob
+FROM s GROUP BY source
+"""
+
+
+@register(
+    "streaming_quality_gate",
+    doc=(
+        "model-scored corpus filter ON A STREAM: the logistic quality "
+        "classifier runs per micro-batch as the same codegen'd expression, "
+        "aggregated per source (complete mode, availableNow replay) == batch "
+        "GROUP BY — scores summed by the round-then-exact-decimal rule"
+    ),
+    oracle=_streaming_quality_gate_oracle(),
+)
+def streaming_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spk_sl_validation_spark.ext.text import quality_model_prob
+
+    stream = P.stream_documents(spark, sf_dir)
+    p = quality_model_prob("text")
+    scored = stream.select(
+        "source",
+        p.alias("p"),
+        F.round(p, 12).cast("decimal(28,12)").alias("p12"),
+    )
+    agg = scored.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count(F.when(F.col("p") >= 0.5, 1)).alias("n_kept"),
+        F.sum("p12").alias("__sum_p"),
+    )
+    out = P.run_available_now(agg, output_mode="complete")
+    return out.select(
+        "source",
+        "n_docs",
+        "n_kept",
+        F.round(F.col("__sum_p").cast("double") / F.col("n_docs").cast("double"), 6).alias(
+            "mean_prob"
+        ),
+    )

@@ -78,6 +78,24 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the documents parquet (same /tmp staging rule
+    as :func:`stream_events`; documents has no timestamp-unit edge)."""
+    import pathlib
+    import shutil
+
+    src = pathlib.Path(sf_dir) / "documents.parquet"
+    stage = pathlib.Path("/tmp/spk_sl_stream_src_docs") / sf_dir.strip("/").replace("/", "_")
+    staged = stage / "documents.parquet"
+    if not staged.exists():
+        stage.mkdir(parents=True, exist_ok=True)
+        try:
+            staged.hardlink_to(src)
+        except OSError:
+            shutil.copy(src, staged)
+    return spark.readStream.schema(schemas.DOCUMENTS).parquet(str(stage))
+
+
 def run_available_now(
     stream_df: DataFrame, output_mode: str = "complete", state_partitions: int = 8
 ) -> DataFrame:
