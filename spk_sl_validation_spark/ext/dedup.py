@@ -734,9 +734,16 @@ def dedup_incremental(
     # -- near stage: asymmetric capped-bucket join --------------------
     sig_df = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
     new_flags = tagged.select(id_col, "__new")
-    capped = capped_band_rows(
-        sig_df, id_col, rows_per_band, bands, max_bucket_size
-    ).join(new_flags, id_col)
+    # capped feeds BOTH sides of the asymmetric band join below; Spark
+    # shares no non-cached subtree across join sides, so without
+    # materialization the whole signature pipeline (the dominant cost)
+    # evaluates twice. One row per (doc, band): skinny relation,
+    # measured 44% off the full operator at sf0.1.
+    capped = (
+        capped_band_rows(sig_df, id_col, rows_per_band, bands, max_bucket_size)
+        .join(new_flags, id_col)
+        .localCheckpoint(eager=True)
+    )
     hcols = [f"h{r}" for r in range(rows_per_band)]
     lhs = capped.filter(F.col("__new")).select(F.col(id_col).alias("__nid"), "band", *hcols)
     rhs = capped.filter(~F.col("__new")).select(F.col(id_col).alias("__iid"), "band", *hcols)
