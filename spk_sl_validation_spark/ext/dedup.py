@@ -664,7 +664,10 @@ def ngram_jaccard_pairs(
     """
     from spk_sl_validation_spark.ext.hashing import shingle_rows
 
-    sh = shingle_rows(df, id_col, text_col, n).distinct()
+    # sh feeds three consumers (both self-join sides + sizes); Spark
+    # shares no non-cached subtree, so materialize the distinct
+    # shingle rows once instead of exploding/deduping the corpus 3×.
+    sh = shingle_rows(df, id_col, text_col, n).distinct().localCheckpoint(eager=True)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
