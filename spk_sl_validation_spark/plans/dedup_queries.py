@@ -390,3 +390,62 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.filter(
         F.greatest("cont_a_in_b", "cont_b_in_a") >= CONTAINMENT_TAU
     )
+
+
+# ---------------------------------------------------------------------------
+# LSH recall evaluation (the tuning harness for the banding geometry)
+# ---------------------------------------------------------------------------
+
+RECALL_MIN_J = 0.3
+
+
+def _lsh_recall_oracle() -> str:
+    from spk_sl_validation_spark.plans.dedup_shared import _candidate_overlap_ctes
+
+    return f"""
+WITH {_candidate_overlap_ctes()},
+exact AS (
+  SELECT i.id_a, i.id_b,
+         CAST(i.n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - i.n_inter AS DOUBLE) AS j
+  FROM inter i
+  JOIN sizes sa ON sa.doc_id = i.id_a
+  JOIN sizes sb ON sb.doc_id = i.id_b
+  WHERE CAST(i.n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - i.n_inter AS DOUBLE)
+        >= {RECALL_MIN_J}
+)
+SELECT CAST(floor(e.j * 10) AS BIGINT) AS j_bucket,
+       CAST(count(*) AS BIGINT) AS n_true_pairs,
+       CAST(count(c.id_a) AS BIGINT) AS n_caught,
+       CAST(count(c.id_a) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS recall
+FROM exact e
+LEFT JOIN cand c ON c.id_a = e.id_a AND c.id_b = e.id_b
+GROUP BY 1
+"""
+
+
+@register(
+    "dedup_lsh_recall",
+    doc=(
+        "LSH tuning harness: recall of the banded candidate generation vs the "
+        f"exact Jaccard >= {RECALL_MIN_J} pair set, bucketed by true Jaccard — "
+        "the measured S-curve (b=6, r=2 knee at ~0.41) that justifies the "
+        "banding geometry; both sides replayed in the oracle"
+    ),
+    oracle=_lsh_recall_oracle(),
+)
+def dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyspark.sql.functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    exact = D.ngram_jaccard_pairs(docs, "doc_id", "text", 3, RECALL_MIN_J)
+    cand = D.lsh_candidate_pairs(
+        docs, "doc_id", "text", NUM_HASHES, BANDS, 3, with_estimate=False
+    ).withColumn("__hit", F.lit(1))
+    joined = exact.join(cand.hint("shuffle_hash"), ["id_a", "id_b"], "left")
+    return joined.groupBy(
+        F.floor(F.col("jaccard") * 10).cast("long").alias("j_bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n_true_pairs"),
+        F.count("__hit").alias("n_caught"),
+        (F.count("__hit").cast("double") / F.count(F.lit(1)).cast("double")).alias("recall"),
+    )

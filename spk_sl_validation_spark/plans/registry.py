@@ -147,6 +147,7 @@ SAMPLE_PRIORITY: tuple[str, ...] = (
     "similarity_topk_projected",
     "text_quality_topfrac",
     "streaming_quality_gate",
+    "dedup_lsh_recall",
 )
 
 
