@@ -148,6 +148,7 @@ SAMPLE_PRIORITY: tuple[str, ...] = (
     "text_quality_topfrac",
     "streaming_quality_gate",
     "dedup_lsh_recall",
+    "similarity_ann_recall",
 )
 
 

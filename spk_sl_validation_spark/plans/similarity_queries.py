@@ -439,3 +439,70 @@ def similarity_topk_projected(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, queries, TOP_K, EMB_DIM, S.RP_OUT_DIM, RP_SHORTLIST_MULT
     )
     return out.select("q_id", "vec_id", "cos_sim", F.col("rank").cast("int").alias("rank"))
+
+
+def _projected_recall_oracle() -> str:
+    return f"""
+WITH proj AS (
+  SELECT vec_id, embedding, {_RP} AS p FROM embeddings
+),
+pscored AS (
+  SELECT q.vec_id AS q_id, c.vec_id AS vec_id, c.embedding AS ce, q.embedding AS qe,
+         {S.dot_sql('q.p', 'c.p')} AS pscore
+  FROM proj q JOIN proj c ON c.vec_id <> q.vec_id
+  WHERE q.vec_id < {N_QUERIES}
+),
+short AS (
+  SELECT q_id, vec_id, qe, ce,
+         row_number() OVER (PARTITION BY q_id ORDER BY pscore DESC, vec_id ASC) AS rs
+  FROM pscored
+),
+ann AS (
+  SELECT q_id, vec_id
+  FROM (SELECT q_id, vec_id,
+               row_number() OVER (PARTITION BY q_id ORDER BY {S.cosine_sql('qe', 'ce')} DESC,
+                                  vec_id ASC) AS rank
+        FROM short WHERE rs <= {TOP_K * RP_SHORTLIST_MULT})
+  WHERE rank <= {TOP_K}
+),
+exact AS (
+  SELECT q_id, vec_id FROM (
+    SELECT q.vec_id AS q_id, c.vec_id AS vec_id,
+           row_number() OVER (PARTITION BY q.vec_id ORDER BY {_QCOS} DESC, c.vec_id ASC) AS rank
+    FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+    WHERE q.vec_id < {N_QUERIES}
+  ) WHERE rank <= {TOP_K}
+)
+SELECT e.q_id,
+       CAST(count(*) AS BIGINT) AS k,
+       CAST(count(a.vec_id) AS BIGINT) AS n_caught,
+       CAST(count(a.vec_id) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS recall
+FROM exact e
+LEFT JOIN ann a ON a.q_id = e.q_id AND a.vec_id = e.vec_id
+GROUP BY e.q_id
+"""
+
+
+@register(
+    "similarity_ann_recall",
+    doc=(
+        f"ANN evaluation harness: recall@{TOP_K} of the JL-projected two-stage "
+        "method vs exact brute-force top-k, per probe query — the measured "
+        "accuracy/cost trade the shortlist multiplier controls; both methods "
+        "replayed in the oracle"
+    ),
+    oracle=_projected_recall_oracle(),
+)
+def similarity_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    exact = S.brute_force_topk(emb, queries, TOP_K).select("q_id", "vec_id")
+    ann = S.projected_rerank_topk(
+        emb, queries, TOP_K, EMB_DIM, S.RP_OUT_DIM, RP_SHORTLIST_MULT
+    ).select("q_id", "vec_id", F.lit(1).alias("__hit"))
+    joined = exact.join(F.broadcast(ann), ["q_id", "vec_id"], "left")
+    return joined.groupBy("q_id").agg(
+        F.count(F.lit(1)).alias("k"),
+        F.count("__hit").alias("n_caught"),
+        (F.count("__hit").cast("double") / F.count(F.lit(1)).cast("double")).alias("recall"),
+    )
