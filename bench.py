@@ -34,15 +34,33 @@ RUNS = int(os.environ.get("BENCH_RUNS", "3"))
 
 def _host_fingerprint() -> dict:
     import platform
+    import subprocess
 
     import pyspark
 
+    try:
+        rev = subprocess.run(
+            ["git", "-C", os.path.dirname(os.path.abspath(__file__)), "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True, timeout=5,
+        ).stdout.strip()
+    except Exception:
+        rev = ""
+    try:
+        load1 = round(os.getloadavg()[0], 2)
+    except OSError:
+        load1 = None
     return {
         "cpus": os.cpu_count(),
         "platform": platform.platform(),
         "python": platform.python_version(),
         "pyspark": pyspark.__version__,
         "spark_cpus": os.environ.get("SPARK_GRAFT_CPUS", ""),
+        # attribution: which code produced the numbers, and how busy the
+        # host was at measurement start (day-to-day drift has measured
+        # 2x+ on this box — per-query deltas without a rev+load context
+        # are uninterpretable).
+        "git_rev": rev,
+        "load1_at_start": load1,
     }
 
 
