@@ -449,3 +449,84 @@ def dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("__hit").alias("n_caught"),
         (F.count("__hit").cast("double") / F.count(F.lit(1)).cast("double")).alias("recall"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Source-priority dedup (quality-aware keep rule)
+# ---------------------------------------------------------------------------
+
+#: source → priority rank (lower wins). Production corpora prefer the
+#: curated-source copy of a near-duplicate over the crawl copy; this
+#: literal map stands in for that curation policy and is part of the
+#: operator contract (replayed in the oracle). Sources not listed rank
+#: last.
+SOURCE_PRIORITY = {"src0": 0, "src1": 0, "src2": 1, "src3": 1, "src4": 2}
+_DEFAULT_PRIORITY = 9
+
+
+def _priority_case_sql(col: str) -> str:
+    whens = " ".join(
+        f"WHEN {col} = '{s}' THEN {p}" for s, p in SOURCE_PRIORITY.items()
+    )
+    return f"CASE {whens} ELSE {_DEFAULT_PRIORITY} END"
+
+
+def _dedup_source_priority_oracle() -> str:
+    return f"""
+WITH {_verified_pairs_ctes()},
+pr AS (SELECT doc_id, {_priority_case_sql('source')} AS prio FROM documents),
+losers AS (
+  SELECT DISTINCT CASE WHEN (pa.prio < pb.prio) OR (pa.prio = pb.prio AND v.id_a < v.id_b)
+                       THEN v.id_b ELSE v.id_a END AS doc_id
+  FROM verified v
+  JOIN pr pa ON pa.doc_id = v.id_a
+  JOIN pr pb ON pb.doc_id = v.id_b
+)
+SELECT d.doc_id, (l.doc_id IS NULL) AS keep
+FROM documents d LEFT JOIN losers l ON l.doc_id = d.doc_id
+"""
+
+
+@register(
+    "dedup_source_priority",
+    doc=(
+        "quality-aware near-dup dedup: among a verified duplicate pair the "
+        "HIGHER-priority source's copy survives (doc_id breaks ties) — the "
+        "curated-beats-crawl keep rule production corpora use instead of "
+        "min-id; single-hop decision like dedup_pipeline"
+    ),
+    oracle=_dedup_source_priority_oracle(),
+)
+def dedup_source_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyspark.sql.functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.lsh_candidate_pairs(
+        docs, "doc_id", "text", NUM_HASHES, BANDS, 3, with_estimate=False
+    )
+    verified = D.ngram_jaccard_for_pairs(docs, pairs, "doc_id", "text", 3).filter(
+        F.col("jaccard") >= JACCARD_TAU
+    )
+    prio_expr = F.lit(_DEFAULT_PRIORITY)
+    for s, p in reversed(list(SOURCE_PRIORITY.items())):
+        prio_expr = F.when(F.col("source") == s, F.lit(p)).otherwise(prio_expr)
+    pr = F.broadcast(docs.select("doc_id", prio_expr.alias("prio")))
+    pa = pr.select(F.col("doc_id").alias("id_a"), F.col("prio").alias("__pa"))
+    pb = pr.select(F.col("doc_id").alias("id_b"), F.col("prio").alias("__pb"))
+    losers = (
+        verified.join(pa, "id_a")
+        .join(pb, "id_b")
+        .select(
+            F.when(
+                (F.col("__pa") < F.col("__pb"))
+                | ((F.col("__pa") == F.col("__pb")) & (F.col("id_a") < F.col("id_b"))),
+                F.col("id_b"),
+            )
+            .otherwise(F.col("id_a"))
+            .alias("doc_id")
+        )
+        .distinct()
+    )
+    return docs.select("doc_id").join(
+        losers.withColumn("__l", F.lit(True)).hint("shuffle_hash"), "doc_id", "left"
+    ).select("doc_id", F.coalesce(~F.col("__l"), F.lit(True)).alias("keep"))

@@ -149,6 +149,7 @@ SAMPLE_PRIORITY: tuple[str, ...] = (
     "streaming_quality_gate",
     "dedup_lsh_recall",
     "similarity_ann_recall",
+    "dedup_source_priority",
 )
 
 
