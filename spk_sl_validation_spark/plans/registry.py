@@ -153,16 +153,44 @@ SAMPLE_PRIORITY: tuple[str, ...] = (
 )
 
 
+def _driver_green() -> frozenset[str]:
+    """Names that have passed ALL driver checks in some recorded round
+    (tools/driver_green.json — updated each round from the newest
+    CORRECTNESS_r*.json). Missing/unreadable file → empty set, which
+    degrades to the pure SAMPLE_PRIORITY ordering."""
+    import json
+    import pathlib
+
+    path = pathlib.Path(__file__).resolve().parents[2] / "tools" / "driver_green.json"
+    try:
+        return frozenset(json.loads(path.read_text())["green"])
+    except (OSError, ValueError, KeyError):
+        return frozenset()
+
+
 def _ordered_registry() -> dict[str, QuerySpec]:
-    """REGISTRY reordered: SAMPLE_PRIORITY names first (in that order),
-    then everything else in registration order. A priority name with no
-    registration is a hard error — a typo here would silently demote a
-    query out of the driver sample."""
+    """REGISTRY reordered for the driver's prefix sample — the
+    verification-provenance policy, mechanized:
+
+    1. SAMPLE_PRIORITY names that are NOT yet driver-green (hand-pinned
+       order: hardest signal first);
+    2. every other not-yet-driver-green name, registration order —
+       so a newly registered query automatically enters the sample
+       frontier without editing the priority list;
+    3. driver-green names, registration order (re-sampling them is
+       redundant evidence).
+
+    Updating tools/driver_green.json with a new round's results
+    auto-rotates the next round's sample onto whatever still lacks
+    driver evidence. A SAMPLE_PRIORITY typo is a hard error — it would
+    silently demote a query out of the sample."""
     _ensure_loaded()
     missing = [n for n in SAMPLE_PRIORITY if n not in REGISTRY]
     if missing:
         raise KeyError(f"SAMPLE_PRIORITY names not in REGISTRY: {missing}")
-    out = {n: REGISTRY[n] for n in SAMPLE_PRIORITY}
+    green = _driver_green()
+    out = {n: REGISTRY[n] for n in SAMPLE_PRIORITY if n not in green}
+    out.update((n, s) for n, s in REGISTRY.items() if n not in out and n not in green)
     out.update((n, s) for n, s in REGISTRY.items() if n not in out)
     return out
 

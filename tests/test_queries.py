@@ -118,3 +118,26 @@ def test_sample_priority_names_registered():
     oracles = all_oracles()
     missing = [n for n in names[:50] if n not in oracles]
     assert not missing, f"sample-prefix queries without oracles: {missing}"
+
+
+def test_sample_order_puts_never_driver_green_first():
+    """The driver samples a registry prefix; every name without
+    recorded driver-green evidence (tools/driver_green.json) must sort
+    before every name with it, with the hand-pinned SAMPLE_PRIORITY
+    ordering leading the never-green block."""
+    import json
+    import pathlib
+
+    from spk_sl_validation_spark.plans import registry as reg
+
+    green = set(
+        json.loads(
+            (pathlib.Path(reg.__file__).resolve().parents[2] / "tools" / "driver_green.json").read_text()
+        )["green"]
+    )
+    names = list(reg.all_queries().keys())
+    flags = [n in green for n in names]
+    # monotone: once green begins, no non-green follows
+    assert flags == sorted(flags), "a never-driver-green query sorts after a green one"
+    nongreen_priority = [n for n in reg.SAMPLE_PRIORITY if n not in green]
+    assert names[: len(nongreen_priority)] == nongreen_priority
