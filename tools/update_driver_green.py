@@ -1,0 +1,45 @@
+"""Ingest a driver CORRECTNESS_r*.json into tools/driver_green.json.
+
+Usage:  python tools/update_driver_green.py CORRECTNESS_r03.json [...]
+
+A query becomes driver-green when rows/schema/hash all matched with no
+error in ANY recorded round; the registry then demotes it behind the
+never-green names in the driver's sample order (plans/registry.py).
+"""
+
+from __future__ import annotations
+
+import json
+import pathlib
+import sys
+
+HERE = pathlib.Path(__file__).resolve().parent
+LEDGER = HERE / "driver_green.json"
+
+
+def main() -> None:
+    if len(sys.argv) < 2:
+        raise SystemExit(__doc__)
+    ledger = json.loads(LEDGER.read_text())
+    green = set(ledger["green"])
+    for arg in sys.argv[1:]:
+        rows = json.loads(pathlib.Path(arg).read_text())
+        newly = {
+            name
+            for name, v in rows.items()
+            if v.get("rows_match") and v.get("schema_match") and v.get("hash_match")
+            and not v.get("err")
+        }
+        added = sorted(newly - green)
+        green |= newly
+        name = pathlib.Path(arg).name
+        if name not in ledger["rounds_ingested"]:
+            ledger["rounds_ingested"].append(name)
+        print(f"{name}: +{len(added)} newly green {added[:10]}{'…' if len(added) > 10 else ''}")
+    ledger["green"] = sorted(green)
+    LEDGER.write_text(json.dumps(ledger, indent=1))
+    print(f"total driver-green: {len(green)}")
+
+
+if __name__ == "__main__":
+    main()
