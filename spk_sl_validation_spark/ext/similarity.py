@@ -451,9 +451,12 @@ def semantic_dedup(
     failure mode and get the standard salting/centroid-split
     treatment upstream.
     """
+    # assigned feeds both self-join sides AND the final keep join;
+    # Spark shares no non-cached subtree, so without materialization
+    # the centroid-scoring argmin runs three times over the corpus.
     assigned = ivf_assign(df, centroids, id_col, vec_col).select(
         id_col, vec_col, F.col("centroid_id").alias("cluster_id")
-    )
+    ).localCheckpoint(eager=True)
     a = assigned.select(
         F.col("cluster_id"),
         F.col(id_col).alias("id_a"),

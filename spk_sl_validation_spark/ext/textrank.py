@@ -55,8 +55,12 @@ def textrank_scores(
     """(tok, score): damped PageRank over the adjacency graph after
     ``n_iter`` synchronous iterations from uniform init 1.0.
 
-    score(v) ← 0.15 + 0.85 · Σ_u score(u)·w(u,v)/wdeg(u), the sum
-    folded in ascending u order for cross-engine bit-exactness.
+    score(v) ← 0.15 + 0.85 · Σ_u score(u)·w(u,v)/wdeg(u); each
+    contribution is rounded to 12 decimals and summed as exact
+    DECIMAL(28,12) — order-independent and identical across engines,
+    so the aggregate is a plain codegen'd hash aggregate (the same
+    round-then-exact-decimal rule as the LM scorers; replaces the
+    interpreted position-ordered fold).
     """
     edges = token_adjacency_edges(df, id_col, text_col).localCheckpoint(eager=True)
     deg = edges.groupBy("u").agg(F.sum("w").alias("wdeg"))
@@ -73,19 +77,18 @@ def textrank_scores(
     for _ in range(n_iter):
         contribs = frac_edges.join(scores, frac_edges.u == scores.tok).select(
             F.col("v"),
-            F.col("u"),
-            (F.col("score") * F.col("frac")).alias("c"),
+            F.round(F.col("score") * F.col("frac"), 12).cast("decimal(28,12)").alias("c"),
         )
         scores = (
             contribs.groupBy(F.col("v").alias("tok"))
-            .agg(
-                F.aggregate(
-                    F.array_sort(F.collect_list(F.struct("u", "c"))),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x["c"],
-                ).alias("__sum")
+            .agg(F.sum("c").alias("__sum"))
+            .select(
+                "tok",
+                (
+                    F.lit(1 - DAMPING)
+                    + F.lit(DAMPING) * F.round(F.col("__sum").cast("double"), 12)
+                ).alias("score"),
             )
-            .select("tok", (F.lit(1 - DAMPING) + F.lit(DAMPING) * F.col("__sum")).alias("score"))
             .localCheckpoint(eager=True)
         )
     return scores
@@ -120,9 +123,9 @@ def textrank_keywords_sql(
         iters.append(
             f"""r{i} AS (
   SELECT fe.v AS tok,
-         {1 - DAMPING!r} + {DAMPING!r} * list_reduce(
-           list_prepend(CAST(0 AS DOUBLE), list(r.score * fe.frac ORDER BY fe.u)),
-           (x, y) -> x + y) AS score
+         {1 - DAMPING!r} + {DAMPING!r} * round(
+           CAST(sum(CAST(round(r.score * fe.frac, 12) AS DECIMAL(28,12))) AS DOUBLE), 12)
+           AS score
   FROM fe JOIN {prev} r ON r.tok = fe.u
   GROUP BY fe.v
 )"""
