@@ -61,11 +61,14 @@ def pack_sequences(
     happens — this is the distributed scan-primitive shape.
     """
     n_tok = F.size(ws_tokens(text_col))
+    # base feeds the within-chunk window AND the chunk-totals aggregate;
+    # materialize the 3-long-per-doc relation once instead of
+    # re-tokenizing the corpus per consumer.
     base = df.select(
         F.col(id_col),
         n_tok.alias("n_tokens"),
         (F.col(id_col) / chunk_size).cast("long").alias("__chunk"),
-    )
+    ).localCheckpoint(eager=True)
     w_in = (
         Window.partitionBy("__chunk")
         .orderBy(id_col)
