@@ -35,27 +35,44 @@ from spk_sl_validation_spark import schemas
 _SINK_COUNTER = itertools.count()
 
 
-def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """readStream over the events parquet with the same NANOS→µs
-    normalization as the batch reader (sources/readers.py).
-
-    The file stream source requires a *directory*; the testdata ships
-    single read-only files, so we stage a hardlink/copy under /tmp
-    once per sf_dir (in production the source is already a directory
-    of arriving files).
+def _stage_single_file(src, stage_root: str) -> str:
+    """Hardlink/copy a single parquet file into a /tmp directory (the
+    file stream source requires a directory; the testdata ships single
+    read-only files — in production the source is already a directory
+    of arriving files). Freshness-guarded: if the source was
+    regenerated in place (size or mtime changed), the stale staged
+    copy is replaced instead of silently streaming old data.
     """
     import pathlib
     import shutil
 
+    src = pathlib.Path(src)
+    stage = pathlib.Path(stage_root) / str(src.parent).strip("/").replace("/", "_")
+    staged = stage / src.name
+    st = src.stat()
+    if staged.exists():
+        st2 = staged.stat()
+        if (st2.st_size, st2.st_mtime) == (st.st_size, st.st_mtime):
+            return str(stage)
+        staged.unlink()
+    stage.mkdir(parents=True, exist_ok=True)
+    try:
+        staged.hardlink_to(src)
+    except OSError:
+        shutil.copy2(src, staged)
+    return str(stage)
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the events parquet with the same NANOS→µs
+    normalization as the batch reader (sources/readers.py).
+    Single-file staging + freshness guard: :func:`_stage_single_file`.
+    """
+    import pathlib
+
     src = pathlib.Path(sf_dir) / "events.parquet"
-    stage = pathlib.Path("/tmp/spk_sl_stream_src") / sf_dir.strip("/").replace("/", "_")
+    stage = pathlib.Path(_stage_single_file(src, "/tmp/spk_sl_stream_src"))
     staged = stage / "events.parquet"
-    if not staged.exists():
-        stage.mkdir(parents=True, exist_ok=True)
-        try:
-            staged.hardlink_to(src)
-        except OSError:
-            shutil.copy(src, staged)
 
     from spk_sl_validation_spark.sources.readers import _events_ts_is_nanos
 
@@ -79,21 +96,13 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def stream_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """readStream over the documents parquet (same /tmp staging rule
-    as :func:`stream_events`; documents has no timestamp-unit edge)."""
+    """readStream over the documents parquet (same staging rule as
+    :func:`stream_events`; documents has no timestamp-unit edge)."""
     import pathlib
-    import shutil
 
     src = pathlib.Path(sf_dir) / "documents.parquet"
-    stage = pathlib.Path("/tmp/spk_sl_stream_src_docs") / sf_dir.strip("/").replace("/", "_")
-    staged = stage / "documents.parquet"
-    if not staged.exists():
-        stage.mkdir(parents=True, exist_ok=True)
-        try:
-            staged.hardlink_to(src)
-        except OSError:
-            shutil.copy(src, staged)
-    return spark.readStream.schema(schemas.DOCUMENTS).parquet(str(stage))
+    stage = _stage_single_file(src, "/tmp/spk_sl_stream_src_docs")
+    return spark.readStream.schema(schemas.DOCUMENTS).parquet(stage)
 
 
 def run_available_now(
