@@ -530,3 +530,61 @@ def dedup_source_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id").join(
         losers.withColumn("__l", F.lit(True)).hint("shuffle_hash"), "doc_id", "left"
     ).select("doc_id", F.coalesce(~F.col("__l"), F.lit(True)).alias("keep"))
+
+
+# ---------------------------------------------------------------------------
+# Contrastive pair mining (embedding-model training data)
+# ---------------------------------------------------------------------------
+
+#: Candidates with exact Jaccard below this are HARD negatives:
+#: lexically close enough to collide in a band, but not duplicates —
+#: the informative negatives for contrastive embedding training.
+HARD_NEG_MAX_J = 0.3
+
+
+def _contrastive_pairs_oracle() -> str:
+    from spk_sl_validation_spark.plans.dedup_shared import _candidate_overlap_ctes
+
+    return f"""
+WITH {_candidate_overlap_ctes()},
+scored AS (
+  SELECT c.id_a, c.id_b,
+         CAST(i.n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - i.n_inter AS DOUBLE) AS j
+  FROM cand c
+  JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+  JOIN sizes sa ON sa.doc_id = c.id_a
+  JOIN sizes sb ON sb.doc_id = c.id_b
+)
+SELECT id_a, id_b, j AS jaccard, CAST(1 AS INTEGER) AS label
+FROM scored WHERE j >= {JACCARD_TAU}
+UNION ALL
+SELECT id_a, id_b, j AS jaccard, CAST(0 AS INTEGER) AS label
+FROM scored WHERE j < {HARD_NEG_MAX_J}
+"""
+
+
+@register(
+    "contrastive_pairs",
+    doc=(
+        "contrastive training-pair mining: positives = verified near-dups "
+        f"(J >= {JACCARD_TAU}), HARD negatives = LSH band collisions whose "
+        f"exact Jaccard < {HARD_NEG_MAX_J} (lexically close, not duplicates) — "
+        "the SimCSE-style hard-negative construction, at banded-join cost"
+    ),
+    oracle=_contrastive_pairs_oracle(),
+)
+def contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyspark.sql.functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    cand = D.lsh_candidate_pairs(
+        docs, "doc_id", "text", NUM_HASHES, BANDS, 3, with_estimate=False
+    )
+    scored = D.ngram_jaccard_for_pairs(docs, cand, "doc_id", "text", 3)
+    pos = scored.filter(F.col("jaccard") >= JACCARD_TAU).withColumn(
+        "label", F.lit(1).cast("int")
+    )
+    neg = scored.filter(F.col("jaccard") < HARD_NEG_MAX_J).withColumn(
+        "label", F.lit(0).cast("int")
+    )
+    return pos.unionByName(neg)

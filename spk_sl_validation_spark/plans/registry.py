@@ -150,6 +150,7 @@ SAMPLE_PRIORITY: tuple[str, ...] = (
     "dedup_lsh_recall",
     "similarity_ann_recall",
     "dedup_source_priority",
+    "contrastive_pairs",
 )
 
 
