@@ -223,41 +223,20 @@ def lsh_candidate_pairs(
     # the cap costs a sort inside the existing exchange, not a new
     # shuffle.
     hcols = [f"h{r}" for r in range(rows_per_band)]
-    if not with_estimate:
-        capped = capped_band_rows(sig_df, id_col, rows_per_band, bands, max_bucket_size)
-        buckets = (
-            capped.groupBy("band", *hcols)
-            .agg(F.collect_list(F.col(id_col)).alias("members"))
-            .filter(F.size("members") > 1)
-        )
-        # ids within a bucket are distinct, so j > i suffices.
-        pair_expr = F.expr(
-            "flatten(transform(members, (m1, i) -> "
-            "filter(transform(members, (m2, j) -> "
-            "IF(j > i, struct(least(m1, m2) AS a, greatest(m1, m2) AS b), NULL)), "
-            "p -> p IS NOT NULL)))"
-        )
-        return (
-            buckets.select(F.explode(pair_expr).alias("p"))
-            .select(F.col("p.a").alias("id_a"), F.col("p.b").alias("id_b"))
-            .distinct()
-        )
-    # Estimate path: band on BARE ids and join the signatures back to
-    # the distinct pairs, instead of carrying both signature arrays
-    # through explode → cap window → collect_list → pair expansion →
-    # distinct. Pairs ≪ corpus, so the two id-keyed lookup joins move
-    # far fewer signature bytes than banding ~13× the signature per doc
-    # (6 band rows × 2 sigs/pair) — measured 14% faster at sf0.1 with
-    # identical output. The signature relation feeds banding AND both
-    # lookup sides; the eager checkpoint evaluates it once (same trade
-    # as ngram_jaccard_for_pairs' doc_sets).
-    sig_df = sig_df.localCheckpoint(eager=True)
+    if with_estimate:
+        # The estimate path joins signatures back to the distinct pairs
+        # (instead of carrying both signature arrays through banding —
+        # ~13× the bytes; measured 14% faster at sf0.1). sig_df then
+        # feeds banding AND both lookup sides; the eager checkpoint
+        # evaluates it once (same trade as ngram_jaccard_for_pairs).
+        sig_df = sig_df.localCheckpoint(eager=True)
     capped = capped_band_rows(sig_df, id_col, rows_per_band, bands, max_bucket_size)
     buckets = (
         capped.groupBy("band", *hcols)
         .agg(F.collect_list(F.col(id_col)).alias("members"))
         .filter(F.size("members") > 1)
     )
+    # ids within a bucket are distinct, so j > i suffices.
     pair_expr = F.expr(
         "flatten(transform(members, (m1, i) -> "
         "filter(transform(members, (m2, j) -> "
@@ -269,6 +248,8 @@ def lsh_candidate_pairs(
         .select(F.col("p.a").alias("id_a"), F.col("p.b").alias("id_b"))
         .distinct()
     )
+    if not with_estimate:
+        return pairs
     a = sig_df.select(F.col(id_col).alias("id_a"), F.col("sig").alias("asig"))
     b = sig_df.select(F.col(id_col).alias("id_b"), F.col("sig").alias("bsig"))
     # Checkpointed lineage has no size stats — pin shuffle_hash so the
@@ -309,6 +290,36 @@ def ngram_jaccard_for_pairs(
     collision (~|A|·|B|/2^60 per pair — vanishing), which the oracle's
     string-set replay would surface as a hash mismatch.
     """
+    joined = _pair_doc_sets(df, pairs, id_col, text_col, n)
+    inter = F.size(F.array_intersect("__ha", "__hb"))
+    jac = inter.cast("double") / (F.size("__ha") + F.size("__hb") - inter).cast("double")
+    return joined.select("id_a", "id_b", jac.alias("jaccard"))
+
+
+def _pair_doc_sets(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """(id_a, id_b, __ha, __hb): each candidate pair joined with both
+    documents' sorted distinct shingle-HASH arrays — the shared
+    scaffolding of every pair-verification formula (exact Jaccard,
+    directional containment).
+
+    Shape: shingle explosion is semi-joined down to documents that
+    appear in any pair; each involved doc's distinct shingle hashes
+    collect into one sorted array (a single groupBy reusing the
+    shingle exchange's partitioning); the pair relation then picks
+    both arrays up via two id-keyed joins. doc_sets feeds BOTH join
+    sides; Spark evaluates unshared subtrees once per consumer, so
+    without materialization the whole shingle→hash→collect pipeline
+    runs twice (measured 3.0 s → 2.1 s at sf0.1 for the dedup
+    pipeline's verify stage). The checkpoint holds one row per
+    involved doc — the same bytes the second evaluation would shuffle
+    anyway, in MEMORY_AND_DISK storage (spills, never OOMs).
+    """
     from spk_sl_validation_spark.ext.hashing import md5_long, shingle_rows
 
     involved = pairs.select(F.col("id_a").alias(id_col)).unionByName(
@@ -319,21 +330,11 @@ def ngram_jaccard_for_pairs(
         sh.select(id_col, md5_long("s").alias("h"))
         .groupBy(id_col)
         .agg(F.array_sort(F.array_distinct(F.collect_list("h"))).alias("hs"))
+        .localCheckpoint(eager=True)
     )
-    # doc_sets feeds BOTH join sides; Spark evaluates unshared subtrees
-    # once per consumer, so without materialization the whole
-    # shingle→hash→collect pipeline runs twice (measured 3.0 s → 2.1 s
-    # at sf0.1 for the dedup pipeline's verify stage). The checkpoint
-    # holds one row per involved doc (its distinct shingle hashes) —
-    # the same bytes the second evaluation would shuffle anyway, in
-    # MEMORY_AND_DISK storage (spills, never OOMs).
-    doc_sets = doc_sets.localCheckpoint(eager=True)
     a = doc_sets.select(F.col(id_col).alias("id_a"), F.col("hs").alias("__ha"))
     b = doc_sets.select(F.col(id_col).alias("id_b"), F.col("hs").alias("__hb"))
-    joined = pairs.select("id_a", "id_b").join(a, "id_a").join(b, "id_b")
-    inter = F.size(F.array_intersect("__ha", "__hb"))
-    jac = inter.cast("double") / (F.size("__ha") + F.size("__hb") - inter).cast("double")
-    return joined.select("id_a", "id_b", jac.alias("jaccard"))
+    return pairs.select("id_a", "id_b").join(a, "id_a").join(b, "id_b")
 
 
 def containment_for_pairs(
@@ -351,11 +352,8 @@ def containment_for_pairs(
     verbatim into a 100× larger page has J ≈ 0.01 but containment
     ≈ 1.0 (Lee et al., "Deduplicating Training Data Makes Language
     Models Better" motivates exactly this case for training corpora).
-    Same physical shape as :func:`ngram_jaccard_for_pairs` (semi-join
-    to involved docs, one collected hash-set per doc, per-pair
-    ``array_intersect``), just a different final formula — the two
-    share cost, not code, because each checkpoints its own doc-set
-    relation.
+    Same scaffolding as :func:`ngram_jaccard_for_pairs` (shared
+    :func:`_pair_doc_sets`), different final formula.
 
     Recall caveat (documented contract): candidates normally come from
     MinHash-LSH, whose banding estimates *Jaccard* — a containment
@@ -364,22 +362,7 @@ def containment_for_pairs(
     (suffix-array / seed-shingle sampling), out of scope here; within
     the candidate set the computed containment is exact.
     """
-    from spk_sl_validation_spark.ext.hashing import md5_long, shingle_rows
-
-    involved = pairs.select(F.col("id_a").alias(id_col)).unionByName(
-        pairs.select(F.col("id_b").alias(id_col))
-    ).distinct()
-    sh = shingle_rows(df.join(involved, id_col, "left_semi"), id_col, text_col, n)
-    doc_sets = (
-        sh.select(id_col, md5_long("s").alias("h"))
-        .groupBy(id_col)
-        .agg(F.array_sort(F.array_distinct(F.collect_list("h"))).alias("hs"))
-    )
-    # Feeds both join sides — materialize once (see ngram_jaccard_for_pairs).
-    doc_sets = doc_sets.localCheckpoint(eager=True)
-    a = doc_sets.select(F.col(id_col).alias("id_a"), F.col("hs").alias("__ha"))
-    b = doc_sets.select(F.col(id_col).alias("id_b"), F.col("hs").alias("__hb"))
-    joined = pairs.select("id_a", "id_b").join(a, "id_a").join(b, "id_b")
+    joined = _pair_doc_sets(df, pairs, id_col, text_col, n)
     inter = F.size(F.array_intersect("__ha", "__hb")).cast("double")
     return joined.select(
         "id_a",

@@ -23,11 +23,13 @@ Design notes for scale and determinism:
 - **No ``.collect()``.** Scalar fan-in (node count, dangling mass)
   stays in the plan as 1-row broadcast cross joins, the same pattern
   the quality queries use for corpus-level constants.
-- **Cross-engine determinism.** Ranks are rounded to 12 decimals
-  after every update and every per-edge contribution in BOTH engines
-  (the DuckDB oracle replays the same rounds), so double noise from
-  engine-specific summation order cannot compound across iterations;
-  the final output rounds to 6.
+- **Cross-engine determinism.** Per-edge contributions and dangling
+  masses are rounded to 12 decimals and summed as exact
+  DECIMAL(28,12) — order-independent, so engine-specific summation
+  order cannot diverge (the same round-then-exact-decimal rule as
+  the LM scorers and TextRank); every rank update re-rounds to 12
+  and the final output rounds to 6. The DuckDB oracle replays the
+  identical expressions.
 """
 
 from __future__ import annotations
@@ -76,8 +78,10 @@ def pagerank(
 
     update: rank'(v) = (1-d)/N + d * (Σ_{u→v} rank(u)·w(u,v)/out(u)
     + dangling/N), where dangling = Σ rank(u) over nodes with no
-    out-edges. Every arithmetic step is rounded to 12 decimals so the
-    DuckDB oracle's unrolled-CTE replay lands on identical doubles.
+    out-edges. Both sums run over round(…, 12) values as exact
+    DECIMAL(28,12) (order-independent); each update re-rounds to 12 —
+    the DuckDB oracle's unrolled-CTE replay lands on identical doubles
+    regardless of either engine's aggregation order.
     """
     edges = edges.localCheckpoint(eager=True)
     nodes = (
@@ -101,12 +105,20 @@ def pagerank(
             .agg(
                 F.sum(
                     F.round(F.col("rank") * F.col("w") / F.col("out_w"), 12)
-                ).alias("__inflow")
+                    .cast("decimal(28,12)")
+                )
+                .cast("double")
+                .alias("__inflow")
             )
         )
         dangling = (
             ranks.join(out_w, ranks.node == out_w.src, "left_anti")
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dm"))
+            .agg(
+                F.coalesce(
+                    F.sum(F.col("rank").cast("decimal(28,12)")).cast("double"),
+                    F.lit(0.0),
+                ).alias("__dm")
+            )
         )
         ranks = (
             nodes.join(F.broadcast(contribs), "node", "left")

@@ -729,11 +729,12 @@ def projected_rerank_topk(
     survivors (full ``in_dim``-dim) — top-k per query.
 
     Same physical shape as :func:`brute_force_topk` (broadcast
-    queries, WindowGroupLimit top-k consolidation), but the per-pair
-    scoring in the wide crossJoin phase runs on the projected vectors;
-    the expensive exact cosine touches only shortlist rows. Both
-    windows partition by q_id, so the shortlist and the final rank
-    share one exchange. The projected corpus is lazily checkpointed so
+    queries, WindowGroupLimit top-k consolidation), but the wide
+    crossJoin phase carries ONLY (q_id, id, projected score) — three
+    narrow values per pair; the full ``in_dim`` vectors are joined
+    back to the ≤ k·shortlist_mult survivors for the exact rerank
+    (the survivors are broadcast into the checkpointed projected
+    corpus). The projected corpus is lazily checkpointed so
     CollapseProject cannot push the out_dim×in_dim projection past the
     join — it must evaluate once per corpus ROW, never once per PAIR.
     """
@@ -742,30 +743,32 @@ def projected_rerank_topk(
     cp = corpus.select(
         id_col, vec_col, random_projection(vec_col, in_dim, out_dim).alias("__p")
     ).localCheckpoint(eager=False)
-    qp = F.broadcast(
-        queries.select(
-            F.col(id_col).alias("q_id"),
-            F.col(vec_col).alias("__q_vec"),
-            random_projection(vec_col, in_dim, out_dim).alias("__q_p"),
-        )
+    q_all = queries.select(
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("__q_vec"),
+        random_projection(vec_col, in_dim, out_dim).alias("__q_p"),
     )
     scored = (
-        cp.crossJoin(qp)
+        cp.select(id_col, "__p")
+        .crossJoin(F.broadcast(q_all.select("q_id", "__q_p")))
         .filter(F.col(id_col) != F.col("q_id"))
         .select(
             "q_id",
             id_col,
-            vec_col,
-            "__q_vec",
             dot_double(F.col("__q_p"), F.col("__p")).alias("__pscore"),
         )
     )
     w = Window.partitionBy("q_id").orderBy(F.col("__pscore").desc(), F.col(id_col).asc())
-    short = scored.withColumn("__rs", F.row_number().over(w)).filter(
-        F.col("__rs") <= k * shortlist_mult
+    short = (
+        scored.withColumn("__rs", F.row_number().over(w))
+        .filter(F.col("__rs") <= k * shortlist_mult)
+        .select("q_id", id_col)
     )
-    reranked = short.select(
-        "q_id", id_col, cosine(F.col("__q_vec"), F.col(vec_col)).alias("cos_sim")
+    reranked = (
+        cp.select(id_col, vec_col)
+        .join(F.broadcast(short), id_col)
+        .join(F.broadcast(q_all.select("q_id", "__q_vec")), "q_id")
+        .select("q_id", id_col, cosine(F.col("__q_vec"), F.col(vec_col)).alias("cos_sim"))
     )
     w2 = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col(id_col).asc())
     return reranked.withColumn("rank", F.row_number().over(w2)).filter(F.col("rank") <= k)

@@ -22,14 +22,16 @@ def _pagerank_oracle(damping: float = DAMPING, iterations: int = ITERATIONS) -> 
         prev = f"r{i - 1}"
         steps.append(
             f"""inf{i} AS (
-  SELECT e.dst AS node, sum(round(r.rank * e.w / o.out_w, 12)) AS inflow
+  SELECT e.dst AS node,
+         CAST(sum(CAST(round(r.rank * e.w / o.out_w, 12) AS DECIMAL(28,12))) AS DOUBLE)
+           AS inflow
   FROM edges e
   JOIN outw o ON o.src = e.src
   JOIN {prev} r ON r.node = e.src
   GROUP BY e.dst
 ),
 dang{i} AS (
-  SELECT coalesce(sum(r.rank), 0.0) AS dm
+  SELECT coalesce(CAST(sum(CAST(r.rank AS DECIMAL(28,12))) AS DOUBLE), 0.0) AS dm
   FROM {prev} r
   WHERE r.node NOT IN (SELECT src FROM edges)
 ),

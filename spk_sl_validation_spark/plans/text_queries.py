@@ -428,6 +428,13 @@ FROM s CROSS JOIN t
 """,
 )
 def text_quality_topfrac(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-engine note: the threshold relies on Spark ``percentile``
+    and DuckDB ``quantile_cont`` interpolating identically over the
+    identical round-6 score multiset, with round(…, 6) on the result
+    absorbing any 1-ulp interpolation drift — the same accepted-risk
+    convention as equidepth_histogram's bucket boundaries (a mismatch
+    requires the interpolated value to sit within 1 ulp of a 5e-7
+    grid point)."""
     docs = load_table(spark, sf_dir, "documents")
     scored = docs.select(
         "doc_id", F.round(X.quality_model_prob("text"), 6).alias("quality_prob")

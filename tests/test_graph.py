@@ -15,6 +15,8 @@ from spk_sl_validation_spark.ext.graph import DAMPING, ITERATIONS, pagerank, tra
 
 
 def _python_pagerank(edges, damping=DAMPING, iterations=ITERATIONS):
+    from decimal import Decimal
+
     nodes = sorted({s for s, _, _ in edges} | {d for _, d, _ in edges})
     n = float(len(nodes))
     out_w = {}
@@ -22,12 +24,13 @@ def _python_pagerank(edges, damping=DAMPING, iterations=ITERATIONS):
         out_w[s] = out_w.get(s, 0.0) + w
     rank = {v: round(1.0 / n, 12) for v in nodes}
     for _ in range(iterations):
-        inflow = {v: 0.0 for v in nodes}
+        # round-then-exact-decimal sums, mirroring the engine
+        inflow = {v: Decimal(0) for v in nodes}
         for s, d, w in edges:
-            inflow[d] += round(rank[s] * w / out_w[s], 12)
-        dm = sum(rank[v] for v in nodes if v not in out_w)
+            inflow[d] += Decimal(str(round(rank[s] * w / out_w[s], 12)))
+        dm = float(sum((Decimal(str(rank[v])) for v in nodes if v not in out_w), Decimal(0)))
         rank = {
-            v: round((1.0 - damping) / n + damping * (inflow[v] + dm / n), 12)
+            v: round((1.0 - damping) / n + damping * (float(inflow[v]) + dm / n), 12)
             for v in nodes
         }
     return {v: round(r, 6) for v, r in rank.items()}

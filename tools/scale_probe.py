@@ -119,10 +119,11 @@ def run(op: str, docs, n: int) -> dict:
         # aggregated 64-node graph.
         from spk_sl_validation_spark.ext.graph import pagerank, transition_edges
 
+        n_users = max(n // 200, 1)
         events = (
             docs.sparkSession.range(n)
             .select(
-                (F.col("id") % (n // 200)).alias("user_id"),
+                (F.col("id") % n_users).alias("user_id"),
                 F.col("id").alias("ts"),
                 F.col("id").alias("event_id"),
                 F.concat(F.lit("e"), ((F.col("id") * 2654435761) % 64).cast("string")).alias(
