@@ -173,16 +173,19 @@ def lsh_candidate_pairs(
 ) -> DataFrame:
     """MinHash-LSH candidate pairs: (id_a, id_b, est_jaccard).
 
-    Banding always runs on BARE ids (8 bytes/member through the cap
-    window, collect_list, and pair-distinct). ``with_estimate=True``
-    additionally joins the (checkpointed) signature relation back to
-    the distinct pairs to compute the estimate — pairs ≪ corpus, so
-    the two id-keyed lookups move far fewer signature bytes than the
-    old carry-through-banding design (6 band rows × 2 sigs per pair).
-    ``with_estimate=False`` skips the checkpoint and lookups entirely;
-    callers that re-verify candidates with exact Jaccard anyway
+    ``with_estimate=False`` bands BARE ids (8 bytes/member through the
+    cap window, collect_list, and pair-distinct); callers that
+    re-verify candidates with exact Jaccard anyway
     (:func:`dedup_corpus`, :func:`dedup_clusters`) never read the
     estimate — identical output minus the column.
+    ``with_estimate=True`` carries the signature arrays through
+    banding and computes the estimate in the pair expansion. The
+    alternative (band bare ids, checkpoint signatures, join them back
+    to the distinct pairs — fewer shuffled bytes: ~352 vs ~768 per
+    doc) measured 10% SLOWER at sf0.1 in a cache-cleared interleaved
+    A/B (1.22 s vs 1.35 s median of 5): the eager checkpoint barrier
+    and two extra shuffle-hash stages cost more than the byte saving
+    until signatures dominate the shuffle, which at k=12 they do not.
 
     Signature → split into ``bands`` bands of ``num_hashes/bands``
     rows → self-join on (band index, band hashes) → distinct pairs,
@@ -223,41 +226,51 @@ def lsh_candidate_pairs(
     # the cap costs a sort inside the existing exchange, not a new
     # shuffle.
     hcols = [f"h{r}" for r in range(rows_per_band)]
-    if with_estimate:
-        # The estimate path joins signatures back to the distinct pairs
-        # (instead of carrying both signature arrays through banding —
-        # ~13× the bytes; measured 14% faster at sf0.1). sig_df then
-        # feeds banding AND both lookup sides; the eager checkpoint
-        # evaluates it once (same trade as ngram_jaccard_for_pairs).
-        sig_df = sig_df.localCheckpoint(eager=True)
-    capped = capped_band_rows(sig_df, id_col, rows_per_band, bands, max_bucket_size)
+    if not with_estimate:
+        capped = capped_band_rows(sig_df, id_col, rows_per_band, bands, max_bucket_size)
+        buckets = (
+            capped.groupBy("band", *hcols)
+            .agg(F.collect_list(F.col(id_col)).alias("members"))
+            .filter(F.size("members") > 1)
+        )
+        # ids within a bucket are distinct, so j > i suffices.
+        pair_expr = F.expr(
+            "flatten(transform(members, (m1, i) -> "
+            "filter(transform(members, (m2, j) -> "
+            "IF(j > i, struct(least(m1, m2) AS a, greatest(m1, m2) AS b), NULL)), "
+            "p -> p IS NOT NULL)))"
+        )
+        return (
+            buckets.select(F.explode(pair_expr).alias("p"))
+            .select(F.col("p.a").alias("id_a"), F.col("p.b").alias("id_b"))
+            .distinct()
+        )
+    capped = capped_band_rows(
+        sig_df, id_col, rows_per_band, bands, max_bucket_size, carry=("sig",)
+    )
     buckets = (
         capped.groupBy("band", *hcols)
-        .agg(F.collect_list(F.col(id_col)).alias("members"))
+        .agg(
+            F.collect_list(
+                F.struct(F.col(id_col).alias("id"), F.col("sig").alias("sig"))
+            ).alias("members")
+        )
         .filter(F.size("members") > 1)
     )
-    # ids within a bucket are distinct, so j > i suffices.
+    # All ordered pairs (i < j by id) within a bucket, as one array expr.
     pair_expr = F.expr(
         "flatten(transform(members, (m1, i) -> "
-        "filter(transform(members, (m2, j) -> "
-        "IF(j > i, struct(least(m1, m2) AS a, greatest(m1, m2) AS b), NULL)), "
-        "p -> p IS NOT NULL)))"
+        "filter(transform(members, (m2, j) -> IF(j > i AND m1.id < m2.id, struct(m1 AS a, m2 AS b), "
+        "IF(j > i AND m2.id < m1.id, struct(m2 AS a, m1 AS b), NULL))), p -> p IS NOT NULL)))"
     )
-    pairs = (
-        buckets.select(F.explode(pair_expr).alias("p"))
-        .select(F.col("p.a").alias("id_a"), F.col("p.b").alias("id_b"))
-        .distinct()
-    )
-    if not with_estimate:
-        return pairs
-    a = sig_df.select(F.col(id_col).alias("id_a"), F.col("sig").alias("asig"))
-    b = sig_df.select(F.col(id_col).alias("id_b"), F.col("sig").alias("bsig"))
-    # Checkpointed lineage has no size stats — pin shuffle_hash so the
-    # planner cannot pick sort-merge; AQE upgrades to broadcast when
-    # the pair set proves small.
-    joined = pairs.join(a.hint("shuffle_hash"), "id_a").join(b.hint("shuffle_hash"), "id_b")
+    pairs = buckets.select(F.explode(pair_expr).alias("p")).select(
+        F.col("p.a.id").alias("id_a"),
+        F.col("p.b.id").alias("id_b"),
+        F.col("p.a.sig").alias("asig"),
+        F.col("p.b.sig").alias("bsig"),
+    ).distinct()
     matches = F.size(F.filter(F.zip_with("asig", "bsig", lambda x, y: x == y), lambda v: v))
-    return joined.select(
+    return pairs.select(
         "id_a",
         "id_b",
         (matches.cast("double") / F.lit(float(num_hashes))).alias("est_jaccard"),

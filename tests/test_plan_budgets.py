@@ -31,13 +31,7 @@ BUDGETS = {
     "revenue_by_nation": (2, 0),
     "text_quality": (0, 0),
     "text_repetition": (4, 0),
-    # 6 exchanges ≥ the old carry design's 3, but they move FEWER
-    # bytes: banding/cap/distinct now shuffle bare ids (8 B) instead
-    # of id+signature (~104 B ×6 band rows), and the two signature
-    # lookups shuffle the checkpointed sig relation once each keyed by
-    # id. Measured 14% faster at sf0.1; exchange COUNT is the wrong
-    # metric when payload width drops 13×.
-    "dedup_minhash_lsh": (6, 0),
+    "dedup_minhash_lsh": (3, 0),
     "dedup_pipeline": (9, 0),
     "similarity_topk_bruteforce": (1, 0),
     "range_join_clicks_before_purchase": (1, 0),
