@@ -151,6 +151,7 @@ SAMPLE_PRIORITY: tuple[str, ...] = (
     "similarity_ann_recall",
     "dedup_source_priority",
     "contrastive_pairs",
+    "timeseries_seasonal_baseline",
 )
 
 

@@ -171,3 +171,62 @@ def window_trailing_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
         F.expr("percentile(CAST(value AS DOUBLE), 0.5)").over(w).alias("med7"),
     )
+
+
+SEASON_LAG_DAYS = 7
+
+
+@register(
+    "timeseries_seasonal_baseline",
+    doc=(
+        f"forecast-baseline evaluation: per event_type daily totals, seasonal-"
+        f"naive forecast = value {SEASON_LAG_DAYS} rows back in day order, "
+        "MAE/bias per type over the scored days — the sanity baseline every "
+        "forecasting pipeline must beat, with exact DECIMAL error sums"
+    ),
+    oracle=f"""
+WITH daily AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total
+  FROM events GROUP BY 1, 2
+),
+scored AS (
+  SELECT event_type, day, total,
+         lag(total, {SEASON_LAG_DAYS}) OVER (PARTITION BY event_type ORDER BY day) AS fc
+  FROM daily
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_scored,
+       round(CAST(sum(abs(total - fc)) AS DOUBLE) / count(*), 6) AS mae,
+       round(CAST(sum(total - fc) AS DOUBLE) / count(*), 6) AS mean_bias
+FROM scored WHERE fc IS NOT NULL
+GROUP BY event_type
+""",
+)
+def timeseries_seasonal_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily aggregate → per-type lag-k forecast → exact-decimal error
+    sums (order-independent) → double division rounded to 6; every
+    arithmetic step shared with the oracle."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(F.sum(F.col("value").cast("decimal(18,2)")).cast("decimal(18,2)").alias("total"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    scored = daily.withColumn("fc", F.lag("total", SEASON_LAG_DAYS).over(w)).filter(
+        F.col("fc").isNotNull()
+    )
+    return scored.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_scored"),
+        F.round(
+            F.sum(F.abs(F.col("total") - F.col("fc"))).cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("mae"),
+        F.round(
+            F.sum(F.col("total") - F.col("fc")).cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("mean_bias"),
+    )
