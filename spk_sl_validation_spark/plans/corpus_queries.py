@@ -375,3 +375,74 @@ def corpus_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+def _datasheet_oracle() -> str:
+    from spk_sl_validation_spark.plans.text_queries import _TOKS, _Z
+
+    return rf"""
+WITH per_doc AS (
+  SELECT doc_id, lang,
+         len({_TOKS}) AS n_tokens,
+         md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+         CAST(round(1.0 / (1.0 + exp(-({_Z}))), 12) AS DECIMAL(28,12)) AS q12
+  FROM documents
+),
+agg AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+         CAST(sum(n_tokens) AS DOUBLE) AS total_tokens,
+         CAST(count(DISTINCT lang) AS DOUBLE) AS n_langs,
+         1.0 - CAST(count(DISTINCT fp) AS DOUBLE) / count(*) AS exact_dup_rate,
+         round(CAST(sum(q12) AS DOUBLE) / count(*), 6) AS mean_quality_prob,
+         round(CAST(sum(n_tokens) AS DOUBLE) / count(*), 6) AS mean_doc_tokens
+  FROM per_doc
+)
+SELECT m.metric, m.value FROM agg,
+LATERAL (VALUES ('n_docs', n_docs), ('total_tokens', total_tokens),
+                ('n_langs', n_langs), ('exact_dup_rate', exact_dup_rate),
+                ('mean_quality_prob', mean_quality_prob),
+                ('mean_doc_tokens', mean_doc_tokens)) AS m(metric, value)
+"""
+
+
+@register(
+    "corpus_datasheet",
+    doc=(
+        "one-scan dataset datasheet (the summary a published corpus ships): "
+        "doc/token counts, language count, exact-duplicate rate (distinct "
+        "fingerprints), mean quality-model score, mean doc length — one "
+        "aggregate over one corpus scan, emitted long-format"
+    ),
+    oracle=_datasheet_oracle(),
+)
+def corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spk_sl_validation_spark.ext.text import md5_fingerprint, quality_model_prob, ws_tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    per_doc = docs.select(
+        "lang",
+        F.size(ws_tokens("text")).alias("n_tokens"),
+        md5_fingerprint("text").alias("fp"),
+        F.round(quality_model_prob("text"), 12).cast("decimal(28,12)").alias("q12"),
+    )
+    agg = per_doc.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.sum("n_tokens").cast("double").alias("total_tokens"),
+        F.count_distinct("lang").cast("double").alias("n_langs"),
+        (
+            F.lit(1.0)
+            - F.count_distinct("fp").cast("double") / F.count(F.lit(1)).cast("double")
+        ).alias("exact_dup_rate"),
+        F.round(
+            F.sum("q12").cast("double") / F.count(F.lit(1)).cast("double"), 6
+        ).alias("mean_quality_prob"),
+        F.round(
+            F.sum("n_tokens").cast("double") / F.count(F.lit(1)).cast("double"), 6
+        ).alias("mean_doc_tokens"),
+    )
+    metrics = (
+        "n_docs", "total_tokens", "n_langs",
+        "exact_dup_rate", "mean_quality_prob", "mean_doc_tokens",
+    )
+    stack = ", ".join(f"'{m}', {m}" for m in metrics)
+    return agg.selectExpr(f"stack({len(metrics)}, {stack}) AS (metric, value)")

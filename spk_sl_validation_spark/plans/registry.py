@@ -152,6 +152,7 @@ SAMPLE_PRIORITY: tuple[str, ...] = (
     "dedup_source_priority",
     "contrastive_pairs",
     "timeseries_seasonal_baseline",
+    "corpus_datasheet",
 )
 
 
