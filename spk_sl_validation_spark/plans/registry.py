@@ -248,6 +248,7 @@ QUERY_MODULES = (
     "scale_queries",
     "event_queries",
     "graph_queries",
+    "retrieval_queries",
 )
 
 
