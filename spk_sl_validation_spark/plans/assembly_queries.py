@@ -222,3 +222,77 @@ def mixture_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.least(F.lit(1.0), target / F.col("n_tokens").cast("double")).alias("sample_rate"),
         (target > F.col("n_tokens").cast("double")).alias("oversubscribed"),
     )
+
+
+BUCKET_TOKENS = 16  # length-bucket width in tokens
+
+
+@register(
+    "length_bucketing",
+    doc=(
+        f"length-bucketed batching audit: docs binned into {BUCKET_TOKENS}-token "
+        "buckets, per-bucket padding waste vs padding every doc to its bucket "
+        "ceiling — one narrow map + one aggregation, the batch-shape planner "
+        "for padded training batches"
+    ),
+    oracle=f"""
+WITH lens AS (
+  SELECT len(string_split_regex(trim(text), '\\s+')) AS n_tokens FROM documents
+),
+b AS (
+  SELECT CAST((n_tokens - 1) // {BUCKET_TOKENS} AS INTEGER) AS bucket_id,
+         n_tokens
+  FROM lens
+)
+SELECT bucket_id,
+       CAST((bucket_id + 1) * {BUCKET_TOKENS} AS INTEGER) AS padded_len,
+       count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+       round(1.0 - CAST(sum(n_tokens) AS DOUBLE)
+                 / CAST(count(*) * (bucket_id + 1) * {BUCKET_TOKENS} AS DOUBLE), 6) AS waste_frac
+FROM b
+GROUP BY bucket_id
+""",
+)
+def length_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Padding-waste audit for length-bucketed batch assembly.
+
+    Every document lands in the ``BUCKET_TOKENS``-wide bucket that
+    covers its token count (1..16 → bucket 0, 17..32 → bucket 1, …);
+    padding each doc to its bucket ceiling instead of a global max
+    is the standard padded-batch trick, and ``waste_frac`` is the
+    fraction of pad tokens that remains. Token counts and bucket
+    sums are exact integers, so the only float op is the final
+    division — bit-identical across engines. One narrow projection
+    + one hash aggregation on a small key: scan-bound at 100 TB.
+    """
+    from pyspark.sql import functions as F
+
+    from spk_sl_validation_spark.ext.hashing import ws_tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(ws_tokens("text"))
+    b = docs.select(
+        F.floor((n_tokens - 1) / BUCKET_TOKENS).cast("int").alias("bucket_id"),
+        n_tokens.alias("n_tokens"),
+    )
+    padded = (F.col("bucket_id") + 1) * BUCKET_TOKENS
+    return (
+        b.groupBy("bucket_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("sum_tokens"),
+        )
+        .select(
+            "bucket_id",
+            padded.cast("int").alias("padded_len"),
+            "n_docs",
+            "sum_tokens",
+            F.round(
+                1.0
+                - F.col("sum_tokens").cast("double")
+                / (F.col("n_docs") * padded).cast("double"),
+                6,
+            ).alias("waste_frac"),
+        )
+    )

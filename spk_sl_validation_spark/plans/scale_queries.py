@@ -140,3 +140,68 @@ def layout_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("y").alias("max_y"),
         )
     )
+
+
+SKEW_TOP_K = 10
+
+
+@register(
+    "skew_key_stats",
+    doc=(
+        f"join/agg-key skew diagnosis on events.user_id: top-{SKEW_TOP_K} heavy "
+        "hitters with per-key and cumulative load share — the measurement that "
+        "feeds the salting threshold in operators/skew.py"
+    ),
+    oracle=f"""
+WITH keyed AS (SELECT user_id, count(*) AS n FROM events GROUP BY user_id),
+tot AS (SELECT CAST(sum(n) AS BIGINT) AS total, count(*) AS n_keys FROM keyed),
+ranked AS (
+  SELECT user_id, n,
+         row_number() OVER (ORDER BY n DESC, user_id ASC) AS rnk,
+         CAST(sum(n) OVER (ORDER BY n DESC, user_id ASC
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_n
+  FROM keyed
+)
+SELECT r.user_id, r.n,
+       round(CAST(r.n AS DOUBLE) / CAST(t.total AS DOUBLE), 6) AS share,
+       round(CAST(r.cum_n AS DOUBLE) / CAST(t.total AS DOUBLE), 6) AS cum_share,
+       CAST(r.rnk AS INTEGER) AS rnk,
+       t.n_keys, t.total
+FROM ranked r CROSS JOIN tot t
+WHERE r.rnk <= {SKEW_TOP_K}
+""",
+)
+def skew_key_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter profile of a shuffle key before a big join/agg.
+
+    The per-key count is one hash aggregation; ranking the hitters is
+    a window over the (already reduced) key-count relation, and the
+    totals ride a 1-row broadcast. `share`/`cum_share` divide exact
+    integers, so the floats are bit-identical across engines. At
+    100 TB the keyed aggregation is the same shuffle the diagnosed
+    join would pay — run it once, decide salting from `share`
+    (operators/skew.py treats keys above ~1/partitions as hot).
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    keyed = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    tot = keyed.agg(
+        F.sum("n").cast("long").alias("total"), F.count(F.lit(1)).alias("n_keys")
+    )
+    w = Window.orderBy(F.col("n").desc(), F.col("user_id").asc())
+    ranked = keyed.select(
+        "user_id",
+        "n",
+        F.row_number().over(w).alias("rnk"),
+        F.sum("n").over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("long").alias("cum_n"),
+    ).filter(F.col("rnk") <= SKEW_TOP_K)
+    return ranked.crossJoin(F.broadcast(tot)).select(
+        "user_id",
+        "n",
+        F.round(F.col("n").cast("double") / F.col("total").cast("double"), 6).alias("share"),
+        F.round(F.col("cum_n").cast("double") / F.col("total").cast("double"), 6).alias("cum_share"),
+        F.col("rnk").cast("int").alias("rnk"),
+        "n_keys",
+        "total",
+    )
