@@ -451,3 +451,158 @@ def text_quality_topfrac(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("quality_prob") >= F.col("threshold")).alias("keep"),
         )
     )
+
+
+@register(
+    "langid_eval",
+    doc=(
+        "language-ID evaluation vs the label column: per-language "
+        "precision/recall/F1 from exact confusion counts — the classifier "
+        "eval harness shape (three tiny broadcast joins over per-lang counts)"
+    ),
+    oracle=f"""
+WITH pred AS (SELECT lang AS label_lang, {_LANG_CASE} AS pred_lang FROM documents),
+lab AS (SELECT label_lang AS lang, count(*) AS n_label FROM pred GROUP BY label_lang),
+pr  AS (SELECT pred_lang AS lang, count(*) AS n_pred FROM pred GROUP BY pred_lang),
+hit AS (SELECT label_lang AS lang, count(*) AS n_correct
+        FROM pred WHERE label_lang = pred_lang GROUP BY label_lang)
+SELECT l.lang, l.n_label,
+       coalesce(p.n_pred, 0) AS n_pred,
+       coalesce(h.n_correct, 0) AS n_correct,
+       round(CAST(coalesce(h.n_correct, 0) AS DOUBLE) / CAST(l.n_label AS DOUBLE), 6) AS recall,
+       CASE WHEN coalesce(p.n_pred, 0) = 0 THEN 0.0
+            ELSE round(CAST(coalesce(h.n_correct, 0) AS DOUBLE) / CAST(p.n_pred AS DOUBLE), 6)
+       END AS prec,
+       CASE WHEN coalesce(h.n_correct, 0) = 0 THEN 0.0
+            ELSE round(2.0 * (CAST(h.n_correct AS DOUBLE) / CAST(p.n_pred AS DOUBLE))
+                           * (CAST(h.n_correct AS DOUBLE) / CAST(l.n_label AS DOUBLE))
+                       / ((CAST(h.n_correct AS DOUBLE) / CAST(p.n_pred AS DOUBLE))
+                          + (CAST(h.n_correct AS DOUBLE) / CAST(l.n_label AS DOUBLE))), 6)
+       END AS f1
+FROM lab l
+LEFT JOIN pr p ON l.lang = p.lang
+LEFT JOIN hit h ON l.lang = h.lang
+""",
+)
+def langid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language precision/recall/F1 of the marker-word language-ID
+    heuristic against the labeled ``lang`` column.
+
+    One corpus scan produces (label, pred); the three count relations
+    are per-language (≤6 rows) and meet in broadcast joins. When a
+    language is never predicted its precision/F1 are defined as 0.0
+    (guards mirror the oracle CASEs exactly). n_correct > 0 implies
+    n_pred > 0 and n_label > 0, so the F1 branch never divides by
+    zero. All ratios divide exact integers — bit-identical across
+    engines before the 6-decimal round.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    pred = docs.select(
+        F.col("lang").alias("label_lang"), X.lang_id("text").alias("pred_lang")
+    )
+    lab = pred.groupBy(F.col("label_lang").alias("lang")).agg(
+        F.count(F.lit(1)).alias("n_label")
+    )
+    pr = pred.groupBy(F.col("pred_lang").alias("lang")).agg(
+        F.count(F.lit(1)).alias("n_pred")
+    )
+    hit = (
+        pred.filter(F.col("label_lang") == F.col("pred_lang"))
+        .groupBy(F.col("label_lang").alias("lang"))
+        .agg(F.count(F.lit(1)).alias("n_correct"))
+    )
+    j = (
+        lab.join(F.broadcast(pr), "lang", "left")
+        .join(F.broadcast(hit), "lang", "left")
+        .select(
+            "lang",
+            "n_label",
+            F.coalesce("n_pred", F.lit(0)).alias("n_pred"),
+            F.coalesce("n_correct", F.lit(0)).alias("n_correct"),
+        )
+    )
+    rec = F.col("n_correct").cast("double") / F.col("n_label").cast("double")
+    prec_raw = F.col("n_correct").cast("double") / F.col("n_pred").cast("double")
+    return j.select(
+        "lang",
+        "n_label",
+        "n_pred",
+        "n_correct",
+        F.round(rec, 6).alias("recall"),
+        F.when(F.col("n_pred") == 0, F.lit(0.0)).otherwise(F.round(prec_raw, 6)).alias("prec"),
+        F.when(F.col("n_correct") == 0, F.lit(0.0))
+        .otherwise(F.round(2.0 * prec_raw * rec / (prec_raw + rec), 6))
+        .alias("f1"),
+    )
+
+
+@register(
+    "text_token_entropy",
+    doc=(
+        "per-doc Shannon entropy of the token distribution + entropy normalized "
+        "by ln(n_distinct) — the distribution-flatness quality signal "
+        "complementing text_repetition's top-fraction filters"
+    ),
+    oracle=f"""
+WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS w FROM documents),
+wc AS (SELECT doc_id, w, count(*) AS c FROM tok GROUP BY doc_id, w),
+n AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens, count(*) AS n_distinct
+      FROM wc GROUP BY doc_id),
+h AS (
+  SELECT wc.doc_id,
+         sum(CAST(round(-(CAST(c AS DOUBLE) / CAST(n_tokens AS DOUBLE))
+                        * ln(CAST(c AS DOUBLE) / CAST(n_tokens AS DOUBLE)), 12)
+                  AS DECIMAL(28,12))) AS ent
+  FROM wc JOIN n USING (doc_id) GROUP BY wc.doc_id
+)
+SELECT n.doc_id, n.n_tokens, n.n_distinct,
+       round(CAST(h.ent AS DOUBLE), 6) AS entropy,
+       CASE WHEN n.n_distinct = 1 THEN 0.0
+            ELSE round(CAST(h.ent AS DOUBLE) / ln(CAST(n.n_distinct AS DOUBLE)), 6)
+       END AS norm_entropy
+FROM n JOIN h ON n.doc_id = h.doc_id
+""",
+)
+def text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H(d) = −Σ_w p ln p over each document's token histogram, plus
+    H/ln(n_distinct) ∈ [0,1] (defined 0.0 for single-type docs, where
+    ln(1) would divide by zero). Per-term contributions are rounded to
+    12 decimals and summed as DECIMAL(28,12) so the cross-engine sum
+    is order-independent (house float discipline). The token counts
+    aggregate on (doc_id, w) and the totals ride a window over the
+    already-reduced histogram — skinny keyed rows end to end, no
+    full-text reshuffle.
+    """
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    from spk_sl_validation_spark.ext.hashing import ws_tokens
+
+    wc = (
+        docs.select("doc_id", F.explode(ws_tokens("text")).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    wdoc = Window.partitionBy("doc_id")
+    wc = wc.select(
+        "doc_id",
+        "c",
+        F.sum("c").over(wdoc).cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).over(wdoc).alias("n_distinct"),
+    )
+    p = F.col("c").cast("double") / F.col("n_tokens").cast("double")
+    per_doc = wc.groupBy("doc_id").agg(
+        F.max("n_tokens").alias("n_tokens"),
+        F.max("n_distinct").alias("n_distinct"),
+        F.sum(F.round(-p * F.log(p), 12).cast("decimal(28,12)")).alias("ent"),
+    )
+    ent_d = F.col("ent").cast("double")
+    return per_doc.select(
+        "doc_id",
+        "n_tokens",
+        "n_distinct",
+        F.round(ent_d, 6).alias("entropy"),
+        F.when(F.col("n_distinct") == 1, F.lit(0.0))
+        .otherwise(F.round(ent_d / F.log(F.col("n_distinct").cast("double")), 6))
+        .alias("norm_entropy"),
+    )
