@@ -85,6 +85,20 @@ def run(op: str, docs, n: int) -> dict:
         out = dedup_incremental(docs, is_new=F.col("doc_id") % 5 == 0)
     elif op == "bigram":
         out = bigram_logprob(docs, "doc_id", "text")
+    elif op == "bm25":
+        # Query 2 hits the corpus-wide boilerplate terms, so its tf
+        # stream touches EVERY document — the worst-case stop-word
+        # query; 1 and 3 are selective hashed-vocab terms.
+        from spk_sl_validation_spark.ext.retrieval import bm25_rank
+
+        out = bm25_rank(
+            docs,
+            [
+                (1, "w17 w123 w999"),
+                (2, "boilerplate marker w5"),
+                (3, "w2048 w1024 w512 w256"),
+            ],
+        )
     elif op == "incremental_indexed":
         # Index artifacts are PRECOMPUTED (materialized outside the
         # timed window) — measures what a production shard pays when
