@@ -1,0 +1,75 @@
+"""BM25 retrieval (ext/retrieval.py) vs an independent in-Python
+reimplementation on a hand-built corpus — complements the registry's
+DuckDB differential check with a second, SQL-free oracle."""
+
+from __future__ import annotations
+
+import math
+
+from spk_sl_validation_spark.ext.retrieval import BM25_B, BM25_K1, bm25_rank
+
+DOCS = [
+    (1, "apple banana apple cherry"),
+    (2, "banana banana banana"),
+    (3, "cherry durian elderberry fig grape"),
+    (4, "apple apple apple apple banana"),
+    (5, "fig grape honeydew"),
+    (6, "durian"),
+]
+QUERIES = [(10, "apple banana"), (20, "durian fig"), (30, "honeydew")]
+
+
+def _bm25_reference(docs, queries, k1=BM25_K1, b=BM25_B, top_k=5):
+    """Straight-from-the-formula BM25 (dicts and loops, no SQL)."""
+    toks = {d: t.split() for d, t in docs}
+    n = len(docs)
+    avgdl = sum(len(t) for t in toks.values()) / n
+    out = {}
+    for qid, qtext in queries:
+        scores = {}
+        for term in qtext.split():
+            df = sum(1 for t in toks.values() if term in t)
+            if df == 0:
+                continue
+            idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+            for d, t in toks.items():
+                tf = t.count(term)
+                if tf == 0:
+                    continue
+                dl = len(t)
+                s = idf * (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+                scores[d] = scores.get(d, 0.0) + round(s, 12)
+        ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:top_k]
+        out[qid] = [(d, round(s, 6)) for d, s in ranked]
+    return out
+
+
+def test_bm25_matches_independent_reimplementation(spark):
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    got = bm25_rank(docs, QUERIES).collect()
+    expected = _bm25_reference(DOCS, QUERIES)
+    by_query: dict[int, list] = {}
+    for r in sorted(got, key=lambda r: (r.query_id, r.rnk)):
+        by_query.setdefault(r.query_id, []).append((r.doc_id, r.score))
+    assert set(by_query) == {10, 20, 30}
+    for qid, exp in expected.items():
+        assert by_query[qid] == exp, f"query {qid}: {by_query[qid]} != {exp}"
+
+
+def test_bm25_excludes_docs_without_query_terms(spark):
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    got = bm25_rank(docs, [(1, "honeydew")]).collect()
+    assert [r.doc_id for r in got] == [5]
+    assert [r.rnk for r in got] == [1]
+
+
+def test_bm25_ordering_properties(spark):
+    # 'durian' and 'fig' have equal df (2 each): doc 3 matches both
+    # terms so it must rank first; docs 6 and 5 match one term each
+    # with tf=1, and the shorter doc (6, dl=1) must outscore the
+    # longer (5, dl=3) under the length normalization.
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    got = {r.doc_id: r.score for r in bm25_rank(docs, [(1, "durian fig")]).collect()}
+    assert set(got) == {3, 5, 6}
+    assert got[3] == max(got.values())
+    assert got[6] > got[5]
