@@ -1,4 +1,5 @@
-r"""Sparse (lexical) retrieval primitives: Okapi BM25 ranking.
+r"""Sparse (lexical) retrieval primitives: Okapi BM25 ranking, direct
+or against a prebuilt inverted index.
 
 The retrieval shape a training-data pipeline needs for eval-set
 curation and targeted decontamination: given a handful of queries,
@@ -7,16 +8,29 @@ rank the corpus by BM25 and keep the top-k per query. Design:
 - the exploded token stream is filtered to the query-term set BEFORE
   the tf shuffle — the wide exchange carries only (doc, query-term)
   rows, the inverted-index-build shape, never the full token stream;
-- document frequencies, the query set, and the 1-row (N, avgdl)
-  corpus stats all ride broadcast joins;
+- document frequencies, the query set, and the 1-row corpus stats
+  all ride broadcast joins;
 - document length is grouped through the tf aggregation (it is
   functionally dependent on the doc id), so the corpus is never
   joined back.
 
+For repeated query batches the tokenization cost amortizes into a
+persisted index (:func:`bm25_index_tables`): postings
+(doc, dl, term, tf), the per-term df materialized aggregate, and a
+1-row (n_docs, sum_dl) stats table. Query time then touches no text
+at all — postings filtered by query term (written bucketed/sorted by
+``term``, that filter prunes at the scan) feed the same scoring tail.
+:func:`merge_into_bm25_index` folds a new document batch in with
+pure unions/sums (no index rebuild), the same artifact lifecycle as
+``ext/dedup.py dedup_index_tables / merge_into_dedup_index``.
+
 Float discipline (house pattern): per-term partials are rounded to
 12 decimals and accumulated as DECIMAL(28,12), making the
 cross-engine/cross-plan sum order-independent; the final score is
-rounded to 6.
+rounded to 6. The index path stores exact-integer ``sum_dl`` (not
+avgdl), so its ``avgdl`` double is bit-identical to the direct
+path's and both paths return exactly equal rows (pinned by
+``tests/test_retrieval.py``).
 """
 
 from __future__ import annotations
@@ -32,44 +46,26 @@ BM25_K1 = 1.2
 BM25_B = 0.75
 
 
-def bm25_rank(
-    docs: DataFrame,
-    queries: Sequence[tuple[int, str]],
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    k1: float = BM25_K1,
-    b: float = BM25_B,
-    top_k: int = 5,
-) -> DataFrame:
-    """Top-``top_k`` documents per query under Okapi BM25 with the
-    standard +1-smoothed idf:
-
-        idf(t)     = ln(1 + (N − df + 0.5) / (df + 0.5))
-        score(q,d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
-
-    ``queries`` is a small in-memory list of (query_id, whitespace
-    query text); terms should be unique within a query. Returns
-    (query_id, doc_id, score, rnk) with a deterministic
-    (score DESC, id ASC) tiebreak.
-    """
-    spark = docs.sparkSession
-    qterm = spark.createDataFrame(
+def _query_terms_df(docs_or_any: DataFrame, queries: Sequence[tuple[int, str]]) -> DataFrame:
+    return docs_or_any.sparkSession.createDataFrame(
         [(qid, term) for qid, text in queries for term in text.split(" ")],
         "query_id int, term string",
     )
-    query_terms = sorted({t for _, text in queries for t in text.split(" ")})
 
-    toks = ws_tokens(text_col)
-    tok = docs.select(
-        F.col(id_col), F.size(toks).alias("dl"), F.explode(toks).alias("term")
-    ).filter(F.col("term").isin(query_terms))
-    tf = tok.groupBy(id_col, "dl", "term").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    stats = docs.agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        (F.sum(F.size(toks)).cast("double") / F.count(F.lit(1))).alias("avgdl"),
-    )
 
+def _score_and_rank(
+    tf: DataFrame,
+    qterm: DataFrame,
+    dfreq: DataFrame,
+    stats: DataFrame,
+    id_col: str,
+    k1: float,
+    b: float,
+    top_k: int,
+) -> DataFrame:
+    """Shared BM25 scoring tail: ``tf`` is (id, dl, term, tf) already
+    restricted to query terms; ``dfreq`` is (term, df); ``stats`` is
+    one row (n_docs, avgdl)."""
     idf = F.log(
         1.0
         + (F.col("n_docs").cast("double") - F.col("df").cast("double") + 0.5)
@@ -103,3 +99,124 @@ def bm25_rank(
             F.col("rnk").cast("int").alias("rnk"),
         )
     )
+
+
+def bm25_rank(
+    docs: DataFrame,
+    queries: Sequence[tuple[int, str]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    top_k: int = 5,
+) -> DataFrame:
+    """Top-``top_k`` documents per query under Okapi BM25 with the
+    standard +1-smoothed idf:
+
+        idf(t)     = ln(1 + (N − df + 0.5) / (df + 0.5))
+        score(q,d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+
+    ``queries`` is a small in-memory list of (query_id, whitespace
+    query text); terms should be unique within a query. Returns
+    (query_id, doc_id, score, rnk) with a deterministic
+    (score DESC, id ASC) tiebreak.
+    """
+    qterm = _query_terms_df(docs, queries)
+    query_terms = sorted({t for _, text in queries for t in text.split(" ")})
+
+    toks = ws_tokens(text_col)
+    tok = docs.select(
+        F.col(id_col), F.size(toks).alias("dl"), F.explode(toks).alias("term")
+    ).filter(F.col("term").isin(query_terms))
+    tf = tok.groupBy(id_col, "dl", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    stats = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum(F.size(toks)).cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    return _score_and_rank(tf, qterm, dfreq, stats, id_col, k1, b, top_k)
+
+
+def bm25_index_tables(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Build the persistable BM25 index artifacts from a corpus:
+
+    - ``postings``: (id, dl, term, tf) — the inverted index. Write it
+      bucketed/sorted by ``term`` so query-time term filters prune at
+      the scan (`sources/sinks.py write_bucketed`).
+    - ``df_tbl``: (term, df) — vocab-bounded materialized aggregate,
+      derivable from postings but kept so query time skips the
+      full-postings df pass.
+    - ``stats``: one row (n_docs, sum_dl) — exact integers, so the
+      avgdl derived at query time is bit-identical to the direct
+      path's.
+    """
+    toks = ws_tokens(text_col)
+    postings = (
+        docs.select(F.col(id_col), F.size(toks).alias("dl"), F.explode(toks).alias("term"))
+        .groupBy(id_col, "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_tbl = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    stats = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(toks)).cast("long").alias("sum_dl"),
+    )
+    return postings, df_tbl, stats
+
+
+def bm25_rank_indexed(
+    queries: Sequence[tuple[int, str]],
+    postings: DataFrame,
+    df_tbl: DataFrame,
+    stats: DataFrame,
+    id_col: str = "doc_id",
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    top_k: int = 5,
+) -> DataFrame:
+    """BM25 against prebuilt :func:`bm25_index_tables` artifacts —
+    query time reads no document text. Returns exactly the rows
+    :func:`bm25_rank` returns on the indexed corpus (equal floats:
+    both paths round identically and avgdl derives from the same
+    exact integers)."""
+    qterm = _query_terms_df(postings, queries)
+    query_terms = sorted({t for _, text in queries for t in text.split(" ")})
+    tf = postings.filter(F.col("term").isin(query_terms))
+    dfreq = df_tbl.filter(F.col("term").isin(query_terms))
+    st = stats.select(
+        "n_docs",
+        (F.col("sum_dl").cast("double") / F.col("n_docs")).alias("avgdl"),
+    )
+    return _score_and_rank(tf, qterm, dfreq, st, id_col, k1, b, top_k)
+
+
+def merge_into_bm25_index(
+    postings: DataFrame,
+    df_tbl: DataFrame,
+    stats: DataFrame,
+    new_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Fold a batch of NEW documents (ids disjoint from the indexed
+    corpus) into existing index artifacts without a rebuild: postings
+    append, per-term df adds, stats adds — all exact-integer unions/
+    sums, so the merged index is row-identical to indexing the
+    concatenated corpus from scratch (pinned by test)."""
+    new_p, new_df, new_st = bm25_index_tables(new_docs, id_col, text_col)
+    postings2 = postings.unionByName(new_p)
+    df2 = (
+        df_tbl.unionByName(new_df)
+        .groupBy("term")
+        .agg(F.sum("df").cast("long").alias("df"))
+    )
+    stats2 = (
+        stats.unionByName(new_st)
+        .agg(
+            F.sum("n_docs").cast("long").alias("n_docs"),
+            F.sum("sum_dl").cast("long").alias("sum_dl"),
+        )
+    )
+    return postings2, df2, stats2

@@ -16,7 +16,13 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from spk_sl_validation_spark.ext.retrieval import BM25_B, BM25_K1, bm25_rank
+from spk_sl_validation_spark.ext.retrieval import (
+    BM25_B,
+    BM25_K1,
+    bm25_index_tables,
+    bm25_rank,
+    bm25_rank_indexed,
+)
 from spk_sl_validation_spark.plans.registry import register
 from spk_sl_validation_spark.sources.readers import load_table
 
@@ -82,3 +88,35 @@ FROM ranked WHERE rnk <= {BM25_TOP_K}
 def bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return bm25_rank(docs, BM25_QUERIES, top_k=BM25_TOP_K)
+
+
+import dataclasses as _dc  # noqa: E402
+
+from spk_sl_validation_spark.plans.registry import REGISTRY as _REG  # noqa: E402
+
+_BM25_ORACLE = _REG["bm25_retrieval"].oracle
+
+
+@register(
+    "bm25_retrieval_indexed",
+    doc=(
+        "BM25 through prebuilt index artifacts (postings + df + stats, "
+        "no text scan at query time) — result-identical to bm25_retrieval, "
+        "same oracle"
+    ),
+    oracle=None,
+)
+def bm25_retrieval_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-time path when the inverted index already exists: build
+    the artifacts (in production they are written bucketed by term
+    and read back), then rank without touching document text. The
+    oracle is bm25_retrieval's SQL verbatim — the index is an access
+    path, not a semantic change."""
+    docs = load_table(spark, sf_dir, "documents")
+    postings, df_tbl, stats = bm25_index_tables(docs)
+    return bm25_rank_indexed(BM25_QUERIES, postings, df_tbl, stats, top_k=BM25_TOP_K)
+
+
+_REG["bm25_retrieval_indexed"] = _dc.replace(
+    _REG["bm25_retrieval_indexed"], oracle=_BM25_ORACLE
+)

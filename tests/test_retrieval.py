@@ -73,3 +73,33 @@ def test_bm25_ordering_properties(spark):
     assert set(got) == {3, 5, 6}
     assert got[3] == max(got.values())
     assert got[6] > got[5]
+
+
+def test_bm25_indexed_path_equals_direct(spark):
+    from spk_sl_validation_spark.ext.retrieval import bm25_index_tables, bm25_rank_indexed
+
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    direct = sorted(map(tuple, bm25_rank(docs, QUERIES).collect()))
+    postings, df_tbl, stats = bm25_index_tables(docs)
+    indexed = sorted(map(tuple, bm25_rank_indexed(QUERIES, postings, df_tbl, stats).collect()))
+    assert indexed == direct  # exact, floats included
+
+
+def test_bm25_index_merge_equals_rebuild(spark):
+    from spk_sl_validation_spark.ext.retrieval import (
+        bm25_index_tables,
+        bm25_rank_indexed,
+        merge_into_bm25_index,
+    )
+
+    old = spark.createDataFrame(DOCS[:4], "doc_id long, text string")
+    new = spark.createDataFrame(DOCS[4:], "doc_id long, text string")
+    merged = merge_into_bm25_index(*bm25_index_tables(old), new)
+    rebuilt = bm25_index_tables(spark.createDataFrame(DOCS, "doc_id long, text string"))
+    for m, r, key in zip(merged, rebuilt, (["doc_id", "term"], ["term"], [])):
+        ms = sorted(map(tuple, m.collect()))
+        rs = sorted(map(tuple, r.collect()))
+        assert ms == rs, f"artifact keyed {key}: {ms[:5]} != {rs[:5]}"
+    got = sorted(map(tuple, bm25_rank_indexed(QUERIES, *merged).collect()))
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    assert got == sorted(map(tuple, bm25_rank(docs, QUERIES).collect()))
