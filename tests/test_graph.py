@@ -17,23 +17,26 @@ from spk_sl_validation_spark.ext.graph import DAMPING, ITERATIONS, pagerank, tra
 def _python_pagerank(edges, damping=DAMPING, iterations=ITERATIONS):
     from decimal import Decimal
 
+    from tests.test_graph_property import _round_half_up
+
     nodes = sorted({s for s, _, _ in edges} | {d for _, d, _ in edges})
     n = float(len(nodes))
     out_w = {}
     for s, _, w in edges:
         out_w[s] = out_w.get(s, 0.0) + w
-    rank = {v: round(1.0 / n, 12) for v in nodes}
+    rank = {v: _round_half_up(1.0 / n, 12) for v in nodes}
     for _ in range(iterations):
         # round-then-exact-decimal sums, mirroring the engine
+        # (HALF_UP like Spark/DuckDB — python round() is half-even)
         inflow = {v: Decimal(0) for v in nodes}
         for s, d, w in edges:
-            inflow[d] += Decimal(str(round(rank[s] * w / out_w[s], 12)))
+            inflow[d] += Decimal(str(_round_half_up(rank[s] * w / out_w[s], 12)))
         dm = float(sum((Decimal(str(rank[v])) for v in nodes if v not in out_w), Decimal(0)))
         rank = {
-            v: round((1.0 - damping) / n + damping * (float(inflow[v]) + dm / n), 12)
+            v: _round_half_up((1.0 - damping) / n + damping * (float(inflow[v]) + dm / n), 12)
             for v in nodes
         }
-    return {v: round(r, 6) for v, r in rank.items()}
+    return {v: _round_half_up(r, 6) for v, r in rank.items()}
 
 
 def test_pagerank_matches_python_reference(spark):

@@ -11,6 +11,16 @@ from spk_sl_validation_spark.ext import dedup as D
 from spk_sl_validation_spark.ext.graph import DAMPING, ITERATIONS, pagerank
 
 
+def _round_half_up(x: float, nd: int) -> float:
+    """Spark's F.round / DuckDB's round semantics: HALF_UP on the
+    shortest decimal representation of the double. Python's built-in
+    round() is banker's (half-even) and diverges at exact .5 ties at
+    the target digit (hypothesis found round(0.1316885, 6))."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(Decimal(str(x)).quantize(Decimal(1).scaleb(-nd), rounding=ROUND_HALF_UP))
+
+
 def _python_pagerank(edges, damping=DAMPING, iterations=ITERATIONS):
     from decimal import Decimal
 
@@ -19,18 +29,18 @@ def _python_pagerank(edges, damping=DAMPING, iterations=ITERATIONS):
     out_w = {}
     for s, _, w in edges:
         out_w[s] = out_w.get(s, 0.0) + w
-    rank = {v: round(1.0 / n, 12) for v in nodes}
+    rank = {v: _round_half_up(1.0 / n, 12) for v in nodes}
     for _ in range(iterations):
         # round-then-exact-decimal sums, mirroring the engine
         inflow = {v: Decimal(0) for v in nodes}
         for s, d, w in edges:
-            inflow[d] += Decimal(str(round(rank[s] * w / out_w[s], 12)))
+            inflow[d] += Decimal(str(_round_half_up(rank[s] * w / out_w[s], 12)))
         dm = float(sum((Decimal(str(rank[v])) for v in nodes if v not in out_w), Decimal(0)))
         rank = {
-            v: round((1.0 - damping) / n + damping * (float(inflow[v]) + dm / n), 12)
+            v: _round_half_up((1.0 - damping) / n + damping * (float(inflow[v]) + dm / n), 12)
             for v in nodes
         }
-    return {v: round(r, 6) for v, r in rank.items()}
+    return {v: _round_half_up(r, 6) for v, r in rank.items()}
 
 
 edge_strategy = st.lists(
