@@ -153,6 +153,14 @@ SAMPLE_PRIORITY: tuple[str, ...] = (
     "contrastive_pairs",
     "timeseries_seasonal_baseline",
     "corpus_datasheet",
+    # -- final round-3 additions (retrieval/eval/batch-shape; self-check
+    #    evidence only until a driver sample reaches them) --
+    "bm25_retrieval",
+    "bm25_retrieval_indexed",
+    "length_bucketing",
+    "skew_key_stats",
+    "langid_eval",
+    "text_token_entropy",
 )
 
 
