@@ -103,3 +103,31 @@ def test_bm25_index_merge_equals_rebuild(spark):
     got = sorted(map(tuple, bm25_rank_indexed(QUERIES, *merged).collect()))
     docs = spark.createDataFrame(DOCS, "doc_id long, text string")
     assert got == sorted(map(tuple, bm25_rank(docs, QUERIES).collect()))
+
+
+def test_bm25_persisted_index_prunes_at_scan(spark, tmp_path):
+    """The production index story end-to-end: postings written
+    term-clustered to parquet, read back, ranked — result equal to
+    the in-memory path, and the query-term filter reaches the
+    parquet scan (PushedFilters In(term, …)), so at 100 TB the scan
+    touches only the query terms' row groups/files."""
+    from spk_sl_validation_spark.ext.retrieval import bm25_index_tables, bm25_rank_indexed
+    from spk_sl_validation_spark.sources.sinks import write_clustered
+
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    postings, df_tbl, stats = bm25_index_tables(docs)
+    p_path = str(tmp_path / "postings")
+    write_clustered(postings, p_path, ["term"], n_files=2)
+    (tmp_path / "df").mkdir()
+    df_tbl.write.mode("overwrite").parquet(str(tmp_path / "df" / "t"))
+    stats.write.mode("overwrite").parquet(str(tmp_path / "stats"))
+
+    postings2 = spark.read.parquet(p_path)
+    df2 = spark.read.parquet(str(tmp_path / "df" / "t"))
+    stats2 = spark.read.parquet(str(tmp_path / "stats"))
+    got = bm25_rank_indexed(QUERIES, postings2, df2, stats2)
+    direct = bm25_rank_indexed(QUERIES, postings, df_tbl, stats)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, direct.collect()))
+
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [In(term, " in plan, plan[:2000]
