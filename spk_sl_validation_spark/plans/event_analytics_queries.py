@@ -304,3 +304,64 @@ def incremental_watermark_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return incremental_rows(ev, state_dir, "ts", "event_id").select(
         "event_id", "ts", "event_type"
     )
+
+
+PATH_LEN = 3
+PATH_TOP_K = 20
+
+
+@register(
+    "event_paths_topk",
+    doc=(
+        f"top-{PATH_TOP_K} most-traveled {PATH_LEN}-step event paths "
+        "(per-user ordered lead window → path string → count) — the "
+        "Sankey / path-analysis primitive"
+    ),
+    oracle=f"""
+WITH seq AS (
+  SELECT event_type AS e0,
+         lead(event_type, 1) OVER w AS e1,
+         lead(event_type, 2) OVER w AS e2
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+paths AS (
+  SELECT e0 || '>' || e1 || '>' || e2 AS path, count(*) AS n
+  FROM seq WHERE e1 IS NOT NULL AND e2 IS NOT NULL
+  GROUP BY path
+)
+SELECT path, n FROM (
+  SELECT path, n, row_number() OVER (ORDER BY n DESC, path ASC) AS rnk
+  FROM paths
+) WHERE rnk <= {PATH_TOP_K}
+""",
+)
+def event_paths_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every per-user consecutive event triple becomes a '>'-joined
+    path string; counts are map-side-combined on the (bounded:
+    |event_types|^3) path key, and the top-k ranks over the reduced
+    path-count relation. The only corpus-scale exchange is the
+    user_id window shuffle the other event analytics already pay —
+    at 100 TB the path aggregation input is one row per event, the
+    output is vocabulary-bounded. Ordering is deterministic under
+    timestamp ties via the event_id tiebreak (same rule as
+    transition_edges, ext/graph.py)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("e0"),
+        F.lead("event_type", 1).over(w).alias("e1"),
+        F.lead("event_type", 2).over(w).alias("e2"),
+    )
+    paths = (
+        seq.filter(F.col("e1").isNotNull() & F.col("e2").isNotNull())
+        .select(F.concat_ws(">", "e0", "e1", "e2").alias("path"))
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wr = Window.orderBy(F.col("n").desc(), F.col("path").asc())
+    return (
+        paths.withColumn("rnk", F.row_number().over(wr))
+        .filter(F.col("rnk") <= PATH_TOP_K)
+        .select("path", "n")
+    )

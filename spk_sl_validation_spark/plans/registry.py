@@ -161,6 +161,7 @@ SAMPLE_PRIORITY: tuple[str, ...] = (
     "skew_key_stats",
     "langid_eval",
     "text_token_entropy",
+    "event_paths_topk",
 )
 
 
