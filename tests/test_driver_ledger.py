@@ -1,0 +1,53 @@
+"""Guards for the driver-green ledger (tools/driver_green.json).
+
+Round-3 verdict found a silent process bug: a CORRECTNESS_r*.json landed
+on disk but was never ingested into the ledger, so the next round's
+driver sample re-tested already-green queries instead of rotating onto
+the never-sampled frontier.  These tests make that failure mode loud.
+"""
+
+from __future__ import annotations
+
+import json
+import pathlib
+
+REPO = pathlib.Path(__file__).resolve().parent.parent
+LEDGER = REPO / "tools" / "driver_green.json"
+
+
+def _ledger():
+    return json.loads(LEDGER.read_text())
+
+
+def test_every_correctness_file_is_ingested():
+    on_disk = sorted(p.name for p in REPO.glob("CORRECTNESS_r*.json"))
+    ingested = set(_ledger()["rounds_ingested"])
+    missing = [n for n in on_disk if n not in ingested]
+    assert not missing, (
+        f"CORRECTNESS files on disk but not ingested into tools/driver_green.json: "
+        f"{missing}. Run: python tools/update_driver_green.py {' '.join(missing)}"
+    )
+
+
+def test_ledger_green_names_exist_in_registry():
+    from spk_sl_validation_spark.plans import registry
+
+    names = set(registry.all_queries())
+    unknown = sorted(set(_ledger()["green"]) - names)
+    assert not unknown, f"ledger lists green names not in the registry: {unknown}"
+
+
+def test_sample_prefix_front_loads_never_green():
+    """The first-50 sample prefix must contain every never-green query
+    (as long as there are <= 50 of them)."""
+    from spk_sl_validation_spark.plans import registry
+
+    names = list(registry.all_queries())
+    green = set(_ledger()["green"])
+    never = [n for n in names if n not in green]
+    if len(never) > 50:
+        never_in_prefix = [n for n in names[:50] if n not in green]
+        assert len(never_in_prefix) == 50
+    else:
+        missing = [n for n in never if n not in names[:50]]
+        assert not missing, f"never-green queries demoted out of the sample prefix: {missing}"

@@ -3,8 +3,11 @@
 Usage:  python tools/update_driver_green.py CORRECTNESS_r03.json [...]
 
 A query becomes driver-green when rows/schema/hash all matched with no
-error in ANY recorded round; the registry then demotes it behind the
-never-green names in the driver's sample order (plans/registry.py).
+error in that round; the registry then demotes it behind the never-green
+names in the driver's sample order (plans/registry.py).  Green status is
+NOT sticky across a later failure: if a subsequently-ingested round
+records a red row for a name, that name is revoked so the registry
+rotates it back into the sample frontier (ADVICE round-3 item 4).
 """
 
 from __future__ import annotations
@@ -30,12 +33,21 @@ def main() -> None:
             if v.get("rows_match") and v.get("schema_match") and v.get("hash_match")
             and not v.get("err")
         }
+        failed = {
+            name
+            for name, v in rows.items()
+            if name not in newly
+        }
         added = sorted(newly - green)
+        revoked = sorted(green & failed)
         green |= newly
+        green -= failed
         name = pathlib.Path(arg).name
         if name not in ledger["rounds_ingested"]:
             ledger["rounds_ingested"].append(name)
         print(f"{name}: +{len(added)} newly green {added[:10]}{'…' if len(added) > 10 else ''}")
+        if revoked:
+            print(f"{name}: -{len(revoked)} revoked (regressed) {revoked}")
     ledger["green"] = sorted(green)
     LEDGER.write_text(json.dumps(ledger, indent=1))
     print(f"total driver-green: {len(green)}")
