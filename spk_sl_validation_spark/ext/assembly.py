@@ -273,42 +273,58 @@ def bigram_logprob(
     but improbable transitions.
 
     Output: (id, n_bigrams, avg_logprob); single-token documents have
-    no bigrams and are absent, by contract. Shape: one posexplode +
-    per-doc lag window builds (prev, tok) rows; bigram and context
-    counts are two hash aggregates of those skinny rows; scoring joins
-    rows to the model on the bigram key — an equi-join AQE upgrades to
-    broadcast while the model is small and shuffles once it is truly
-    vocab²-scale. Mean uses the same round-then-exact-decimal-sum
+    no bigrams and are absent, by contract. Shape: (prev, tok) pairs
+    are derived MAP-SIDE by zipping the token array against itself
+    shifted by one (``arrays_zip(slice, slice)``, plain codegen — no
+    posexplode, no per-doc lag window, no exchange; this is also
+    exactly how the oracle derives them); the bigram count is one hash
+    aggregate of those skinny rows and the context denominator is a
+    window-sum OVER the vocab-bounded model relation (one exchange on
+    ``prev`` replacing the previous groupBy + join pair); scoring joins
+    pair rows to the model on the bigram key. Round-4 rewrite cut the
+    plan from 10 exchanges to 5 (same value hash; same-session A/B in
+    BENCH_HISTORY.md). Mean uses the same round-then-exact-decimal-sum
     rule as the unigram scorer (rounding absorbs libm ``ln`` ulp
     drift; the decimal sum is order-independent, so no ordered fold).
     """
     from pyspark.sql import Window
 
-    toks = df.select(F.col(id_col), F.posexplode(ws_tokens(text_col)).alias("pos", "tok"))
-    w = Window.partitionBy(id_col).orderBy("pos")
-    bi = (
-        toks.select(id_col, "pos", F.lag("tok").over(w).alias("prev"), "tok")
-        .filter(F.col("prev").isNotNull())
+    tk = ws_tokens(text_col)
+    n1 = F.greatest(F.size(tk) - F.lit(1), F.lit(0))
+    pairs = F.arrays_zip(
+        F.slice(tk, F.lit(1), n1).alias("prev"),
+        F.slice(tk, F.lit(2), n1).alias("tok"),
+    )
+    bi = df.select(F.col(id_col), F.explode(pairs).alias("__b")).select(
+        id_col, F.col("__b.prev").alias("prev"), F.col("__b.tok").alias("tok")
     )
     bfreq = bi.groupBy("prev", "tok").agg(F.count(F.lit(1)).alias("cnt"))
-    cfreq = bfreq.groupBy("prev").agg(F.sum("cnt").alias("ctx"))
-    # Build sides are pinned with shuffle_hash hints on the MODEL side:
-    # planner size estimates for a synthesized/checkpointed corpus can
-    # be tiny, and an estimate-driven BuildLeft would broadcast the
-    # full token stream (measured: 2M-doc probe died on
-    # driver.maxResultSize collecting an 88M-row "broadcast"). The
-    # model is the vocab²-bounded side; hashing it per partition is
-    # safe at any corpus size, and AQE still upgrades the join to
-    # broadcast at runtime when the model proves small.
-    model = bfreq.join(cfreq.hint("shuffle_hash"), "prev").select(
+    # Context denominator Σ_tok cnt as a window-sum over the model
+    # itself: bfreq is vocab²-bounded, so the single exchange on
+    # ``prev`` is cheap, and it replaces the former groupBy("prev") +
+    # equi-join pair (two exchanges).
+    wprev = Window.partitionBy("prev")
+    model = bfreq.select(
         "prev",
         "tok",
         F.round(
-            F.log(F.col("cnt").cast("double") / F.col("ctx").cast("double")), 12
+            F.log(
+                F.col("cnt").cast("double")
+                / F.sum("cnt").over(wprev).cast("double")
+            ),
+            12,
         )
         .cast("decimal(28,12)")
         .alias("logp"),
     )
+    # Build side pinned with a shuffle_hash hint on the MODEL side:
+    # planner size estimates for a synthesized/checkpointed corpus can
+    # be tiny, and an estimate-driven BuildLeft would broadcast the
+    # full pair stream (measured: 2M-doc probe died on
+    # driver.maxResultSize collecting an 88M-row "broadcast"). The
+    # model is the vocab²-bounded side; hashing it per partition is
+    # safe at any corpus size, and AQE still upgrades the join to
+    # broadcast at runtime when the model proves small.
     joined = bi.join(model.hint("shuffle_hash"), ["prev", "tok"]).select(id_col, "logp")
     per_doc = joined.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_bigrams"),

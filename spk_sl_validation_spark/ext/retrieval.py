@@ -47,8 +47,10 @@ BM25_B = 0.75
 
 
 def _query_terms_df(docs_or_any: DataFrame, queries: Sequence[tuple[int, str]]) -> DataFrame:
+    # Deduped (qid, term) pairs: a repeated term in one query must join
+    # the tf stream once, not double-count its BM25 partial.
     return docs_or_any.sparkSession.createDataFrame(
-        [(qid, term) for qid, text in queries for term in text.split(" ")],
+        sorted({(qid, term) for qid, text in queries for term in text.split(" ")}),
         "query_id int, term string",
     )
 
@@ -204,8 +206,29 @@ def merge_into_bm25_index(
     corpus) into existing index artifacts without a rebuild: postings
     append, per-term df adds, stats adds — all exact-integer unions/
     sums, so the merged index is row-identical to indexing the
-    concatenated corpus from scratch (pinned by test)."""
+    concatenated corpus from scratch (pinned by test).
+
+    The disjoint-ids precondition is ENFORCED: an overlapping id would
+    silently produce duplicate postings and double-counted df/n_docs/
+    sum_dl, corrupting every subsequent indexed score — so the merge
+    runs one cheap eager probe (existing postings semi-joined against
+    the broadcast new-id set, LIMIT 1) and raises ``ValueError`` on
+    overlap rather than skewing scores. Merging is an infrequent batch
+    op; one probe job is the right trade.
+    """
     new_p, new_df, new_st = bm25_index_tables(new_docs, id_col, text_col)
+    overlap = (
+        postings.select(id_col)
+        .join(F.broadcast(new_docs.select(id_col).distinct()), id_col, "left_semi")
+        .limit(1)
+        .take(1)
+    )
+    if overlap:
+        raise ValueError(
+            f"merge_into_bm25_index: new_docs {id_col}={overlap[0][0]!r} already "
+            "exists in the indexed corpus; merge requires disjoint ids "
+            "(reindex or drop the overlapping documents first)"
+        )
     postings2 = postings.unionByName(new_p)
     df2 = (
         df_tbl.unionByName(new_df)

@@ -545,13 +545,19 @@ HARD_NEG_MAX_J = 0.3
 def _contrastive_pairs_oracle() -> str:
     from spk_sl_validation_spark.plans.dedup_shared import _candidate_overlap_ctes
 
+    # LEFT JOIN inter (not inner): a candidate pair with ZERO shared
+    # shingles — reachable only via a 64-bit minhash collision in both
+    # rows of a band — is a J=0 hard negative on the Spark side
+    # (array_intersect returns empty, jaccard = 0), so the oracle must
+    # keep it too rather than silently dropping the row.
     return f"""
 WITH {_candidate_overlap_ctes()},
 scored AS (
   SELECT c.id_a, c.id_b,
-         CAST(i.n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - i.n_inter AS DOUBLE) AS j
+         CAST(coalesce(i.n_inter, 0) AS DOUBLE)
+           / CAST(sa.n_sh + sb.n_sh - coalesce(i.n_inter, 0) AS DOUBLE) AS j
   FROM cand c
-  JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+  LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
   JOIN sizes sa ON sa.doc_id = c.id_a
   JOIN sizes sb ON sb.doc_id = c.id_b
 )

@@ -41,10 +41,12 @@ BUDGETS = {
     # every join broadcast or pinned shuffle-hash (checkpointed sides).
     "corpus_span_dedup": (2, 0),
     "dedup_incremental": (6, 0),
-    # bigram LM scoring: lag window + two model aggregates + two
-    # shuffle-hash joins (build pinned on the vocab-bounded model
-    # side) + per-doc fold — all skinny keyed rows, zero SMJ.
-    "text_bigram_logprob": (10, 0),
+    # bigram LM scoring (round-4 rewrite, 10 -> 5 exchanges): pairs
+    # derived map-side via arrays_zip(slice, slice) — no lag window —
+    # so the exchanges are the model aggregate, the window-sum context
+    # denominator over the vocab-bounded model, the pinned
+    # shuffle-hash scoring join (both sides), and the per-doc fold.
+    "text_bigram_logprob": (5, 0),
 }
 
 

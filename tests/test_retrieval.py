@@ -131,3 +131,27 @@ def test_bm25_persisted_index_prunes_at_scan(spark, tmp_path):
 
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [In(term, " in plan, plan[:2000]
+
+
+def test_bm25_repeated_query_term_counts_once(spark):
+    """A term repeated inside one query must contribute its per-doc
+    partial once (ADVICE round-3: the dedupe lives in code now, not a
+    docstring)."""
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    once = sorted(map(tuple, bm25_rank(docs, [(1, "apple banana")]).collect()))
+    thrice = sorted(map(tuple, bm25_rank(docs, [(1, "apple apple apple banana")]).collect()))
+    assert once == thrice
+
+
+def test_bm25_merge_rejects_overlapping_ids(spark):
+    """merge_into_bm25_index fails loudly when a new id already exists
+    in the indexed corpus (silent overlap would double-count df/n_docs/
+    sum_dl and corrupt every subsequent indexed score)."""
+    import pytest
+
+    from spk_sl_validation_spark.ext.retrieval import bm25_index_tables, merge_into_bm25_index
+
+    old = spark.createDataFrame(DOCS[:4], "doc_id long, text string")
+    overlapping = spark.createDataFrame(DOCS[3:], "doc_id long, text string")  # doc 4 in both
+    with pytest.raises(ValueError, match="already"):
+        merge_into_bm25_index(*bm25_index_tables(old), overlapping)
