@@ -467,8 +467,12 @@ def semantic_dedup(
         F.col(id_col).alias("id_b"),
         F.col(vec_col).alias("vec_b"),
     )
+    # The checkpoint above erases optimizer stats, so both joins below
+    # would default to sort-merge; pin shuffle-hash (same rationale as
+    # dedup_pipeline's keep/drop join — neither side is safely
+    # broadcastable at corpus scale, and SHJ skips the sorts).
     dup_pairs = (
-        a.join(b, "cluster_id")
+        a.join(b.hint("shuffle_hash"), "cluster_id")
         .filter(F.col("id_a") < F.col("id_b"))
         .filter(cosine(F.col("vec_a"), F.col("vec_b")) >= F.lit(threshold))
     )
@@ -476,7 +480,7 @@ def semantic_dedup(
         "__drop", F.lit(True)
     )
     return (
-        assigned.join(drops, id_col, "left")
+        assigned.join(drops.hint("shuffle_hash"), id_col, "left")
         .select(
             id_col,
             "cluster_id",

@@ -101,7 +101,13 @@ def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     updates = o.filter(F.col("o_orderkey") % 3 == 0).select(
         F.col("o_orderkey").alias("u_orderkey"), (F.col("o_totalprice") * 1.1).alias("new_price")
     )
-    joined = base.join(updates, base.o_orderkey == updates.u_orderkey, "full_outer")
+    # Full outer is not broadcastable; the default is a sort-merge
+    # join. Pin shuffle-hash building on the updates side — the MERGE
+    # shape's delta batch is the bounded side at 100 TB, and SHJ skips
+    # both sort passes.
+    joined = base.join(
+        updates.hint("shuffle_hash"), base.o_orderkey == updates.u_orderkey, "full_outer"
+    )
     return joined.select(
         F.coalesce("o_orderkey", "u_orderkey").alias("o_orderkey"),
         F.coalesce("new_price", "o_totalprice").alias("price"),

@@ -60,10 +60,9 @@ walk(o_custkey, rn, bucket, n_resets) AS (
   FROM walk w
   JOIN ord o ON o.o_custkey = w.o_custkey AND o.rn = w.rn + 1
 )
-SELECT w.o_custkey, w.n_resets, CAST(w.bucket AS DOUBLE) AS residual
-FROM walk w
-JOIN (SELECT o_custkey, MAX(rn) AS mx FROM walk GROUP BY o_custkey) last
-  ON last.o_custkey = w.o_custkey AND last.mx = w.rn
+SELECT o_custkey, n_resets, CAST(bucket AS DOUBLE) AS residual
+FROM (SELECT w.*, MAX(rn) OVER (PARTITION BY o_custkey) AS mx FROM walk w)
+WHERE rn = mx
 """
 
 

@@ -295,7 +295,11 @@ def dataset_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = v1.select(F.col("doc_id").alias("id_a"), F.col("fp").alias("fp_a"))
     b = v2.select(F.col("doc_id").alias("id_b"), F.col("fp").alias("fp_b"))
-    j = a.join(b, a.id_a == b.id_b, "full_outer")
+    # Full outer can't broadcast and defaults to sort-merge; pin
+    # shuffle-hash (the new-snapshot side builds) — both sides are
+    # corpus-scale but per-partition hash build of (id, fp) rows is
+    # bounded and skips two corpus sorts.
+    j = a.join(b.hint("shuffle_hash"), a.id_a == b.id_b, "full_outer")
     status = (
         F.when(F.col("id_a").isNull(), "added")
         .when(F.col("id_b").isNull(), "removed")

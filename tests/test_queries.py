@@ -107,14 +107,16 @@ def test_queries_and_oracles_contract():
 def test_sample_priority_names_registered():
     """Every SAMPLE_PRIORITY name must exist in the registry (a typo
     would silently demote a query out of the driver sample), no name
-    may repeat, and the round-3 prefix must be exactly the queries
-    that had no driver-green row in rounds 1–2 — all oracle-backed."""
+    may repeat, and the sample prefix must be oracle-backed. (The
+    prefix itself is mechanized: not-yet-green SAMPLE_PRIORITY names
+    lead — test_sample_order_puts_never_driver_green_first — so this
+    no longer pins a literal round's prefix; ledger ingestion rotates
+    it by design.)"""
     from spk_sl_validation_spark.plans.registry import SAMPLE_PRIORITY, all_oracles, all_queries
 
     names = list(all_queries())
     assert len(SAMPLE_PRIORITY) == len(set(SAMPLE_PRIORITY))
     assert set(SAMPLE_PRIORITY) <= set(names)
-    assert names[: len(SAMPLE_PRIORITY)] == list(SAMPLE_PRIORITY)
     oracles = all_oracles()
     missing = [n for n in names[:50] if n not in oracles]
     assert not missing, f"sample-prefix queries without oracles: {missing}"

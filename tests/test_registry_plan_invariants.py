@@ -1,0 +1,75 @@
+"""Registry-WIDE plan invariant: no registered query may plan a
+sort-merge join or a cartesian product.
+
+The per-query budgets in test_plan_budgets.py cover only the bench
+headline set; this sweep is the automatic defense for the other ~165
+queries against a future edit silently degrading a pinned shuffle-hash
+or broadcast join. Uses the INITIAL physical plan (planning only, no
+job) so the whole registry sweeps in ~1 minute; anything that is
+SMJ-free before AQE stays SMJ-free after (AQE only upgrades joins).
+
+BroadcastNestedLoopJoin is allowed ONLY for the allowlisted names:
+every entry is either a documented 1-row broadcast scalar fan-in
+(corpus stats joined onto every row) or the documented exact-ANN
+crossJoin baseline behind the 500k-row dispatch.
+"""
+
+from __future__ import annotations
+
+import re
+
+from spk_sl_validation_spark.plans.registry import REGISTRY, _ensure_loaded
+
+#: Queries whose plan carries a BroadcastNestedLoopJoin by design —
+#: 1-row scalar fan-ins (corpus totals / thresholds / sketch params
+#: broadcast onto every row) except similarity_topk_* / ann_recall /
+#: kmeans_assign, whose small-side crossJoin is the documented exact
+#: baseline at sub-dispatch scale.
+BNL_ALLOWED = {
+    "pipeline_spk_sl_main",
+    "pipeline_status_cleansing",
+    "pipeline_spk_sl_v1",
+    "sketch_hll_distinct_users",
+    "streaming_hll_distinct",
+    "sketch_quantile_sample",
+    "text_quality_topfrac",
+    "text_unigram_logprob",
+    "equidepth_histogram",
+    "dataset_drift_psi",
+    "sample_priority_weighted",
+    "similarity_topk_bruteforce",
+    "similarity_topk_ivf",
+    "kmeans_assign",
+    "similarity_topk_projected",
+    "similarity_ann_recall",
+    "skew_key_stats",
+    "bm25_retrieval",
+    "bm25_retrieval_indexed",
+}
+
+
+def test_no_query_plans_smj_or_cartesian(spark, sf_dir):
+    _ensure_loaded()
+    offenders: dict[str, str] = {}
+    unexpected_bnl: dict[str, int] = {}
+    for name, spec in REGISTRY.items():
+        df = spec.builder(spark, sf_dir)
+        qe = df._jdf.queryExecution()
+        plan = spark._jvm.PythonSQLUtils.explainString(qe, "formatted")
+        smj = len(re.findall(r"\(\d+\) SortMergeJoin\b", plan))
+        cart = len(re.findall(r"\(\d+\) CartesianProduct\b", plan))
+        bnl = len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin\b", plan))
+        if smj or cart:
+            offenders[name] = f"SMJ={smj} cartesian={cart}"
+        if bnl and name not in BNL_ALLOWED:
+            unexpected_bnl[name] = bnl
+    assert not offenders, (
+        f"queries planning sort-merge joins / cartesian products: {offenders} "
+        "— pin a shuffle_hash/broadcast hint or restructure (see "
+        "BENCH_HISTORY round-4 attribution for the pattern)"
+    )
+    assert not unexpected_bnl, (
+        f"queries with a non-allowlisted BroadcastNestedLoopJoin: {unexpected_bnl} "
+        "— if it is a 1-row scalar fan-in, add it to BNL_ALLOWED with a comment; "
+        "anything else is a scale bug"
+    )
