@@ -44,8 +44,18 @@ def kmeans(
     vec_col: str,
     k: int = 4,
     n_iter: int = 3,
+    eps: float | None = None,
 ) -> tuple[DataFrame, np.ndarray]:
-    """Run ``n_iter`` Lloyd iterations; returns (assignments, centroids).
+    """Run Lloyd iterations; returns (assignments, centroids).
+
+    ``n_iter`` fixed iterations (the oracle mode), or — when ``eps``
+    is given — iterate until the max centroid L∞ shift ≤ ``eps``, with
+    ``n_iter`` as the cap (the production convergence mode; the
+    centroid matrix is already driver-resident each iteration, so the
+    check costs nothing extra). With ``eps=0.0`` and the same cap the
+    result is bit-identical to the fixed mode unless a true fixed
+    point is reached early, in which case further iterations are the
+    identity — pinned by test.
 
     assignments: ``id_col, cluster`` (one row per input row, lazily
     recomputable); centroids: the final ``k x dim`` numpy matrix.
@@ -73,7 +83,10 @@ def kmeans(
             acc[1][r["cluster"], r["pos"]] = r["n"]
         nonempty = acc[1][:, 0] > 0
         new_c[nonempty] = acc[0][nonempty] / acc[1][nonempty]
+        shift = float(np.max(np.abs(new_c - centroids))) if eps is not None else None
         centroids = new_c
+        if shift is not None and shift <= eps:
+            break
 
     final = df.select(id_col, _assign_udf(centroids)(F.col(vec_col)).alias("cluster"))
     return final, centroids

@@ -68,6 +68,77 @@ def transition_edges(
     )
 
 
+def _pagerank_setup(edges: DataFrame):
+    """(edges, nodes, n_df, out_w, ranks0): checkpointed edge list and
+    the shared relations every power iteration reads."""
+    edges = edges.localCheckpoint(eager=True)
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    n_df = nodes.agg(F.count(F.lit(1)).cast("double").alias("__n"))
+    out_w = edges.groupBy("src").agg(F.sum("w").alias("out_w"))
+    ranks0 = nodes.crossJoin(F.broadcast(n_df)).select(
+        "node", F.round(F.lit(1.0) / F.col("__n"), 12).alias("rank")
+    )
+    return edges, nodes, n_df, out_w, ranks0
+
+
+def _pagerank_step(
+    edges: DataFrame,
+    nodes: DataFrame,
+    n_df: DataFrame,
+    out_w: DataFrame,
+    ranks: DataFrame,
+    damping: float,
+) -> DataFrame:
+    """One synchronous power iteration (shared by the fixed-iteration
+    oracle mode and the until_delta production mode)."""
+    contribs = (
+        edges.join(F.broadcast(out_w), "src")
+        .join(
+            F.broadcast(ranks.withColumnRenamed("node", "src")),
+            "src",
+        )
+        .groupBy(F.col("dst").alias("node"))
+        .agg(
+            F.sum(
+                F.round(F.col("rank") * F.col("w") / F.col("out_w"), 12)
+                .cast("decimal(28,12)")
+            )
+            .cast("double")
+            .alias("__inflow")
+        )
+    )
+    dangling = (
+        ranks.join(out_w, ranks.node == out_w.src, "left_anti")
+        .agg(
+            F.coalesce(
+                F.sum(F.col("rank").cast("decimal(28,12)")).cast("double"),
+                F.lit(0.0),
+            ).alias("__dm")
+        )
+    )
+    return (
+        nodes.join(F.broadcast(contribs), "node", "left")
+        .crossJoin(F.broadcast(n_df))
+        .crossJoin(F.broadcast(dangling))
+        .select(
+            "node",
+            F.round(
+                F.lit(1.0 - damping) / F.col("__n")
+                + F.lit(damping)
+                * (
+                    F.coalesce(F.col("__inflow"), F.lit(0.0))
+                    + F.col("__dm") / F.col("__n")
+                ),
+                12,
+            ).alias("rank"),
+        )
+    )
+
+
 def pagerank(
     edges: DataFrame,
     damping: float = DAMPING,
@@ -82,63 +153,55 @@ def pagerank(
     DECIMAL(28,12) (order-independent); each update re-rounds to 12 —
     the DuckDB oracle's unrolled-CTE replay lands on identical doubles
     regardless of either engine's aggregation order.
+
+    This fixed-iteration mode is the ORACLE mode (cheap to unroll in
+    SQL); production at 100 TB iterates to a threshold with
+    :func:`pagerank_until_delta`.
     """
-    edges = edges.localCheckpoint(eager=True)
-    nodes = (
-        edges.select(F.col("src").alias("node"))
-        .unionByName(edges.select(F.col("dst").alias("node")))
-        .distinct()
-    )
-    n_df = nodes.agg(F.count(F.lit(1)).cast("double").alias("__n"))
-    out_w = edges.groupBy("src").agg(F.sum("w").alias("out_w"))
-    ranks = nodes.crossJoin(F.broadcast(n_df)).select(
-        "node", F.round(F.lit(1.0) / F.col("__n"), 12).alias("rank")
-    )
+    edges, nodes, n_df, out_w, ranks = _pagerank_setup(edges)
     for _ in range(iterations):
-        contribs = (
-            edges.join(F.broadcast(out_w), "src")
-            .join(
-                F.broadcast(ranks.withColumnRenamed("node", "src")),
-                "src",
-            )
-            .groupBy(F.col("dst").alias("node"))
-            .agg(
-                F.sum(
-                    F.round(F.col("rank") * F.col("w") / F.col("out_w"), 12)
-                    .cast("decimal(28,12)")
-                )
-                .cast("double")
-                .alias("__inflow")
-            )
-        )
-        dangling = (
-            ranks.join(out_w, ranks.node == out_w.src, "left_anti")
-            .agg(
-                F.coalesce(
-                    F.sum(F.col("rank").cast("decimal(28,12)")).cast("double"),
-                    F.lit(0.0),
-                ).alias("__dm")
-            )
-        )
-        ranks = (
-            nodes.join(F.broadcast(contribs), "node", "left")
-            .crossJoin(F.broadcast(n_df))
-            .crossJoin(F.broadcast(dangling))
-            .select(
-                "node",
-                F.round(
-                    F.lit(1.0 - damping) / F.col("__n")
-                    + F.lit(damping)
-                    * (
-                        F.coalesce(F.col("__inflow"), F.lit(0.0))
-                        + F.col("__dm") / F.col("__n")
-                    ),
-                    12,
-                ).alias("rank"),
-            )
-        )
+        ranks = _pagerank_step(edges, nodes, n_df, out_w, ranks, damping)
         # rank_i feeds both next-iteration terms (inflow + dangling);
         # without truncation the lineage doubles per iteration. Lazy
         # checkpoint: materialized once at first use, N-node relation.
         ranks = ranks.localCheckpoint(eager=False)
     return ranks.select("node", F.round("rank", 6).alias("rank"))
+
+
+def pagerank_until_delta(
+    edges: DataFrame,
+    damping: float = DAMPING,
+    eps: float = 1e-9,
+    max_iter: int = 50,
+    checkpoint_every: int = 5,
+) -> tuple[DataFrame, int]:
+    """Convergence-mode PageRank: iterate until the max per-node rank
+    change ≤ ``eps`` (L∞), or ``max_iter``. Returns
+    ``(ranks, n_iterations_run)``.
+
+    The production story at 100 TB, where a fixed unroll either wastes
+    passes or stops short: per-iteration arithmetic is IDENTICAL to
+    :func:`pagerank` (same round-to-12 exact-decimal updates), so with
+    ``eps=0.0, max_iter=k`` this returns bit-identical ranks to
+    ``pagerank(iterations=k)`` — pinned by test. Driver traffic is one
+    scalar (the L∞ delta) per iteration; lineage is truncated by an
+    eager ``localCheckpoint`` every ``checkpoint_every`` iterations
+    (between truncations the plan grows by at most that many steps —
+    the delta probe materializes nothing extra since each step is also
+    lazily checkpointed at first use).
+    """
+    edges, nodes, n_df, out_w, ranks = _pagerank_setup(edges)
+    ranks = ranks.localCheckpoint(eager=True)
+    it = 0
+    for it in range(1, max_iter + 1):
+        prev = ranks
+        ranks = _pagerank_step(edges, nodes, n_df, out_w, prev, damping)
+        ranks = ranks.localCheckpoint(eager=(it % checkpoint_every == 0))
+        delta_row = (
+            ranks.join(prev.withColumnRenamed("rank", "__prev"), "node")
+            .agg(F.max(F.abs(F.col("rank") - F.col("__prev"))).alias("d"))
+            .first()
+        )
+        if (delta_row["d"] or 0.0) <= eps:
+            break
+    return ranks.select("node", F.round("rank", 6).alias("rank")), it

@@ -46,6 +46,37 @@ def token_adjacency_edges(
     return sym.groupBy("u", "v").agg(F.count(F.lit(1)).alias("w"))
 
 
+def _frac_edges(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Degree-normalized adjacency (u, v, frac): checkpointed once, the
+    relation every iteration joins against."""
+    edges = token_adjacency_edges(df, id_col, text_col).localCheckpoint(eager=True)
+    deg = edges.groupBy("u").agg(F.sum("w").alias("wdeg"))
+    return (
+        edges.join(deg, "u")
+        .select("u", "v", (F.col("w").cast("double") / F.col("wdeg").cast("double")).alias("frac"))
+        .localCheckpoint(eager=True)
+    )
+
+
+def _textrank_step(frac_edges: DataFrame, scores: DataFrame) -> DataFrame:
+    """One synchronous damped update (shared by fixed and until_delta)."""
+    contribs = frac_edges.join(scores, frac_edges.u == scores.tok).select(
+        F.col("v"),
+        F.round(F.col("score") * F.col("frac"), 12).cast("decimal(28,12)").alias("c"),
+    )
+    return (
+        contribs.groupBy(F.col("v").alias("tok"))
+        .agg(F.sum("c").alias("__sum"))
+        .select(
+            "tok",
+            (
+                F.lit(1 - DAMPING)
+                + F.lit(DAMPING) * F.round(F.col("__sum").cast("double"), 12)
+            ).alias("score"),
+        )
+    )
+
+
 def textrank_scores(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -62,36 +93,55 @@ def textrank_scores(
     round-then-exact-decimal rule as the LM scorers; replaces the
     interpreted position-ordered fold).
     """
-    edges = token_adjacency_edges(df, id_col, text_col).localCheckpoint(eager=True)
-    deg = edges.groupBy("u").agg(F.sum("w").alias("wdeg"))
     # Pre-divide each edge by its source degree once: contributions are
     # then score(u) * frac — one multiply per edge per iteration.
-    frac_edges = (
-        edges.join(deg, "u")
-        .select("u", "v", (F.col("w").cast("double") / F.col("wdeg").cast("double")).alias("frac"))
-        .localCheckpoint(eager=True)
-    )
+    frac_edges = _frac_edges(df, id_col, text_col)
     scores = frac_edges.select(F.col("u").alias("tok")).distinct().select(
         "tok", F.lit(1.0).alias("score")
     )
     for _ in range(n_iter):
-        contribs = frac_edges.join(scores, frac_edges.u == scores.tok).select(
-            F.col("v"),
-            F.round(F.col("score") * F.col("frac"), 12).cast("decimal(28,12)").alias("c"),
-        )
-        scores = (
-            contribs.groupBy(F.col("v").alias("tok"))
-            .agg(F.sum("c").alias("__sum"))
-            .select(
-                "tok",
-                (
-                    F.lit(1 - DAMPING)
-                    + F.lit(DAMPING) * F.round(F.col("__sum").cast("double"), 12)
-                ).alias("score"),
-            )
-            .localCheckpoint(eager=True)
-        )
+        scores = _textrank_step(frac_edges, scores).localCheckpoint(eager=True)
     return scores
+
+
+def textrank_scores_until_delta(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    eps: float = 1e-9,
+    max_iter: int = 50,
+    checkpoint_every: int = 5,
+) -> tuple[DataFrame, int]:
+    """Convergence-mode TextRank: iterate until the max per-token score
+    change ≤ ``eps`` (L∞) or ``max_iter``; returns ``(scores, n_run)``.
+
+    Same per-iteration arithmetic as :func:`textrank_scores`, so with
+    ``eps=0.0, max_iter=k`` the scores are bit-identical to the fixed
+    ``n_iter=k`` run (pinned by test). One scalar of driver traffic per
+    iteration; eager lineage truncation every ``checkpoint_every``
+    iterations, lazy checkpoints in between keep plan depth bounded.
+    """
+    frac_edges = _frac_edges(df, id_col, text_col)
+    scores = (
+        frac_edges.select(F.col("u").alias("tok"))
+        .distinct()
+        .select("tok", F.lit(1.0).alias("score"))
+        .localCheckpoint(eager=True)
+    )
+    it = 0
+    for it in range(1, max_iter + 1):
+        prev = scores
+        scores = _textrank_step(frac_edges, prev).localCheckpoint(
+            eager=(it % checkpoint_every == 0)
+        )
+        delta_row = (
+            scores.join(prev.withColumnRenamed("score", "__prev"), "tok")
+            .agg(F.max(F.abs(F.col("score") - F.col("__prev"))).alias("d"))
+            .first()
+        )
+        if (delta_row["d"] or 0.0) <= eps:
+            break
+    return scores, it
 
 
 def textrank_keywords(

@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 from spk_sl_validation_spark.functions.scalar import neq, slash_key, status_str, strip_prefix
 from spk_sl_validation_spark.operators import relational as R
 from spk_sl_validation_spark.operators.rules import Guard, Rule, compile_to_column, compile_to_sql
-from spk_sl_validation_spark.plans.registry import register
+from spk_sl_validation_spark.plans.registry import REGISTRY, register
 from spk_sl_validation_spark.sources.readers import load_table
 
 
@@ -669,43 +669,51 @@ def fuzzy_match_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     the verify cost is |block|² per block, never corpus², and the
     final window shares the block join's partitioning.
     """
-    from pyspark.sql import Window
+    from spk_sl_validation_spark.ext.linkage import block_firstchar_lasttoken, fuzzy_best_match
 
-    p = load_table(spark, sf_dir, "part").select(
+    # Shared block-verify-rank operator (ext/linkage.py): probe side
+    # spread by (blk, key) so the levenshtein loop parallelizes
+    # regardless of input layout (measured 86 s → ~4 s on a 1-file
+    # 20k-part table at local[32]); |len(a)-len(b)| lower-bound
+    # prefilter before the O(len²) distance. This query pins the
+    # bench blocking key (oracle replays it verbatim); the scaled
+    # catalog uses the length-banded key — see linkage docstring and
+    # the SCALE.md §7 fuzzy probes.
+    return fuzzy_best_match(
+        load_table(spark, sf_dir, "part"),
         "p_partkey",
         "p_name",
-        F.concat(
-            F.substring("p_name", 1, 1), F.lit("|"), F.substring_index("p_name", " ", -1)
-        ).alias("blk"),
+        block_firstchar_lasttoken("p_name"),
+        FUZZY_MAX_DIST,
     )
-    # The verify work is quadratic-per-block CPU, not scan-bound: a
-    # single-file input would otherwise pin ALL block pairs onto its
-    # one input split. Spread the probe side by (blk, key) so the
-    # levenshtein loop parallelizes across the session's shuffle
-    # partitions regardless of input layout (measured 86 s → ~4 s on
-    # a 1-file 20k-part table at local[32]).
-    a = p.repartition(F.col("blk"), F.col("p_partkey")).select(
-        F.col("p_partkey"), F.col("p_name"), "blk"
+
+
+_FUZZY_ORACLE = REGISTRY["fuzzy_match_parts"].oracle
+
+
+@register(
+    "fuzzy_match_parts_collapsed",
+    doc=(
+        "entity resolution, exact-collapse-first: identical output to "
+        "fuzzy_match_parts but the levenshtein verify runs over DISTINCT "
+        "names (the dedup exact_first move) — O(distinct-names²) per block "
+        "instead of O(records²); the production path when names repeat "
+        "heavily (SCALE.md §7: 6.3e8 record pairs vs a 64x64 name problem "
+        "on the 10x catalog). Oracle = the record-level SQL, verbatim: "
+        "the whole point is bit-identical output"
+    ),
+    oracle=_FUZZY_ORACLE,
+)
+def fuzzy_match_parts_collapsed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spk_sl_validation_spark.ext.linkage import (
+        block_firstchar_lasttoken,
+        fuzzy_best_match_collapsed,
     )
-    b = p.select(
-        F.col("p_partkey").alias("match_key"),
-        F.col("p_name").alias("match_name"),
-        "blk",
-    )
-    # |len(a) - len(b)| is a levenshtein lower bound — the cheap
-    # prefilter runs before the O(len²) distance inside each block.
-    cand = (
-        a.join(b, "blk")
-        .filter(F.col("p_partkey") != F.col("match_key"))
-        .filter(
-            F.abs(F.length("p_name") - F.length("match_name")) <= FUZZY_MAX_DIST
-        )
-        .withColumn("dist", F.levenshtein("p_name", "match_name"))
-        .filter(F.col("dist") <= FUZZY_MAX_DIST)
-    )
-    w = Window.partitionBy("p_partkey").orderBy("dist", "match_key")
-    return (
-        cand.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .select("p_partkey", "p_name", "match_key", "match_name", F.col("dist").cast("int").alias("dist"))
+
+    return fuzzy_best_match_collapsed(
+        load_table(spark, sf_dir, "part"),
+        "p_partkey",
+        "p_name",
+        block_firstchar_lasttoken("p_name"),
+        FUZZY_MAX_DIST,
     )

@@ -126,6 +126,98 @@ def run(op: str, docs, n: int) -> dict:
             "docs_per_sec": int(n_batch / wall),
             "index_docs": n - n_batch,
         }
+    elif op in ("fuzzy", "fuzzy_banded", "fuzzy_collapsed"):
+        # 10x the sf0.1 part catalog: the REAL part table replicated
+        # 10x with fresh keys (name distribution — and therefore block
+        # key cardinality/skew — identical to the bench data). Records
+        # the block-size distribution alongside wall time. "fuzzy"
+        # keeps the bench blocking key and measures the quadratic
+        # blow-up directly; "fuzzy_banded" runs the documented scale
+        # dial (length-banded key, ext/linkage.py) on the same catalog
+        # so the candidate cut is a same-corpus A/B.
+        from spk_sl_validation_spark.ext.linkage import (
+            block_firstchar_lasttoken,
+            block_firstchar_lasttoken_lenband,
+            fuzzy_best_match,
+            fuzzy_best_match_collapsed,
+        )
+
+        spark = docs.sparkSession
+        part = spark.read.parquet("/root/testdata/sf0.1/part.parquet")
+        n_rep = 10
+        big = (
+            part.crossJoin(spark.range(n_rep).withColumnRenamed("id", "__rep"))
+            .select(
+                (F.col("p_partkey") * n_rep + F.col("__rep")).alias("p_partkey"),
+                "p_name",
+            )
+            .localCheckpoint(eager=True)
+        )
+        n_parts = big.count()
+        blk = (
+            block_firstchar_lasttoken_lenband("p_name")
+            if op == "fuzzy_banded"
+            else block_firstchar_lasttoken("p_name")
+        )
+        sizes = big.select(blk.alias("blk")).groupBy("blk").count()
+        stats = sizes.agg(
+            F.count(F.lit(1)).alias("n_blocks"),
+            F.max("count").alias("max_block"),
+            F.sum(F.col("count") * F.col("count")).alias("cand_upper"),
+        ).first()
+        fn = fuzzy_best_match_collapsed if op == "fuzzy_collapsed" else fuzzy_best_match
+        t0 = time.time()
+        out = fn(big, "p_partkey", "p_name", blk, max_dist=4)
+        out.write.mode("overwrite").format("noop").save()
+        wall = time.time() - t0
+        return {
+            "op": op,
+            "docs": n_parts,
+            "wall_sec": round(wall, 1),
+            "docs_per_sec": int(n_parts / wall),
+            "n_blocks": stats["n_blocks"],
+            "max_block": stats["max_block"],
+            "cand_pairs_upper": int(stats["cand_upper"]),
+        }
+    elif op == "pagerank_conv":
+        # Convergence-mode PageRank: same 20M-event graph as the
+        # "pagerank" op but iterating until_delta with a tolerance
+        # tight enough to require >= 10 iterations — the probe that
+        # shows plan depth stays bounded (lineage truncated every
+        # checkpoint_every iterations) and per-iteration cost stays
+        # flat far past the oracle's fixed 3-iteration unroll.
+        from spk_sl_validation_spark.ext.graph import pagerank_until_delta, transition_edges
+
+        # SKEWED type distribution (floor(log2) of a hash → geometric):
+        # a uniform graph's ranks are uniform from iteration 1 and
+        # until_delta would (correctly) stop immediately — skew forces
+        # genuine multi-iteration convergence.
+        n_users = max(n // 200, 1)
+        events = (
+            docs.sparkSession.range(n)
+            .select(
+                (F.col("id") % n_users).alias("user_id"),
+                F.col("id").alias("ts"),
+                F.col("id").alias("event_id"),
+                F.concat(
+                    F.lit("e"),
+                    F.floor(F.log2(((F.col("id") * 2654435761) % 4096) + 1)).cast("string"),
+                ).alias("event_type"),
+            )
+        )
+        t0 = time.time()
+        ranks, n_run = pagerank_until_delta(
+            transition_edges(events), eps=1e-10, max_iter=15, checkpoint_every=5
+        )
+        ranks.write.mode("overwrite").format("noop").save()
+        wall = time.time() - t0
+        return {
+            "op": op,
+            "docs": n,
+            "wall_sec": round(wall, 1),
+            "docs_per_sec": int(n / wall),
+            "iterations_run": n_run,
+        }
     elif op == "pagerank":
         # Synthesized event stream: n "events" over n/200 users and 64
         # event types; the corpus-scale stage (per-user lag window +
