@@ -68,23 +68,35 @@ def fuzzy_best_match_collapsed(
     at equal distance the winner is the name group with the smallest
     min-key. Pinned by ``tests/test_linkage.py`` equality on the real
     catalog.
+
+    The per-name verdict relation (≤ distinct names rows) is broadcast
+    back onto the record stream — correct for exactly the catalogs this
+    path is for (names repeat heavily ⇒ distinct names ≪ records); when
+    names are mostly unique the collapse buys nothing and the
+    record-level :func:`fuzzy_best_match` is the right call.
     """
-    w = Window.partitionBy(name_col).orderBy(key_col)
-    # top-2 keys per exact-name group (k1 = min; k2 covers the case
-    # where the probing record IS the min and its best match is a
-    # same-name mate) + group size — one shuffle on name.
-    ranked = records.select(F.col(key_col), F.col(name_col)).withColumn(
-        "__rn", F.row_number().over(w)
+    # Smallest two keys per exact-name group (k1 = min; k2 covers the
+    # case where the probing record IS the min and its best match is a
+    # same-name mate) + group size. Deliberately NOT a row_number
+    # window: partitionBy(name) would sort each whole name group in
+    # ONE task — a hot name (the very thing this operator exists for)
+    # becomes a straggler. Two plain hash aggregates with map-side
+    # combine instead: per-task state is one key per distinct name,
+    # any group size streams. The k1-annotate join is pinned
+    # shuffle-hash (g1 is distinct-names-bounded; AQE upgrades to
+    # broadcast when it proves small, and per-partition hash build is
+    # safe when it does not).
+    kv = records.select(F.col(key_col), F.col(name_col))
+    g1 = kv.groupBy(name_col).agg(
+        F.min(key_col).alias("__k1"), F.count(F.lit(1)).alias("__cnt")
     )
-    groups = (
-        ranked.groupBy(name_col)
-        .agg(
-            F.min(F.when(F.col("__rn") == 1, F.col(key_col))).alias("__k1"),
-            F.min(F.when(F.col("__rn") == 2, F.col(key_col))).alias("__k2"),
-            F.count(F.lit(1)).alias("__cnt"),
-        )
-        .withColumn("blk", block)
+    g2 = (
+        kv.join(g1.select(name_col, "__k1").hint("shuffle_hash"), name_col)
+        .filter(F.col(key_col) != F.col("__k1"))
+        .groupBy(name_col)
+        .agg(F.min(key_col).alias("__k2"))
     )
+    groups = g1.join(g2.hint("shuffle_hash"), name_col, "left").withColumn("blk", block)
     # Cross-name candidates: distinct-name-level block join (the tiny
     # quadratic), each candidate name represented by its min key.
     a = groups.select(F.col(name_col), "blk").repartition(F.col("blk"), F.col(name_col))
