@@ -42,8 +42,9 @@ RATIO_BUDGETS = {
     # bench row: span 0.98, incremental 5.0 — x3 headroom)
     "corpus_span_dedup": 3.0,
     "dedup_incremental": 15.0,
-    # measured 1.92 vs pricing_summary (best-of-2, idle sf0.1) — x3
-    "text_bigram_logprob": 6.0,
+    # round-4 map-side rewrite (10 -> 5 exchanges, 1.42x): measured
+    # ~1.4 vs pricing_summary — x3 headroom
+    "text_bigram_logprob": 4.5,
 }
 # catastrophic-only absolute cap for the calibrator itself (sf0.1)
 CALIBRATOR_MAX_SEC = 20.0
