@@ -120,7 +120,7 @@ def fuzzy_best_match_collapsed(
     # one broadcast join back onto the full record stream.
     verdict = (
         groups.select(name_col, "__k1", "__k2", "__cnt")
-        .join(best_cross, name_col, "left")
+        .join(best_cross.hint("shuffle_hash"), name_col, "left")
     )
     out = records.select(F.col(key_col), F.col(name_col)).join(
         F.broadcast(verdict), name_col

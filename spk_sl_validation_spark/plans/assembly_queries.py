@@ -146,8 +146,9 @@ _REG["training_corpus_pipeline"] = _dc.replace(
     doc=(
         "mean conditional log-prob ln P(tok|prev) under the corpus's own "
         "bigram LM — catches shuffled-word/stitched text that keeps a normal "
-        "unigram profile; lag-window bigrams, two hash aggregates, equi-join "
-        "scoring (AQE broadcast while the model is small)"
+        "unigram profile; map-side arrays_zip bigrams (no lag window), one "
+        "model aggregate + window-sum denominator, pinned shuffle-hash "
+        "scoring join (AQE broadcast while the model is small)"
     ),
     oracle=A.bigram_logprob_sql("documents"),
 )

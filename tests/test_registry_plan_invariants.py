@@ -48,7 +48,24 @@ BNL_ALLOWED = {
 }
 
 
-def test_no_query_plans_smj_or_cartesian(spark, sf_dir):
+#: The one tolerated SortMergeJoin: TPC-H Q2's correlated scalar MIN
+#: subquery. Catalyst's decorrelation synthesizes the
+#: main-vs-aggregated-subquery join AFTER hint resolution, so no hint
+#: in the pinned SQL can reach it (verified: SHUFFLE_HASH inside the
+#: subquery converts the inner join but not the decorrelated one).
+#: Both sides are fact-derived relations keyed on p_partkey; sort-merge
+#: is a sound strategy for that join, and rewriting the query to a
+#: manual CTE would delete the very surface (correlated scalar
+#: subquery decorrelation) the query exists to pin.
+SMJ_ALLOWED = {"sql_tpch_q2": 1}
+
+
+def test_no_query_plans_smj_or_cartesian(spark):
+    # Sweep at sf0.01, NOT the tests' default sf0.001: join strategy is
+    # size-dependent (the collapsed-linkage SMJ this gate caught in
+    # round 4 only appears at sf0.01+), and sf0.01 is the driver's
+    # correctness scale.
+    sf_dir = "/root/testdata/sf0.01"
     _ensure_loaded()
     offenders: dict[str, str] = {}
     unexpected_bnl: dict[str, int] = {}
@@ -59,7 +76,7 @@ def test_no_query_plans_smj_or_cartesian(spark, sf_dir):
         smj = len(re.findall(r"\(\d+\) SortMergeJoin\b", plan))
         cart = len(re.findall(r"\(\d+\) CartesianProduct\b", plan))
         bnl = len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin\b", plan))
-        if smj or cart:
+        if smj > SMJ_ALLOWED.get(name, 0) or cart:
             offenders[name] = f"SMJ={smj} cartesian={cart}"
         if bnl and name not in BNL_ALLOWED:
             unexpected_bnl[name] = bnl
