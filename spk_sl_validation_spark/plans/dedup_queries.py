@@ -197,6 +197,38 @@ _REG["dedup_pipeline"] = _dc.replace(_REG["dedup_pipeline"], oracle=_dedup_pipel
 
 
 @register(
+    "dedup_pipeline_exact_first",
+    doc=(
+        "the PRODUCTION dedup composition: collapse exact-duplicate groups "
+        "(normalized-text fingerprint) to min-id representatives BEFORE "
+        "LSH banding/verification, then fold group members back — measured "
+        "3.8x on the 1M-doc probe corpus (SCALE.md §7) with a provably "
+        "identical keep set (copies relate through their representative). "
+        "Oracle = dedup_pipeline's pure-LSH SQL, verbatim: the whole point "
+        "is identical output"
+    ),
+    oracle=None,
+)
+def dedup_pipeline_exact_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.dedup_corpus(
+        docs,
+        "doc_id",
+        "text",
+        NUM_HASHES,
+        BANDS,
+        3,
+        jaccard_threshold=JACCARD_TAU,
+        exact_first=True,
+    )
+
+
+_REG["dedup_pipeline_exact_first"] = _dc.replace(
+    _REG["dedup_pipeline_exact_first"], oracle=_dedup_pipeline_oracle()
+)
+
+
+@register(
     "dedup_clusters",
     doc="transitive near-dup clusters: iterative min-label propagation == recursive-CTE connected components",
     oracle=None,
@@ -333,6 +365,46 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _REG["dedup_incremental"] = _dc.replace(
     _REG["dedup_incremental"], oracle=_dedup_incremental_oracle()
+)
+
+
+@register(
+    "dedup_incremental_indexed",
+    doc=(
+        "incremental dedup against a PRECOMPUTED corpus index (fp / capped "
+        "band rows / shingle-hash sets from dedup_index_tables) — the "
+        "production delta-dedup path: the index is probed by broadcast "
+        "semi-joins (scanned, never shuffled), only the batch pays "
+        "signature/shingle computation; probed at a 9.5M-doc index in "
+        "SCALE.md §7. Same contract and oracle as dedup_incremental: "
+        "identical output whenever no band bucket is cap-bound (true on "
+        "this corpus; the per-side-vs-joint cap is the one documented "
+        "semantic difference)"
+    ),
+    oracle=None,
+)
+def dedup_incremental_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyspark.sql.functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    is_new = F.col("doc_id") % 5 == 0
+    index = D.dedup_index_tables(
+        docs.filter(~is_new), "doc_id", "text", NUM_HASHES, BANDS, 3
+    )
+    return D.dedup_incremental_indexed(
+        docs.filter(is_new),
+        *index,
+        id_col="doc_id",
+        text_col="text",
+        num_hashes=NUM_HASHES,
+        bands=BANDS,
+        shingle_n=3,
+        jaccard_threshold=JACCARD_TAU,
+    )
+
+
+_REG["dedup_incremental_indexed"] = _dc.replace(
+    _REG["dedup_incremental_indexed"], oracle=_dedup_incremental_oracle()
 )
 
 
