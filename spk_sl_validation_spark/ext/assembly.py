@@ -368,3 +368,196 @@ SELECT {id_col}, CAST(count(*) AS BIGINT) AS n_bigrams,
        round(CAST(sum(logp) AS DOUBLE) / count(*), {round_digits}) AS avg_logprob
 FROM j GROUP BY {id_col}
 """
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style importance weighting (data selection via importance resampling)
+# ---------------------------------------------------------------------------
+
+DSIR_BUCKETS = 1024
+
+
+def dsir_importance(
+    df: DataFrame,
+    is_target,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = DSIR_BUCKETS,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Per-document importance weight for target-distribution matching,
+    the DSIR construction (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): hash every token into
+    ``n_buckets`` buckets, fit add-one-smoothed bucket unigram LMs on
+    the TARGET slice (rows where ``is_target``) and the RAW remainder,
+    and score every document by the log-likelihood ratio
+
+        w(d) = Σ_{t ∈ d} [ ln p̂_target(b(t)) − ln p̂_raw(b(t)) ]
+
+    High-weight raw documents look like the target corpus; resampling
+    by ``w`` (e.g. :func:`~...sampling` / priority sampling with
+    exp(w) weights) is the published selection rule.
+
+    Output: (id, n_tokens, logratio), one row per input document
+    (target rows are scored too — useful as the sanity band).
+
+    Scale shape: one token explode; both LMs are ``n_buckets``-bounded
+    aggregates (map-side combined); the λ(bucket) table (the model
+    DIFFERENCE) is a broadcast of ``n_buckets`` rows; scoring is one
+    per-doc hash aggregate. Per-bucket λ and the per-doc sum follow
+    the house round-then-exact-decimal rule, so the DuckDB twin lands
+    on identical doubles.
+    """
+    toks = df.select(
+        F.col(id_col), is_target.alias("__t"), F.explode(ws_tokens(text_col)).alias("tok")
+    )
+    bt = toks.select(id_col, "__t", (md5_long("tok") % n_buckets).alias("bucket"))
+    cnt_t = bt.filter(F.col("__t")).groupBy("bucket").agg(F.count(F.lit(1)).alias("ct"))
+    cnt_r = bt.filter(~F.col("__t")).groupBy("bucket").agg(F.count(F.lit(1)).alias("cr"))
+    tot = bt.agg(
+        F.sum(F.when(F.col("__t"), 1).otherwise(0)).alias("nt"),
+        F.sum(F.when(~F.col("__t"), 1).otherwise(0)).alias("nr"),
+    )
+    grid = df.sparkSession.range(n_buckets).select(F.col("id").alias("bucket"))
+    lam = (
+        grid.join(F.broadcast(cnt_t), "bucket", "left")
+        .join(F.broadcast(cnt_r), "bucket", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            F.round(
+                F.log(
+                    (F.coalesce(F.col("ct"), F.lit(0)) + 1).cast("double")
+                    / (F.col("nt") + n_buckets).cast("double")
+                )
+                - F.log(
+                    (F.coalesce(F.col("cr"), F.lit(0)) + 1).cast("double")
+                    / (F.col("nr") + n_buckets).cast("double")
+                ),
+                12,
+            ).alias("lam"),
+        )
+    )
+    scored = bt.join(F.broadcast(lam), "bucket").select(
+        id_col, F.col("lam").cast("decimal(28,12)").alias("lam")
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_tokens"), F.sum("lam").alias("__s"))
+        .select(
+            id_col,
+            "n_tokens",
+            F.round(F.col("__s").cast("double"), round_digits).alias("logratio"),
+        )
+    )
+
+
+def dsir_importance_sql(
+    table: str,
+    target_pred: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = DSIR_BUCKETS,
+    round_digits: int = 6,
+) -> str:
+    """DuckDB twin of :func:`dsir_importance` (``target_pred`` is the
+    SQL predicate marking the target slice)."""
+    toks = rf"string_split_regex(trim({text_col}), '\s+')"
+    return f"""
+WITH t AS (
+  SELECT {id_col}, ({target_pred}) AS tgt, unnest({toks}) AS tok FROM {table}
+),
+bt AS (SELECT {id_col}, tgt, {md5_long_sql('tok')} % {n_buckets} AS bucket FROM t),
+ct AS (SELECT bucket, count(*) AS ct FROM bt WHERE tgt GROUP BY bucket),
+cr AS (SELECT bucket, count(*) AS cr FROM bt WHERE NOT tgt GROUP BY bucket),
+tot AS (
+  SELECT sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS nt,
+         sum(CASE WHEN tgt THEN 0 ELSE 1 END) AS nr
+  FROM bt
+),
+grid AS (SELECT unnest(range(0, {n_buckets})) AS bucket),
+lam AS (
+  SELECT g.bucket,
+         round(
+           ln(CAST(coalesce(ct.ct, 0) + 1 AS DOUBLE) / CAST(tot.nt + {n_buckets} AS DOUBLE))
+           - ln(CAST(coalesce(cr.cr, 0) + 1 AS DOUBLE) / CAST(tot.nr + {n_buckets} AS DOUBLE)),
+           12) AS lam
+  FROM grid g LEFT JOIN ct ON ct.bucket = g.bucket
+              LEFT JOIN cr ON cr.bucket = g.bucket
+              CROSS JOIN tot
+)
+SELECT bt.{id_col}, CAST(count(*) AS BIGINT) AS n_tokens,
+       round(CAST(sum(CAST(lam.lam AS DECIMAL(28,12))) AS DOUBLE), {round_digits}) AS logratio
+FROM bt JOIN lam ON lam.bucket = bt.bucket
+GROUP BY bt.{id_col}
+"""
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style perplexity bucketing
+# ---------------------------------------------------------------------------
+
+def ccnet_buckets(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """(id, source, ppl_bucket): CCNet's head/middle/tail split
+    (Wenzek et al. 2020) — per SOURCE, rank documents by LM score and
+    cut at the 1/3 and 2/3 quantiles; "head" is the best-scoring
+    (lowest-perplexity ≡ highest mean log-prob) third. The standard
+    coarse quality tiering crawl pipelines apply before mixing.
+
+    The LM score is :func:`unigram_logprob`'s corpus-self unigram mean
+    (the same proxy the quality gate uses). Cut points are EXACT
+    interpolated quantiles (``F.percentile`` / DuckDB ``quantile_cont``
+    agree bit-for-bit on identical inputs), rounded to 6 before
+    comparison so the bucket edges are engine-stable. The exact
+    per-source percentile buffers one source's scores in an aggregate
+    state — the oracle-replayable choice; at 100 TB swap in
+    ``percentile_approx`` (same plan shape, documented drift).
+    """
+    scored = unigram_logprob(df, id_col, text_col).join(
+        df.select(id_col, source_col), id_col
+    )
+    cuts = scored.groupBy(source_col).agg(
+        F.round(F.percentile("avg_logprob", F.lit(1.0 / 3)), 6).alias("c1"),
+        F.round(F.percentile("avg_logprob", F.lit(2.0 / 3)), 6).alias("c2"),
+    )
+    bucket = (
+        F.when(F.col("avg_logprob") > F.col("c2"), "head")
+        .when(F.col("avg_logprob") > F.col("c1"), "middle")
+        .otherwise("tail")
+    )
+    return scored.join(F.broadcast(cuts), source_col).select(
+        id_col, source_col, bucket.alias("ppl_bucket")
+    )
+
+
+def ccnet_buckets_sql(
+    table: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+) -> str:
+    """DuckDB twin of :func:`ccnet_buckets`."""
+    uni = unigram_logprob_sql(table, id_col, text_col)
+    return f"""
+WITH scored_base AS ({uni}),
+scored AS (
+  SELECT s.{id_col}, s.avg_logprob, d.{source_col}
+  FROM scored_base s JOIN {table} d ON d.{id_col} = s.{id_col}
+),
+cuts AS (
+  SELECT {source_col},
+         round(quantile_cont(avg_logprob, 1.0/3), 6) AS c1,
+         round(quantile_cont(avg_logprob, 2.0/3), 6) AS c2
+  FROM scored GROUP BY {source_col}
+)
+SELECT s.{id_col}, s.{source_col},
+       CASE WHEN s.avg_logprob > c.c2 THEN 'head'
+            WHEN s.avg_logprob > c.c1 THEN 'middle'
+            ELSE 'tail' END AS ppl_bucket
+FROM scored s JOIN cuts c ON c.{source_col} = s.{source_col}
+"""

@@ -297,3 +297,43 @@ def length_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("waste_frac"),
         )
     )
+
+
+DSIR_TARGET_SOURCES = ("src0", "src1")
+_DSIR_PRED_SQL = "source IN ('src0', 'src1')"
+
+
+@register(
+    "dsir_importance",
+    doc=(
+        "DSIR importance weighting (Xie et al. 2023): hashed-unigram bucket "
+        "LMs fit on a target slice (src0/src1 as the curated proxy) vs the "
+        "raw remainder; every document scored by the add-one-smoothed "
+        "log-likelihood ratio — the published data-selection rule for "
+        "matching a pretraining mixture to a target distribution. "
+        "Bucket-bounded models, broadcast lambda table, one per-doc fold"
+    ),
+    oracle=A.dsir_importance_sql("documents", _DSIR_PRED_SQL),
+)
+def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    return A.dsir_importance(docs, F.col("source").isin(*DSIR_TARGET_SOURCES))
+
+
+@register(
+    "ccnet_ppl_buckets",
+    doc=(
+        "CCNet head/middle/tail tiering (Wenzek et al. 2020): per-source "
+        "exact 1/3 / 2/3 quantile cuts over the corpus-self unigram LM "
+        "score; 'head' = best-scoring third. The coarse quality tiering "
+        "crawl pipelines apply before mixing; exact percentile is the "
+        "oracle-replayable choice (percentile_approx is the 100 TB dial, "
+        "same plan shape)"
+    ),
+    oracle=A.ccnet_buckets_sql("documents"),
+)
+def ccnet_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return A.ccnet_buckets(docs)

@@ -45,6 +45,10 @@ BNL_ALLOWED = {
     "skew_key_stats",
     "bm25_retrieval",
     "bm25_retrieval_indexed",
+    # round-4: DSIR's 1-row (nt, nr) totals row; ccnet reuses
+    # unigram_logprob's 1-row corpus-total fan-in
+    "dsir_importance",
+    "ccnet_ppl_buckets",
 }
 
 
