@@ -51,3 +51,37 @@ def test_sample_prefix_front_loads_never_green():
     else:
         missing = [n for n in never if n not in names[:50]]
         assert not missing, f"never-green queries demoted out of the sample prefix: {missing}"
+
+
+def test_updater_revokes_on_regression(tmp_path):
+    """A name that was green and later records a red row must be
+    revoked (rotated back into the sample frontier) — ADVICE round-3
+    item 4, mechanized in tools/update_driver_green.py."""
+    import json
+    import shutil
+    import subprocess
+    import sys
+
+    tools = tmp_path / "tools"
+    tools.mkdir()
+    shutil.copy(REPO / "tools" / "update_driver_green.py", tools / "update_driver_green.py")
+    (tools / "driver_green.json").write_text(
+        json.dumps({"rounds_ingested": [], "green": []})
+    )
+    ok = {"rows_match": True, "schema_match": True, "hash_match": True, "err": None}
+    red = {"rows_match": True, "schema_match": True, "hash_match": False, "err": None}
+    (tmp_path / "CORRECTNESS_rA.json").write_text(json.dumps({"q1": ok, "q2": ok}))
+    (tmp_path / "CORRECTNESS_rB.json").write_text(json.dumps({"q1": red, "q3": ok}))
+    subprocess.run(
+        [sys.executable, str(tools / "update_driver_green.py"),
+         str(tmp_path / "CORRECTNESS_rA.json")],
+        check=True, capture_output=True,
+    )
+    subprocess.run(
+        [sys.executable, str(tools / "update_driver_green.py"),
+         str(tmp_path / "CORRECTNESS_rB.json")],
+        check=True, capture_output=True,
+    )
+    ledger = json.loads((tools / "driver_green.json").read_text())
+    assert ledger["green"] == ["q2", "q3"], ledger  # q1 revoked by the rB red row
+    assert ledger["rounds_ingested"] == ["CORRECTNESS_rA.json", "CORRECTNESS_rB.json"]
