@@ -50,6 +50,18 @@ BUDGETS = {
 }
 
 
+# Non-headline production-path queries whose plan shape is
+# scale-load-bearing enough to pin (measured at sf0.001, noop-finalized
+# adaptive plans; `<=` so improvements never fail).
+NONHEADLINE_BUDGETS = {
+    "dedup_pipeline_exact_first": (4, 0),
+    "dedup_incremental_indexed": (8, 0),
+    "fuzzy_match_parts_collapsed": (7, 0),
+    "dsir_importance": (4, 0),
+    "ccnet_ppl_buckets": (9, 0),
+}
+
+
 @pytest.fixture(scope="module")
 def headline_specs():
     from spk_sl_validation_spark.plans.registry import headline_queries
@@ -80,3 +92,21 @@ def test_headline_plan_within_budget(spark, sf_dir, headline_specs, name):
         f"{name}: {st['sort_merge_joins']} sort-merge joins "
         f"(budget {max_smj}) — a broadcast degraded"
     )
+
+
+@pytest.mark.parametrize("name", sorted(NONHEADLINE_BUDGETS))
+def test_production_path_plan_within_budget(spark, sf_dir, name):
+    from spk_sl_validation_spark.plans.registry import REGISTRY, _ensure_loaded
+
+    _ensure_loaded()
+    df = REGISTRY[name].builder(spark, sf_dir)
+    df.write.mode("overwrite").format("noop").save()  # finalize AQE plan
+    qe = df._jdf.queryExecution()
+    formatted = spark._jvm.PythonSQLUtils.explainString(qe, "formatted")
+    st = plan_stats(formatted)
+    max_shuffles, max_smj = NONHEADLINE_BUDGETS[name]
+    assert st["shuffle_exchanges"] <= max_shuffles, (
+        f"{name}: {st['shuffle_exchanges']} shuffle exchanges "
+        f"(budget {max_shuffles}) — plan regressed"
+    )
+    assert st["sort_merge_joins"] <= max_smj
