@@ -187,6 +187,7 @@ def unigram_logprob(
     id_col: str = "doc_id",
     text_col: str = "text",
     round_digits: int = 6,
+    carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Score each document by mean token log-probability under the
     corpus's own unigram distribution — the cheap proxy for LM-
@@ -201,25 +202,33 @@ def unigram_logprob(
     identical total with a plain codegen'd hash aggregate — no
     position-ordered fold (the previous collect_list + interpreted
     array fold cost ~40% of the query).
+
+    ``carry_cols``: per-document attributes (functionally dependent on
+    the id, e.g. ``source``) grouped THROUGH the per-doc aggregate and
+    returned alongside — the same dl-through-tf move as BM25, saving
+    the caller an id-keyed join back onto the corpus.
     """
-    toks = df.select(F.col(id_col), F.explode(ws_tokens(text_col)).alias("tok"))
+    carried = [F.col(c) for c in carry_cols]
+    toks = df.select(F.col(id_col), *carried, F.explode(ws_tokens(text_col)).alias("tok"))
     freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
     total = freq.agg(F.sum("cnt").alias("total"))
     freq_p = freq.crossJoin(F.broadcast(total))
     joined = toks.join(F.broadcast(freq_p), "tok").select(
         id_col,
+        *carry_cols,
         F.round(
             F.log(F.col("cnt").cast("double") / F.col("total").cast("double")), 12
         )
         .cast("decimal(28,12)")
         .alias("logp"),
     )
-    per_doc = joined.groupBy(id_col).agg(
+    per_doc = joined.groupBy(id_col, *carry_cols).agg(
         F.count(F.lit(1)).alias("n_tokens"),
         F.sum("logp").alias("__sum_logp"),
     )
     return per_doc.select(
         id_col,
+        *carry_cols,
         "n_tokens",
         F.round(
             F.col("__sum_logp").cast("double") / F.col("n_tokens").cast("double"),
@@ -518,9 +527,7 @@ def ccnet_buckets(
     state — the oracle-replayable choice; at 100 TB swap in
     ``percentile_approx`` (same plan shape, documented drift).
     """
-    scored = unigram_logprob(df, id_col, text_col).join(
-        df.select(id_col, source_col), id_col
-    )
+    scored = unigram_logprob(df, id_col, text_col, carry_cols=(source_col,))
     cuts = scored.groupBy(source_col).agg(
         F.round(F.percentile("avg_logprob", F.lit(1.0 / 3)), 6).alias("c1"),
         F.round(F.percentile("avg_logprob", F.lit(2.0 / 3)), 6).alias("c2"),
