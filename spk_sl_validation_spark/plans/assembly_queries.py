@@ -337,3 +337,86 @@ def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ccnet_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return A.ccnet_buckets(docs)
+
+
+TEMP_TAU = 2.0  # UniMax/mT5 temperature: p_i ∝ n_i^(1/τ); τ=2 → sqrt
+TEMP_BUDGET = 100_000.0  # token budget the temperature mixture allocates
+
+
+@register(
+    "mixture_temperature",
+    doc=(
+        "temperature-scaled mixture weights (mT5/UniMax style): per-source "
+        "sampling probability p ∝ n_tokens^(1/τ) with τ=2, vs the raw "
+        "proportional share — the rebalancing step that keeps low-resource "
+        "sources from vanishing at 100 TB. sqrt is IEEE-exact and the "
+        "normalizer is an exact BIGINT sum of 1e6-scaled weights, so both "
+        "engines see bit-identical doubles; one 20-group aggregate + one "
+        "1-row broadcast fan-in"
+    ),
+    oracle=rf"""
+WITH s AS (
+  SELECT source,
+         count(*) AS n_docs,
+         CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS n_tokens,
+         CAST(round(sqrt(CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS DOUBLE))
+                    * 1000000.0) AS BIGINT) AS w_scaled
+  FROM documents GROUP BY source
+),
+t AS (SELECT SUM(w_scaled) AS tot_w, SUM(n_tokens) AS tot_tokens FROM s)
+SELECT s.source, s.n_docs, s.n_tokens,
+       round(CAST(s.w_scaled AS DOUBLE) / CAST(t.tot_w AS DOUBLE), 6) AS p_temp,
+       round(CAST(s.n_tokens AS DOUBLE) / CAST(t.tot_tokens AS DOUBLE), 6) AS p_raw,
+       round(round(CAST(s.w_scaled AS DOUBLE) / CAST(t.tot_w AS DOUBLE), 6)
+             * {TEMP_BUDGET!r}, 2) AS target_tokens,
+       round(round(CAST(s.w_scaled AS DOUBLE) / CAST(t.tot_w AS DOUBLE), 6)
+             * {TEMP_BUDGET!r} / CAST(s.n_tokens AS DOUBLE), 6) AS epochs,
+       round(CAST(s.w_scaled AS DOUBLE) / CAST(t.tot_w AS DOUBLE), 6)
+         > round(CAST(s.n_tokens AS DOUBLE) / CAST(t.tot_tokens AS DOUBLE), 6)
+         AS upsampled
+FROM s CROSS JOIN t
+""",
+)
+def mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source mixture (p_i ∝ n_i^(1/τ), τ=2).
+
+    Scale shape: one map-side-combined aggregate of per-doc token
+    counts to ~n_sources rows, then a single-row broadcast fan-in for
+    the normalizers — no corpus-sized shuffle beyond the group-by.
+    Determinism: the per-source weight is ``round(sqrt(n_tokens)*1e6)``
+    as BIGINT (sqrt is correctly rounded in IEEE 754, round-half-up of
+    a positive double agrees across engines), and the normalizer is an
+    exact integer sum — so the final doubles are bit-identical between
+    Spark and the DuckDB oracle regardless of aggregation order.
+    """
+    from pyspark.sql import functions as F
+
+    from spk_sl_validation_spark.ext.hashing import ws_tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    per_source = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(ws_tokens("text"))).cast("long").alias("n_tokens"),
+    )
+    w_scaled = F.round(F.sqrt(F.col("n_tokens").cast("double")) * 1000000.0).cast("long")
+    per_source = per_source.withColumn("w_scaled", w_scaled)
+    tot = per_source.agg(
+        F.sum("w_scaled").alias("tot_w"), F.sum("n_tokens").alias("tot_tokens")
+    )
+    p_temp = F.round(F.col("w_scaled").cast("double") / F.col("tot_w").cast("double"), 6)
+    p_raw = F.round(F.col("n_tokens").cast("double") / F.col("tot_tokens").cast("double"), 6)
+    return (
+        per_source.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            p_temp.alias("p_temp"),
+            p_raw.alias("p_raw"),
+            F.round(p_temp * F.lit(TEMP_BUDGET), 2).alias("target_tokens"),
+            F.round(p_temp * F.lit(TEMP_BUDGET) / F.col("n_tokens").cast("double"), 6).alias(
+                "epochs"
+            ),
+            (p_temp > p_raw).alias("upsampled"),
+        )
+    )

@@ -606,3 +606,55 @@ def text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.round(ent_d / F.log(F.col("n_distinct").cast("double")), 6))
         .alias("norm_entropy"),
     )
+
+
+@register(
+    "tokenizer_fertility",
+    doc=(
+        "per-language tokenizer fertility audit: chars per whitespace word, "
+        "chars per BPE-ish token, and subword fertility (BPE-ish tokens per "
+        "word) — the tokenizer-efficiency report a multilingual corpus runs "
+        "before fixing a vocab budget (high-fertility languages pay more "
+        "sequence length per character). Integer sums only until the final "
+        "rounded ratios; one map-side-combined aggregate to ~n_langs rows"
+    ),
+    oracle=rf"""
+SELECT lang,
+       count(*) AS n_docs,
+       CAST(SUM(length(text)) AS BIGINT) AS sum_chars,
+       CAST(SUM(len({_TOKS})) AS BIGINT) AS sum_words,
+       CAST(SUM(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]'))) AS BIGINT)
+           AS sum_bpe_tokens,
+       round(CAST(SUM(length(text)) AS DOUBLE)
+           / CAST(SUM(len({_TOKS})) AS DOUBLE), 6) AS chars_per_word,
+       round(CAST(SUM(length(text)) AS DOUBLE)
+           / CAST(SUM(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]'))) AS DOUBLE), 6)
+           AS chars_per_bpe_token,
+       round(CAST(SUM(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]'))) AS DOUBLE)
+           / CAST(SUM(len({_TOKS})) AS DOUBLE), 6) AS fertility
+FROM documents
+GROUP BY lang
+""",
+)
+def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language fertility: ratios of exact integer corpus sums."""
+    docs = load_table(spark, sf_dir, "documents")
+    per_lang = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.length("text")).cast("long").alias("sum_chars"),
+        F.sum(X.token_count("text")).cast("long").alias("sum_words"),
+        F.sum(X.bpe_ish_token_count("text")).cast("long").alias("sum_bpe_tokens"),
+    )
+    chars = F.col("sum_chars").cast("double")
+    words = F.col("sum_words").cast("double")
+    bpe = F.col("sum_bpe_tokens").cast("double")
+    return per_lang.select(
+        "lang",
+        "n_docs",
+        "sum_chars",
+        "sum_words",
+        "sum_bpe_tokens",
+        F.round(chars / words, 6).alias("chars_per_word"),
+        F.round(chars / bpe, 6).alias("chars_per_bpe_token"),
+        F.round(bpe / words, 6).alias("fertility"),
+    )

@@ -1,0 +1,73 @@
+"""Semantic checks for the second-half round-4 curation additions:
+temperature mixture weights, tokenizer fertility, n-gram novelty.
+
+The DuckDB value-hash parity is covered by the driver contract /
+self-check; these tests pin the *semantics* (invariants that must hold
+on any corpus) so a refactor cannot silently keep hash-parity with a
+wrong oracle.
+"""
+
+from __future__ import annotations
+
+import math
+
+from spk_sl_validation_spark.plans.assembly_queries import mixture_temperature
+from spk_sl_validation_spark.plans.corpus_queries import ngram_novelty
+from spk_sl_validation_spark.plans.text_queries import tokenizer_fertility
+
+
+def test_mixture_temperature_invariants(spark, sf_dir):
+    rows = {r["source"]: r for r in mixture_temperature(spark, sf_dir).collect()}
+    assert rows, "no sources"
+    # probabilities normalize (up to the 1e-6 rounding of each term)
+    assert math.isclose(sum(r["p_temp"] for r in rows.values()), 1.0, abs_tol=1e-4)
+    assert math.isclose(sum(r["p_raw"] for r in rows.values()), 1.0, abs_tol=1e-4)
+    # temperature flattens: smallest source gains share, largest loses
+    smallest = min(rows.values(), key=lambda r: r["n_tokens"])
+    largest = max(rows.values(), key=lambda r: r["n_tokens"])
+    assert smallest["p_temp"] > smallest["p_raw"]
+    assert largest["p_temp"] < largest["p_raw"]
+    assert smallest["upsampled"] and not largest["upsampled"]
+    # epochs = target / n_tokens (to rounding)
+    for r in rows.values():
+        assert math.isclose(
+            r["epochs"], r["target_tokens"] / r["n_tokens"], rel_tol=1e-3, abs_tol=1e-5
+        )
+    # flattening is monotone: ordering by p_temp == ordering by n_tokens
+    by_tokens = sorted(rows, key=lambda s: (rows[s]["n_tokens"], s))
+    by_ptemp = sorted(rows, key=lambda s: (rows[s]["p_temp"], rows[s]["n_tokens"], s))
+    assert by_tokens == by_ptemp
+
+
+def test_tokenizer_fertility_invariants(spark, sf_dir):
+    rows = tokenizer_fertility(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        # a BPE-ish segmentation never merges across whitespace, so it
+        # produces at least one token per whitespace word on any corpus
+        assert r["sum_bpe_tokens"] >= r["sum_words"]
+        assert r["fertility"] >= 1.0
+        # chars/word includes the separating spaces' absence: every word
+        # has >= 1 char, so the ratio is >= 1
+        assert r["chars_per_word"] >= 1.0
+        assert r["chars_per_bpe_token"] > 0.0
+        assert math.isclose(
+            r["fertility"], r["sum_bpe_tokens"] / r["sum_words"], rel_tol=1e-5, abs_tol=1e-6
+        )
+
+
+def test_ngram_novelty_invariants(spark, sf_dir):
+    rows = sorted(ngram_novelty(spark, sf_dir).collect(), key=lambda r: r["source"])
+    assert rows
+    # every distinct gram is credited exactly once: the novel counts sum
+    # to the final cumulative value, and coverage ends at 1.0
+    assert rows[-1]["cum_novel_grams"] == sum(r["n_novel_grams"] for r in rows)
+    assert math.isclose(rows[-1]["corpus_coverage"], 1.0, abs_tol=1e-6)
+    # the lexicographically-first source owns everything it contains
+    assert rows[0]["n_novel_grams"] == rows[0]["n_distinct_grams"]
+    assert math.isclose(rows[0]["novelty_rate"], 1.0, abs_tol=1e-6)
+    # cumulative is monotone non-decreasing and novel <= distinct per row
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur["cum_novel_grams"] >= prev["cum_novel_grams"]
+    for r in rows:
+        assert 0 <= r["n_novel_grams"] <= r["n_distinct_grams"]

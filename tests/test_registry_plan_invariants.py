@@ -49,6 +49,8 @@ BNL_ALLOWED = {
     # unigram_logprob's 1-row corpus-total fan-in
     "dsir_importance",
     "ccnet_ppl_buckets",
+    # temperature mixture: 1-row (tot_w, tot_tokens) normalizer fan-in
+    "mixture_temperature",
 }
 
 
