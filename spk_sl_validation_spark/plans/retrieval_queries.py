@@ -120,3 +120,185 @@ def bm25_retrieval_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
 _REG["bm25_retrieval_indexed"] = _dc.replace(
     _REG["bm25_retrieval_indexed"], oracle=_BM25_ORACLE
 )
+
+
+RRF_K = 60  # standard reciprocal-rank-fusion constant (Cormack et al. 2009)
+RRF_POOL = 20  # per-ranker candidate pool depth
+RRF_TOP_K = 10
+
+#: (query_id, term, n_query_terms) rows — nq precomputed in Python so
+#: both engines see the same literal (queries have unique terms).
+_RRF_QTERM_VALUES = ", ".join(
+    f"({qid}, '{t}', {len(text.split(' '))})"
+    for qid, text in BM25_QUERIES
+    for t in text.split(" ")
+)
+
+
+@register(
+    "hybrid_rrf_retrieval",
+    doc=(
+        f"hybrid retrieval: reciprocal-rank fusion (k={RRF_K}) of BM25 and "
+        f"binary-cosine coordinate-match rankers, top-{RRF_POOL} pools fused "
+        f"to top-{RRF_TOP_K} per query — the sparse+second-signal fusion shape "
+        "modern retrieval stacks use (RRF is ranker-agnostic: the dense arm "
+        "plugs in identically). Union + one groupBy-sum — no full-outer "
+        "join, no sort-merge join; rank windows only over per-query pools"
+    ),
+    oracle=f"""
+WITH q(query_id, qtext) AS (VALUES {_QUERY_VALUES}),
+qterm(query_id, term, nq) AS (VALUES {_RRF_QTERM_VALUES}),
+tok AS (
+  SELECT doc_id, len({_TOKS}) AS dl, unnest({_TOKS}) AS term FROM documents
+),
+tf AS (
+  SELECT doc_id, dl, term, count(*) AS tf
+  FROM tok WHERE term IN (SELECT DISTINCT term FROM qterm)
+  GROUP BY doc_id, dl, term
+),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+stats AS (
+  SELECT count(*) AS n_docs,
+         CAST(sum(len({_TOKS})) AS DOUBLE) / count(*) AS avgdl
+  FROM documents
+),
+scored AS (
+  SELECT qterm.query_id, tf.doc_id,
+         CAST(round(
+           ln(1.0 + (CAST(stats.n_docs AS DOUBLE) - CAST(df.df AS DOUBLE) + 0.5) / (CAST(df.df AS DOUBLE) + 0.5))
+           * (CAST(tf.tf AS DOUBLE) * ({BM25_K1} + 1.0))
+           / (CAST(tf.tf AS DOUBLE) + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * CAST(tf.dl AS DOUBLE) / stats.avgdl)),
+         12) AS DECIMAL(28,12)) AS s
+  FROM tf JOIN qterm USING (term) JOIN df USING (term) CROSS JOIN stats
+),
+bm25_pool AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY sc DESC, doc_id ASC) AS rnk
+  FROM (SELECT query_id, doc_id, sum(s) AS sc FROM scored GROUP BY query_id, doc_id)
+  QUALIFY rnk <= {RRF_POOL}
+),
+dterm AS (SELECT DISTINCT doc_id, term FROM tok),
+nd AS (SELECT doc_id, count(*) AS nd FROM dterm GROUP BY doc_id),
+ov AS (
+  SELECT qterm.query_id, dterm.doc_id, max(qterm.nq) AS nq, count(*) AS ov
+  FROM dterm JOIN qterm USING (term)
+  GROUP BY 1, 2
+),
+cos_pool AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (
+           PARTITION BY query_id
+           ORDER BY round(CAST(ov AS DOUBLE) / sqrt(CAST(nd.nd * ov.nq AS DOUBLE)), 6) DESC,
+                    doc_id ASC) AS rnk
+  FROM ov JOIN nd USING (doc_id)
+  QUALIFY rnk <= {RRF_POOL}
+),
+contrib AS (
+  SELECT query_id, doc_id, 1.0 / ({RRF_K}.0 + CAST(rnk AS DOUBLE)) AS c,
+         rnk AS bm25_rnk, CAST(NULL AS BIGINT) AS cos_rnk
+  FROM bm25_pool
+  UNION ALL
+  SELECT query_id, doc_id, 1.0 / ({RRF_K}.0 + CAST(rnk AS DOUBLE)) AS c,
+         CAST(NULL AS BIGINT) AS bm25_rnk, rnk AS cos_rnk
+  FROM cos_pool
+),
+fused AS (
+  SELECT query_id, doc_id,
+         round(sum(c), 6) AS rrf_score,
+         CAST(max(bm25_rnk) AS INTEGER) AS bm25_rnk,
+         CAST(max(cos_rnk) AS INTEGER) AS cos_rnk
+  FROM contrib GROUP BY query_id, doc_id
+)
+SELECT query_id, doc_id, rrf_score, bm25_rnk, cos_rnk,
+       CAST(row_number() OVER (
+         PARTITION BY query_id ORDER BY rrf_score DESC, doc_id ASC) AS INTEGER) AS rnk
+FROM fused
+QUALIFY rnk <= {RRF_TOP_K}
+""",
+)
+def hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RRF fusion of the BM25 pool and a binary-cosine coordinate-match
+    pool (overlap / sqrt(n_doc_terms · n_query_terms) — cosine between
+    binary term vectors).
+
+    Scale shape: both rankers' pools are skinny per-query top-N
+    relations (rank windows partition by query over term-pruned
+    candidates, never the corpus); fusion is a unionAll + one hash
+    aggregate keyed (query_id, doc_id) — no full-outer join, so no
+    sort-merge fallback anywhere. Determinism: ranks are integers,
+    each RRF contribution is one double division, and a (query, doc)
+    pair has at most two contributions — IEEE addition of two doubles
+    is commutative, so the groupBy sum is order-independent.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from spk_sl_validation_spark.ext.hashing import ws_tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    bm25_pool = bm25_rank(docs, BM25_QUERIES, top_k=RRF_POOL).select(
+        "query_id", "doc_id", "rnk"
+    )
+
+    qterm = spark.createDataFrame(
+        [
+            (qid, t, len(text.split(" ")))
+            for qid, text in BM25_QUERIES
+            for t in text.split(" ")
+        ],
+        "query_id int, term string, nq int",
+    )
+    query_terms = sorted({t for _, text in BM25_QUERIES for t in text.split(" ")})
+    dterm = (
+        docs.select("doc_id", F.explode(ws_tokens("text")).alias("term")).distinct()
+    )
+    nd = dterm.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nd"))
+    ov = (
+        dterm.filter(F.col("term").isin(query_terms))
+        .join(F.broadcast(qterm), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.max("nq").alias("nq"), F.count(F.lit(1)).alias("ov"))
+    )
+    cos_score = F.round(
+        F.col("ov").cast("double")
+        / F.sqrt((F.col("nd") * F.col("nq")).cast("double")),
+        6,
+    )
+    w_cos = Window.partitionBy("query_id").orderBy(cos_score.desc(), F.col("doc_id").asc())
+    cos_pool = (
+        nd.join(F.broadcast(ov), "doc_id")
+        .withColumn("rnk", F.row_number().over(w_cos))
+        .filter(F.col("rnk") <= RRF_POOL)
+        .select("query_id", "doc_id", "rnk")
+    )
+
+    c = lambda r: F.lit(1.0) / (F.lit(float(RRF_K)) + F.col(r).cast("double"))  # noqa: E731
+    contrib = bm25_pool.select(
+        "query_id",
+        "doc_id",
+        c("rnk").alias("c"),
+        F.col("rnk").cast("long").alias("bm25_rnk"),
+        F.lit(None).cast("long").alias("cos_rnk"),
+    ).unionAll(
+        cos_pool.select(
+            "query_id",
+            "doc_id",
+            c("rnk").alias("c"),
+            F.lit(None).cast("long").alias("bm25_rnk"),
+            F.col("rnk").cast("long").alias("cos_rnk"),
+        )
+    )
+    fused = contrib.groupBy("query_id", "doc_id").agg(
+        F.round(F.sum("c"), 6).alias("rrf_score"),
+        F.max("bm25_rnk").cast("int").alias("bm25_rnk"),
+        F.max("cos_rnk").cast("int").alias("cos_rnk"),
+    )
+    w_f = Window.partitionBy("query_id").orderBy(
+        F.col("rrf_score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        fused.withColumn("rnk", F.row_number().over(w_f).cast("int"))
+        .filter(F.col("rnk") <= RRF_TOP_K)
+        .select("query_id", "doc_id", "rrf_score", "bm25_rnk", "cos_rnk", "rnk")
+    )

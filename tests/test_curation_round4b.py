@@ -71,3 +71,39 @@ def test_ngram_novelty_invariants(spark, sf_dir):
         assert cur["cum_novel_grams"] >= prev["cum_novel_grams"]
     for r in rows:
         assert 0 <= r["n_novel_grams"] <= r["n_distinct_grams"]
+
+
+def test_hybrid_rrf_invariants(spark, sf_dir):
+    from spk_sl_validation_spark.plans.retrieval_queries import (
+        RRF_K,
+        RRF_POOL,
+        RRF_TOP_K,
+        hybrid_rrf_retrieval,
+    )
+
+    rows = hybrid_rrf_retrieval(spark, sf_dir).collect()
+    assert rows
+    by_q: dict[int, list] = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for qid, rs in by_q.items():
+        rs.sort(key=lambda r: r["rnk"])
+        assert len(rs) <= RRF_TOP_K
+        assert [r["rnk"] for r in rs] == list(range(1, len(rs) + 1))
+        # fused scores are non-increasing in rank and bounded by the
+        # two-ranker maximum 2/(K+1)
+        scores = [r["rrf_score"] for r in rs]
+        assert scores == sorted(scores, reverse=True)
+        assert all(0.0 < s <= 2.0 / (RRF_K + 1) + 1e-9 for s in scores)
+        for r in rs:
+            # every fused doc came from at least one pool, with a valid rank
+            assert (r["bm25_rnk"] is not None) or (r["cos_rnk"] is not None)
+            for c in ("bm25_rnk", "cos_rnk"):
+                if r[c] is not None:
+                    assert 1 <= r[c] <= RRF_POOL
+        # a doc at rank 1 in BOTH pools must be the fused winner
+        both_first = [
+            r for r in rs if r["bm25_rnk"] == 1 and r["cos_rnk"] == 1
+        ]
+        if both_first:
+            assert both_first[0]["rnk"] == 1

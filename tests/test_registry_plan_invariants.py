@@ -51,6 +51,8 @@ BNL_ALLOWED = {
     "ccnet_ppl_buckets",
     # temperature mixture: 1-row (tot_w, tot_tokens) normalizer fan-in
     "mixture_temperature",
+    # hybrid RRF: inherits bm25_rank's 1-row (n_docs, avgdl) stats fan-in
+    "hybrid_rrf_retrieval",
 }
 
 
