@@ -666,3 +666,26 @@ def contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label", F.lit(0).cast("int")
     )
     return pos.unionByName(neg)
+
+
+@register(
+    "dedup_jaccard_prefix_join",
+    doc=(
+        "exact 3-gram Jaccard pairs (threshold 0.5) via AllPairs prefix "
+        "filtering (Bayardo et al. WWW'07): candidates restricted to pairs "
+        "sharing a token in their rarest-first prefixes — lossless (recall "
+        "1.0) unlike MinHash-LSH, and the candidate join runs only on the "
+        "smallest (rarest) token buckets instead of every shingle bucket. "
+        "Oracle = the exact all-pairs SQL verbatim: identical output is the "
+        "claim"
+    ),
+    oracle=None,
+)
+def dedup_jaccard_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.jaccard_join_prefix(docs, "doc_id", "text", 3, 0.5)
+
+
+_REG["dedup_jaccard_prefix_join"] = _dc.replace(
+    _REG["dedup_jaccard_prefix_join"], oracle=_REG["dedup_ngram_jaccard"].oracle
+)

@@ -107,3 +107,51 @@ def test_hybrid_rrf_invariants(spark, sf_dir):
         ]
         if both_first:
             assert both_first[0]["rnk"] == 1
+
+
+def test_prefix_join_equals_exact_allpairs(spark, sf_dir):
+    """Prefix filtering is lossless: identical pair set + jaccard values
+    as the naive exact shingle self-join, on real testdata."""
+    from spk_sl_validation_spark.ext.dedup import jaccard_join_prefix, ngram_jaccard_pairs
+    from spk_sl_validation_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    exact = {
+        (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+        for r in ngram_jaccard_pairs(docs, "doc_id").collect()
+    }
+    pref = {
+        (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+        for r in jaccard_join_prefix(docs, "doc_id").collect()
+    }
+    assert pref == exact
+    assert exact, "testdata should produce at least one qualifying pair"
+
+
+def test_prefix_join_lossless_on_boundary_sets(spark):
+    """Hand-built boundary cases: identical sets (J=1), J exactly at the
+    0.5 threshold, just-below-threshold, and disjoint sets."""
+    from spk_sl_validation_spark.ext.dedup import jaccard_join_prefix, ngram_jaccard_pairs
+
+    rows = [
+        # docs 1/2 identical -> J = 1.0
+        (1, "a b c d e f g h i j"),
+        (2, "a b c d e f g h i j"),
+        # docs 3/4: engineered 8-gram overlap of the 3-gram sets
+        (3, "p q r s t u v w x y"),
+        (4, "p q r s t u v w x z"),
+        # doc 5 disjoint
+        (5, "m n o mm nn oo mmm nnn ooo mo"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    exact = {
+        (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+        for r in ngram_jaccard_pairs(df, "doc_id").collect()
+    }
+    pref = {
+        (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+        for r in jaccard_join_prefix(df, "doc_id").collect()
+    }
+    assert pref == exact
+    assert (1, 2, 1.0) in pref
+    assert all(a != 5 and b != 5 for a, b, _ in pref)
