@@ -989,46 +989,45 @@ def jaccard_join_prefix(
     candidate generation restricted to pairs sharing a token in their
     rarest-first prefixes.
 
-    Each document's distinct shingle set is ordered by ascending global
-    frequency (ties by shingle); a pair with Jaccard >= t must share at
-    least one token inside both prefixes of length
+    Each document's distinct shingle set is ordered rarest-first by the
+    (global frequency, shingle) tuple; a pair with Jaccard >= t must
+    share at least one token inside both prefixes of length
     ``|x| - ceil(t*|x|) + 1``, so only prefix tokens enter the
     candidate self-join. The prefix holds the RAREST tokens, which is
     exactly where join buckets are smallest — the frequent-token
     buckets that make the naive shingle self-join quadratic never
     produce candidates. Lossless (recall 1.0), unlike MinHash-LSH.
 
-    Scale shape: the frequency table is vocab-bounded and broadcast;
-    per-doc prefix positions come from a window partitioned by doc id
-    (corpus-scale but id-partitioned — no global sort); verification
-    joins candidates back to the two documents' shingle rows with
-    shuffle-hash joins keyed on id / (id, shingle). At 100 TB the
-    candidate count is the sum over prefix tokens of C(bucket, 2) on
-    the rarest buckets — the measured dial is the same block-size
-    distribution probe as fuzzy matching (SCALE.md).
+    Scale shape — everything is keyed on uniform corpus-scale keys, no
+    global ordering artifact and no corpus-sized broadcast:
+
+    - the frequency table joins back to the shingle rows on the
+      shingle itself (shuffle-hash; the order is the (cnt, s) tuple,
+      so no materialized global rank and no single-partition window);
+    - per-doc prefix positions AND set sizes come from one window
+      partitioned by doc id (two frames, one exchange);
+    - verification joins candidates back to the two documents' shingle
+      rows with shuffle-hash joins keyed on id / (id, shingle).
+
+    At 100 TB the candidate count is the sum over prefix tokens of
+    C(bucket, 2) on the rarest buckets — the measured dial is the same
+    block-size distribution probe as fuzzy matching (SCALE.md).
     """
     from pyspark.sql import Window
 
     from spk_sl_validation_spark.ext.hashing import shingle_rows
 
     sh = shingle_rows(df, id_col, text_col, n).distinct().localCheckpoint(eager=True)
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
 
     freq = sh.groupBy("s").agg(F.count(F.lit(1)).alias("cnt"))
-    # global rarity rank: vocab-bounded relation (distinct shingles),
-    # single-partition window is fine there; production materializes
-    # this dimension once per corpus snapshot
-    rank_tbl = freq.withColumn(
-        "rnk", F.row_number().over(Window.orderBy(F.col("cnt").asc(), F.col("s").asc()))
-    ).select("s", "rnk")
-
+    w_doc = Window.partitionBy(id_col)
     ranked = (
-        sh.join(F.broadcast(rank_tbl), "s")
-        .join(F.broadcast(sizes), id_col)
+        sh.join(freq.hint("shuffle_hash"), "s")
         .withColumn(
             "pos",
-            F.row_number().over(Window.partitionBy(id_col).orderBy(F.col("rnk").asc())),
+            F.row_number().over(w_doc.orderBy(F.col("cnt").asc(), F.col("s").asc())),
         )
+        .withColumn("n_sh", F.count(F.lit(1)).over(w_doc))
     )
     prefix_len = F.col("n_sh") - F.ceil(F.col("n_sh") * F.lit(threshold)) + 1
     prefix = ranked.filter(F.col("pos") <= prefix_len).select(id_col, "s")
@@ -1048,14 +1047,15 @@ def jaccard_join_prefix(
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
     jac = F.col("n_inter").cast("double") / (
         F.col("n_a") + F.col("n_b") - F.col("n_inter")
     ).cast("double")
     return (
-        inter.join(F.broadcast(sa), "id_a")
-        .join(F.broadcast(sb), "id_b")
+        inter.join(sa.hint("shuffle_hash"), "id_a")
+        .join(sb.hint("shuffle_hash"), "id_b")
         .select("id_a", "id_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
