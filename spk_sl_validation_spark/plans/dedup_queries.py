@@ -689,3 +689,91 @@ def dedup_jaccard_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 _REG["dedup_jaccard_prefix_join"] = _dc.replace(
     _REG["dedup_jaccard_prefix_join"], oracle=_REG["dedup_ngram_jaccard"].oracle
 )
+
+
+SWEEP_THRESHOLDS = (0.3, 0.5, 0.7, 0.8, 0.9)
+_SWEEP_VALUES = ", ".join(f"({t!r})" for t in SWEEP_THRESHOLDS)
+
+
+@register(
+    "dedup_threshold_sweep",
+    doc=(
+        "near-dup threshold calibration: pair count and affected-doc count "
+        f"at thresholds {SWEEP_THRESHOLDS} in ONE pass over the exact "
+        "3-gram Jaccard pair relation — the tuning curve that picks the "
+        "dedup threshold before a 100 TB run (at scale the pair relation "
+        "is the capped-LSH candidate set; thresholds explode map-side, "
+        "no extra join)"
+    ),
+    oracle=rf"""
+WITH sh AS (
+  SELECT doc_id, unnest(list_distinct({word_shingles_sql(_TOKS, 3)})) AS s
+  FROM documents
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT id_a, id_b,
+         CAST(n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) AS j
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+),
+th(t) AS (VALUES {_SWEEP_VALUES}),
+np AS (
+  SELECT th.t, count(*) FILTER (WHERE p.j >= th.t) AS n_pairs
+  FROM th CROSS JOIN pairs p GROUP BY th.t
+),
+sides AS (
+  SELECT id_a AS id, j FROM pairs UNION ALL SELECT id_b AS id, j FROM pairs
+),
+nd AS (
+  SELECT th.t, count(DISTINCT CASE WHEN s.j >= th.t THEN s.id END) AS n_docs_affected
+  FROM th CROSS JOIN sides s GROUP BY th.t
+)
+SELECT np.t AS threshold,
+       CAST(np.n_pairs AS BIGINT) AS n_pairs,
+       CAST(nd.n_docs_affected AS BIGINT) AS n_docs_affected
+FROM np JOIN nd ON np.t = nd.t
+""",
+)
+def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass threshold calibration curve over exact Jaccard pairs.
+
+    Scale shape: the pair relation is computed once (at 100 TB it is
+    the capped-LSH candidate set — compose with lsh_candidate_pairs);
+    the thresholds explode MAP-SIDE from an array literal (no join, no
+    1-row broadcast), and both aggregates are tiny (|thresholds| rows).
+    """
+    import pyspark.sql.functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(docs, "doc_id", "text", 3, 0.0)
+    th = F.explode(F.array(*[F.lit(t) for t in SWEEP_THRESHOLDS])).alias("threshold")
+
+    np_ = (
+        pairs.select(th, F.col("jaccard").alias("j"))
+        .groupBy("threshold")
+        .agg(F.count(F.when(F.col("j") >= F.col("threshold"), 1)).alias("n_pairs"))
+    )
+    sides = pairs.select(F.col("id_a").alias("id"), "jaccard").unionAll(
+        pairs.select(F.col("id_b").alias("id"), "jaccard")
+    )
+    nd = (
+        sides.select(th, "id", F.col("jaccard").alias("j"))
+        .groupBy("threshold")
+        .agg(
+            F.countDistinct(
+                F.when(F.col("j") >= F.col("threshold"), F.col("id"))
+            ).alias("n_docs_affected")
+        )
+    )
+    return np_.join(F.broadcast(nd), "threshold").select(
+        "threshold",
+        F.col("n_pairs").cast("long").alias("n_pairs"),
+        F.col("n_docs_affected").cast("long").alias("n_docs_affected"),
+    )

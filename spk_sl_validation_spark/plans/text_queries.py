@@ -658,3 +658,70 @@ def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(chars / bpe, 6).alias("chars_per_bpe_token"),
         F.round(bpe / words, 6).alias("fertility"),
     )
+
+
+VOCAB_K = 16  # fixed-vocabulary size for the OOV audit
+
+
+@register(
+    "vocab_oov_rate",
+    doc=(
+        f"vocabulary-coverage audit: build the top-{VOCAB_K} term vocabulary "
+        "by corpus frequency (ties lexicographic) and report per-source "
+        "token counts, OOV token counts, OOV rate, and distinct OOV terms — "
+        "the tokenizer-budget planning report (which sources blow up the "
+        "unknown-token rate under a fixed vocab). Vocab relation is "
+        "vocabulary-bounded; corpus pass is one map + broadcast membership "
+        "join + one aggregate"
+    ),
+    oracle=rf"""
+WITH tok AS (
+  SELECT source, unnest({_TOKS}) AS term FROM documents
+),
+cnt AS (SELECT term, count(*) AS c FROM tok GROUP BY term),
+vocab AS (
+  SELECT term, row_number() OVER (ORDER BY c DESC, term ASC) AS rnk
+  FROM cnt QUALIFY rnk <= {VOCAB_K}
+)
+SELECT tok.source,
+       count(*) AS n_tokens,
+       count(*) FILTER (WHERE vocab.term IS NULL) AS n_oov,
+       round(CAST(count(*) FILTER (WHERE vocab.term IS NULL) AS DOUBLE)
+           / CAST(count(*) AS DOUBLE), 6) AS oov_rate,
+       count(DISTINCT CASE WHEN vocab.term IS NULL THEN tok.term END) AS n_oov_terms
+FROM tok LEFT JOIN vocab ON tok.term = vocab.term
+GROUP BY tok.source
+""",
+)
+def vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source OOV rate under a fixed top-K frequency vocabulary.
+
+    Scale shape: the term-count relation is vocabulary-bounded (its
+    rank window is a dimension build, materialized once per corpus
+    snapshot in production); the corpus pays one narrow explode, a
+    broadcast membership join against the K-row vocab, and one
+    map-side-combined aggregate to |sources| rows.
+    """
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("source", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("term"))
+    cnt = tok.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    vocab = (
+        cnt.withColumn(
+            "rnk", F.row_number().over(Window.orderBy(F.col("c").desc(), F.col("term").asc()))
+        )
+        .filter(F.col("rnk") <= VOCAB_K)
+        .select("term", F.lit(True).alias("in_vocab"))
+    )
+    joined = tok.join(F.broadcast(vocab), "term", "left")
+    return joined.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.count(F.when(F.col("in_vocab").isNull(), 1)).alias("n_oov"),
+        F.round(
+            F.count(F.when(F.col("in_vocab").isNull(), 1)).cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("oov_rate"),
+        F.countDistinct(F.when(F.col("in_vocab").isNull(), F.col("term"))).alias("n_oov_terms"),
+    )

@@ -155,3 +155,45 @@ def test_prefix_join_lossless_on_boundary_sets(spark):
     assert pref == exact
     assert (1, 2, 1.0) in pref
     assert all(a != 5 and b != 5 for a, b, _ in pref)
+
+
+def test_threshold_sweep_monotone(spark, sf_dir):
+    from spk_sl_validation_spark.plans.dedup_queries import (
+        SWEEP_THRESHOLDS,
+        dedup_threshold_sweep,
+    )
+
+    rows = {r["threshold"]: r for r in dedup_threshold_sweep(spark, sf_dir).collect()}
+    assert set(rows) == set(SWEEP_THRESHOLDS)
+    ts = sorted(rows)
+    # raising the threshold can only shrink the pair set and the
+    # affected-doc set
+    for lo, hi in zip(ts, ts[1:]):
+        assert rows[hi]["n_pairs"] <= rows[lo]["n_pairs"]
+        assert rows[hi]["n_docs_affected"] <= rows[lo]["n_docs_affected"]
+    for r in rows.values():
+        # each qualifying pair touches 2 docs; distinct docs <= 2*pairs
+        assert r["n_docs_affected"] <= 2 * r["n_pairs"]
+
+
+def test_threshold_sweep_matches_exact_pairs(spark, sf_dir):
+    from spk_sl_validation_spark.ext.dedup import ngram_jaccard_pairs
+    from spk_sl_validation_spark.plans.dedup_queries import dedup_threshold_sweep
+    from spk_sl_validation_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    exact_05 = ngram_jaccard_pairs(docs, "doc_id", "text", 3, 0.5).count()
+    rows = {r["threshold"]: r for r in dedup_threshold_sweep(spark, sf_dir).collect()}
+    assert rows[0.5]["n_pairs"] == exact_05
+
+
+def test_vocab_oov_invariants(spark, sf_dir):
+    from spk_sl_validation_spark.plans.text_queries import vocab_oov_rate
+
+    rows = vocab_oov_rate(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["n_oov"] <= r["n_tokens"]
+        assert 0.0 <= r["oov_rate"] <= 1.0
+        # OOV tokens imply OOV terms and vice versa
+        assert (r["n_oov"] > 0) == (r["n_oov_terms"] > 0)

@@ -242,6 +242,80 @@ def run(op: str, docs, n: int) -> dict:
         out.write.mode("overwrite").format("noop").save()
         wall = time.time() - t0
         return {"op": op, "docs": n, "wall_sec": round(wall, 1), "docs_per_sec": int(n / wall)}
+    elif op == "prefix_join":
+        # Exact AllPairs prefix-filter Jaccard join on the synthetic
+        # corpus (dup structure gives real qualifying pairs; the shared
+        # header shingles are the most frequent tokens, so the prefix
+        # filter must exclude them or the candidate join goes
+        # quadratic). Also records the prefix-bucket candidate upper
+        # bound — the dial the docstring claims stays small.
+        from pyspark.sql import Window
+
+        from spk_sl_validation_spark.ext.dedup import jaccard_join_prefix
+        from spk_sl_validation_spark.ext.hashing import shingle_rows
+
+        sh = shingle_rows(docs, "doc_id", "text", 3).distinct()
+        freq = sh.groupBy("s").agg(F.count(F.lit(1)).alias("cnt"))
+        w_doc = Window.partitionBy("doc_id")
+        ranked = (
+            sh.join(freq.hint("shuffle_hash"), "s")
+            .withColumn(
+                "pos",
+                F.row_number().over(w_doc.orderBy(F.col("cnt").asc(), F.col("s").asc())),
+            )
+            .withColumn("n_sh", F.count(F.lit(1)).over(w_doc))
+        )
+        prefix = ranked.filter(
+            F.col("pos") <= F.col("n_sh") - F.ceil(F.col("n_sh") * F.lit(0.5)) + 1
+        )
+        pstats = (
+            prefix.groupBy("s")
+            .count()
+            .agg(
+                F.count(F.lit(1)).alias("n_buckets"),
+                F.max("count").alias("max_bucket"),
+                F.sum(F.col("count") * F.col("count")).alias("cand_upper"),
+            )
+            .first()
+        )
+        t0 = time.time()
+        out = jaccard_join_prefix(docs, "doc_id", "text", 3, 0.5)
+        n_pairs = out.count()
+        wall = time.time() - t0
+        return {
+            "op": op,
+            "docs": n,
+            "wall_sec": round(wall, 1),
+            "docs_per_sec": int(n / wall),
+            "n_pairs": n_pairs,
+            "prefix_buckets": pstats["n_buckets"],
+            "max_prefix_bucket": pstats["max_bucket"],
+            "cand_pairs_upper": int(pstats["cand_upper"]),
+        }
+    elif op == "novelty":
+        # Marginal n-gram novelty: synthesize a source label (16
+        # sources by doc_id band so "later" sources repeat earlier
+        # content via the dup structure) and run the registered shape.
+        from spk_sl_validation_spark.ext.hashing import md5_long, word_shingles, ws_tokens
+
+        src_docs = docs.withColumn(
+            "source", F.concat(F.lit("s"), F.lpad((F.col("doc_id") % 16).cast("string"), 2, "0"))
+        )
+        t0 = time.time()
+        grams = (
+            src_docs.select("source", ws_tokens("text").alias("t"))
+            .select("source", F.explode(word_shingles("t", 3)).alias("sg"))
+            .select("source", md5_long("sg").alias("h"))
+            .distinct()
+        )
+        d = grams.groupBy("source").agg(F.count(F.lit(1)).alias("n_distinct"))
+        nov = (
+            grams.groupBy("h")
+            .agg(F.min("source").alias("source"))
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_novel"))
+        )
+        out = d.join(nov, "source", "left")
     else:
         raise SystemExit(f"unknown op {op!r}")
     out.write.mode("overwrite").format("noop").save()
