@@ -776,3 +776,68 @@ def projected_rerank_topk(
     )
     w2 = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col(id_col).asc())
     return reranked.withColumn("rank", F.row_number().over(w2)).filter(F.col("rank") <= k)
+
+
+def mmr_select(
+    pool: DataFrame,
+    k: int,
+    lam: float = 0.7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    rel_col: str = "rel",
+) -> DataFrame:
+    """Maximal Marginal Relevance selection (Carbonell & Goldstein,
+    SIGIR'98): greedily pick ``k`` items maximizing
+    ``lam * rel - (1 - lam) * max_sim_to_already_selected``.
+
+    ``pool`` is the (id, vec, rel) candidate relation — in production
+    the top-N output of a retrieval stage, so it is SMALL by
+    construction; MMR is a rerank operator, never a corpus scan. The
+    pool and its pairwise cosine matrix are checkpointed once; each of
+    the ``k`` greedy rounds is a left-anti + left join + global top-1
+    over the pool-sized relation (no driver collect, no Python loop
+    over rows — the loop is over ROUNDS, exactly like Lloyd iterations
+    in ext/cluster.py). Determinism: cosines are ordered folds
+    (dot_double), ties break on ascending id.
+
+    Returns (rank, id, rel) with rank = selection order 1..k.
+    """
+    pool = pool.select(id_col, vec_col, rel_col).localCheckpoint(eager=True)
+    a = pool.select(F.col(id_col).alias("va"), F.col(vec_col).alias("__xa"))
+    b = pool.select(F.col(id_col).alias("vb"), F.col(vec_col).alias("__xb"))
+    pairs = (
+        a.crossJoin(b)
+        .filter(F.col("va") != F.col("vb"))
+        .select("va", "vb", cosine(F.col("__xa"), F.col("__xb")).alias("sim"))
+        .localCheckpoint(eager=True)
+    )
+
+    spark = pool.sparkSession
+    sel = spark.createDataFrame([], f"rank int, {id_col} long")
+    for step in range(1, k + 1):
+        msim = (
+            pairs.join(
+                F.broadcast(sel.select(F.col(id_col).alias("vb"))), "vb"
+            )
+            .groupBy("va")
+            .agg(F.max("sim").alias("__m"))
+            .withColumnRenamed("va", id_col)
+        )
+        cand = (
+            pool.join(F.broadcast(sel.select(id_col)), id_col, "left_anti")
+            .join(F.broadcast(msim), id_col, "left")
+            .withColumn(
+                "__mmr",
+                F.lit(lam) * F.col(rel_col)
+                - F.lit(1.0 - lam) * F.coalesce(F.col("__m"), F.lit(0.0)),
+            )
+        )
+        pick = (
+            cand.orderBy(F.col("__mmr").desc(), F.col(id_col).asc())
+            .limit(1)
+            .select(F.lit(step).alias("rank"), F.col(id_col).cast("long"))
+        )
+        sel = sel.unionByName(pick).localCheckpoint(eager=True)
+    return sel.join(F.broadcast(pool.select(id_col, rel_col)), id_col).select(
+        "rank", id_col, rel_col
+    )

@@ -506,3 +506,69 @@ def similarity_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("__hit").alias("n_caught"),
         (F.count("__hit").cast("double") / F.count(F.lit(1)).cast("double")).alias("recall"),
     )
+
+
+MMR_POOL = 12  # retrieval-pool depth feeding the rerank
+MMR_K = 6  # selections
+MMR_LAM = 0.7  # relevance weight; 1-lam penalizes redundancy
+
+
+@register(
+    "embedding_mmr_select",
+    doc=(
+        f"MMR diverse selection (Carbonell & Goldstein '98): top-{MMR_POOL} "
+        f"cosine pool for probe vec_id=0, then {MMR_K} greedy picks maximizing "
+        f"{MMR_LAM}*rel - {1 - MMR_LAM:.1f}*max-sim-to-selected — the "
+        "diversity-aware rerank that keeps an eval set from filling with "
+        "near-duplicates. Rerank-stage shape: all iteration runs on the "
+        "pool-sized relation, never the corpus; oracle replays the greedy "
+        "loop as a recursive CTE carrying the picked list"
+    ),
+    oracle=f"""
+WITH RECURSIVE
+probe AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+pool AS (
+  SELECT c.vec_id, c.embedding, {S.cosine_sql("p.embedding", "c.embedding")} AS rel
+  FROM embeddings c CROSS JOIN probe p
+  WHERE c.vec_id <> 0
+  ORDER BY rel DESC, c.vec_id ASC
+  LIMIT {MMR_POOL}
+),
+pairs AS (
+  SELECT a.vec_id AS va, b.vec_id AS vb,
+         {S.cosine_sql("a.embedding", "b.embedding")} AS sim
+  FROM pool a JOIN pool b ON a.vec_id <> b.vec_id
+),
+sel(step, picked) AS (
+  SELECT 0, CAST([] AS BIGINT[])
+  UNION ALL
+  SELECT step + 1, list_append(picked, (
+    SELECT p.vec_id FROM pool p
+    WHERE NOT list_contains(picked, p.vec_id)
+    ORDER BY {MMR_LAM!r} * p.rel
+             - {1.0 - MMR_LAM!r} * coalesce((
+                 SELECT max(pr.sim) FROM pairs pr
+                 WHERE pr.va = p.vec_id AND list_contains(picked, pr.vb)
+               ), 0.0) DESC,
+             p.vec_id ASC
+    LIMIT 1))
+  FROM sel WHERE step < {MMR_K}
+)
+SELECT CAST(u.rank AS INTEGER) AS rank, u.vec_id, pool.rel
+FROM (
+  SELECT unnest(picked) AS vec_id, generate_subscripts(picked, 1) AS rank
+  FROM sel WHERE step = {MMR_K}
+) u JOIN pool ON pool.vec_id = u.vec_id
+""",
+)
+def embedding_mmr_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    probe = emb.filter(F.col("vec_id") == 0)
+    pool = (
+        S.brute_force_topk(emb, probe, MMR_POOL)
+        .select("vec_id", F.col("cos_sim").alias("rel"))
+        .join(emb.select("vec_id", "embedding"), "vec_id")
+    )
+    return S.mmr_select(pool, MMR_K, MMR_LAM).select(
+        F.col("rank").cast("int").alias("rank"), "vec_id", "rel"
+    )

@@ -197,3 +197,49 @@ def test_vocab_oov_invariants(spark, sf_dir):
         assert 0.0 <= r["oov_rate"] <= 1.0
         # OOV tokens imply OOV terms and vice versa
         assert (r["n_oov"] > 0) == (r["n_oov_terms"] > 0)
+
+
+def test_mmr_matches_python_reference(spark, sf_dir):
+    """Full selection order must match an independent in-Python greedy
+    MMR over the same pool (exact ordered-fold cosine arithmetic)."""
+    from spk_sl_validation_spark.plans.similarity_queries import (
+        MMR_K,
+        MMR_LAM,
+        MMR_POOL,
+        embedding_mmr_select,
+    )
+    from spk_sl_validation_spark.sources.readers import load_table
+
+    emb = {r["vec_id"]: r["embedding"] for r in load_table(spark, sf_dir, "embeddings").collect()}
+
+    def dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + float(x) * float(y)
+        return acc
+
+    def cos(a, b):
+        import math
+
+        return dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+
+    probe = emb[0]
+    rel = {i: cos(probe, v) for i, v in emb.items() if i != 0}
+    pool = sorted(rel, key=lambda i: (-rel[i], i))[:MMR_POOL]
+    picked: list[int] = []
+    for _ in range(MMR_K):
+        best = max(
+            (i for i in pool if i not in picked),
+            key=lambda i: (
+                MMR_LAM * rel[i]
+                - (1.0 - MMR_LAM)
+                * max((cos(emb[i], emb[j]) for j in picked), default=0.0),
+                -i,
+            ),
+        )
+        picked.append(best)
+
+    got = sorted(embedding_mmr_select(spark, sf_dir).collect(), key=lambda r: r["rank"])
+    assert [r["vec_id"] for r in got] == picked
+    for r in got:
+        assert abs(r["rel"] - rel[r["vec_id"]]) < 1e-12
