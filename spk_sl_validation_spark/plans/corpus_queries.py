@@ -538,3 +538,70 @@ def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("corpus_coverage"),
     )
+
+
+@register(
+    "ingest_novelty_batch",
+    doc=(
+        "ingest decision report: every 5th doc plays a fresh crawl batch; "
+        "per batch doc, distinct-trigram count, count NOT present anywhere "
+        "in the existing corpus, and novelty rate — the is-this-snapshot-"
+        "worth-ingesting measure that pairs with dedup_incremental. One "
+        "distinct-gram shuffle + one left join on the 60-bit gram hash "
+        "(corpus side pre-collapsed to distinct hashes)"
+    ),
+    oracle=f"""
+WITH g AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) AS h
+  FROM (
+    SELECT doc_id,
+           unnest(list_distinct(list_transform(range(1, greatest(len(t) - 2, 1) + 1),
+                  i -> array_to_string(list_slice(t, i, i + 2), ' ')))) AS s
+    FROM (SELECT doc_id, {_TOKS} AS t FROM documents)
+  )
+),
+corpus AS (SELECT DISTINCT h FROM g WHERE doc_id % 5 <> 0),
+batch AS (SELECT doc_id, h FROM g WHERE doc_id % 5 = 0)
+SELECT b.doc_id,
+       count(*) AS n_grams,
+       count(*) FILTER (WHERE c.h IS NULL) AS n_novel,
+       round(CAST(count(*) FILTER (WHERE c.h IS NULL) AS DOUBLE)
+           / CAST(count(*) AS DOUBLE), 6) AS novelty_rate
+FROM batch b LEFT JOIN corpus c ON b.h = c.h
+GROUP BY b.doc_id
+""",
+)
+def ingest_novelty_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc novel-gram fraction of a fresh batch vs the corpus.
+
+    Scale shape: distinct (doc, gram-hash) rows once for everyone; the
+    corpus side collapses to distinct hashes (uniform 60-bit key)
+    before the membership join, which is a shuffle-hash equi-join on
+    that key — at 100 TB the corpus set is the persisted dedup index's
+    shingle table, so the batch pays one probe join proportional to
+    batch size (same asymmetry as dedup_incremental_indexed).
+    """
+    from spk_sl_validation_spark.ext.hashing import md5_long, word_shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    g = (
+        docs.select("doc_id", ws_tokens("text").alias("t"))
+        .select("doc_id", F.explode(word_shingles("t", 3)).alias("s"))
+        .select("doc_id", md5_long("s").alias("h"))
+        .distinct()
+    )
+    corpus = g.filter(F.col("doc_id") % 5 != 0).select("h").distinct()
+    batch = g.filter(F.col("doc_id") % 5 == 0)
+    joined = batch.join(
+        corpus.withColumn("__in_corpus", F.lit(True)).hint("shuffle_hash"), "h", "left"
+    )
+    return joined.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.count(F.when(F.col("__in_corpus").isNull(), 1)).alias("n_novel"),
+        F.round(
+            F.count(F.when(F.col("__in_corpus").isNull(), 1)).cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("novelty_rate"),
+    )

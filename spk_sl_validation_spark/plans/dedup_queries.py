@@ -692,7 +692,7 @@ _REG["dedup_jaccard_prefix_join"] = _dc.replace(
 
 
 SWEEP_THRESHOLDS = (0.3, 0.5, 0.7, 0.8, 0.9)
-_SWEEP_VALUES = ", ".join(f"({t!r})" for t in SWEEP_THRESHOLDS)
+_SWEEP_VALUES = ", ".join(f"(CAST({t!r} AS DOUBLE))" for t in SWEEP_THRESHOLDS)
 
 
 @register(

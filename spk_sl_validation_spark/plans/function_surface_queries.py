@@ -312,3 +312,41 @@ def safe_arithmetic_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.try_element_at(F.split("o_orderpriority", "-"), F.lit(5)).alias("oob_element"),
     )
+
+
+@register(
+    "analytic_rank_suite",
+    doc=(
+        "analytic window breadth beyond window_suite: percent_rank, "
+        "cume_dist, nth_value, first/last_value with explicit frames — "
+        "ratios of integer ranks, so doubles are engine-identical"
+    ),
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       round(percent_rank() OVER wp, 6) AS price_pct_rank,
+       round(cume_dist() OVER wp, 6) AS price_cume_dist,
+       nth_value(o_orderkey, 3) OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+           AS third_priciest,
+       first_value(o_orderkey) OVER wp AS priciest,
+       last_value(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+           AS cheapest
+FROM orders
+WHERE o_custkey < 200
+WINDOW wp AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+""",
+)
+def analytic_rank_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 200)
+    wp = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+    w_full = wp.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.percent_rank().over(wp), 6).alias("price_pct_rank"),
+        F.round(F.cume_dist().over(wp), 6).alias("price_cume_dist"),
+        F.nth_value("o_orderkey", 3).over(w_full).alias("third_priciest"),
+        F.first("o_orderkey").over(wp).alias("priciest"),
+        F.last("o_orderkey").over(w_full).alias("cheapest"),
+    )
