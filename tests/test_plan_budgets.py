@@ -59,6 +59,20 @@ NONHEADLINE_BUDGETS = {
     "fuzzy_match_parts_collapsed": (7, 0),
     "dsir_importance": (4, 0),
     "ccnet_ppl_buckets": (9, 0),
+    # second-half round-4 additions (audited the same way): the prefix
+    # join pays its shuffle-hash verify joins on both sides; the sweep
+    # carries the full exact pair relation through two aggregates; RRF
+    # runs two ranker pools plus the fusion aggregate; MMR's rounds all
+    # run on checkpointed pool-sized relations (zero corpus exchanges).
+    "hybrid_rrf_retrieval": (11, 0),
+    "dedup_jaccard_prefix_join": (14, 0),
+    "embedding_mmr_select": (0, 0),
+    "ngram_novelty": (5, 0),
+    "ingest_novelty_batch": (4, 0),
+    "dedup_threshold_sweep": (12, 0),
+    "mixture_temperature": (3, 0),
+    "tokenizer_fertility": (1, 0),
+    "vocab_oov_rate": (3, 0),
 }
 
 
