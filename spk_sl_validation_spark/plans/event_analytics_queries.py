@@ -365,3 +365,67 @@ def event_paths_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= PATH_TOP_K)
         .select("path", "n")
     )
+
+
+@register(
+    "pareto_abc_customers",
+    doc=(
+        "Pareto/ABC classification: customers ranked by exact DECIMAL "
+        "revenue, cumulative share cut at 80%/95% into A/B/C tiers — the "
+        "skew-documenting report (who is the head of the revenue "
+        "distribution). Cumulative sums run as exact decimals over the "
+        "customer-bounded aggregate relation, so shares are "
+        "engine-identical; the corpus pays one hash aggregate"
+    ),
+    oracle="""
+WITH r AS (
+  SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+  FROM orders GROUP BY o_custkey
+),
+c AS (
+  SELECT o_custkey, rev,
+         SUM(rev) OVER (ORDER BY rev DESC, o_custkey ASC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_rev,
+         SUM(rev) OVER () AS tot_rev
+  FROM r
+)
+SELECT o_custkey,
+       CAST(rev AS DOUBLE) AS revenue,
+       round(CAST(cum_rev AS DOUBLE) / CAST(tot_rev AS DOUBLE), 6) AS cum_share,
+       CASE WHEN round(CAST(cum_rev AS DOUBLE) / CAST(tot_rev AS DOUBLE), 6) <= 0.8 THEN 'A'
+            WHEN round(CAST(cum_rev AS DOUBLE) / CAST(tot_rev AS DOUBLE), 6) <= 0.95 THEN 'B'
+            ELSE 'C' END AS abc_class
+FROM c
+""",
+)
+def pareto_abc_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC tiers from exact-decimal cumulative revenue shares.
+
+    Scale note: the ordered cumulative window runs on the per-customer
+    aggregate — dimension-bounded, orders of magnitude below the fact
+    table; at true dimension scale partition the window by region and
+    offset per-partition totals (the pack_sequences two-phase pattern).
+    """
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    r = o.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev")
+    )
+    w_cum = Window.orderBy(F.col("rev").desc(), F.col("o_custkey").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.partitionBy()
+    c = r.select(
+        "o_custkey",
+        "rev",
+        F.sum("rev").over(w_cum).alias("cum_rev"),
+        F.sum("rev").over(w_all).alias("tot_rev"),
+    )
+    share = F.round(F.col("cum_rev").cast("double") / F.col("tot_rev").cast("double"), 6)
+    return c.select(
+        "o_custkey",
+        F.col("rev").cast("double").alias("revenue"),
+        share.alias("cum_share"),
+        F.when(share <= 0.8, "A").when(share <= 0.95, "B").otherwise("C").alias("abc_class"),
+    )

@@ -373,3 +373,56 @@ def streaming_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mean_prob"
         ),
     )
+
+
+def _streaming_mixture_oracle() -> str:
+    from spk_sl_validation_spark.ext.assembly import mixture_predicate_sql
+    from spk_sl_validation_spark.plans.assembly_queries import MIX_WEIGHTS
+
+    pred = mixture_predicate_sql(MIX_WEIGHTS)
+    return f"""
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_seen,
+       CAST(count(*) FILTER (WHERE {pred}) AS BIGINT) AS n_kept,
+       round(CAST(count(*) FILTER (WHERE {pred}) AS DOUBLE)
+           / CAST(count(*) AS DOUBLE), 6) AS kept_frac
+FROM documents GROUP BY source
+"""
+
+
+@register(
+    "streaming_mixture_sample",
+    doc=(
+        "deterministic mixture sampling ON A STREAM: the hash-threshold "
+        "keep predicate is a property of the ROW, so the micro-batch "
+        "pipeline keeps exactly the rows the batch job keeps regardless of "
+        "batch boundaries — per-source seen/kept counts (complete mode, "
+        "availableNow replay) == batch GROUP BY. The restartable 100 TB "
+        "mixing story: ingest keeps sampling while the corpus streams in"
+    ),
+    oracle=_streaming_mixture_oracle(),
+)
+def streaming_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spk_sl_validation_spark.ext.assembly import SAMPLE_MOD
+    from spk_sl_validation_spark.ext.hashing import md5_long
+    from spk_sl_validation_spark.plans.assembly_queries import MIX_WEIGHTS
+
+    stream = P.stream_documents(spark, sf_dir)
+    h = md5_long(F.col("doc_id").cast("string")) % SAMPLE_MOD
+    thresh = F.lit(0)
+    for src, w in sorted(MIX_WEIGHTS.items()):
+        thresh = F.when(F.col("source") == src, F.lit(int(w * SAMPLE_MOD))).otherwise(thresh)
+    flagged = stream.select("source", (h < thresh).alias("keep"))
+    agg = flagged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_seen"),
+        F.count(F.when(F.col("keep"), 1)).alias("n_kept"),
+    )
+    out = P.run_available_now(agg, output_mode="complete")
+    return out.select(
+        "source",
+        "n_seen",
+        "n_kept",
+        F.round(
+            F.col("n_kept").cast("double") / F.col("n_seen").cast("double"), 6
+        ).alias("kept_frac"),
+    )

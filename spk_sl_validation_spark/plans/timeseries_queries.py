@@ -230,3 +230,61 @@ def timeseries_seasonal_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("mean_bias"),
     )
+
+
+_MAD_K = 1.4826  # consistency constant: MAD * k estimates sigma under normality
+_MAD_TAU = 3.0
+
+
+@register(
+    "mad_outliers",
+    doc=(
+        "robust per-group outliers via median absolute deviation: "
+        f"|value - median| > {_MAD_TAU} * {_MAD_K} * MAD — the "
+        "contamination-resistant twin of zscore_outliers (one corrupted "
+        "batch cannot drag the gate open, unlike mean/std). Two exact "
+        "medians (group aggregate, then deviation aggregate), each a "
+        "group-bounded relation broadcast back onto the fact"
+    ),
+    oracle=f"""
+WITH med AS (
+  SELECT event_type, median(value) AS med FROM events GROUP BY event_type
+),
+mad AS (
+  SELECT e.event_type, median(abs(e.value - m.med)) AS mad
+  FROM events e JOIN med m ON m.event_type = e.event_type
+  GROUP BY e.event_type
+)
+SELECT e.event_id, e.event_type, e.value,
+       round(abs(e.value - m.med) / ({_MAD_K!r} * d.mad), 6) AS robust_z
+FROM events e
+JOIN med m ON m.event_type = e.event_type
+JOIN mad d ON d.event_type = e.event_type
+WHERE d.mad > 0.0
+  AND abs(e.value - m.med) > {_MAD_TAU!r} * {_MAD_K!r} * d.mad
+""",
+)
+def mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/MAD gate: both medians are exact interpolated percentiles
+    over identical doubles, so the robust z is engine-identical."""
+    ev = load_table(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type")
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(abs(value - med), 0.5)").alias("mad")
+    )
+    joined = ev.join(F.broadcast(med), "event_type").join(F.broadcast(mad), "event_type")
+    ad = F.abs(F.col("value") - F.col("med"))
+    return (
+        joined.filter(
+            (F.col("mad") > 0.0) & (ad > F.lit(_MAD_TAU) * F.lit(_MAD_K) * F.col("mad"))
+        )
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            F.round(ad / (F.lit(_MAD_K) * F.col("mad")), 6).alias("robust_z"),
+        )
+    )
