@@ -137,6 +137,7 @@ _RRF_QTERM_VALUES = ", ".join(
 
 @register(
     "hybrid_rrf_retrieval",
+    headline=True,
     doc=(
         f"hybrid retrieval: reciprocal-rank fusion (k={RRF_K}) of BM25 and "
         f"binary-cosine coordinate-match rankers, top-{RRF_POOL} pools fused "

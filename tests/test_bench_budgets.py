@@ -45,6 +45,9 @@ RATIO_BUDGETS = {
     # round-4 map-side rewrite (10 -> 5 exchanges, 1.42x): measured
     # ~1.4 vs pricing_summary — x3 headroom
     "text_bigram_logprob": 4.5,
+    # round-4 second-half promotion: RRF fusion measured ~3.5 vs
+    # pricing_summary (2.2 s vs 0.62 s, same session) — x3 headroom
+    "hybrid_rrf_retrieval": 11.0,
 }
 # catastrophic-only absolute cap for the calibrator itself (sf0.1)
 CALIBRATOR_MAX_SEC = 20.0

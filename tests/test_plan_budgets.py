@@ -47,6 +47,10 @@ BUDGETS = {
     # denominator over the vocab-bounded model, the pinned
     # shuffle-hash scoring join (both sides), and the per-doc fold.
     "text_bigram_logprob": (5, 0),
+    # round-4 second half: RRF fusion — two ranker pools (term-pruned
+    # tf/df aggregates, distinct doc-term relation) + the union fusion
+    # aggregate; rank windows partition by query over pool relations.
+    "hybrid_rrf_retrieval": (11, 0),
 }
 
 
@@ -64,7 +68,6 @@ NONHEADLINE_BUDGETS = {
     # carries the full exact pair relation through two aggregates; RRF
     # runs two ranker pools plus the fusion aggregate; MMR's rounds all
     # run on checkpointed pool-sized relations (zero corpus exchanges).
-    "hybrid_rrf_retrieval": (11, 0),
     "dedup_jaccard_prefix_join": (14, 0),
     "embedding_mmr_select": (0, 0),
     "ngram_novelty": (5, 0),
