@@ -68,6 +68,15 @@ def register(
 # pure-SQL shapes as round 4's sample prefix, followed by the 94
 # already-driver-green queries in registration order.
 SAMPLE_PRIORITY: tuple[str, ...] = (
+    # -- NEW in round 4's second half: the four structurally novel
+    #    operators (prefix-filter exact join, one-pass sweep, recursive
+    #    greedy MMR, RRF fusion) — newest code, least evidence, and
+    #    without a pin the late-loading dedup/similarity/retrieval
+    #    modules would push them past the 50-query sample prefix --
+    "dedup_jaccard_prefix_join",
+    "dedup_threshold_sweep",
+    "embedding_mmr_select",
+    "hybrid_rrf_retrieval",
     # -- round-1 reds, fixed in round 2, never re-sampled --
     "sessionize_events",
     "text_feature_hashing",
