@@ -1059,3 +1059,84 @@ def jaccard_join_prefix(
         .select("id_a", "id_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def jaccard_incremental_prefix(
+    batch: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact batch-vs-corpus Jaccard pairs via ONE-SIDED prefix
+    filtering — the lossless twin of :func:`dedup_incremental`'s LSH
+    candidate path.
+
+    Only the batch builds prefixes (rarest-first by corpus frequency;
+    tokens unseen in the corpus sort first and hit empty buckets —
+    harmless and still lossless): a pair with J >= t shares at least
+    ``ceil(t*|B|)`` tokens, which cannot all hide in B's suffix of
+    length ``ceil(t*|B|) - 1``, so some shared token is in B's prefix
+    of length ``|B| - ceil(t*|B|) + 1``. The corpus side is probed
+    as-is — at 100 TB it is the persisted shingle table of the dedup
+    index (``dedup_index_tables``), scanned once and joined on the
+    shingle; the batch pays everything else, so probe cost is
+    proportional to batch size.
+
+    Returns (id_batch, id_corpus, jaccard) with jaccard >= threshold.
+    """
+    from pyspark.sql import Window
+
+    from spk_sl_validation_spark.ext.hashing import shingle_rows
+
+    sh_b = shingle_rows(batch, id_col, text_col, n).distinct().localCheckpoint(eager=True)
+    sh_c = shingle_rows(corpus, id_col, text_col, n).distinct().localCheckpoint(eager=True)
+
+    freq = sh_c.groupBy("s").agg(F.count(F.lit(1)).alias("cnt"))
+    w_doc = Window.partitionBy(id_col)
+    ranked = (
+        sh_b.join(freq.hint("shuffle_hash"), "s", "left")
+        .withColumn("cnt", F.coalesce("cnt", F.lit(0)))
+        .withColumn(
+            "pos",
+            F.row_number().over(w_doc.orderBy(F.col("cnt").asc(), F.col("s").asc())),
+        )
+        .withColumn("n_sh", F.count(F.lit(1)).over(w_doc))
+    )
+    prefix_len = F.col("n_sh") - F.ceil(F.col("n_sh") * F.lit(threshold)) + 1
+    prefix = ranked.filter(F.col("pos") <= prefix_len).select(
+        F.col(id_col).alias("id_batch"), "s"
+    )
+
+    cand = (
+        prefix.join(
+            sh_c.select(F.col(id_col).alias("id_corpus"), "s").hint("shuffle_hash"), "s"
+        )
+        .select("id_batch", "id_corpus")
+        .distinct()
+    )
+
+    b_tok = sh_b.select(F.col(id_col).alias("id_batch"), "s")
+    c_tok = sh_c.select(F.col(id_col).alias("id_corpus"), "s")
+    inter = (
+        cand.join(b_tok.hint("shuffle_hash"), "id_batch")
+        .join(c_tok.hint("shuffle_hash"), ["id_corpus", "s"])
+        .groupBy("id_batch", "id_corpus")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sb = sh_b.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_b")).withColumnRenamed(
+        id_col, "id_batch"
+    )
+    sc = sh_c.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_c")).withColumnRenamed(
+        id_col, "id_corpus"
+    )
+    jac = F.col("n_inter").cast("double") / (
+        F.col("n_b") + F.col("n_c") - F.col("n_inter")
+    ).cast("double")
+    return (
+        inter.join(sb.hint("shuffle_hash"), "id_batch")
+        .join(sc.hint("shuffle_hash"), "id_corpus")
+        .select("id_batch", "id_corpus", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )

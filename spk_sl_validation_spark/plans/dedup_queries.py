@@ -777,3 +777,44 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_pairs").cast("long").alias("n_pairs"),
         F.col("n_docs_affected").cast("long").alias("n_docs_affected"),
     )
+
+
+@register(
+    "dedup_incremental_exact",
+    doc=(
+        "incremental EXACT near-dup: every 5th doc plays the fresh batch; "
+        "batch-vs-corpus Jaccard >= 0.5 pairs via one-sided prefix "
+        "filtering (only the batch builds rarest-first prefixes; the "
+        "corpus side is the persisted index shingle table, probed on the "
+        "shingle key) — the lossless twin of dedup_incremental's LSH "
+        "candidates: recall 1.0, probe cost proportional to batch size"
+    ),
+    oracle=rf"""
+WITH sh AS (
+  SELECT doc_id, unnest(list_distinct({word_shingles_sql(_TOKS, 3)})) AS s
+  FROM documents
+),
+b AS (SELECT * FROM sh WHERE doc_id % 5 = 0),
+c AS (SELECT * FROM sh WHERE doc_id % 5 <> 0),
+nb AS (SELECT doc_id, count(*) AS n_b FROM b GROUP BY doc_id),
+nc AS (SELECT doc_id, count(*) AS n_c FROM c GROUP BY doc_id),
+inter AS (
+  SELECT b.doc_id AS id_batch, c.doc_id AS id_corpus, count(*) AS n_inter
+  FROM b JOIN c ON b.s = c.s
+  GROUP BY 1, 2
+)
+SELECT id_batch, id_corpus,
+       CAST(n_inter AS DOUBLE) / CAST(nb.n_b + nc.n_c - n_inter AS DOUBLE) AS jaccard
+FROM inter
+JOIN nb ON nb.doc_id = id_batch
+JOIN nc ON nc.doc_id = id_corpus
+WHERE CAST(n_inter AS DOUBLE) / CAST(nb.n_b + nc.n_c - n_inter AS DOUBLE) >= 0.5
+""",
+)
+def dedup_incremental_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyspark.sql.functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    return D.jaccard_incremental_prefix(batch, corpus, "doc_id", "text", 3, 0.5)

@@ -243,3 +243,41 @@ def test_mmr_matches_python_reference(spark, sf_dir):
     assert [r["vec_id"] for r in got] == picked
     for r in got:
         assert abs(r["rel"] - rel[r["vec_id"]]) < 1e-12
+
+
+def test_incremental_prefix_lossless(spark, sf_dir):
+    """One-sided prefix filtering finds exactly the naive exact
+    batch-vs-corpus pair set (computed here without any pruning)."""
+    from pyspark.sql import functions as F
+
+    from spk_sl_validation_spark.ext.dedup import jaccard_incremental_prefix
+    from spk_sl_validation_spark.ext.hashing import shingle_rows
+    from spk_sl_validation_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+
+    got = {
+        (r["id_batch"], r["id_corpus"], round(r["jaccard"], 9))
+        for r in jaccard_incremental_prefix(batch, corpus, "doc_id").collect()
+    }
+
+    sh_b = shingle_rows(batch, "doc_id", "text", 3).distinct()
+    sh_c = shingle_rows(corpus, "doc_id", "text", 3).distinct()
+    nb = {r["doc_id"]: r["n"] for r in sh_b.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n")).collect()}
+    nc = {r["doc_id"]: r["n"] for r in sh_c.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n")).collect()}
+    inter = (
+        sh_b.withColumnRenamed("doc_id", "id_batch")
+        .join(sh_c.withColumnRenamed("doc_id", "id_corpus"), "s")
+        .groupBy("id_batch", "id_corpus")
+        .agg(F.count(F.lit(1)).alias("i"))
+        .collect()
+    )
+    want = set()
+    for r in inter:
+        j = r["i"] / (nb[r["id_batch"]] + nc[r["id_corpus"]] - r["i"])
+        if j >= 0.5:
+            want.add((r["id_batch"], r["id_corpus"], round(j, 9)))
+    assert got == want
+    assert want, "testdata should produce at least one qualifying pair"

@@ -76,6 +76,9 @@ NONHEADLINE_BUDGETS = {
     "mixture_temperature": (3, 0),
     "tokenizer_fertility": (1, 0),
     "vocab_oov_rate": (3, 0),
+    # one-sided incremental exact dedup: batch prefix build + corpus
+    # probe + verify joins, all pinned shuffle-hash, 0 SMJ
+    "dedup_incremental_exact": (15, 0),
 }
 
 
