@@ -74,6 +74,7 @@ SAMPLE_PRIORITY: tuple[str, ...] = (
     #    without a pin the late-loading dedup/similarity/retrieval
     #    modules would push them past the 50-query sample prefix --
     "dedup_jaccard_prefix_join",
+    "dedup_incremental_exact",
     "dedup_threshold_sweep",
     "embedding_mmr_select",
     "hybrid_rrf_retrieval",
