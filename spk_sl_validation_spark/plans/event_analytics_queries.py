@@ -429,3 +429,121 @@ def pareto_abc_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         share.alias("cum_share"),
         F.when(share <= 0.8, "A").when(share <= 0.95, "B").otherwise("C").alias("abc_class"),
     )
+
+
+@register(
+    "cumulative_distinct_events",
+    doc=(
+        "running COUNT(DISTINCT) emulation — engines (Spark included) do "
+        "not support DISTINCT aggregates over ordered windows, so the "
+        "first occurrence of each (user, event_type) is marked via "
+        "row_number and a running sum of marks gives the cumulative "
+        "distinct-type count per user timeline; two windows sharing one "
+        "user-keyed exchange"
+    ),
+    oracle="""
+WITH marked AS (
+  SELECT user_id, event_id, ts, event_type,
+         CASE WHEN row_number() OVER (PARTITION BY user_id, event_type
+                                      ORDER BY ts, event_id) = 1
+              THEN 1 ELSE 0 END AS first_seen
+  FROM events WHERE user_id < 100
+)
+SELECT user_id, event_id, event_type,
+       CAST(SUM(first_seen) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS distinct_types_so_far
+FROM marked
+""",
+)
+def cumulative_distinct_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 100)
+    w_first = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    marked = ev.withColumn(
+        "first_seen", F.when(F.row_number().over(w_first) == 1, 1).otherwise(0)
+    )
+    return marked.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.sum("first_seen").over(w_run).cast("long").alias("distinct_types_so_far"),
+    )
+
+
+RFM_ASOF = "1998-08-02"  # analysis date: max o_orderdate in TPC-H is 1998-08-02
+
+
+@register(
+    "rfm_segmentation",
+    doc=(
+        "RFM customer segmentation: recency (days since last order at the "
+        f"{RFM_ASOF} analysis date), frequency (order count), monetary "
+        "(exact DECIMAL revenue), each scored into quintiles by ntile "
+        "with full deterministic tiebreaks, concatenated into the segment "
+        "code — one hash aggregate + dimension-bounded rank windows"
+    ),
+    oracle=f"""
+WITH r AS (
+  SELECT o_custkey,
+         date_diff('day', max(o_orderdate), DATE '{RFM_ASOF}') AS recency_days,
+         count(*) AS frequency,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS monetary
+  FROM orders GROUP BY o_custkey
+),
+s AS (
+  SELECT o_custkey, recency_days, frequency, CAST(monetary AS DOUBLE) AS monetary,
+         ntile(5) OVER (ORDER BY recency_days ASC, o_custkey ASC) AS r_score,
+         ntile(5) OVER (ORDER BY frequency DESC, o_custkey ASC) AS f_score,
+         ntile(5) OVER (ORDER BY monetary DESC, o_custkey ASC) AS m_score
+  FROM r
+)
+SELECT o_custkey, CAST(recency_days AS BIGINT) AS recency_days, frequency, monetary,
+       CAST(r_score AS INTEGER) AS r_score,
+       CAST(f_score AS INTEGER) AS f_score,
+       CAST(m_score AS INTEGER) AS m_score,
+       CAST(r_score * 100 + f_score * 10 + m_score AS INTEGER) AS rfm_code
+FROM s
+""",
+)
+def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quintile RFM scores; ntile windows run on the customer-bounded
+    aggregate (dimension-scale), every ordering fully tiebroken."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    r = o.groupBy("o_custkey").agg(
+        F.datediff(F.lit(RFM_ASOF).cast("date"), F.max("o_orderdate")).alias("recency_days"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("monetary_dec"),
+    )
+    w_r = Window.orderBy(F.col("recency_days").asc(), F.col("o_custkey").asc())
+    w_f = Window.orderBy(F.col("frequency").desc(), F.col("o_custkey").asc())
+    w_m = Window.orderBy(F.col("monetary_dec").desc(), F.col("o_custkey").asc())
+    s = r.select(
+        "o_custkey",
+        F.col("recency_days").cast("long").alias("recency_days"),
+        "frequency",
+        F.col("monetary_dec").cast("double").alias("monetary"),
+        F.ntile(5).over(w_r).alias("r_score"),
+        F.ntile(5).over(w_f).alias("f_score"),
+        F.ntile(5).over(w_m).alias("m_score"),
+    )
+    return s.select(
+        "o_custkey",
+        "recency_days",
+        "frequency",
+        "monetary",
+        "r_score",
+        "f_score",
+        "m_score",
+        (F.col("r_score") * 100 + F.col("f_score") * 10 + F.col("m_score"))
+        .cast("int")
+        .alias("rfm_code"),
+    )
