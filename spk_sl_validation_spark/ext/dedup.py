@@ -1061,39 +1061,37 @@ def jaccard_join_prefix(
     )
 
 
-def jaccard_incremental_prefix(
-    batch: DataFrame,
-    corpus: DataFrame,
-    id_col: str,
-    text_col: str = "text",
-    n: int = 3,
-    threshold: float = 0.5,
-) -> DataFrame:
-    """Exact batch-vs-corpus Jaccard pairs via ONE-SIDED prefix
-    filtering — the lossless twin of :func:`dedup_incremental`'s LSH
-    candidate path.
+def prefix_index_tables(
+    corpus: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> tuple[DataFrame, DataFrame]:
+    """Persistable artifacts of the EXACT incremental-dedup index:
 
-    Only the batch builds prefixes (rarest-first by corpus frequency;
-    tokens unseen in the corpus sort first and hit empty buckets —
-    harmless and still lossless): a pair with J >= t shares at least
-    ``ceil(t*|B|)`` tokens, which cannot all hide in B's suffix of
-    length ``ceil(t*|B|) - 1``, so some shared token is in B's prefix
-    of length ``|B| - ceil(t*|B|) + 1``. The corpus side is probed
-    as-is — at 100 TB it is the persisted shingle table of the dedup
-    index (``dedup_index_tables``), scanned once and joined on the
-    shingle; the batch pays everything else, so probe cost is
-    proportional to batch size.
+    - ``sh``   (id, s): the corpus's distinct shingle rows — write it
+      bucketed (and sorted) on ``s`` so batch probes join against it
+      with zero exchange on the index side (same at-rest layout rule
+      as the LSH band table, :func:`dedup_index_tables`);
+    - ``freq`` (s, cnt): global shingle frequencies — the rarity order
+      batch prefixes are built from; derivable from ``sh`` but kept so
+      query time skips the full-index aggregation.
 
-    Returns (id_batch, id_corpus, jaccard) with jaccard >= threshold.
-    """
-    from pyspark.sql import Window
-
+    Built once per corpus version; every arriving shard runs
+    :func:`jaccard_incremental_prefix_indexed` against them."""
     from spk_sl_validation_spark.ext.hashing import shingle_rows
 
-    sh_b = shingle_rows(batch, id_col, text_col, n).distinct().localCheckpoint(eager=True)
-    sh_c = shingle_rows(corpus, id_col, text_col, n).distinct().localCheckpoint(eager=True)
+    sh = shingle_rows(corpus, id_col, text_col, n).distinct()
+    freq = sh.groupBy("s").agg(F.count(F.lit(1)).alias("cnt"))
+    return sh, freq
 
-    freq = sh_c.groupBy("s").agg(F.count(F.lit(1)).alias("cnt"))
+
+def _prefix_probe_tail(
+    sh_b: DataFrame, sh_c: DataFrame, freq: DataFrame, id_col: str, threshold: float
+) -> DataFrame:
+    """Shared probe tail of the exact incremental paths: batch prefixes
+    (rarest-first by corpus frequency) -> corpus candidate probe ->
+    exact verify. ``sh_b`` must be materialized (it feeds four
+    consumers)."""
+    from pyspark.sql import Window
+
     w_doc = Window.partitionBy(id_col)
     ranked = (
         sh_b.join(freq.hint("shuffle_hash"), "s", "left")
@@ -1140,3 +1138,55 @@ def jaccard_incremental_prefix(
         .select("id_batch", "id_corpus", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def jaccard_incremental_prefix_indexed(
+    batch: DataFrame,
+    index_sh: DataFrame,
+    index_freq: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact batch-vs-corpus Jaccard against a PREBUILT index
+    (:func:`prefix_index_tables`) — identical output to
+    :func:`jaccard_incremental_prefix`; the index tables are scanned,
+    never recomputed, so the batch pays everything."""
+    from spk_sl_validation_spark.ext.hashing import shingle_rows
+
+    sh_b = shingle_rows(batch, id_col, text_col, n).distinct().localCheckpoint(eager=True)
+    return _prefix_probe_tail(sh_b, index_sh, index_freq, id_col, threshold)
+
+
+def jaccard_incremental_prefix(
+    batch: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact batch-vs-corpus Jaccard pairs via ONE-SIDED prefix
+    filtering — the lossless twin of :func:`dedup_incremental`'s LSH
+    candidate path.
+
+    Only the batch builds prefixes (rarest-first by corpus frequency;
+    tokens unseen in the corpus sort first and hit empty buckets —
+    harmless and still lossless): a pair with J >= t shares at least
+    ``ceil(t*|B|)`` tokens, which cannot all hide in B's suffix of
+    length ``ceil(t*|B|) - 1``, so some shared token is in B's prefix
+    of length ``|B| - ceil(t*|B|) + 1``. The corpus side is probed
+    as-is — at 100 TB it is the persisted shingle table of the exact
+    dedup index (:func:`prefix_index_tables`), scanned once and joined
+    on the shingle; the batch pays everything else, so probe cost is
+    proportional to batch size.
+
+    Returns (id_batch, id_corpus, jaccard) with jaccard >= threshold.
+    """
+    from spk_sl_validation_spark.ext.hashing import shingle_rows
+
+    sh_b = shingle_rows(batch, id_col, text_col, n).distinct().localCheckpoint(eager=True)
+    sh_c = shingle_rows(corpus, id_col, text_col, n).distinct().localCheckpoint(eager=True)
+    freq = sh_c.groupBy("s").agg(F.count(F.lit(1)).alias("cnt"))
+    return _prefix_probe_tail(sh_b, sh_c, freq, id_col, threshold)

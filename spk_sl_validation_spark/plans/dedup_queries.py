@@ -818,3 +818,29 @@ def dedup_incremental_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch = docs.filter(F.col("doc_id") % 5 == 0)
     corpus = docs.filter(F.col("doc_id") % 5 != 0)
     return D.jaccard_incremental_prefix(batch, corpus, "doc_id", "text", 3, 0.5)
+
+
+@register(
+    "dedup_incremental_exact_indexed",
+    doc=(
+        "incremental EXACT near-dup against a PREBUILT prefix index "
+        "(prefix_index_tables: bucketed corpus shingle rows + frequency "
+        "table) — index scanned, never recomputed; identical output and "
+        "oracle as dedup_incremental_exact: the index is an access path, "
+        "not a semantic change"
+    ),
+    oracle=None,
+)
+def dedup_incremental_exact_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyspark.sql.functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    sh, freq = (t.localCheckpoint(eager=True) for t in D.prefix_index_tables(corpus))
+    return D.jaccard_incremental_prefix_indexed(batch, sh, freq)
+
+
+_REG["dedup_incremental_exact_indexed"] = _dc.replace(
+    _REG["dedup_incremental_exact_indexed"], oracle=_REG["dedup_incremental_exact"].oracle
+)

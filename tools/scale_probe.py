@@ -292,6 +292,56 @@ def run(op: str, docs, n: int) -> dict:
             "max_prefix_bucket": pstats["max_bucket"],
             "cand_pairs_upper": int(pstats["cand_upper"]),
         }
+    elif op == "incremental_exact":
+        # One-sided prefix-filter exact dedup, batch vs PREBUILT index
+        # (prefix_index_tables materialized outside the timed window).
+        # Own corpus synthesis: word residues mod n//8 keep near-dup
+        # clusters ~8 strong so output pair mass stays bounded and the
+        # measurement reads probe cost, not result writing (synth_docs'
+        # fixed mod-4096 structure would put every doc in a ~n/4096
+        # clique — the output-bound regime the prefix_join probe
+        # already covers).
+        from spk_sl_validation_spark.ext.dedup import (
+            jaccard_incremental_prefix_indexed,
+            prefix_index_tables,
+        )
+
+        mod = max(4096, n // 8)
+        words = F.concat_ws(
+            " ",
+            *[
+                F.concat(
+                    F.lit("w"),
+                    (((F.col("doc_id") % mod) * (2 * i + 1) + i * i) % 65536).cast("string"),
+                )
+                for i in range(40)
+            ],
+        )
+        big = (
+            docs.sparkSession.range(n)
+            .withColumnRenamed("id", "doc_id")
+            .select("doc_id", F.concat(F.lit("hdr shared span marker "), words).alias("text"))
+            .localCheckpoint(eager=True)
+        )
+        is_batch = F.col("doc_id") % 20 == 0
+        sh, freq = (
+            t.localCheckpoint(eager=True)
+            for t in prefix_index_tables(big.filter(~is_batch))
+        )
+        batch = big.filter(is_batch).localCheckpoint(eager=True)
+        t0 = time.time()  # index build excluded — the production shard cost
+        out = jaccard_incremental_prefix_indexed(batch, sh, freq)
+        n_pairs = out.count()
+        wall = time.time() - t0
+        n_batch = n // 20
+        return {
+            "op": op,
+            "docs": n_batch,
+            "wall_sec": round(wall, 1),
+            "docs_per_sec": int(n_batch / wall),
+            "index_docs": n - n_batch,
+            "n_pairs": n_pairs,
+        }
     elif op == "novelty":
         # Marginal n-gram novelty: synthesize a source label (16
         # sources by doc_id band so "later" sources repeat earlier
