@@ -288,3 +288,162 @@ def mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(ad / (F.lit(_MAD_K) * F.col("mad")), 6).alias("robust_z"),
         )
     )
+
+
+@register(
+    "time_weighted_average",
+    doc=(
+        "time-weighted average of an irregularly-sampled signal per user "
+        "(TimescaleDB time_weight-style, LOCF weighting): each value holds "
+        "until the next observation, weighted by that interval in seconds; "
+        "per-row products rounded to 12 decimals and summed as exact "
+        "DECIMAL(28,12) so the weighted mean is engine-identical. One lead "
+        "window + one aggregate sharing the user-keyed exchange"
+    ),
+    oracle="""
+WITH seq AS (
+  SELECT user_id, value,
+         CAST(date_diff('microsecond', ts,
+              lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+              AS DOUBLE) / 1000000.0 AS dt_s
+  FROM events WHERE user_id < 200
+),
+w AS (
+  SELECT user_id,
+         CAST(round(value * dt_s, 12) AS DECIMAL(28,12)) AS wv,
+         CAST(round(dt_s, 12) AS DECIMAL(28,12)) AS dt
+  FROM seq WHERE dt_s IS NOT NULL
+)
+SELECT user_id,
+       count(*) AS n_intervals,
+       round(CAST(SUM(dt) AS DOUBLE), 6) AS total_seconds,
+       round(CAST(SUM(wv) AS DOUBLE) / CAST(SUM(dt) AS DOUBLE), 6) AS time_weighted_avg
+FROM w
+GROUP BY user_id
+HAVING CAST(SUM(dt) AS DOUBLE) > 0.0
+""",
+)
+def time_weighted_average(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 200)
+    w_seq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    dt_s = (
+        (F.lead(F.unix_micros("ts")).over(w_seq) - F.unix_micros("ts")).cast("double")
+        / 1000000.0
+    )
+    seq = ev.select("user_id", "value", dt_s.alias("dt_s")).filter(F.col("dt_s").isNotNull())
+    w = seq.select(
+        "user_id",
+        F.round(F.col("value") * F.col("dt_s"), 12).cast("decimal(28,12)").alias("wv"),
+        F.round("dt_s", 12).cast("decimal(28,12)").alias("dt"),
+    )
+    agg = w.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_intervals"),
+        F.sum("wv").alias("swv"),
+        F.sum("dt").alias("sdt"),
+    )
+    return (
+        agg.filter(F.col("sdt").cast("double") > 0.0)
+        .select(
+            "user_id",
+            "n_intervals",
+            F.round(F.col("sdt").cast("double"), 6).alias("total_seconds"),
+            F.round(
+                F.col("swv").cast("double") / F.col("sdt").cast("double"), 6
+            ).alias("time_weighted_avg"),
+        )
+    )
+
+
+@register(
+    "moment_stats_suite",
+    doc=(
+        "higher-moment statistics per event type from EXACT power sums: "
+        "mean, population variance/stddev, skewness, excess kurtosis — "
+        "values truncated to DECIMAL(18,2) once, then Σv/Σv²/Σv³/Σv⁴ "
+        "accumulated as exact decimals (order-independent), and the moment "
+        "formulas applied as one fixed double expression — engine-identical "
+        "without relying on either engine's built-in skewness variant. One "
+        "map-side-combined aggregate"
+    ),
+    oracle="""
+WITH v AS (
+  -- d2 is cast to DECIMAL(19,4) to force the int128 path: the exact
+  -- value is what matters (Spark stages the same powers at different
+  -- but equally-exact widths)
+  SELECT event_type,
+         CAST(value AS DECIMAL(8,2)) AS d,
+         CAST(CAST(value AS DECIMAL(8,2)) * CAST(value AS DECIMAL(8,2))
+              AS DECIMAL(19,4)) AS d2
+  FROM events
+),
+s AS (
+  SELECT event_type,
+         count(*) AS n,
+         SUM(d) AS s1,
+         SUM(d2) AS s2,
+         SUM(d2 * d) AS s3,
+         SUM(d2 * d2) AS s4
+  FROM v GROUP BY event_type
+),
+m AS (
+  SELECT event_type, n,
+         CAST(s1 AS DOUBLE) / n AS m1,
+         CAST(s2 AS DOUBLE) / n AS m2,
+         CAST(s3 AS DOUBLE) / n AS m3,
+         CAST(s4 AS DOUBLE) / n AS m4
+  FROM s
+)
+SELECT event_type, n,
+       round(m1, 6) AS mean,
+       round(m2 - m1 * m1, 6) AS variance,
+       round(sqrt(m2 - m1 * m1), 6) AS stddev,
+       round((m3 - 3.0 * m1 * m2 + 2.0 * m1 * m1 * m1)
+             / pow(sqrt(m2 - m1 * m1), 3.0), 6) AS skewness,
+       round((m4 - 4.0 * m1 * m3 + 6.0 * m1 * m1 * m2 - 3.0 * m1 * m1 * m1 * m1)
+             / ((m2 - m1 * m1) * (m2 - m1 * m1)) - 3.0, 6) AS excess_kurtosis
+FROM m
+""",
+)
+def moment_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    # Stage the powers so every product stays inside the 38-digit exact
+    # decimal range of BOTH engines: d is (8,2), d2 = d*d is (17,4) in
+    # Spark, and d2*d2 = (35,8) — exact. The oracle stages identically
+    # at (19,4)/(38,8); the WIDTHS differ but every intermediate is
+    # exact, so the values (and the final doubles) are identical.
+    d = F.col("value").cast("decimal(8,2)")
+    v = ev.select("event_type", d.alias("d"), (d * d).alias("d2"))
+    s = v.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("d").alias("s1"),
+        F.sum("d2").alias("s2"),
+        F.sum(F.col("d2") * F.col("d")).alias("s3"),
+        F.sum(F.col("d2") * F.col("d2")).alias("s4"),
+    )
+    n = F.col("n").cast("double")
+    m1 = F.col("s1").cast("double") / n
+    m2 = F.col("s2").cast("double") / n
+    m3 = F.col("s3").cast("double") / n
+    m4 = F.col("s4").cast("double") / n
+    var = m2 - m1 * m1
+    return s.select(
+        "event_type",
+        "n",
+        F.round(m1, 6).alias("mean"),
+        F.round(var, 6).alias("variance"),
+        F.round(F.sqrt(var), 6).alias("stddev"),
+        F.round(
+            (m3 - F.lit(3.0) * m1 * m2 + F.lit(2.0) * m1 * m1 * m1)
+            / F.pow(F.sqrt(var), F.lit(3.0)),
+            6,
+        ).alias("skewness"),
+        F.round(
+            (m4 - F.lit(4.0) * m1 * m3 + F.lit(6.0) * m1 * m1 * m2
+             - F.lit(3.0) * m1 * m1 * m1 * m1)
+            / (var * var)
+            - F.lit(3.0),
+            6,
+        ).alias("excess_kurtosis"),
+    )
