@@ -547,3 +547,79 @@ def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("rfm_code"),
     )
+
+
+@register(
+    "interval_overlap_months",
+    doc=(
+        "interval-overlap join decomposed into bucket memberships — the "
+        "scalable plan for non-equi overlap joins: each supplier transit "
+        "interval (shipdate..receiptdate) explodes into the calendar "
+        "months it spans (sequence+explode, rows ∝ span), then a single "
+        "hash aggregate yields per-(supplier, month) overlapping-interval "
+        "counts and exact overlap days; the oracle replays it as the "
+        "naive non-equi month-calendar join Spark would otherwise plan "
+        "as a nested loop"
+    ),
+    oracle="""
+WITH iv AS (
+  -- this testdata's lineitem carries no receiptdate; transit span is
+  -- derived deterministically from the line number (3..31 days)
+  SELECT l_suppkey, CAST(l_shipdate AS DATE) AS s,
+         CAST(l_shipdate AS DATE) + CAST((l_linenumber * 7 + 3) AS INTEGER) AS r
+  FROM lineitem WHERE l_suppkey < 50
+),
+bounds AS (SELECT min(s) AS lo, max(r) AS hi FROM iv),
+months AS (
+  SELECT unnest(generate_series(date_trunc('month', b.lo), date_trunc('month', b.hi),
+                                INTERVAL 1 MONTH)) AS m
+  FROM bounds b
+),
+j AS (
+  SELECT iv.l_suppkey, months.m,
+         date_diff('day',
+                   greatest(iv.s, CAST(months.m AS DATE)),
+                   least(iv.r, CAST(months.m + INTERVAL 1 MONTH - INTERVAL 1 DAY AS DATE)))
+           + 1 AS overlap_days
+  FROM iv JOIN months
+    ON iv.s <= CAST(months.m + INTERVAL 1 MONTH - INTERVAL 1 DAY AS DATE)
+   AND iv.r >= CAST(months.m AS DATE)
+)
+SELECT l_suppkey, m AS month,
+       count(*) AS n_intervals,
+       CAST(SUM(overlap_days) AS BIGINT) AS total_overlap_days
+FROM j GROUP BY 1, 2
+""",
+)
+def interval_overlap_months(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketized interval join: no non-equi join anywhere — each
+    interval explodes into its month buckets (rows proportional to the
+    interval span, here <= 3), and overlap arithmetic is a narrow map.
+    At 100 TB this is the shape that replaces the BroadcastNestedLoop
+    plan a direct range predicate would produce."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_suppkey") < 50)
+    iv = li.select(
+        "l_suppkey",
+        F.col("l_shipdate").cast("date").alias("s"),
+        F.date_add(F.col("l_shipdate").cast("date"), F.col("l_linenumber") * 7 + 3).alias("r"),
+    )
+    exploded = iv.select(
+        "l_suppkey",
+        "s",
+        "r",
+        F.explode(
+            F.expr("sequence(date_trunc('month', s), date_trunc('month', r), interval 1 month)")
+        ).alias("m_ts"),
+    ).withColumn("m", F.col("m_ts").cast("date"))  # date for overlap arithmetic
+    month_end = F.expr("last_day(m)")
+    overlap = (
+        F.datediff(F.least(F.col("r"), month_end), F.greatest(F.col("s"), F.col("m"))) + 1
+    )
+    return (
+        exploded.select("l_suppkey", "m_ts", overlap.alias("overlap_days"))
+        .groupBy("l_suppkey", F.col("m_ts").alias("month"))
+        .agg(
+            F.count(F.lit(1)).alias("n_intervals"),
+            F.sum("overlap_days").cast("long").alias("total_overlap_days"),
+        )
+    )
