@@ -135,3 +135,52 @@ def sql_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     for name in ("customer", "orders"):
         load_table(spark, sf_dir, name).createOrReplaceTempView(f"v_{name}")
     return spark.sql(_Q22.format(customer="v_customer", orders="v_orders"))
+
+
+PYDS_N = 60_000
+PYDS_SHARDS = 8
+
+
+def _pyds_oracle() -> str:
+    from spk_sl_validation_spark.sources.pyds import oracle_sql
+
+    return f"""
+WITH src AS ({oracle_sql(PYDS_N, PYDS_SHARDS)})
+SELECT shard,
+       count(*) AS n_events,
+       CAST(SUM(CAST(round(value, 3) AS DECIMAL(18,3))) AS DOUBLE) AS sum_value,
+       CAST(min(event_id) AS BIGINT) AS min_id,
+       CAST(max(event_id) AS BIGINT) AS max_id
+FROM src GROUP BY shard
+"""
+
+
+@register(
+    "python_datasource_scan",
+    doc=(
+        f"custom Python DataSource (Spark 4 pyspark.sql.datasource API): "
+        f"{PYDS_N} deterministic records planned as {PYDS_SHARDS}-way "
+        "parallel input partitions, aggregated per shard — the modern "
+        "connector extension point, verified end to end because the DuckDB "
+        "oracle replays the generator arithmetic exactly"
+    ),
+    oracle=_pyds_oracle(),
+)
+def python_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from spk_sl_validation_spark.sources import pyds
+
+    pyds.register(spark)
+    src = (
+        spark.read.format(pyds.FORMAT_NAME)
+        .option("n", str(PYDS_N))
+        .option("shards", str(PYDS_SHARDS))
+        .load()
+    )
+    return src.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.round("value", 3).cast("decimal(18,3)")).cast("double").alias("sum_value"),
+        F.min("event_id").alias("min_id"),
+        F.max("event_id").alias("max_id"),
+    )

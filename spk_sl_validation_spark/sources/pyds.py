@@ -1,0 +1,83 @@
+"""Custom Python DataSource (Spark 4 ``pyspark.sql.datasource`` API).
+
+Demonstrates the modern extension point for reading formats Spark has
+no built-in connector for: the source plans ``shards`` input
+partitions (parallel read — each executor materializes only its id
+range) and generates a deterministic record stream, so the DuckDB
+oracle can replay the generator arithmetic exactly and the driver's
+value-hash gate verifies the connector end to end.
+
+Generation rule per ``event_id`` (all integer arithmetic until one
+final double division — engine-identical):
+
+    shard  = event_id % shards
+    bucket = (event_id * 2654435761) % 1000003          (Knuth hash)
+    value  = bucket / 1000.0
+
+At 100 TB the same shape holds: ``partitions()`` is the split
+planner (ranges, files, Kafka partitions, ...) and ``read`` runs
+executor-side; nothing flows through the driver but the partition
+list.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+FORMAT_NAME = "synthetic_events"
+KNUTH = 2654435761
+MOD = 1000003
+
+
+class _RangePartition(InputPartition):
+    def __init__(self, start: int, end: int):
+        self.start = start
+        self.end = end
+
+
+class SyntheticEventsReader(DataSourceReader):
+    def __init__(self, options):
+        self.n = int(options.get("n", "1000"))
+        self.shards = int(options.get("shards", "8"))
+
+    def partitions(self):
+        per = max(1, self.n // self.shards)
+        parts = []
+        start = 0
+        while start < self.n:
+            parts.append(_RangePartition(start, min(start + per, self.n)))
+            start += per
+        return parts
+
+    def read(self, partition):
+        shards = self.shards
+        for event_id in range(partition.start, partition.end):
+            bucket = (event_id * KNUTH) % MOD
+            yield (event_id, event_id % shards, bucket / 1000.0)
+
+
+class SyntheticEventsDataSource(DataSource):
+    @classmethod
+    def name(cls):
+        return FORMAT_NAME
+
+    def schema(self):
+        return "event_id bigint, shard int, value double"
+
+    def reader(self, schema):
+        return SyntheticEventsReader(self.options)
+
+
+def register(spark) -> None:
+    """Idempotent registration of the custom format."""
+    spark.dataSource.register(SyntheticEventsDataSource)
+
+
+def oracle_sql(n: int, shards: int) -> str:
+    """DuckDB replay of the generator (same integer arithmetic)."""
+    return f"""
+SELECT CAST(range AS BIGINT) AS event_id,
+       CAST(range % {shards} AS INTEGER) AS shard,
+       CAST((range * {KNUTH}) % {MOD} AS DOUBLE) / 1000.0 AS value
+FROM range({n})
+"""

@@ -193,3 +193,31 @@ def test_xml_declared_schema_roundtrip(spark, tmp_path):
         T.StringType(),
         T.LongType(),
     ]
+
+
+def test_python_datasource_partitions_and_completeness(spark):
+    """The custom Python DataSource plans the requested number of input
+    partitions and yields every id exactly once."""
+    from pyspark.sql import functions as F
+
+    from spk_sl_validation_spark.sources import pyds
+
+    pyds.register(spark)
+    df = (
+        spark.read.format(pyds.FORMAT_NAME)
+        .option("n", "1000")
+        .option("shards", "4")
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 4
+    agg = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("event_id").alias("nd"),
+        F.min("event_id").alias("lo"),
+        F.max("event_id").alias("hi"),
+    ).first()
+    assert (agg["n"], agg["nd"], agg["lo"], agg["hi"]) == (1000, 1000, 0, 999)
+    # generator parity with the oracle arithmetic
+    row = df.filter(F.col("event_id") == 123).first()
+    assert row["shard"] == 123 % 4
+    assert abs(row["value"] - ((123 * pyds.KNUTH) % pyds.MOD) / 1000.0) < 1e-12
