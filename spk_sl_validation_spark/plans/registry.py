@@ -75,6 +75,7 @@ SAMPLE_PRIORITY: tuple[str, ...] = (
     #    modules would push them past the 50-query sample prefix --
     "dedup_jaccard_prefix_join",
     "dedup_incremental_exact",
+    "python_datasource_scan",
     "dedup_threshold_sweep",
     "embedding_mmr_select",
     "hybrid_rrf_retrieval",
