@@ -184,3 +184,52 @@ def python_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("event_id").alias("min_id"),
         F.max("event_id").alias("max_id"),
     )
+
+
+@register(
+    "python_datasource_stream",
+    doc=(
+        "custom Python DataSource ON A STREAM (Spark 4 "
+        "SimpleDataSourceStreamReader): the same deterministic generator "
+        "served through the streaming offset protocol (one availableNow "
+        "microbatch; readBetweenOffsets replays committed spans for "
+        "recovery), aggregated per shard — stream == the batch connector "
+        "== the generator-replay oracle"
+    ),
+    oracle=None,
+)
+def python_datasource_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from spk_sl_validation_spark.sources import pyds
+    from spk_sl_validation_spark.streaming.pipeline import run_available_now
+
+    pyds.register(spark)
+    src = (
+        spark.readStream.format(pyds.FORMAT_NAME)
+        .option("n", str(PYDS_N))
+        .option("shards", str(PYDS_SHARDS))
+        .load()
+    )
+    agg = src.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.round("value", 3).cast("decimal(18,3)")).alias("__sum_dec"),
+        F.min("event_id").alias("min_id"),
+        F.max("event_id").alias("max_id"),
+    )
+    out = run_available_now(agg, output_mode="complete")
+    return out.select(
+        "shard",
+        "n_events",
+        F.col("__sum_dec").cast("double").alias("sum_value"),
+        "min_id",
+        "max_id",
+    )
+
+
+from spk_sl_validation_spark.plans.registry import REGISTRY as _REG  # noqa: E402
+import dataclasses as _dc  # noqa: E402
+
+_REG["python_datasource_stream"] = _dc.replace(
+    _REG["python_datasource_stream"], oracle=_REG["python_datasource_scan"].oracle
+)

@@ -22,7 +22,12 @@ list.
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 FORMAT_NAME = "synthetic_events"
 KNUTH = 2654435761
@@ -56,6 +61,40 @@ class SyntheticEventsReader(DataSourceReader):
             yield (event_id, event_id % shards, bucket / 1000.0)
 
 
+class SyntheticEventsStreamReader(SimpleDataSourceStreamReader):
+    """Streaming twin of the batch reader. Spark's Python microbatch
+    stream does not support Trigger.AvailableNow (it falls back to a
+    single batch — the engine logs the fallback), so the reader serves
+    the WHOLE generator range as one deterministic microbatch: offset
+    {pos: 0} -> {pos: n}. readBetweenOffsets replays any committed
+    span exactly (same arithmetic), which is what failure recovery
+    invokes."""
+
+    def __init__(self, options):
+        self.n = int(options.get("n", "1000"))
+        self.shards = int(options.get("shards", "8"))
+
+    def initialOffset(self):
+        return {"pos": 0}
+
+    def _rows(self, start: int, end: int):
+        # a LIST, not a generator: the prefetched batch is pickled to
+        # the JVM by the streaming runner
+        return [
+            (i, i % self.shards, ((i * KNUTH) % MOD) / 1000.0)
+            for i in range(start, end)
+        ]
+
+    def read(self, start):
+        pos = start["pos"]
+        if pos >= self.n:
+            return [], {"pos": pos}
+        return self._rows(pos, self.n), {"pos": self.n}
+
+    def readBetweenOffsets(self, start, end):
+        return self._rows(start["pos"], end["pos"])
+
+
 class SyntheticEventsDataSource(DataSource):
     @classmethod
     def name(cls):
@@ -66,6 +105,9 @@ class SyntheticEventsDataSource(DataSource):
 
     def reader(self, schema):
         return SyntheticEventsReader(self.options)
+
+    def simpleStreamReader(self, schema):
+        return SyntheticEventsStreamReader(self.options)
 
 
 def register(spark) -> None:
