@@ -25,8 +25,10 @@ from __future__ import annotations
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 
 FORMAT_NAME = "synthetic_events"
@@ -109,6 +111,9 @@ class SyntheticEventsDataSource(DataSource):
     def simpleStreamReader(self, schema):
         return SyntheticEventsStreamReader(self.options)
 
+    def writer(self, schema, overwrite):
+        return SyntheticEventsWriter(self.options)
+
 
 def register(spark) -> None:
     """Idempotent registration of the custom format."""
@@ -123,3 +128,58 @@ SELECT CAST(range AS BIGINT) AS event_id,
        CAST((range * {KNUTH}) % {MOD} AS DOUBLE) / 1000.0 AS value
 FROM range({n})
 """
+
+
+class _CommitMessage(WriterCommitMessage):
+    def __init__(self, path: str, count: int):
+        self.path = path
+        self.count = count
+
+
+class SyntheticEventsWriter(DataSourceWriter):
+    """Executor-side writer (Spark 4 DataSourceWriter protocol): each
+    task streams its partition to a uniquely-named JSONL part file and
+    returns a commit message; the driver's ``commit`` publishes a
+    _SUCCESS manifest listing every part with its row count — the
+    standard two-phase output-commit shape (no partial results visible
+    on failure because ``abort`` leaves no manifest)."""
+
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("synthetic_events writer requires option 'path'")
+
+    def write(self, iterator):
+        import json as _json
+        import os
+        import uuid
+
+        os.makedirs(self.path, exist_ok=True)
+        part = os.path.join(self.path, f"part-{uuid.uuid4().hex}.jsonl")
+        n = 0
+        with open(part, "w") as f:
+            for row in iterator:
+                f.write(_json.dumps(row.asDict()) + "\n")
+                n += 1
+        return _CommitMessage(part, n)
+
+    def commit(self, messages):
+        import json as _json
+        import os
+
+        manifest = {
+            "parts": sorted(
+                [{"path": m.path, "count": m.count} for m in messages],
+                key=lambda p: p["path"],
+            ),
+            "total": sum(m.count for m in messages),
+        }
+        with open(os.path.join(self.path, "_SUCCESS"), "w") as f:
+            f.write(_json.dumps(manifest))
+
+    def abort(self, messages):
+        import os
+
+        for m in messages:
+            if m is not None and os.path.exists(m.path):
+                os.remove(m.path)
