@@ -623,3 +623,38 @@ def interval_overlap_months(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("overlap_days").cast("long").alias("total_overlap_days"),
         )
     )
+
+
+RL_CAP = 5.0
+RL_RATE = 0.01  # tokens per second of event-time gap
+RL_USERS = 60
+
+
+@register(
+    "rate_limit_accept",
+    doc=(
+        f"per-user token-bucket admission (cap {RL_CAP}, refill {RL_RATE}/s "
+        "of event-time gap): the canonical inherently-sequential per-key "
+        "fold — min(cap, tokens + dt*rate) is non-associative, so no "
+        "window/prefix-sum decomposition exists; runs as an Arrow-batched "
+        "ordered fold per user (applyInPandas, thousands of keys in "
+        "parallel), value-verified against a recursive-CTE replay of the "
+        "identical IEEE arithmetic"
+    ),
+    oracle=None,
+)
+def rate_limit_accept(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spk_sl_validation_spark.ext.events import rate_limit_accept as _rl
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < RL_USERS)
+    return _rl(ev, RL_CAP, RL_RATE)
+
+
+from spk_sl_validation_spark.ext.events import rate_limit_oracle_sql as _rl_sql  # noqa: E402
+from spk_sl_validation_spark.plans.registry import REGISTRY as _REG2  # noqa: E402
+import dataclasses as _dc2  # noqa: E402
+
+_REG2["rate_limit_accept"] = _dc2.replace(
+    _REG2["rate_limit_accept"],
+    oracle=_rl_sql("events", RL_CAP, RL_RATE, f"user_id < {RL_USERS}"),
+)

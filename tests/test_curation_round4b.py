@@ -281,3 +281,51 @@ def test_incremental_prefix_lossless(spark, sf_dir):
             want.add((r["id_batch"], r["id_corpus"], round(j, 9)))
     assert got == want
     assert want, "testdata should produce at least one qualifying pair"
+
+
+def test_rate_limit_semantics(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from spk_sl_validation_spark.ext.events import rate_limit_accept
+    from spk_sl_validation_spark.sources.readers import load_table
+
+    CAP, RATE = 3.0, 0.01
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    out = rate_limit_accept(ev, CAP, RATE).collect()
+    assert out
+    by_user: dict[int, list] = {}
+    for r in out:
+        by_user.setdefault(r["user_id"], []).append(r)
+    for user, rows in by_user.items():
+        rows.sort(key=lambda r: (r["ts"], r["event_id"]))
+        # bucket stays within [0, cap]
+        for r in rows:
+            assert -1e-9 <= r["tokens_after"] <= CAP + 1e-9
+        # first event always admitted from a full bucket (cap >= 1)
+        assert rows[0]["accepted"] is True
+        assert abs(rows[0]["tokens_after"] - (CAP - 1.0)) < 1e-9
+        # a rejection means the bucket was below 1 token; the NEXT
+        # event can only be admitted after enough refill time
+        for prev, cur in zip(rows, rows[1:]):
+            if not prev["accepted"] and cur["accepted"]:
+                dt = (cur["ts"] - prev["ts"]).total_seconds()
+                assert prev["tokens_after"] + dt * RATE >= 1.0 - 1e-9
+
+
+def test_rate_limit_burst_then_starve(spark):
+    """Hand-built timeline: a 5-event burst against cap=2 admits the
+    first two and rejects the rest; after a long refill gap the bucket
+    readmits (clamped at cap)."""
+    import datetime as dt
+
+    from spk_sl_validation_spark.ext.events import rate_limit_accept
+
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+    rows = [(i, 1, t0 + dt.timedelta(seconds=i)) for i in range(5)]
+    rows.append((99, 1, t0 + dt.timedelta(hours=2)))  # long gap: full refill
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp")
+    got = {r["event_id"]: r for r in rate_limit_accept(df, 2.0, 0.01).collect()}
+    assert [got[i]["accepted"] for i in range(5)] == [True, True, False, False, False]
+    assert got[99]["accepted"] is True
+    # 2h * 0.01/s >> cap: bucket was clamped to cap before spending
+    assert abs(got[99]["tokens_after"] - 1.0) < 1e-9
