@@ -76,6 +76,7 @@ SAMPLE_PRIORITY: tuple[str, ...] = (
     "dedup_jaccard_prefix_join",
     "dedup_incremental_exact",
     "python_datasource_scan",
+    "rate_limit_accept",
     "dedup_threshold_sweep",
     "embedding_mmr_select",
     "hybrid_rrf_retrieval",
