@@ -292,6 +292,39 @@ def run(op: str, docs, n: int) -> dict:
             "max_prefix_bucket": pstats["max_bucket"],
             "cand_pairs_upper": int(pstats["cand_upper"]),
         }
+    elif op == "rate_limit":
+        # Arrow-batched per-key ordered fold (applyInPandas): n events
+        # over n/10000 users — measures the sequential-fold class's
+        # throughput (one Python pass per user's sorted events, keys in
+        # parallel; the per-task cost is Arrow transfer + a tight
+        # Python loop).
+        from pyspark.sql import functions as F
+
+        from spk_sl_validation_spark.ext.events import rate_limit_accept
+
+        n_users = max(n // 10_000, 1)
+        events = (
+            docs.sparkSession.range(n)
+            .select(
+                F.col("id").alias("event_id"),
+                (F.col("id") % n_users).alias("user_id"),
+                F.timestamp_micros(
+                    F.lit(1_700_000_000_000_000) + F.col("id") * 1_000_000
+                ).alias("ts"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        t0 = time.time()
+        out = rate_limit_accept(events, 5.0, 0.01)
+        out.write.mode("overwrite").format("noop").save()
+        wall = time.time() - t0
+        return {
+            "op": op,
+            "docs": n,
+            "wall_sec": round(wall, 1),
+            "docs_per_sec": int(n / wall),
+            "n_users": n_users,
+        }
     elif op == "incremental_exact":
         # One-sided prefix-filter exact dedup, batch vs PREBUILT index
         # (prefix_index_tables materialized outside the timed window).
