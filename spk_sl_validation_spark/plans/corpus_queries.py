@@ -605,3 +605,68 @@ def ingest_novelty_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("novelty_rate"),
     )
+
+
+@register(
+    "dedup_impact_report",
+    doc=(
+        "corpus-governance impact accounting: per-source docs/tokens before "
+        "and after near-dup dedup (the LSH->verify keep set), dropped-token "
+        "share — the report that justifies the dedup budget and feeds the "
+        "mixture re-weighting. Composed from the dedup keep relation + one "
+        "token aggregate; oracle reuses the shared verified-pairs CTEs "
+        "verbatim"
+    ),
+    oracle=None,
+)
+def dedup_impact_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spk_sl_validation_spark.ext.dedup import dedup_corpus
+    from spk_sl_validation_spark.plans.dedup_shared import BANDS, JACCARD_TAU, NUM_HASHES
+
+    docs = load_table(spark, sf_dir, "documents")
+    keep = dedup_corpus(
+        docs, "doc_id", "text", NUM_HASHES, BANDS, 3, jaccard_threshold=JACCARD_TAU
+    )
+    joined = docs.join(keep.hint("shuffle_hash"), "doc_id").select(
+        "source", "keep", F.size(ws_tokens("text")).alias("n_tok")
+    )
+    return joined.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("n_tokens"),
+        F.count(F.when(F.col("keep"), 1)).alias("n_docs_kept"),
+        F.sum(F.when(F.col("keep"), F.col("n_tok")).otherwise(0)).cast("long").alias(
+            "n_tokens_kept"
+        ),
+        F.round(
+            F.lit(1.0)
+            - F.sum(F.when(F.col("keep"), F.col("n_tok")).otherwise(0)).cast("double")
+            / F.sum("n_tok").cast("double"),
+            6,
+        ).alias("dropped_token_frac"),
+    )
+
+
+def _dedup_impact_oracle() -> str:
+    from spk_sl_validation_spark.plans.dedup_shared import _verified_pairs_ctes
+
+    return f"""
+WITH {_verified_pairs_ctes()},
+keepflag AS (
+  SELECT d.doc_id, d.source, len({_TOKS}) AS n_tok, (v.id_b IS NULL) AS keep
+  FROM documents d
+  LEFT JOIN (SELECT DISTINCT id_b FROM verified) v ON d.doc_id = v.id_b
+)
+SELECT source,
+       count(*) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+       count(*) FILTER (WHERE keep) AS n_docs_kept,
+       CAST(SUM(CASE WHEN keep THEN n_tok ELSE 0 END) AS BIGINT) AS n_tokens_kept,
+       round(1.0 - CAST(SUM(CASE WHEN keep THEN n_tok ELSE 0 END) AS DOUBLE)
+                 / CAST(SUM(n_tok) AS DOUBLE), 6) AS dropped_token_frac
+FROM keepflag GROUP BY source
+"""
+
+
+_REG["dedup_impact_report"] = _dc.replace(
+    _REG["dedup_impact_report"], oracle=_dedup_impact_oracle()
+)
