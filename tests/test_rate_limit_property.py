@@ -1,0 +1,70 @@
+"""Property test: the token-bucket Arrow fold vs an independent
+in-Python reference on hypothesis-generated multi-user timelines."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from spk_sl_validation_spark.ext.events import rate_limit_accept
+
+CAP = 3.0
+RATE = 0.05
+
+_T0 = dt.datetime(2026, 1, 1)
+
+
+def _python_fold(rows):
+    """Reference fold with the same IEEE expression order: epoch-µs
+    gaps divided by 1e6, min-clamped refill, spend-one-on-accept."""
+    by_user: dict[int, list] = {}
+    for eid, user, ts in rows:
+        by_user.setdefault(user, []).append((eid, ts))
+    out = {}
+    for user, evs in by_user.items():
+        evs.sort(key=lambda e: (e[1], e[0]))
+        tokens = CAP
+        prev_us = None
+        for eid, ts in evs:
+            us = int(ts.timestamp() * 1_000_000)
+            avail = (
+                tokens
+                if prev_us is None
+                else min(CAP, tokens + (float(us - prev_us) / 1000000.0) * RATE)
+            )
+            ok = avail >= 1.0
+            tokens = avail - 1.0 if ok else avail
+            out[eid] = (ok, round(tokens, 6))
+            prev_us = us
+    return out
+
+
+@st.composite
+def timelines(draw):
+    n = draw(st.integers(min_value=1, max_value=40))
+    rows = []
+    for eid in range(n):
+        user = draw(st.integers(min_value=0, max_value=3))
+        # offsets up to a few hours with second resolution, duplicates
+        # allowed (tiebreak is event_id)
+        off = draw(st.integers(min_value=0, max_value=10_000))
+        rows.append((eid, user, _T0 + dt.timedelta(seconds=off)))
+    return rows
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(timelines())
+def test_rate_limit_matches_python_reference(spark, rows):
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp")
+    got = {
+        r["event_id"]: (r["accepted"], r["tokens_after"])
+        for r in rate_limit_accept(df, CAP, RATE).collect()
+    }
+    want = _python_fold(rows)
+    assert got == want
