@@ -670,3 +670,63 @@ FROM keepflag GROUP BY source
 _REG["dedup_impact_report"] = _dc.replace(
     _REG["dedup_impact_report"], oracle=_dedup_impact_oracle()
 )
+
+
+@register(
+    "quality_by_dup_status",
+    doc=(
+        "governance crosstab: quality-score statistics split by near-dup "
+        "keep/drop status — answers whether dedup is removing low-value or "
+        "high-value content (decides keep-best-quality vs keep-first "
+        "survivorship). Exact decimal score sums per group; composes the "
+        "shared verified-pairs CTEs with the logistic quality model"
+    ),
+    oracle=None,
+)
+def quality_by_dup_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spk_sl_validation_spark.ext.dedup import dedup_corpus
+    from spk_sl_validation_spark.ext.text import quality_model_prob
+    from spk_sl_validation_spark.plans.dedup_shared import BANDS, JACCARD_TAU, NUM_HASHES
+
+    docs = load_table(spark, sf_dir, "documents")
+    keep = dedup_corpus(
+        docs, "doc_id", "text", NUM_HASHES, BANDS, 3, jaccard_threshold=JACCARD_TAU
+    )
+    p = F.round(quality_model_prob("text"), 12).cast("decimal(28,12)")
+    joined = docs.join(keep.hint("shuffle_hash"), "doc_id").select(
+        "keep", p.alias("p12")
+    )
+    return joined.groupBy("keep").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(
+            F.sum("p12").cast("double") / F.count(F.lit(1)).cast("double"), 6
+        ).alias("mean_quality"),
+        F.round(F.min("p12").cast("double"), 6).alias("min_quality"),
+        F.round(F.max("p12").cast("double"), 6).alias("max_quality"),
+    )
+
+
+def _quality_by_dup_oracle() -> str:
+    from spk_sl_validation_spark.plans.dedup_shared import _verified_pairs_ctes
+    from spk_sl_validation_spark.plans.text_queries import _Z
+
+    return f"""
+WITH {_verified_pairs_ctes()},
+scored AS (
+  SELECT d.doc_id, (v.id_b IS NULL) AS keep,
+         CAST(round(1.0 / (1.0 + exp(-({_Z}))), 12) AS DECIMAL(28,12)) AS p12
+  FROM documents d
+  LEFT JOIN (SELECT DISTINCT id_b FROM verified) v ON d.doc_id = v.id_b
+)
+SELECT keep,
+       count(*) AS n_docs,
+       round(CAST(SUM(p12) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS mean_quality,
+       round(CAST(MIN(p12) AS DOUBLE), 6) AS min_quality,
+       round(CAST(MAX(p12) AS DOUBLE), 6) AS max_quality
+FROM scored GROUP BY keep
+"""
+
+
+_REG["quality_by_dup_status"] = _dc.replace(
+    _REG["quality_by_dup_status"], oracle=_quality_by_dup_oracle()
+)
