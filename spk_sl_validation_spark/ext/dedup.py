@@ -551,6 +551,55 @@ def dedup_clusters(
     return labels
 
 
+def duplicate_soft_weights(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 12,
+    bands: int = 6,
+    shingle_n: int = 3,
+    jaccard_threshold: float = 0.8,
+) -> DataFrame:
+    """Duplicate-aware soft weighting: instead of DROPPING near-dups
+    (dedup_corpus), every document keeps a training weight
+    ``1 / cluster_size`` from its transitive near-dup cluster — the
+    "soft dedup" used when duplicates should contribute once in
+    expectation rather than be discarded (the sampling-weight analogue
+    of SemDeDup; cluster mass is conserved). Returns
+    ``(id, cluster_id, cluster_size, weight, n_tokens, eff_tokens)``
+    where ``eff_tokens`` is the document's token count scaled by its
+    weight — summed per source this is the effective (dedup-adjusted)
+    token budget a mixture planner should use.
+
+    Scale shape: rides :func:`dedup_clusters` (capped-LSH candidates,
+    min-label propagation); on top of it one hash aggregate on
+    cluster_id (≤ one row per document, uniform key) joined back, plus
+    a narrow token-count map on the corpus. Both derived columns are a
+    single double division — no ordering-sensitive float sums — so the
+    oracle lands on identical bits.
+    """
+    clusters = dedup_clusters(
+        df, id_col, text_col, num_hashes, bands, shingle_n, jaccard_threshold
+    )
+    sizes = clusters.groupBy("cluster_id").agg(F.count("*").alias("cluster_size"))
+    toks = df.select(
+        F.col(id_col),
+        F.size(F.split(F.trim(F.col(text_col)), r"\s+")).alias("n_tokens"),
+    )
+    return (
+        clusters.join(sizes, "cluster_id")
+        .join(toks, id_col)
+        .select(
+            id_col,
+            "cluster_id",
+            "cluster_size",
+            (F.lit(1.0) / F.col("cluster_size")).alias("weight"),
+            "n_tokens",
+            (F.col("n_tokens").cast("double") / F.col("cluster_size")).alias("eff_tokens"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

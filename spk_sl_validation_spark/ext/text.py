@@ -204,6 +204,24 @@ def rolling_fingerprints(df, id_col: str, text_col: str = "text", n: int = 3):
     )
 
 
+def _doc_spans(df, id_col: str, text_col: str, span_w: int):
+    """(id, span_idx, span) — each document split into non-overlapping
+    ``span_w``-word spans, a narrow per-row map (one ``transform`` over
+    token slices, ~n_words/span_w spans per doc). Shared by
+    :func:`span_dedup` and :func:`boilerplate_removal`."""
+    spans_per_doc = f"cast(greatest(ceil(size(__t) / {span_w}.0), 1) as int)"
+    t = df.select(F.col(id_col), ws_tokens(text_col).alias("__t"))
+    return t.select(
+        id_col,
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {spans_per_doc} - 1),"
+                f" i -> concat_ws(' ', slice(__t, i * {span_w} + 1, {span_w})))"
+            )
+        ).alias("span_idx", "span"),
+    )
+
+
 def span_dedup(df, id_col: str = "doc_id", text_col: str = "text", span_w: int = 8):
     """C4-style cross-document duplicated-span removal.
 
@@ -227,21 +245,66 @@ def span_dedup(df, id_col: str = "doc_id", text_col: str = "text", span_w: int =
     """
     from pyspark.sql import Window
 
-    spans_per_doc = f"cast(greatest(ceil(size(__t) / {span_w}.0), 1) as int)"
-    t = df.select(F.col(id_col), ws_tokens(text_col).alias("__t"))
-    spans = t.select(
-        id_col,
-        F.posexplode(
-            F.expr(
-                f"transform(sequence(0, {spans_per_doc} - 1),"
-                f" i -> concat_ws(' ', slice(__t, i * {span_w} + 1, {span_w})))"
-            )
-        ).alias("span_idx", "span"),
-    )
-    hashed = spans.withColumn("h", md5_long("span"))
+    hashed = _doc_spans(df, id_col, text_col, span_w).withColumn("h", md5_long("span"))
     flagged = hashed.withColumn(
         "kept", F.col(id_col) == F.min(id_col).over(Window.partitionBy("h"))
     )
+    kept_struct = F.when(F.col("kept"), F.struct("span_idx", "span"))
+    return flagged.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(F.array_sort(F.collect_list(kept_struct)), lambda s: s["span"]),
+            " ",
+        ).alias("clean_text"),
+        F.count(F.when(F.col("kept"), 1)).alias("n_spans_kept"),
+        F.count(F.when(~F.col("kept"), 1)).alias("n_spans_dropped"),
+    )
+
+
+def boilerplate_removal(
+    df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span_w: int = 8,
+    min_docs: int = 3,
+    broadcast_bp: bool = True,
+):
+    """CCNet/RefinedWeb-style boilerplate removal: a ``span_w``-word
+    span occurring in at least ``min_docs`` DISTINCT documents is
+    treated as boilerplate (headers, footers, licence blocks, nav
+    chrome) and removed from EVERY document — including the first one.
+    Documents are reassembled in span order. Returns
+    ``(id, clean_text, n_spans_kept, n_spans_dropped)``.
+
+    Distinct semantics from :func:`span_dedup`: dedup keeps one owner
+    copy of a duplicated span (content preservation); boilerplate
+    removal deletes the span everywhere (it is template noise, not
+    content). The reference has no corpus operators; this extends its
+    cleansing scope (SURVEY.md SS2.6) the way CCNet's hashed-paragraph
+    pass does, at span granularity because the synthetic corpus has no
+    paragraph marks.
+
+    Scale shape: one narrow span build, then a census
+    ``groupBy(span_hash).agg(countDistinct(id))`` (two-phase hash
+    aggregate, uniform on the 60-bit hash) whose output is filtered to
+    the boilerplate set — hashes only, 8 bytes each, bounded above by
+    n_distinct_spans / min_docs and in practice tiny (boilerplate is by
+    definition heavily repeated). That set broadcast-anti-joins back
+    against the span stream, so the corpus itself is never shuffled for
+    the join; reassembly is the same doc-id aggregate as span_dedup.
+    For a pathological corpus where the boilerplate set itself exceeds
+    driver memory, pass ``broadcast_bp=False`` to fall back to a
+    shuffle join on the span hash.
+    """
+    hashed = _doc_spans(df, id_col, text_col, span_w).withColumn("h", md5_long("span"))
+    bp = (
+        hashed.groupBy("h")
+        .agg(F.countDistinct(id_col).alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+        .select("h", F.lit(True).alias("__bp"))
+    )
+    if broadcast_bp:
+        bp = F.broadcast(bp)
+    flagged = hashed.join(bp, "h", "left").withColumn("kept", F.col("__bp").isNull())
     kept_struct = F.when(F.col("kept"), F.struct("span_idx", "span"))
     return flagged.groupBy(id_col).agg(
         F.array_join(

@@ -294,6 +294,53 @@ def corpus_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return span_dedup(docs, "doc_id", "text", SPAN_W)
 
 
+BP_MIN_DOCS = 3  # spans in >= this many distinct docs are boilerplate
+
+
+@register(
+    "corpus_boilerplate_removal",
+    doc=(
+        f"CCNet-style boilerplate removal: an {SPAN_W}-word span occurring in "
+        f">= {BP_MIN_DOCS} distinct documents is template noise and removed "
+        "from EVERY document (vs span dedup, which keeps one owner copy). "
+        "Census groupBy on the span hash -> tiny hash-only boilerplate set -> "
+        "broadcast anti-join back; the corpus is never shuffled for the join"
+    ),
+    oracle=f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+spans AS (
+  SELECT doc_id, CAST(i AS INTEGER) AS span_idx,
+         array_to_string(list_slice(t, i * {SPAN_W} + 1, i * {SPAN_W} + {SPAN_W}), ' ') AS span
+  FROM toks, unnest(range(0, greatest(CAST(ceil(len(t) / {SPAN_W}.0) AS BIGINT), 1))) AS u(i)
+),
+hashed AS (
+  SELECT doc_id, span_idx, span,
+         CAST(('0x' || substr(md5(span), 1, 15)) AS BIGINT) AS h
+  FROM spans
+),
+bp AS (SELECT h FROM hashed GROUP BY h HAVING count(DISTINCT doc_id) >= {BP_MIN_DOCS}),
+flagged AS (
+  SELECT hashed.doc_id, hashed.span_idx, hashed.span, (bp.h IS NULL) AS kept
+  FROM hashed LEFT JOIN bp ON hashed.h = bp.h
+)
+SELECT doc_id,
+       coalesce(string_agg(span, ' ' ORDER BY span_idx) FILTER (WHERE kept), '') AS clean_text,
+       count(*) FILTER (WHERE kept) AS n_spans_kept,
+       count(*) FILTER (WHERE NOT kept) AS n_spans_dropped
+FROM flagged GROUP BY doc_id
+""",
+)
+def corpus_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate-span removal (the CCNet hashed-paragraph move at span
+    granularity). See ext/text.py boilerplate_removal for semantics and
+    the scale argument; the reference has no corpus operators (SURVEY.md
+    SS2.6 extension)."""
+    from spk_sl_validation_spark.ext.text import boilerplate_removal
+
+    docs = load_table(spark, sf_dir, "documents")
+    return boilerplate_removal(docs, "doc_id", "text", SPAN_W, BP_MIN_DOCS)
+
+
 OVERLAP_N = 8  # shingle width for cross-source containment
 
 

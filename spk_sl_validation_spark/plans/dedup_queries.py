@@ -161,11 +161,11 @@ FROM documents d LEFT JOIN (SELECT DISTINCT id_b FROM verified) v ON d.doc_id = 
 """
 
 
-def _dedup_clusters_oracle() -> str:
+def _clusters_cte_body() -> str:
     """Connected components over the verified pair graph via a
-    recursive CTE (min reachable id = cluster label)."""
-    return f"""
-WITH RECURSIVE {_verified_pairs_ctes()},
+    recursive CTE (min reachable id = cluster label); shared by the
+    clusters and soft-weights oracles."""
+    return f"""{_verified_pairs_ctes()},
 edges AS (
   SELECT id_a AS src, id_b AS dst FROM verified
   UNION
@@ -175,8 +175,31 @@ reach(id, r) AS (
   SELECT doc_id, doc_id FROM documents
   UNION
   SELECT re.id, e.dst FROM reach re JOIN edges e ON e.src = re.r
+),
+clusters AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id)"""
+
+
+def _dedup_clusters_oracle() -> str:
+    return f"""
+WITH RECURSIVE {_clusters_cte_body()}
+SELECT doc_id, cluster_id FROM clusters
+"""
+
+
+def _soft_weights_oracle() -> str:
+    return rf"""
+WITH RECURSIVE {_clusters_cte_body()},
+csizes AS (SELECT cluster_id, count(*) AS cluster_size FROM clusters GROUP BY cluster_id),
+toks AS (
+  SELECT doc_id, CAST(len({_TOKS}) AS INTEGER) AS n_tokens FROM documents
 )
-SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id
+SELECT c.doc_id, c.cluster_id, s.cluster_size,
+       CAST(1 AS DOUBLE) / s.cluster_size AS weight,
+       t.n_tokens,
+       CAST(t.n_tokens AS DOUBLE) / s.cluster_size AS eff_tokens
+FROM clusters c
+JOIN csizes s USING (cluster_id)
+JOIN toks t USING (doc_id)
 """
 
 
@@ -241,6 +264,25 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _REG["dedup_clusters"] = _dc.replace(_REG["dedup_clusters"], oracle=_dedup_clusters_oracle())
+
+
+@register(
+    "dedup_soft_weights",
+    doc=(
+        "duplicate-aware soft weighting: every doc keeps weight 1/cluster_size "
+        "from its transitive near-dup cluster (mass-conserving alternative to "
+        "dropping); eff_tokens = the dedup-adjusted token budget per doc"
+    ),
+    oracle=None,
+)
+def dedup_soft_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.duplicate_soft_weights(
+        docs, "doc_id", "text", NUM_HASHES, BANDS, 3, jaccard_threshold=JACCARD_TAU
+    )
+
+
+_REG["dedup_soft_weights"] = _dc.replace(_REG["dedup_soft_weights"], oracle=_soft_weights_oracle())
 
 
 # ---------------------------------------------------------------------------

@@ -80,6 +80,11 @@ SAMPLE_PRIORITY: tuple[str, ...] = (
     "dedup_threshold_sweep",
     "embedding_mmr_select",
     "hybrid_rrf_retrieval",
+    # -- newest additions (boilerplate removal / soft weighting):
+    #    remove-everywhere census semantics and the cluster-mass
+    #    weighting both deserve the driver's independent replay first --
+    "corpus_boilerplate_removal",
+    "dedup_soft_weights",
     # -- round-1 reds, fixed in round 2, never re-sampled --
     "sessionize_events",
     "text_feature_hashing",

@@ -1,0 +1,135 @@
+"""Semantic golden tests for ext.text.boilerplate_removal
+(corpus_boilerplate_removal) and ext.dedup.duplicate_soft_weights
+(dedup_soft_weights).
+
+The registry-wide differential test (test_queries.py) value-hashes both
+registered queries against DuckDB at sf0.001; these tests pin the
+*semantics* on hand-built corpora: boilerplate is removed EVERYWHERE
+(vs span dedup's owner-keeps rule), the distinct-document threshold is
+per-document not per-occurrence, and soft weights conserve cluster mass.
+"""
+
+from __future__ import annotations
+
+from spk_sl_validation_spark.ext.dedup import duplicate_soft_weights
+from spk_sl_validation_spark.ext.text import boilerplate_removal
+
+W = 2  # two-word spans keep the fixtures readable
+
+
+def _run(spark, rows, min_docs=3):
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = boilerplate_removal(df, "doc_id", "text", span_w=W, min_docs=min_docs)
+    return {r["doc_id"]: r for r in out.collect()}
+
+
+def test_boilerplate_removed_everywhere_including_first_doc(spark):
+    rows = [
+        (1, "nav bar alpha beta"),
+        (2, "nav bar gamma delta"),
+        (3, "nav bar epsilon zeta"),
+    ]
+    got = _run(spark, rows, min_docs=3)
+    # "nav bar" hits 3 distinct docs -> gone from ALL of them (span
+    # dedup would have kept doc 1's copy).
+    assert got[1]["clean_text"] == "alpha beta"
+    assert got[2]["clean_text"] == "gamma delta"
+    assert got[3]["clean_text"] == "epsilon zeta"
+    for r in got.values():
+        assert r["n_spans_kept"] == 1 and r["n_spans_dropped"] == 1
+
+
+def test_below_threshold_spans_survive_everywhere(spark):
+    # "nav bar" in only 2 docs < min_docs=3 -> not boilerplate.
+    rows = [(1, "nav bar alpha beta"), (2, "nav bar gamma delta"), (3, "x y")]
+    got = _run(spark, rows, min_docs=3)
+    assert got[1]["clean_text"] == "nav bar alpha beta"
+    assert got[2]["clean_text"] == "nav bar gamma delta"
+    assert got[3]["clean_text"] == "x y"
+
+
+def test_threshold_counts_distinct_docs_not_occurrences(spark):
+    # "p q" occurs 3x but inside ONE document -> 1 distinct doc, kept.
+    rows = [(1, "p q p q p q"), (2, "r s t u")]
+    got = _run(spark, rows, min_docs=3)
+    assert got[1]["clean_text"] == "p q p q p q"
+    assert got[1]["n_spans_dropped"] == 0
+
+
+def test_fully_boilerplate_doc_empties(spark):
+    rows = [(1, "nav bar"), (2, "nav bar"), (3, "nav bar"), (4, "nav bar tail word")]
+    got = _run(spark, rows, min_docs=3)
+    for i in (1, 2, 3):
+        assert got[i]["clean_text"] == "" and got[i]["n_spans_kept"] == 0
+    assert got[4]["clean_text"] == "tail word"
+
+
+def test_boilerplate_plan_shape(spark, sf_dir):
+    """Census (two-phase distinct aggregate: 2 exchanges) + reassembly
+    (1 exchange); the boilerplate set joins back as a BROADCAST — the
+    corpus is never shuffled for the join. Two parquet scans is the
+    honest minimum: materializing the corpus-scale span stream to save
+    a scan would cost more than the scan at 100 TB."""
+    import re
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from tools.dump_plans import plan_stats
+
+    from spk_sl_validation_spark.plans.registry import REGISTRY, _ensure_loaded
+
+    _ensure_loaded()
+    df = REGISTRY["corpus_boilerplate_removal"].builder(spark, sf_dir)
+    df.write.mode("overwrite").format("noop").save()
+    qe = df._jdf.queryExecution()
+    formatted = spark._jvm.PythonSQLUtils.explainString(qe, "formatted")
+    st = plan_stats(formatted)
+    assert st["shuffle_exchanges"] <= 3, st
+    assert st["sort_merge_joins"] == 0, st
+    assert st["broadcast_hash_joins"] == 1, st
+    n_scans = len(re.findall(r"\(\d+\) Scan parquet", formatted))
+    assert n_scans <= 2, f"corpus scanned {n_scans}x"
+
+
+# ---------------------------------------------------------------------------
+# duplicate_soft_weights
+# ---------------------------------------------------------------------------
+
+# Exact-duplicate pair (every MinHash band collides by construction —
+# deterministic for a golden test) + a unique doc.
+_NEAR_A = "the quick brown fox jumps over the lazy dog today again"
+_NEAR_B = _NEAR_A
+_UNIQUE = "completely different words that no other document carries here"
+
+
+def _weights(spark, rows):
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = duplicate_soft_weights(df, "doc_id", "text")
+    return {r["doc_id"]: r for r in out.collect()}
+
+
+def test_soft_weights_cluster_mass_conserved(spark):
+    got = _weights(spark, [(1, _NEAR_A), (2, _NEAR_B), (3, _UNIQUE)])
+    assert got[1]["cluster_id"] == got[2]["cluster_id"] == 1
+    assert got[1]["cluster_size"] == got[2]["cluster_size"] == 2
+    assert got[1]["weight"] == 0.5 and got[2]["weight"] == 0.5
+    assert got[3]["cluster_size"] == 1 and got[3]["weight"] == 1.0
+    # mass conservation: weights inside a cluster sum to exactly 1
+    assert got[1]["weight"] + got[2]["weight"] == 1.0
+
+
+def test_soft_weights_eff_tokens(spark):
+    got = _weights(spark, [(1, _NEAR_A), (2, _NEAR_B), (3, _UNIQUE)])
+    for r in got.values():
+        assert r["n_tokens"] == len((_NEAR_A if r["doc_id"] == 1 else _NEAR_B if r["doc_id"] == 2 else _UNIQUE).split())
+        assert r["eff_tokens"] == r["n_tokens"] / r["cluster_size"]
+
+
+def test_soft_weights_all_unique_corpus_is_identity(spark):
+    rows = [(i, f"unique{i} words{i} only{i} here{i} now{i}") for i in range(1, 6)]
+    got = _weights(spark, rows)
+    assert len(got) == 5
+    for i, text in rows:
+        assert got[i]["cluster_id"] == i
+        assert got[i]["weight"] == 1.0
+        assert got[i]["eff_tokens"] == float(len(text.split()))
