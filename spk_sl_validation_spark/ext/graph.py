@@ -168,6 +168,93 @@ def pagerank(
     return ranks.select("node", F.round("rank", 6).alias("rank"))
 
 
+def co_occurrence_edges(
+    df: DataFrame, group_col: str, item_col: str
+) -> DataFrame:
+    """(a, b): undirected distinct co-occurrence edges — two items are
+    adjacent iff they appear in the same group (parts co-ordered in one
+    order, terms co-occurring in one document, …).
+
+    Scale shape: the per-group self-join expands each group of size k
+    into C(k,2) pairs — bounded by the group size, not the corpus, so
+    it is safe whenever groups are naturally small (order baskets). A
+    corpus with degenerate mega-groups needs the same cap/salt
+    treatment as LSH buckets (ext/dedup.py MAX_BUCKET_SIZE) before this
+    join.
+    """
+    it = df.select(F.col(group_col).alias("__g"), F.col(item_col).alias("__i")).distinct()
+    a = it.alias("l")
+    b = it.alias("r")
+    return (
+        a.join(b, (F.col("l.__g") == F.col("r.__g")) & (F.col("l.__i") < F.col("r.__i")))
+        .select(F.col("l.__i").alias("a"), F.col("r.__i").alias("b"))
+        .distinct()
+    )
+
+
+def triangle_counts(edges: DataFrame) -> DataFrame:
+    """(node, degree, n_triangles, clustering_coeff): per-node triangle
+    participation and local clustering coefficient over an undirected
+    edge list ``(a, b)`` with a < b and no self-loops.
+
+    Degree-ordered orientation (the classic external-memory / MapReduce
+    formulation, Suri & Vassilvitskii WWW'11): orient every edge from
+    its lower-(degree, node) endpoint to the higher one, so each
+    triangle {x ≺ y ≺ z} is found exactly once as the wedge y←x→z plus
+    the closing oriented edge y→z. Oriented out-degree is O(√m), which
+    bounds the wedge join by O(m^1.5) regardless of skew — a star
+    graph's hub generates NO wedges because all its edges point INTO
+    it. The degree relation is node-sized and broadcasts onto the edge
+    list; the wedge self-join shuffles on the wedge apex and the
+    closing join on the (y, z) pair key — both well-distributed.
+    Coefficients are a single double division of exact integers, so the
+    oracle lands on identical bits.
+    """
+    deg = (
+        edges.select(F.col("a").alias("node"))
+        .unionByName(edges.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    e = (
+        edges.join(F.broadcast(deg.withColumnRenamed("node", "a").withColumnRenamed("degree", "da")), "a")
+        .join(F.broadcast(deg.withColumnRenamed("node", "b").withColumnRenamed("degree", "db")), "b")
+    )
+    a_first = (F.col("da") < F.col("db")) | ((F.col("da") == F.col("db")) & (F.col("a") < F.col("b")))
+    oriented = e.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("src"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
+        F.when(a_first, F.col("db")).otherwise(F.col("da")).alias("dst_deg"),
+    )
+    o1 = oriented.alias("o1")
+    o2 = oriented.alias("o2")
+    wedge_lt = (F.col("o1.dst_deg") < F.col("o2.dst_deg")) | (
+        (F.col("o1.dst_deg") == F.col("o2.dst_deg")) & (F.col("o1.dst") < F.col("o2.dst"))
+    )
+    wedges = o1.join(o2, (F.col("o1.src") == F.col("o2.src")) & wedge_lt).select(
+        F.col("o1.src").alias("x"), F.col("o1.dst").alias("y"), F.col("o2.dst").alias("z")
+    )
+    closing = oriented.select(F.col("src").alias("y"), F.col("dst").alias("z"))
+    triangles = wedges.join(closing, ["y", "z"], "leftsemi")
+    per_node = (
+        triangles.select(F.explode(F.array("x", "y", "z")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    return deg.join(per_node, "node", "left").select(
+        "node",
+        "degree",
+        F.coalesce(F.col("n_triangles"), F.lit(0)).alias("n_triangles"),
+        F.when(
+            F.col("degree") >= 2,
+            (F.lit(2) * F.coalesce(F.col("n_triangles"), F.lit(0))).cast("double")
+            / (F.col("degree") * (F.col("degree") - F.lit(1))),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("clustering_coeff"),
+    )
+
+
 def pagerank_until_delta(
     edges: DataFrame,
     damping: float = DAMPING,

@@ -80,3 +80,64 @@ SELECT node, round(rank, 6) AS rank FROM r{iterations}
 def graph_pagerank_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     return pagerank(transition_edges(events))
+
+
+@register(
+    "graph_triangle_parts",
+    doc=(
+        "per-node triangle counts + local clustering coefficient over the "
+        "parts-co-ordered-together graph (market-basket co-occurrence), "
+        "degree-ordered edge orientation (Suri-Vassilvitskii): oriented "
+        "out-degree is O(sqrt(m)), so the wedge join is O(m^1.5) regardless "
+        "of hub skew — a star's hub generates zero wedges"
+    ),
+    oracle="""
+WITH it AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS i FROM lineitem),
+e AS (
+  SELECT DISTINCT a.i AS a, b.i AS b
+  FROM it a JOIN it b ON a.g = b.g AND a.i < b.i
+),
+deg AS (
+  SELECT node, count(*) AS degree
+  FROM (SELECT a AS node FROM e UNION ALL SELECT b FROM e)
+  GROUP BY node
+),
+oriented AS (
+  SELECT CASE WHEN (da.degree < db.degree) OR (da.degree = db.degree AND e.a < e.b)
+              THEN e.a ELSE e.b END AS src,
+         CASE WHEN (da.degree < db.degree) OR (da.degree = db.degree AND e.a < e.b)
+              THEN e.b ELSE e.a END AS dst,
+         CASE WHEN (da.degree < db.degree) OR (da.degree = db.degree AND e.a < e.b)
+              THEN db.degree ELSE da.degree END AS dst_deg
+  FROM e
+  JOIN deg da ON da.node = e.a
+  JOIN deg db ON db.node = e.b
+),
+tri AS (
+  SELECT o1.src AS x, o1.dst AS y, o2.dst AS z
+  FROM oriented o1
+  JOIN oriented o2 ON o1.src = o2.src
+   AND ((o1.dst_deg < o2.dst_deg) OR (o1.dst_deg = o2.dst_deg AND o1.dst < o2.dst))
+  WHERE EXISTS (SELECT 1 FROM oriented c WHERE c.src = o1.dst AND c.dst = o2.dst)
+),
+per_node AS (
+  SELECT node, count(*) AS n_triangles
+  FROM (SELECT x AS node FROM tri UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri)
+  GROUP BY node
+)
+SELECT d.node, d.degree,
+       coalesce(p.n_triangles, 0) AS n_triangles,
+       CASE WHEN d.degree >= 2
+            THEN CAST(2 * coalesce(p.n_triangles, 0) AS DOUBLE) / (d.degree * (d.degree - 1))
+            ELSE 0.0 END AS clustering_coeff
+FROM deg d LEFT JOIN per_node p ON p.node = d.node
+""",
+)
+def graph_triangle_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle / clustering-coefficient analytics (SURVEY.md SS2.6
+    extension; the reference has no graph surface). See
+    ext/graph.py triangle_counts for the orientation argument."""
+    from spk_sl_validation_spark.ext.graph import co_occurrence_edges, triangle_counts
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return triangle_counts(co_occurrence_edges(li, "l_orderkey", "l_partkey"))

@@ -85,6 +85,7 @@ SAMPLE_PRIORITY: tuple[str, ...] = (
     #    weighting both deserve the driver's independent replay first --
     "corpus_boilerplate_removal",
     "dedup_soft_weights",
+    "graph_triangle_parts",
     # -- round-1 reds, fixed in round 2, never re-sampled --
     "sessionize_events",
     "text_feature_hashing",

@@ -1,0 +1,101 @@
+"""Semantic golden + property tests for ext.graph.triangle_counts and
+co_occurrence_edges (graph_triangle_parts).
+
+The registry differential test value-hashes the registered query against
+DuckDB; these pin the semantics on graphs where the answer is knowable
+by eye, and property-test against a brute-force triple loop.
+"""
+
+from __future__ import annotations
+
+from spk_sl_validation_spark.ext.graph import co_occurrence_edges, triangle_counts
+
+
+def _run(spark, edges):
+    df = spark.createDataFrame(edges, ["a", "b"])
+    return {r["node"]: r for r in triangle_counts(df).collect()}
+
+
+def test_single_triangle(spark):
+    got = _run(spark, [(1, 2), (2, 3), (1, 3)])
+    for n in (1, 2, 3):
+        assert got[n]["degree"] == 2
+        assert got[n]["n_triangles"] == 1
+        assert got[n]["clustering_coeff"] == 1.0
+
+
+def test_star_has_no_triangles(spark):
+    # hub 1 with 3 leaves: degree-ordered orientation points every edge
+    # INTO the hub, so the hub generates zero wedges.
+    got = _run(spark, [(1, 2), (1, 3), (1, 4)])
+    assert got[1]["degree"] == 3 and got[1]["n_triangles"] == 0
+    assert got[1]["clustering_coeff"] == 0.0
+    for leaf in (2, 3, 4):
+        assert got[leaf]["n_triangles"] == 0 and got[leaf]["clustering_coeff"] == 0.0
+
+
+def test_k4_fully_clustered(spark):
+    edges = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    got = _run(spark, edges)
+    for n in range(1, 5):
+        assert got[n]["degree"] == 3
+        assert got[n]["n_triangles"] == 3  # C(3,2) triangles through each node
+        assert got[n]["clustering_coeff"] == 1.0
+
+
+def test_triangle_plus_pendant(spark):
+    # triangle 1-2-3 with pendant 4 hanging off 3: node 3 has degree 3
+    # but only the one triangle -> coeff 2*1/(3*2) = 1/3.
+    got = _run(spark, [(1, 2), (2, 3), (1, 3), (3, 4)])
+    assert got[3]["degree"] == 3 and got[3]["n_triangles"] == 1
+    assert abs(got[3]["clustering_coeff"] - 1 / 3) < 1e-15
+    assert got[4]["degree"] == 1 and got[4]["clustering_coeff"] == 0.0
+
+
+def test_co_occurrence_edges_from_baskets(spark):
+    rows = [(10, "a"), (10, "b"), (10, "b"), (10, "c"), (20, "a"), (20, "b"), (30, "z")]
+    df = spark.createDataFrame(rows, ["order_id", "item"])
+    got = {(r["a"], r["b"]) for r in co_occurrence_edges(df, "order_id", "item").collect()}
+    # duplicates inside a basket collapse; the (a,b) edge from both
+    # baskets appears once; singleton basket contributes nothing
+    assert got == {("a", "b"), ("a", "c"), ("b", "c")}
+
+
+# ---------------------------------------------------------------------------
+# Property: matches a brute-force triple loop on random graphs
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_edge = st.tuples(st.integers(0, 7), st.integers(0, 7)).filter(lambda e: e[0] != e[1])
+_graph = st.lists(_edge, min_size=1, max_size=16)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(raw=_graph)
+def test_triangle_counts_match_bruteforce(spark, raw):
+    edges = sorted({(min(a, b), max(a, b)) for a, b in raw})
+    adj: dict[int, set[int]] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    expect_tri = {n: 0 for n in adj}
+    nodes = sorted(adj)
+    for i, x in enumerate(nodes):
+        for y in nodes[i + 1 :]:
+            if y not in adj[x]:
+                continue
+            for z in nodes:
+                if z > y and z in adj[x] and z in adj[y]:
+                    for n in (x, y, z):
+                        expect_tri[n] += 1
+
+    got = _run(spark, edges)
+    assert sorted(got) == nodes
+    for n in nodes:
+        assert got[n]["degree"] == len(adj[n])
+        assert got[n]["n_triangles"] == expect_tri[n], (n, edges)
+        d = len(adj[n])
+        expect_c = 2 * expect_tri[n] / (d * (d - 1)) if d >= 2 else 0.0
+        assert got[n]["clustering_coeff"] == expect_c
