@@ -586,9 +586,13 @@ def duplicate_soft_weights(
         F.col(id_col),
         F.size(F.split(F.trim(F.col(text_col)), r"\s+")).alias("n_tokens"),
     )
+    # clusters is checkpoint-blinded (stats-free), so both joins would
+    # default to sort-merge; shuffle-hash is the deliberate pin — sizes
+    # and toks are per-cluster / per-doc relations, corpus-scale at
+    # 100 TB, so broadcast is not an option.
     return (
-        clusters.join(sizes, "cluster_id")
-        .join(toks, id_col)
+        clusters.join(sizes.hint("shuffle_hash"), "cluster_id")
+        .join(toks.hint("shuffle_hash"), id_col)
         .select(
             id_col,
             "cluster_id",

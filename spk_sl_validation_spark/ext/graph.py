@@ -185,8 +185,13 @@ def co_occurrence_edges(
     it = df.select(F.col(group_col).alias("__g"), F.col(item_col).alias("__i")).distinct()
     a = it.alias("l")
     b = it.alias("r")
+    # group-key self-join: both sides corpus-scale, shuffle-hash pinned
+    # (stats often absent on derived relations -> SMJ default otherwise)
     return (
-        a.join(b, (F.col("l.__g") == F.col("r.__g")) & (F.col("l.__i") < F.col("r.__i")))
+        a.join(
+            b.hint("shuffle_hash"),
+            (F.col("l.__g") == F.col("r.__g")) & (F.col("l.__i") < F.col("r.__i")),
+        )
         .select(F.col("l.__i").alias("a"), F.col("r.__i").alias("b"))
         .distinct()
     )
@@ -231,17 +236,19 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     wedge_lt = (F.col("o1.dst_deg") < F.col("o2.dst_deg")) | (
         (F.col("o1.dst_deg") == F.col("o2.dst_deg")) & (F.col("o1.dst") < F.col("o2.dst"))
     )
-    wedges = o1.join(o2, (F.col("o1.src") == F.col("o2.src")) & wedge_lt).select(
+    wedges = o1.join(
+        o2.hint("shuffle_hash"), (F.col("o1.src") == F.col("o2.src")) & wedge_lt
+    ).select(
         F.col("o1.src").alias("x"), F.col("o1.dst").alias("y"), F.col("o2.dst").alias("z")
     )
     closing = oriented.select(F.col("src").alias("y"), F.col("dst").alias("z"))
-    triangles = wedges.join(closing, ["y", "z"], "leftsemi")
+    triangles = wedges.join(closing.hint("shuffle_hash"), ["y", "z"], "leftsemi")
     per_node = (
         triangles.select(F.explode(F.array("x", "y", "z")).alias("node"))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("n_triangles"))
     )
-    return deg.join(per_node, "node", "left").select(
+    return deg.join(per_node.hint("shuffle_hash"), "node", "left").select(
         "node",
         "degree",
         F.coalesce(F.col("n_triangles"), F.lit(0)).alias("n_triangles"),
