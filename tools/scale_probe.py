@@ -67,6 +67,10 @@ def synth_docs(spark, n: int):
     return base.select("doc_id", text.alias("text"))
 
 
+def spark_of(df):
+    return df.sparkSession
+
+
 def run(op: str, docs, n: int) -> dict:
     from pyspark.sql import functions as F
 
@@ -399,6 +403,33 @@ def run(op: str, docs, n: int) -> dict:
             .agg(F.count(F.lit(1)).alias("n_novel"))
         )
         out = d.join(nov, "source", "left")
+    elif op == "boilerplate":
+        # Worst-case census pressure: EVERY document carries the shared
+        # header span, so one hash owns n rows in the distinct-doc
+        # census — the hot-key path the two-phase aggregate must absorb.
+        from spk_sl_validation_spark.ext.text import boilerplate_removal
+
+        out = boilerplate_removal(docs, "doc_id", "text", 8, min_docs=3)
+    elif op == "soft_weights":
+        # Rides dedup_clusters (capped LSH + min-label propagation) —
+        # the probe corpus's 7-doc dup families keep the propagation
+        # diameter at 1-2 rounds while candidate volume scales with n.
+        from spk_sl_validation_spark.ext.dedup import duplicate_soft_weights
+
+        out = duplicate_soft_weights(docs, "doc_id", "text")
+    elif op == "triangles":
+        # Synthesized basket graph (docs unused): n baskets of 5 items
+        # over an n/10-item space with overlapping affine picks — dense
+        # enough for real wedge volume. Measures the degree-ordered
+        # wedge join, the O(m^1.5) stage.
+        from spk_sl_validation_spark.ext.graph import co_occurrence_edges, triangle_counts
+
+        baskets = spark_of(docs).range(n * 5).select(
+            (F.col("id") / 5).cast("long").alias("g"),
+            ((F.col("id") * 2654435761 + (F.col("id") % 5) * 97) % (n // 10)).alias("item"),
+        )
+        t0 = time.time()
+        out = triangle_counts(co_occurrence_edges(baskets, "g", "item"))
     else:
         raise SystemExit(f"unknown op {op!r}")
     out.write.mode("overwrite").format("noop").save()
