@@ -86,6 +86,7 @@ SAMPLE_PRIORITY: tuple[str, ...] = (
     "corpus_boilerplate_removal",
     "dedup_soft_weights",
     "graph_triangle_parts",
+    "dataset_split_leakage_safe",
     # -- round-1 reds, fixed in round 2, never re-sampled --
     "sessionize_events",
     "text_feature_hashing",

@@ -39,6 +39,59 @@ def dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", split.alias("split"))
 
 
+def _leakage_safe_oracle() -> str:
+    from spk_sl_validation_spark.plans.dedup_queries import _clusters_cte_body
+
+    h = md5_long_sql("CAST(cluster_id AS VARCHAR)")
+    return f"""
+WITH RECURSIVE {_clusters_cte_body()}
+SELECT doc_id, cluster_id,
+       CASE WHEN {h} % 100 < 80 THEN 'train'
+            WHEN {h} % 100 < 90 THEN 'val'
+            ELSE 'test' END AS split
+FROM clusters
+"""
+
+
+@register(
+    "dataset_split_leakage_safe",
+    doc=(
+        "leakage-safe train/val/test split: assignment hashes the NEAR-DUP "
+        "CLUSTER id, not the doc id, so no verified near-duplicate pair can "
+        "straddle train and test (the eval-contamination failure mode of "
+        "per-doc splits); unique docs get exactly dataset_split's assignment"
+    ),
+    oracle=None,
+)
+def dataset_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split by near-dup cluster (SURVEY.md SS2.6 extension): a per-doc
+    hash split leaks eval content whenever a near-duplicate of a test
+    doc lands in train — hashing the transitive cluster label closes
+    that by construction. For docs in singleton clusters
+    (cluster_id == doc_id) the assignment is IDENTICAL to
+    dataset_split, so adopting the safe split only moves documents
+    that have near-duplicates. Rides dedup_clusters; one extra narrow
+    projection, no additional shuffle."""
+    from spk_sl_validation_spark.ext.dedup import dedup_clusters
+    from spk_sl_validation_spark.plans.dedup_shared import BANDS, JACCARD_TAU, NUM_HASHES
+
+    docs = load_table(spark, sf_dir, "documents")
+    clusters = dedup_clusters(
+        docs, "doc_id", "text", NUM_HASHES, BANDS, 3, jaccard_threshold=JACCARD_TAU
+    )
+    bucket = md5_long(F.col("cluster_id").cast("string")) % 100
+    split = F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    return clusters.select("doc_id", "cluster_id", split.alias("split"))
+
+
+from spk_sl_validation_spark.plans.registry import REGISTRY as _REG  # noqa: E402
+import dataclasses as _dc  # noqa: E402
+
+_REG["dataset_split_leakage_safe"] = _dc.replace(
+    _REG["dataset_split_leakage_safe"], oracle=_leakage_safe_oracle()
+)
+
+
 @register(
     "stratified_sample",
     doc="stratified sampling: exactly 10 docs per language, selected by hash order (deterministic, balanced)",

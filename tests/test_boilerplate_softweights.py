@@ -133,3 +133,56 @@ def test_soft_weights_all_unique_corpus_is_identity(spark):
         assert got[i]["cluster_id"] == i
         assert got[i]["weight"] == 1.0
         assert got[i]["eff_tokens"] == float(len(text.split()))
+
+
+# ---------------------------------------------------------------------------
+# dataset_split_leakage_safe
+# ---------------------------------------------------------------------------
+
+
+def test_leakage_safe_split_keeps_near_dups_together(spark):
+    """Exact duplicates (same cluster by construction) must land in the
+    same split; unique docs must get exactly dataset_split's per-doc
+    assignment (cluster_id == doc_id for singletons)."""
+    from spk_sl_validation_spark.ext.dedup import dedup_clusters
+    from spk_sl_validation_spark.ext.hashing import md5_long
+    from pyspark.sql import functions as F
+
+    dup = "the quick brown fox jumps over the lazy dog today again"
+    rows = [(1, dup), (2, dup), (3, "completely different words that no other doc carries")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    clusters = dedup_clusters(df, "doc_id", "text")
+    bucket = md5_long(F.col("cluster_id").cast("string")) % 100
+    split = F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    got = {r["doc_id"]: r for r in clusters.select("doc_id", "cluster_id", split.alias("split")).collect()}
+    assert got[1]["split"] == got[2]["split"]  # same cluster -> same split
+    assert got[1]["cluster_id"] == got[2]["cluster_id"] == 1
+    # singleton: assignment equals the per-doc hash split
+    per_doc = {
+        r["doc_id"]: r["split"]
+        for r in df.select(
+            "doc_id",
+            F.when(md5_long(F.col("doc_id").cast("string")) % 100 < 80, "train")
+            .when(md5_long(F.col("doc_id").cast("string")) % 100 < 90, "val")
+            .otherwise("test")
+            .alias("split"),
+        ).collect()
+    }
+    assert got[3]["split"] == per_doc[3]
+
+
+def test_leakage_safe_split_no_cross_split_pairs_on_testdata(spark, sf_dir):
+    """The semantic claim on real testdata: zero verified near-dup
+    pairs straddle splits (every cluster maps to one split)."""
+    from spk_sl_validation_spark.plans.registry import REGISTRY, _ensure_loaded
+    from pyspark.sql import functions as F
+
+    _ensure_loaded()
+    out = REGISTRY["dataset_split_leakage_safe"].builder(spark, sf_dir)
+    bad = (
+        out.groupBy("cluster_id")
+        .agg(F.countDistinct("split").alias("n_splits"))
+        .filter(F.col("n_splits") > 1)
+        .count()
+    )
+    assert bad == 0
