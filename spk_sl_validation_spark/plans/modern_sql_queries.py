@@ -82,6 +82,52 @@ def recursive_capped_cumsum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sql_udf_pricing",
+    doc=(
+        "SQL scalar UDFs (Spark 4.1 CREATE FUNCTION ... RETURN): declarative "
+        "named expressions resolved at plan time — f_charge composes f_disc, "
+        "both inline into whole-stage codegen (NO serialization boundary, "
+        "unlike Python UDFs); oracle inlines the same arithmetic"
+    ),
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(round(l_extendedprice * (1.0 - l_discount), 6) AS DECIMAL(24,6))) AS DOUBLE) AS sum_disc_price,
+       CAST(SUM(CAST(round((l_extendedprice * (1.0 - l_discount)) * (1.0 + l_tax), 6) AS DECIMAL(24,6))) AS DOUBLE) AS sum_charge,
+       COUNT(*) AS n
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def sql_udf_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL UDF surface: the modern replacement for the reference's
+    Python helper functions (SURVEY.md SS2.9) — named, typed, catalog-
+    registered expressions with zero runtime cost. The group sums use
+    round(6)->DECIMAL(24,6) staging: disc_price/charge have at most 4/6
+    true decimals (2-decimal money x 2-decimal rates), so round-to-6 is
+    mathematically exact and engine-stable, while round-to-12 on a 1e5
+    magnitude sits past double precision and diverges in the last ULP."""
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION f_disc(p DOUBLE, d DOUBLE) "
+        "RETURNS DOUBLE RETURN p * (1.0 - d)"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION f_charge(p DOUBLE, d DOUBLE, t DOUBLE) "
+        "RETURNS DOUBLE RETURN f_disc(p, d) * (1.0 + t)"
+    )
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("v_li_udf")
+    return spark.sql(
+        """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(round(f_disc(l_extendedprice, l_discount), 6) AS DECIMAL(24,6))) AS DOUBLE) AS sum_disc_price,
+       CAST(SUM(CAST(round(f_charge(l_extendedprice, l_discount, l_tax), 6) AS DECIMAL(24,6))) AS DOUBLE) AS sum_charge,
+       COUNT(*) AS n
+FROM v_li_udf
+GROUP BY l_returnflag, l_linestatus
+"""
+    )
+
+
+@register(
     "events_variant_extract",
     doc=(
         "VARIANT JSON (Spark 4): parse_json once into the binary variant "

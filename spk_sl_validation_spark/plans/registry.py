@@ -87,6 +87,7 @@ SAMPLE_PRIORITY: tuple[str, ...] = (
     "dedup_soft_weights",
     "graph_triangle_parts",
     "dataset_split_leakage_safe",
+    "sql_udf_pricing",
     # -- round-1 reds, fixed in round 2, never re-sampled --
     "sessionize_events",
     "text_feature_hashing",
