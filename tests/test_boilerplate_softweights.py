@@ -186,3 +186,56 @@ def test_leakage_safe_split_no_cross_split_pairs_on_testdata(spark, sf_dir):
         .count()
     )
     assert bad == 0
+
+
+# ---------------------------------------------------------------------------
+# Property-based invariants (hypothesis)
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_word = st.sampled_from(["a", "b", "c", "dd", "ee"])
+_doc = st.lists(_word, min_size=1, max_size=10).map(" ".join)
+_corpus = st.lists(_doc, min_size=1, max_size=7)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(texts=_corpus)
+def test_boilerplate_invariants(spark, texts):
+    """For ANY corpus, with K=2: (1) kept+dropped == span total; (2) a
+    span is dropped iff it occurs in >= K distinct docs — in EVERY doc
+    that carries it; (3) clean_text is the in-order concatenation of
+    kept spans; (4) the kept set is a subset of span_dedup's kept set
+    (dedup keeps the owner copy, boilerplate removal does not)."""
+    from spk_sl_validation_spark.ext.text import span_dedup
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in boilerplate_removal(df, "doc_id", "text", span_w=W, min_docs=2).collect()}
+    sd = {r["doc_id"]: r for r in span_dedup(df, "doc_id", "text", span_w=W).collect()}
+
+    def spans_of(t):
+        toks = t.split(" ")
+        return [" ".join(toks[j : j + W]) for j in range(0, len(toks), W)]
+
+    owners: dict[str, set[int]] = {}
+    for i, t in rows:
+        for s in set(spans_of(t)):
+            owners.setdefault(s, set()).add(i)
+
+    for i, t in rows:
+        spans = spans_of(t)
+        r = got[i]
+        assert r["n_spans_kept"] + r["n_spans_dropped"] == len(spans)  # (1)
+        expect = [s for s in spans if len(owners[s]) < 2]  # (2)
+        assert r["clean_text"] == " ".join(expect)  # (3)
+        # (4): multiset inclusion — every boilerplate-kept span survives
+        # dedup. Reassembled text is spans joined by single spaces (a
+        # short tail span can only be last), so re-spanifying recovers
+        # the kept span multiset.
+        kept_sd = spans_of(sd[i]["clean_text"]) if sd[i]["clean_text"] else []
+        from collections import Counter
+
+        cb, cs = Counter(expect), Counter(kept_sd)
+        assert all(cb[s] <= cs[s] for s in cb), (i, expect, kept_sd)
