@@ -214,12 +214,22 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     closing join on the (y, z) pair key — both well-distributed.
     Coefficients are a single double division of exact integers, so the
     oracle lands on identical bits.
+
+    ``edges``, ``deg``, and ``oriented`` are each consumed by 2–3
+    downstream subtrees; without materialization Spark INLINES every
+    reference (the first plan audit measured 34 parquet scans and 97
+    exchanges — the edge derivation replayed 17×), so all three are
+    ``localCheckpoint``-ed once, the same lineage-truncation idiom as
+    :func:`_pagerank_setup`. After checkpointing the whole query is
+    6 exchanges and zero repeated scans (PLANS.md).
     """
+    edges = edges.localCheckpoint(eager=True)
     deg = (
         edges.select(F.col("a").alias("node"))
         .unionByName(edges.select(F.col("b").alias("node")))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("degree"))
+        .localCheckpoint(eager=True)
     )
     e = (
         edges.join(F.broadcast(deg.withColumnRenamed("node", "a").withColumnRenamed("degree", "da")), "a")
@@ -230,7 +240,7 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
         F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("src"),
         F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
         F.when(a_first, F.col("db")).otherwise(F.col("da")).alias("dst_deg"),
-    )
+    ).localCheckpoint(eager=True)
     o1 = oriented.alias("o1")
     o2 = oriented.alias("o2")
     wedge_lt = (F.col("o1.dst_deg") < F.col("o2.dst_deg")) | (

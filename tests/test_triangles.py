@@ -99,3 +99,29 @@ def test_triangle_counts_match_bruteforce(spark, raw):
         d = len(adj[n])
         expect_c = 2 * expect_tri[n] / (d * (d - 1)) if d >= 2 else 0.0
         assert got[n]["clustering_coeff"] == expect_c
+
+
+def test_triangle_plan_shape(spark, sf_dir):
+    """edges/deg/oriented are each multiply-consumed: without
+    localCheckpoint Spark inlines every reference (first audit: 34
+    scans, 97 exchanges — the edge derivation replayed 17x). Pinned:
+    the final plan reads only checkpointed relations, <=6 exchanges,
+    zero sort-merge joins, zero repeated parquet scans."""
+    import re
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from tools.dump_plans import plan_stats
+
+    from spk_sl_validation_spark.plans.registry import REGISTRY, _ensure_loaded
+
+    _ensure_loaded()
+    df = REGISTRY["graph_triangle_parts"].builder(spark, sf_dir)
+    df.write.mode("overwrite").format("noop").save()
+    qe = df._jdf.queryExecution()
+    formatted = spark._jvm.PythonSQLUtils.explainString(qe, "formatted")
+    st = plan_stats(formatted)
+    assert st["shuffle_exchanges"] <= 6, st
+    assert st["sort_merge_joins"] == 0, st
+    n_scans = len(re.findall(r"\(\d+\) Scan parquet", formatted))
+    assert n_scans == 0, f"final plan re-scans parquet {n_scans}x — checkpoint reuse regressed"
