@@ -10,6 +10,7 @@ per power iteration.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from spk_sl_validation_spark.ext.graph import DAMPING, ITERATIONS, pagerank, transition_edges
 from spk_sl_validation_spark.plans.registry import register
@@ -141,3 +142,85 @@ def graph_triangle_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = load_table(spark, sf_dir, "lineitem")
     return triangle_counts(co_occurrence_edges(li, "l_orderkey", "l_partkey"))
+
+
+MIN_SUPPORT = 2  # pair must co-occur in at least this many baskets
+
+
+@register(
+    "basket_association_rules",
+    doc=(
+        f"market-basket association rules: part pairs co-ordered in >= "
+        f"{MIN_SUPPORT} orders with support, both-direction confidence, and "
+        "lift. Pair counting is one C(k,2)-bounded self-join + hash "
+        "aggregate; item supports and the basket count broadcast back onto "
+        "the (already support-filtered) pair relation"
+    ),
+    oracle=f"""
+WITH it AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS i FROM lineitem),
+nb AS (SELECT count(DISTINCT g) AS n_baskets FROM it),
+item AS (SELECT i, count(*) AS s_item FROM it GROUP BY i),
+pair AS (
+  SELECT a.i AS a, b.i AS b, count(*) AS support
+  FROM it a JOIN it b ON a.g = b.g AND a.i < b.i
+  GROUP BY 1, 2
+  HAVING count(*) >= {MIN_SUPPORT}
+)
+SELECT p.a, p.b, p.support,
+       ia.s_item AS support_a, ib.s_item AS support_b,
+       CAST(p.support AS DOUBLE) / ia.s_item AS confidence_ab,
+       CAST(p.support AS DOUBLE) / ib.s_item AS confidence_ba,
+       CAST(p.support * nb.n_baskets AS DOUBLE) / (ia.s_item * ib.s_item) AS lift
+FROM pair p
+JOIN item ia ON ia.i = p.a
+JOIN item ib ON ib.i = p.b
+CROSS JOIN nb
+""",
+)
+def basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association-rule mining (support/confidence/lift) over order
+    baskets — the Apriori pair stage as pure relational algebra. Scale
+    shape: pair counting shuffles C(k,2) rows per basket (bounded by
+    basket size) into one hash aggregate; the HAVING prunes to the
+    interesting pairs BEFORE the stats joins, item supports join back
+    as a broadcast (item-vocabulary-sized), and n_baskets is a 1-row
+    broadcast fan-in. Every derived measure is a single double
+    division of exact integers — bit-stable across engines."""
+    it = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("g"), F.col("l_partkey").alias("i"))
+        .distinct()
+        .localCheckpoint(eager=True)  # consumed by 3 subtrees (pairs, item, nb)
+    )
+    nb = it.agg(F.countDistinct("g").alias("n_baskets"))
+    item = it.groupBy("i").agg(F.count(F.lit(1)).alias("s_item"))
+    a, b = it.alias("l"), it.alias("r")
+    pair = (
+        a.join(
+            b.hint("shuffle_hash"),
+            (F.col("l.g") == F.col("r.g")) & (F.col("l.i") < F.col("r.i")),
+        )
+        .groupBy(F.col("l.i").alias("a"), F.col("r.i").alias("b"))
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= MIN_SUPPORT)
+    )
+    ia = item.select(F.col("i").alias("a"), F.col("s_item").alias("support_a"))
+    ib = item.select(F.col("i").alias("b"), F.col("s_item").alias("support_b"))
+    return (
+        pair.join(F.broadcast(ia), "a")
+        .join(F.broadcast(ib), "b")
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "a",
+            "b",
+            "support",
+            "support_a",
+            "support_b",
+            (F.col("support").cast("double") / F.col("support_a")).alias("confidence_ab"),
+            (F.col("support").cast("double") / F.col("support_b")).alias("confidence_ba"),
+            (
+                (F.col("support") * F.col("n_baskets")).cast("double")
+                / (F.col("support_a") * F.col("support_b"))
+            ).alias("lift"),
+        )
+    )

@@ -88,6 +88,7 @@ SAMPLE_PRIORITY: tuple[str, ...] = (
     "graph_triangle_parts",
     "dataset_split_leakage_safe",
     "sql_udf_pricing",
+    "basket_association_rules",
     # -- round-1 reds, fixed in round 2, never re-sampled --
     "sessionize_events",
     "text_feature_hashing",

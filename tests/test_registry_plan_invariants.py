@@ -26,6 +26,8 @@ from spk_sl_validation_spark.plans.registry import REGISTRY, _ensure_loaded
 #: kmeans_assign, whose small-side crossJoin is the documented exact
 #: baseline at sub-dispatch scale.
 BNL_ALLOWED = {
+    # 1-row n_baskets scalar fan-in (crossJoin of a broadcast aggregate)
+    "basket_association_rules",
     "pipeline_spk_sl_main",
     "pipeline_status_cleansing",
     "pipeline_spk_sl_v1",

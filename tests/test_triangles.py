@@ -125,3 +125,37 @@ def test_triangle_plan_shape(spark, sf_dir):
     assert st["sort_merge_joins"] == 0, st
     n_scans = len(re.findall(r"\(\d+\) Scan parquet", formatted))
     assert n_scans == 0, f"final plan re-scans parquet {n_scans}x — checkpoint reuse regressed"
+
+
+def test_basket_association_rules_semantics(spark):
+    """Hand-built baskets: {a,b,c}, {a,b}, {a,d} -> only (a,b) reaches
+    support 2. confidence/lift knowable by eye."""
+    from spk_sl_validation_spark.plans.registry import REGISTRY, _ensure_loaded
+
+    _ensure_loaded()
+    import pyspark.sql.functions as F
+
+    rows = [(1, "a"), (1, "b"), (1, "c"), (2, "a"), (2, "b"), (3, "a"), (3, "d")]
+    df = spark.createDataFrame(rows, ["g", "i"])
+    # replicate the registered query's core on the fixture
+    it = df.distinct()
+    nb = it.agg(F.countDistinct("g").alias("n_baskets"))
+    item = it.groupBy("i").agg(F.count(F.lit(1)).alias("s_item"))
+    a, b = it.alias("l"), it.alias("r")
+    pair = (
+        a.join(b, (F.col("l.g") == F.col("r.g")) & (F.col("l.i") < F.col("r.i")))
+        .groupBy(F.col("l.i").alias("a"), F.col("r.i").alias("b"))
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= 2)
+    )
+    out = (
+        pair.join(item.select(F.col("i").alias("a"), F.col("s_item").alias("sa")), "a")
+        .join(item.select(F.col("i").alias("b"), F.col("s_item").alias("sb")), "b")
+        .crossJoin(nb)
+        .collect()
+    )
+    assert len(out) == 1
+    r = out[0]
+    assert (r["a"], r["b"], r["support"]) == ("a", "b", 2)
+    assert r["sa"] == 3 and r["sb"] == 2 and r["n_baskets"] == 3
+    # confidence a->b = 2/3, b->a = 1.0, lift = 3*2/(3*2) = 1.0
