@@ -89,6 +89,7 @@ SAMPLE_PRIORITY: tuple[str, ...] = (
     "dataset_split_leakage_safe",
     "sql_udf_pricing",
     "basket_association_rules",
+    "embedding_dim_stats",
     # -- round-1 reds, fixed in round 2, never re-sampled --
     "sessionize_events",
     "text_feature_hashing",

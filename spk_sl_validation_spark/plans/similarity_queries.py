@@ -572,3 +572,59 @@ def embedding_mmr_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.mmr_select(pool, MMR_K, MMR_LAM).select(
         F.col("rank").cast("int").alias("rank"), "vec_id", "rel"
     )
+
+
+@register(
+    "embedding_dim_stats",
+    doc=(
+        "per-dimension embedding statistics (n / mean / std / min / max) — "
+        "the feature-normalization planning pass before whitening or "
+        "standardization. posexplode to (dim, v), one map-side-combined "
+        "aggregate on the 64-key dim column; mean/var from exact staged "
+        "decimal sums of round(v,12) and round(v*v,12), variance arithmetic "
+        "a fixed double expression on both engines"
+    ),
+    oracle="""
+SELECT CAST(u.i - 1 AS INTEGER) AS dim,
+       count(*) AS n,
+       CAST(sum(CAST(round(CAST(u.v AS DOUBLE), 12) AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS mean,
+       sqrt(greatest(
+         CAST(sum(CAST(round(CAST(u.v AS DOUBLE) * CAST(u.v AS DOUBLE), 12) AS DECIMAL(28,12))) AS DOUBLE) / count(*)
+         - pow(CAST(sum(CAST(round(CAST(u.v AS DOUBLE), 12) AS DECIMAL(28,12))) AS DOUBLE) / count(*), 2),
+         0.0)) AS std,
+       CAST(min(u.v) AS DOUBLE) AS vmin,
+       CAST(max(u.v) AS DOUBLE) AS vmax
+FROM (
+  SELECT embedding[CAST(u.i AS INTEGER)] AS v, CAST(u.i AS BIGINT) AS i
+  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)
+) u
+GROUP BY 1
+""",
+)
+def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension stats over the array<float> column (SURVEY.md SS2.6
+    extension). Scale shape: posexplode is a narrow 1->64 map; the
+    aggregate's key space is the dimensionality (64), so the partial
+    aggregation combines map-side and the shuffle carries 64 rows per
+    partition. Sums stage as round(12)->DECIMAL(28,12) (values are
+    unit-scale, well inside double precision); the variance expression
+    E[x^2] - E[x]^2 is the same fixed double arithmetic on both
+    engines, clamped at 0 before sqrt."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.col("v").cast("double")
+    sum_v = F.sum(F.round(v, 12).cast("decimal(28,12)")).cast("double")
+    sum_v2 = F.sum(F.round(v * v, 12).cast("decimal(28,12)")).cast("double")
+    n = F.count(F.lit(1))
+    mean = sum_v / n
+    var = F.greatest(sum_v2 / n - F.pow(sum_v / n, F.lit(2)), F.lit(0.0))
+    return (
+        emb.select(F.posexplode("embedding").alias("dim", "v"))
+        .groupBy("dim")
+        .agg(
+            n.alias("n"),
+            mean.alias("mean"),
+            F.sqrt(var).alias("std"),
+            F.min(v).alias("vmin"),
+            F.max(v).alias("vmax"),
+        )
+    )
