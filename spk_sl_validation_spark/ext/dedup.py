@@ -522,7 +522,29 @@ def dedup_clusters(
         .localCheckpoint(eager=True)
     )
 
-    labels = df.select(F.col(id_col), F.col(id_col).alias("cluster_id")).localCheckpoint(eager=True)
+    # Only nodes that appear in the near-dup graph can ever change
+    # label; every other document is a singleton cluster (label = own
+    # id) by construction. Iterating over the edge-node subset keeps
+    # each propagation round proportional to the NEAR-DUP SUBGRAPH —
+    # on a typical corpus a few percent of documents — instead of the
+    # corpus; singletons fold back with one final left join. Provably
+    # identical output: a node with no edges never receives a
+    # neighbor_min row, so the old corpus-wide loop carried it through
+    # every round unchanged. (Edges are symmetric, so src alone covers
+    # both endpoints.) Same-session warm A/B at 200k probe docs: 42.8 s
+    # old vs 42.4 s new — a WASH at probe scale, where candidate
+    # generation + Jaccard verify dominate and 200k labels shuffle for
+    # free. The restriction is kept on the structural argument: per
+    # iteration the old shape shuffles a corpus-sized label relation,
+    # the new shape only the dup subgraph (typically a few percent),
+    # paying one corpus-sized fold-back join ONCE at the end — the
+    # trade that matters exactly when labels stop fitting in memory.
+    labels = (
+        edges.select(F.col("src").alias(id_col))
+        .distinct()
+        .select(F.col(id_col), F.col(id_col).alias("cluster_id"))
+        .localCheckpoint(eager=True)
+    )
     for _ in range(max_iterations):
         neighbor_min = (
             edges.join(labels, edges.src == F.col(id_col))
@@ -548,7 +570,11 @@ def dedup_clusters(
         labels = new_labels
         if changed == 0:
             break
-    return labels
+    return (
+        df.select(F.col(id_col))
+        .join(labels.hint("shuffle_hash"), id_col, "left")
+        .select(id_col, F.coalesce("cluster_id", F.col(id_col)).alias("cluster_id"))
+    )
 
 
 def duplicate_soft_weights(
