@@ -295,13 +295,49 @@ def boilerplate_removal(
     driver memory, pass ``broadcast_bp=False`` to fall back to a
     shuffle join on the span hash.
     """
+    index = boilerplate_index(df, id_col, text_col, span_w, min_docs)
+    return apply_boilerplate_index(df, index, id_col, text_col, span_w, broadcast_bp)
+
+
+def boilerplate_index(
+    df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span_w: int = 8,
+    min_docs: int = 3,
+):
+    """(h, n_docs): the boilerplate-span census as a PERSISTABLE
+    artifact — hashes of every ``span_w``-word span occurring in at
+    least ``min_docs`` distinct documents, with the distinct-doc count.
+    The production lifecycle (same pattern as ``dedup_index_tables`` /
+    ``bm25_index_tables``): census the corpus periodically, write this
+    tiny hash relation out, and strip every fresh ingest batch against
+    it with :func:`apply_boilerplate_index` — no per-batch corpus scan.
+    """
     hashed = _doc_spans(df, id_col, text_col, span_w).withColumn("h", md5_long("span"))
-    bp = (
+    return (
         hashed.groupBy("h")
         .agg(F.countDistinct(id_col).alias("n_docs"))
         .filter(F.col("n_docs") >= min_docs)
-        .select("h", F.lit(True).alias("__bp"))
     )
+
+
+def apply_boilerplate_index(
+    df,
+    index,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span_w: int = 8,
+    broadcast_bp: bool = True,
+):
+    """Strip every span of ``df`` whose hash appears in ``index``
+    (see :func:`boilerplate_index`) and reassemble; returns the same
+    ``(id, clean_text, n_spans_kept, n_spans_dropped)`` contract as
+    :func:`boilerplate_removal`. The batch never shuffles: the index is
+    hashes-only and broadcasts (``broadcast_bp=False`` falls back to a
+    shuffle join for a pathological index)."""
+    hashed = _doc_spans(df, id_col, text_col, span_w).withColumn("h", md5_long("span"))
+    bp = index.select("h", F.lit(True).alias("__bp"))
     if broadcast_bp:
         bp = F.broadcast(bp)
     flagged = hashed.join(bp, "h", "left").withColumn("kept", F.col("__bp").isNull())

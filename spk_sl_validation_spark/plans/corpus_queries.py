@@ -341,6 +341,38 @@ def corpus_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return boilerplate_removal(docs, "doc_id", "text", SPAN_W, BP_MIN_DOCS)
 
 
+@register(
+    "boilerplate_apply_indexed",
+    doc=(
+        "the production boilerplate lifecycle: census once into a persisted "
+        "hash-only index artifact (here checkpointed to simulate the stored "
+        "relation), then strip the batch against it — no per-batch corpus "
+        "census. Oracle = corpus_boilerplate_removal's SQL verbatim: "
+        "identical output is the claim"
+    ),
+    oracle=None,  # patched below with the direct path's oracle
+)
+def boilerplate_apply_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-apply split of corpus_boilerplate_removal (same artifact
+    lifecycle as dedup_index_tables / bm25_index_tables). The eager
+    localCheckpoint stands in for reading the persisted census."""
+    from spk_sl_validation_spark.ext.text import apply_boilerplate_index, boilerplate_index
+
+    docs = load_table(spark, sf_dir, "documents")
+    index = boilerplate_index(docs, "doc_id", "text", SPAN_W, BP_MIN_DOCS).localCheckpoint(
+        eager=True
+    )
+    return apply_boilerplate_index(docs, index, "doc_id", "text", SPAN_W)
+
+
+from spk_sl_validation_spark.plans.registry import REGISTRY as _REG2  # noqa: E402
+import dataclasses as _dc2  # noqa: E402
+
+_REG2["boilerplate_apply_indexed"] = _dc2.replace(
+    _REG2["boilerplate_apply_indexed"], oracle=_REG2["corpus_boilerplate_removal"].oracle
+)
+
+
 OVERLAP_N = 8  # shingle width for cross-source containment
 
 

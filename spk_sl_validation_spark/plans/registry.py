@@ -90,6 +90,7 @@ SAMPLE_PRIORITY: tuple[str, ...] = (
     "sql_udf_pricing",
     "basket_association_rules",
     "embedding_dim_stats",
+    "boilerplate_apply_indexed",
     # -- round-1 reds, fixed in round 2, never re-sampled --
     "sessionize_events",
     "text_feature_hashing",

@@ -239,3 +239,41 @@ def test_boilerplate_invariants(spark, texts):
 
         cb, cs = Counter(expect), Counter(kept_sd)
         assert all(cb[s] <= cs[s] for s in cb), (i, expect, kept_sd)
+
+
+# ---------------------------------------------------------------------------
+# boilerplate index lifecycle
+# ---------------------------------------------------------------------------
+
+
+def test_boilerplate_index_roundtrip_and_apply(spark, tmp_path):
+    """Index persisted to parquet and read back must strip a FRESH batch
+    (docs not in the census) exactly like the census corpus: a batch
+    span is boilerplate iff the CORPUS marked it, regardless of its
+    batch frequency."""
+    from spk_sl_validation_spark.ext.text import apply_boilerplate_index, boilerplate_index
+
+    corpus = spark.createDataFrame(
+        [(1, "nav bar alpha beta"), (2, "nav bar gamma delta"), (3, "nav bar epsilon zeta")],
+        ["doc_id", "text"],
+    )
+    idx = boilerplate_index(corpus, "doc_id", "text", span_w=W, min_docs=3)
+    path = str(tmp_path / "bp_index")
+    idx.write.mode("overwrite").parquet(path)
+    idx2 = spark.read.parquet(path)
+    batch = spark.createDataFrame(
+        [(100, "nav bar fresh words"), (101, "clean doc only")], ["doc_id", "text"]
+    )
+    got = {r["doc_id"]: r for r in apply_boilerplate_index(batch, idx2, "doc_id", "text", W).collect()}
+    assert got[100]["clean_text"] == "fresh words"  # corpus boilerplate stripped from the batch
+    assert got[101]["clean_text"] == "clean doc only"
+
+
+def test_boilerplate_indexed_equals_direct(spark, sf_dir):
+    """Identical output is the registered claim (oracle verbatim)."""
+    from spk_sl_validation_spark.plans.registry import REGISTRY, _ensure_loaded
+
+    _ensure_loaded()
+    a = REGISTRY["corpus_boilerplate_removal"].builder(spark, sf_dir)
+    b = REGISTRY["boilerplate_apply_indexed"].builder(spark, sf_dir)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
