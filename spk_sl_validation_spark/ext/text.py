@@ -299,6 +299,38 @@ def boilerplate_removal(
     return apply_boilerplate_index(df, index, id_col, text_col, span_w, broadcast_bp)
 
 
+def boilerplate_census(
+    df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span_w: int = 8,
+):
+    """(h, n_docs): the UNFILTERED span census — every distinct span
+    hash with its distinct-document count. This is the mergeable
+    artifact: censuses of DISJOINT document sets merge by summing
+    ``n_docs`` per hash (:func:`merge_boilerplate_census`), so an
+    ingest pipeline censuses each batch and folds it in without ever
+    re-scanning the corpus. Corpus-scale at rest (one row per distinct
+    span) — store it bucketed by ``h``; the small broadcastable
+    artifact is the filtered view :func:`boilerplate_index` derives
+    from it."""
+    hashed = _doc_spans(df, id_col, text_col, span_w).withColumn("h", md5_long("span"))
+    return hashed.groupBy("h").agg(F.countDistinct(id_col).alias("n_docs"))
+
+
+def merge_boilerplate_census(a, b):
+    """Fold two span censuses over DISJOINT document-id sets into one:
+    distinct-doc counts are additive exactly when no document appears
+    in both inputs (the ingest-batch invariant — batches carry fresh
+    ids). merge(census(A), census(B)) == census(A ∪ B), pinned by
+    test."""
+    return (
+        a.unionByName(b)
+        .groupBy("h")
+        .agg(F.sum("n_docs").alias("n_docs"))
+    )
+
+
 def boilerplate_index(
     df,
     id_col: str = "doc_id",
@@ -306,19 +338,16 @@ def boilerplate_index(
     span_w: int = 8,
     min_docs: int = 3,
 ):
-    """(h, n_docs): the boilerplate-span census as a PERSISTABLE
-    artifact — hashes of every ``span_w``-word span occurring in at
-    least ``min_docs`` distinct documents, with the distinct-doc count.
-    The production lifecycle (same pattern as ``dedup_index_tables`` /
-    ``bm25_index_tables``): census the corpus periodically, write this
-    tiny hash relation out, and strip every fresh ingest batch against
-    it with :func:`apply_boilerplate_index` — no per-batch corpus scan.
-    """
-    hashed = _doc_spans(df, id_col, text_col, span_w).withColumn("h", md5_long("span"))
-    return (
-        hashed.groupBy("h")
-        .agg(F.countDistinct(id_col).alias("n_docs"))
-        .filter(F.col("n_docs") >= min_docs)
+    """(h, n_docs): the boilerplate-span set — hashes of every
+    ``span_w``-word span occurring in at least ``min_docs`` distinct
+    documents. The small PERSISTABLE artifact (same pattern as
+    ``dedup_index_tables`` / ``bm25_index_tables``): census the corpus
+    periodically (or fold batches into :func:`boilerplate_census`),
+    write this tiny hash relation out, and strip every fresh ingest
+    batch against it with :func:`apply_boilerplate_index` — no
+    per-batch corpus scan."""
+    return boilerplate_census(df, id_col, text_col, span_w).filter(
+        F.col("n_docs") >= min_docs
     )
 
 

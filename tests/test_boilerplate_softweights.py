@@ -277,3 +277,26 @@ def test_boilerplate_indexed_equals_direct(spark, sf_dir):
     a = REGISTRY["corpus_boilerplate_removal"].builder(spark, sf_dir)
     b = REGISTRY["boilerplate_apply_indexed"].builder(spark, sf_dir)
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_boilerplate_census_merge_law(spark):
+    """merge(census(A), census(B)) == census(A ∪ B) for disjoint doc-id
+    sets — the invariant that makes incremental censusing sound."""
+    from spk_sl_validation_spark.ext.text import boilerplate_census, merge_boilerplate_census
+
+    corpus = spark.createDataFrame(
+        [(1, "nav bar alpha beta"), (2, "nav bar gamma delta")], ["doc_id", "text"]
+    )
+    batch = spark.createDataFrame(
+        [(100, "nav bar fresh words"), (101, "alpha beta alpha beta")], ["doc_id", "text"]
+    )
+    merged = merge_boilerplate_census(
+        boilerplate_census(corpus, span_w=W), boilerplate_census(batch, span_w=W)
+    )
+    direct = boilerplate_census(corpus.unionByName(batch), span_w=W)
+    got = {r["h"]: r["n_docs"] for r in merged.collect()}
+    want = {r["h"]: r["n_docs"] for r in direct.collect()}
+    assert got == want
+    # sanity on the content: "nav bar" now counts 3 distinct docs,
+    # "alpha beta" 2 (doc 101's repeat collapses to one distinct doc)
+    assert sorted(got.values(), reverse=True)[:2] == [3, 2]
