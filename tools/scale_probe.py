@@ -410,6 +410,19 @@ def run(op: str, docs, n: int) -> dict:
         from spk_sl_validation_spark.ext.text import boilerplate_removal
 
         out = boilerplate_removal(docs, "doc_id", "text", 8, min_docs=3)
+    elif op == "boilerplate_indexed":
+        # The production ingest shape: census artifacts PRECOMPUTED
+        # (excluded from the timed window), a 5% fresh batch stripped
+        # against the broadcast boilerplate set.
+        from spk_sl_validation_spark.ext.text import apply_boilerplate_index, boilerplate_index
+
+        is_batch = F.col("doc_id") % 20 == 0
+        index = boilerplate_index(docs.filter(~is_batch), "doc_id", "text", 8, 3).localCheckpoint(
+            eager=True
+        )
+        batch = docs.filter(is_batch).localCheckpoint(eager=True)
+        t0 = time.time()
+        out = apply_boilerplate_index(batch, index, "doc_id", "text", 8)
     elif op == "soft_weights":
         # Rides dedup_clusters (capped LSH + min-label propagation) —
         # the probe corpus's 7-doc dup families keep the propagation
