@@ -585,6 +585,7 @@ def duplicate_soft_weights(
     bands: int = 6,
     shingle_n: int = 3,
     jaccard_threshold: float = 0.8,
+    clusters: DataFrame | None = None,
 ) -> DataFrame:
     """Duplicate-aware soft weighting: instead of DROPPING near-dups
     (dedup_corpus), every document keeps a training weight
@@ -603,10 +604,19 @@ def duplicate_soft_weights(
     a narrow token-count map on the corpus. Both derived columns are a
     single double division — no ordering-sensitive float sums — so the
     oracle lands on identical bits.
+
+    Pass ``clusters`` (a ``(id, cluster_id)`` relation, e.g. a
+    PERSISTED run of :func:`dedup_clusters`) to skip the LSH+verify
+    chain entirely — the cluster-once-derive-many production shape:
+    soft weights, the leakage-safe split, and the survivorship
+    crosstab all consume the same stored cluster table instead of each
+    re-running the most expensive subtree in the corpus. Result is
+    identical by construction (pinned by test).
     """
-    clusters = dedup_clusters(
-        df, id_col, text_col, num_hashes, bands, shingle_n, jaccard_threshold
-    )
+    if clusters is None:
+        clusters = dedup_clusters(
+            df, id_col, text_col, num_hashes, bands, shingle_n, jaccard_threshold
+        )
     sizes = clusters.groupBy("cluster_id").agg(F.count("*").alias("cluster_size"))
     toks = df.select(
         F.col(id_col),

@@ -300,3 +300,19 @@ def test_boilerplate_census_merge_law(spark):
     # sanity on the content: "nav bar" now counts 3 distinct docs,
     # "alpha beta" 2 (doc 101's repeat collapses to one distinct doc)
     assert sorted(got.values(), reverse=True)[:2] == [3, 2]
+
+
+def test_soft_weights_accepts_precomputed_clusters(spark, tmp_path):
+    """Cluster once, derive many: a PERSISTED cluster table fed back in
+    must produce the identical result with no LSH/verify work."""
+    from spk_sl_validation_spark.ext.dedup import dedup_clusters
+
+    rows = [(1, _NEAR_A), (2, _NEAR_B), (3, _UNIQUE)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    path = str(tmp_path / "clusters")
+    dedup_clusters(df, "doc_id", "text").write.mode("overwrite").parquet(path)
+    stored = spark.read.parquet(path)
+    direct = duplicate_soft_weights(df, "doc_id", "text")
+    via_stored = duplicate_soft_weights(df, "doc_id", "text", clusters=stored)
+    assert direct.exceptAll(via_stored).count() == 0
+    assert via_stored.exceptAll(direct).count() == 0
