@@ -92,6 +92,7 @@ SAMPLE_PRIORITY: tuple[str, ...] = (
     #  never-sampled query, event_paths_topk, stays in the 50-prefix)
     "basket_association_rules",
     "embedding_dim_stats",
+    "streaming_boilerplate_gate",
     "boilerplate_apply_indexed",
     # -- round-1 reds, fixed in round 2, never re-sampled --
     "sessionize_events",

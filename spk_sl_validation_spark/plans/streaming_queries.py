@@ -426,3 +426,76 @@ def streaming_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_kept").cast("double") / F.col("n_seen").cast("double"), 6
         ).alias("kept_frac"),
     )
+
+
+def _streaming_boilerplate_oracle() -> str:
+    from spk_sl_validation_spark.plans.corpus_queries import BP_MIN_DOCS, SPAN_W, _TOKS
+
+    return f"""
+WITH toks AS (SELECT doc_id, source, {_TOKS} AS t FROM documents),
+spans AS (
+  SELECT doc_id, source,
+         array_to_string(list_slice(t, i * {SPAN_W} + 1, i * {SPAN_W} + {SPAN_W}), ' ') AS span
+  FROM toks, unnest(range(0, greatest(CAST(ceil(len(t) / {SPAN_W}.0) AS BIGINT), 1))) AS u(i)
+),
+hashed AS (
+  SELECT doc_id, source, CAST(('0x' || substr(md5(span), 1, 15)) AS BIGINT) AS h
+  FROM spans
+),
+bp AS (SELECT h FROM hashed GROUP BY h HAVING count(DISTINCT doc_id) >= {BP_MIN_DOCS}),
+flagged AS (
+  SELECT hashed.source, (bp.h IS NULL) AS kept
+  FROM hashed LEFT JOIN bp ON hashed.h = bp.h
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_spans,
+       CAST(count(*) FILTER (WHERE kept) AS BIGINT) AS n_kept,
+       CAST(count(*) FILTER (WHERE NOT kept) AS BIGINT) AS n_dropped
+FROM flagged GROUP BY source
+"""
+
+
+@register(
+    "streaming_boilerplate_gate",
+    doc=(
+        "the boilerplate index applied ON THE INGEST STREAM: spans of each "
+        "micro-batch stream-static broadcast-join against the precomputed "
+        "census index (built batch-side); per-source kept/dropped span "
+        "counts (complete mode, availableNow replay) == the batch census "
+        "aggregate — governance telemetry for a crawling ingest"
+    ),
+    oracle=None,  # patched below (generated to share SPAN_W/BP_MIN_DOCS)
+)
+def streaming_boilerplate_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spk_sl_validation_spark.ext.hashing import md5_long
+    from spk_sl_validation_spark.ext.text import _doc_spans, boilerplate_index
+    from spk_sl_validation_spark.plans.corpus_queries import BP_MIN_DOCS, SPAN_W
+    from spk_sl_validation_spark.sources.readers import load_table
+
+    # static side: the persisted census index (batch read, checkpointed
+    # to stand in for the stored artifact)
+    idx = boilerplate_index(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text", SPAN_W, BP_MIN_DOCS
+    ).localCheckpoint(eager=True)
+    bp = F.broadcast(idx.select("h", F.lit(True).alias("__bp")))
+
+    stream = P.stream_documents(spark, sf_dir)
+    # span rows keyed by source — ownership is irrelevant for the
+    # per-source telemetry, so no per-doc reassembly state is needed
+    hashed = _doc_spans(stream.select(F.col("source"), F.col("text")), "source", "text", SPAN_W)
+    hashed = hashed.withColumn("h", md5_long("span"))
+    flagged = hashed.join(bp, "h", "left").withColumn("kept", F.col("__bp").isNull())
+    agg = flagged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.count(F.when(F.col("kept"), 1)).alias("n_kept"),
+        F.count(F.when(~F.col("kept"), 1)).alias("n_dropped"),
+    )
+    return P.run_available_now(agg, output_mode="complete")
+
+
+from spk_sl_validation_spark.plans.registry import REGISTRY as _REG_BP  # noqa: E402
+import dataclasses as _dc_bp  # noqa: E402
+
+_REG_BP["streaming_boilerplate_gate"] = _dc_bp.replace(
+    _REG_BP["streaming_boilerplate_gate"], oracle=_streaming_boilerplate_oracle()
+)
