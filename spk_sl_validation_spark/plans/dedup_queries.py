@@ -285,6 +285,30 @@ def dedup_soft_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 _REG["dedup_soft_weights"] = _dc.replace(_REG["dedup_soft_weights"], oracle=_soft_weights_oracle())
 
 
+@register(
+    "dedup_soft_weights_indexed",
+    doc=(
+        "the cluster-once-derive-many production shape: soft weights consume "
+        "a PRECOMPUTED cluster table (here checkpointed to stand in for the "
+        "stored relation) instead of re-running the LSH+verify chain — the "
+        "dominant cost of every cluster-derived query. Oracle = "
+        "dedup_soft_weights' SQL verbatim: identical output is the claim"
+    ),
+    oracle=None,
+)
+def dedup_soft_weights_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    stored = D.dedup_clusters(
+        docs, "doc_id", "text", NUM_HASHES, BANDS, 3, jaccard_threshold=JACCARD_TAU
+    ).localCheckpoint(eager=True)
+    return D.duplicate_soft_weights(docs, "doc_id", "text", clusters=stored)
+
+
+_REG["dedup_soft_weights_indexed"] = _dc.replace(
+    _REG["dedup_soft_weights_indexed"], oracle=_soft_weights_oracle()
+)
+
+
 # ---------------------------------------------------------------------------
 # Exact n-gram Jaccard
 # ---------------------------------------------------------------------------

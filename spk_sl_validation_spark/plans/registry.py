@@ -93,6 +93,7 @@ SAMPLE_PRIORITY: tuple[str, ...] = (
     "basket_association_rules",
     "embedding_dim_stats",
     "streaming_boilerplate_gate",
+    "dedup_soft_weights_indexed",
     "boilerplate_apply_indexed",
     # -- round-1 reds, fixed in round 2, never re-sampled --
     "sessionize_events",
