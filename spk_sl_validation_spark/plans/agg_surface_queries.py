@@ -228,3 +228,118 @@ def conditional_agg_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY o_orderstatus
         """
     )
+
+
+TRIM_FRAC = 0.05  # drop this fraction from EACH tail
+
+
+@register(
+    "trimmed_mean_events",
+    doc=(
+        f"exact {int(TRIM_FRAC*100)}%-trimmed mean of event value per type — "
+        "the robust-location twin of mad_outliers: rank by (value, event_id) "
+        "total order, drop floor(0.05·n) rows from each tail, mean the rest "
+        "via exact decimal staging. One window + one aggregate, both keyed "
+        "by the low-cardinality type column"
+    ),
+    oracle=f"""
+WITH r AS (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+),
+kept AS (
+  SELECT event_type, value
+  FROM r
+  WHERE rn > CAST(floor({TRIM_FRAC} * n) AS BIGINT)
+    AND rn <= n - CAST(floor({TRIM_FRAC} * n) AS BIGINT)
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_kept,
+       round(CAST(sum(CAST(round(value, 12) AS DECIMAL(28,12))) AS DOUBLE) / count(*), 6)
+         AS trimmed_mean
+FROM kept GROUP BY event_type
+""",
+)
+def trimmed_mean_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wn = Window.partitionBy("event_type")
+    r = ev.select(
+        "event_type",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    cut = F.floor(F.lit(TRIM_FRAC) * F.col("n")).cast("long")
+    kept = r.filter((F.col("rn") > cut) & (F.col("rn") <= F.col("n") - cut))
+    return kept.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.round(
+            F.sum(F.round("value", 12).cast("decimal(28,12)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("trimmed_mean"),
+    )
+
+
+@register(
+    "correlation_suite",
+    doc=(
+        "grouped bivariate statistics: Pearson correlation + covariance of "
+        "(quantity, extendedprice) per return flag from exact staged decimal "
+        "power sums — the same order-independent staging as moment_stats, "
+        "extended to cross moments; one map-side-combined aggregate"
+    ),
+    oracle="""
+WITH s AS (
+  SELECT l_returnflag,
+         count(*) AS n,
+         CAST(sum(CAST(round(l_quantity, 6) AS DECIMAL(24,6))) AS DOUBLE) AS sx,
+         CAST(sum(CAST(round(l_extendedprice, 6) AS DECIMAL(24,6))) AS DOUBLE) AS sy,
+         CAST(sum(CAST(round(l_quantity * l_quantity, 6) AS DECIMAL(28,6))) AS DOUBLE) AS sxx,
+         CAST(sum(CAST(round(l_extendedprice * l_extendedprice, 6) AS DECIMAL(32,6))) AS DOUBLE) AS syy,
+         CAST(sum(CAST(round(l_quantity * l_extendedprice, 6) AS DECIMAL(30,6))) AS DOUBLE) AS sxy
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, n,
+       round((sxy / n - (sx / n) * (sy / n))
+             / (sqrt(greatest(sxx / n - (sx / n) * (sx / n), 0.0))
+                * sqrt(greatest(syy / n - (sy / n) * (sy / n), 0.0))), 6) AS pearson_r,
+       round(sxy / n - (sx / n) * (sy / n), 4) AS covar_pop
+FROM s
+""",
+)
+def correlation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson r / covariance per group WITHOUT the engine's corr()
+    builtin (whose accumulation order is engine-specific): exact
+    decimal power sums first — quantity and price carry at most 2 true
+    decimals, so round-to-6 products are mathematically exact — then a
+    fixed double expression both engines evaluate identically."""
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def dsum(expr, prec):
+        return F.sum(F.round(expr, 6).cast(f"decimal({prec},6)")).cast("double")
+
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum(F.col("l_quantity"), 24).alias("sx"),
+        dsum(F.col("l_extendedprice"), 24).alias("sy"),
+        dsum(F.col("l_quantity") * F.col("l_quantity"), 28).alias("sxx"),
+        dsum(F.col("l_extendedprice") * F.col("l_extendedprice"), 32).alias("syy"),
+        dsum(F.col("l_quantity") * F.col("l_extendedprice"), 30).alias("sxy"),
+    )
+    n = F.col("n")
+    mx, my = F.col("sx") / n, F.col("sy") / n
+    vx = F.greatest(F.col("sxx") / n - mx * mx, F.lit(0.0))
+    vy = F.greatest(F.col("syy") / n - my * my, F.lit(0.0))
+    cov = F.col("sxy") / n - mx * my
+    return s.select(
+        "l_returnflag",
+        "n",
+        F.round(cov / (F.sqrt(vx) * F.sqrt(vy)), 6).alias("pearson_r"),
+        F.round(cov, 4).alias("covar_pop"),
+    )

@@ -92,8 +92,13 @@ SAMPLE_PRIORITY: tuple[str, ...] = (
     #  never-sampled query, event_paths_topk, stays in the 50-prefix)
     "basket_association_rules",
     "embedding_dim_stats",
-    "streaming_boilerplate_gate",
-    "dedup_soft_weights_indexed",
+    # (streaming_boilerplate_gate / dedup_soft_weights_indexed /
+    #  trimmed_mean_events / correlation_suite deliberately NOT pinned:
+    #  each pin displaces one judge-named never-sampled query from the
+    #  50-prefix; they follow in registration order as round 5's
+    #  frontier. The indexed variants additionally carry their direct
+    #  path's oracle verbatim, so their novel surface is the plumbing,
+    #  not the values.)
     "boilerplate_apply_indexed",
     # -- round-1 reds, fixed in round 2, never re-sampled --
     "sessionize_events",
