@@ -194,6 +194,110 @@ def bm25_rank_indexed(
     return _score_and_rank(tf, qterm, dfreq, st, id_col, k1, b, top_k)
 
 
+def bm25_doc_term_counts(postings: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Per-document distinct-term count (doc_id, nd) — the binary-
+    term-vector norm² the hybrid-RRF cosine arm needs. Postings carry
+    one row per distinct (doc, term), so this is a pure count.
+
+    Materialize it ONCE at index-build time: computing nd at query
+    time forces a full-vocabulary postings scan per query batch (the
+    one corpus-wide pass `hybrid_rrf_retrieval`'s docstring documents
+    as its floor). As a persisted artifact it is doc-count-sized,
+    mergeable under `merge_into_bm25_index` semantics (new disjoint
+    docs append), and query time then touches only term-pruned
+    postings + broadcast-sized side tables.
+    """
+    return postings.groupBy(id_col).agg(F.count(F.lit(1)).alias("nd"))
+
+
+def hybrid_rrf_rank_indexed(
+    queries: Sequence[tuple[int, str]],
+    postings: DataFrame,
+    df_tbl: DataFrame,
+    stats: DataFrame,
+    nd_tbl: DataFrame,
+    id_col: str = "doc_id",
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    rrf_k: int = 60,
+    pool: int = 20,
+    top_k: int = 10,
+) -> DataFrame:
+    """Reciprocal-rank fusion of the BM25 pool and the binary-cosine
+    coordinate-match pool, entirely from prebuilt index artifacts
+    (:func:`bm25_index_tables` + :func:`bm25_doc_term_counts`) —
+    query time reads no document text and runs no corpus-wide pass:
+    every postings access is term-filtered (prunes at the scan when
+    postings are written bucketed/sorted by term), nd comes from the
+    materialized per-doc artifact, and both pools are skinny
+    per-query top-``pool`` relations.
+
+    Result-identical to the direct ``hybrid_rrf_retrieval`` shape:
+    ranks are integers, each contribution is one double division
+    rounded identically, and a (query, doc) pair has at most two
+    contributions, so the fusion sum is order-independent.
+    """
+    bm25_pool = bm25_rank_indexed(
+        queries, postings, df_tbl, stats, id_col, k1, b, top_k=pool
+    ).select("query_id", id_col, "rnk")
+
+    qterm_n = postings.sparkSession.createDataFrame(
+        [(qid, t, len(text.split(" "))) for qid, text in queries for t in text.split(" ")],
+        "query_id int, term string, nq int",
+    )
+    query_terms = sorted({t for _, text in queries for t in text.split(" ")})
+    ov = (
+        postings.filter(F.col("term").isin(query_terms))
+        .select(id_col, "term")
+        .join(F.broadcast(qterm_n), "term")
+        .groupBy("query_id", id_col)
+        .agg(F.max("nq").alias("nq"), F.count(F.lit(1)).alias("ov"))
+    )
+    cos_score = F.round(
+        F.col("ov").cast("double") / F.sqrt((F.col("nd") * F.col("nq")).cast("double")),
+        6,
+    )
+    w_cos = Window.partitionBy("query_id").orderBy(cos_score.desc(), F.col(id_col).asc())
+    cos_pool = (
+        nd_tbl.join(F.broadcast(ov), id_col)
+        .withColumn("rnk", F.row_number().over(w_cos))
+        .filter(F.col("rnk") <= pool)
+        .select("query_id", id_col, "rnk")
+    )
+
+    def _c(r: str):
+        return F.lit(1.0) / (F.lit(float(rrf_k)) + F.col(r).cast("double"))
+
+    contrib = bm25_pool.select(
+        "query_id",
+        id_col,
+        _c("rnk").alias("c"),
+        F.col("rnk").cast("long").alias("bm25_rnk"),
+        F.lit(None).cast("long").alias("cos_rnk"),
+    ).unionAll(
+        cos_pool.select(
+            "query_id",
+            id_col,
+            _c("rnk").alias("c"),
+            F.lit(None).cast("long").alias("bm25_rnk"),
+            F.col("rnk").cast("long").alias("cos_rnk"),
+        )
+    )
+    fused = contrib.groupBy("query_id", id_col).agg(
+        F.round(F.sum("c"), 6).alias("rrf_score"),
+        F.max("bm25_rnk").cast("int").alias("bm25_rnk"),
+        F.max("cos_rnk").cast("int").alias("cos_rnk"),
+    )
+    w_f = Window.partitionBy("query_id").orderBy(
+        F.col("rrf_score").desc(), F.col(id_col).asc()
+    )
+    return (
+        fused.withColumn("rnk", F.row_number().over(w_f).cast("int"))
+        .filter(F.col("rnk") <= top_k)
+        .select("query_id", id_col, "rrf_score", "bm25_rnk", "cos_rnk", "rnk")
+    )
+
+
 def merge_into_bm25_index(
     postings: DataFrame,
     df_tbl: DataFrame,

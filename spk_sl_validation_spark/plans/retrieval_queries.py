@@ -19,9 +19,11 @@ from pyspark.sql import DataFrame, SparkSession
 from spk_sl_validation_spark.ext.retrieval import (
     BM25_B,
     BM25_K1,
+    bm25_doc_term_counts,
     bm25_index_tables,
     bm25_rank,
     bm25_rank_indexed,
+    hybrid_rrf_rank_indexed,
 )
 from spk_sl_validation_spark.plans.registry import register
 from spk_sl_validation_spark.sources.readers import load_table
@@ -303,3 +305,44 @@ def hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= RRF_TOP_K)
         .select("query_id", "doc_id", "rrf_score", "bm25_rnk", "cos_rnk", "rnk")
     )
+
+
+@register(
+    "hybrid_rrf_retrieval_indexed",
+    doc=(
+        "hybrid RRF through prebuilt index artifacts (postings + df + "
+        "stats + per-doc term counts): query time scans no document "
+        "text and runs no corpus-wide pass — result-identical to "
+        "hybrid_rrf_retrieval, same oracle"
+    ),
+    oracle=None,
+)
+def hybrid_rrf_retrieval_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production query-time path for repeated query batches: the
+    direct `hybrid_rrf_retrieval` plan's floor is two corpus-text
+    scans per batch (the nd arm needs the full vocabulary; tf is
+    term-pruned). Materializing `bm25_doc_term_counts` alongside the
+    BM25 index artifacts removes that floor — here the artifacts are
+    built inline (in production they are written bucketed by term /
+    doc and read back), then fusion runs purely index-side. The
+    oracle is hybrid_rrf_retrieval's SQL verbatim — the index is an
+    access path, not a semantic change.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    postings, df_tbl, stats = bm25_index_tables(docs)
+    nd_tbl = bm25_doc_term_counts(postings)
+    return hybrid_rrf_rank_indexed(
+        BM25_QUERIES,
+        postings,
+        df_tbl,
+        stats,
+        nd_tbl,
+        rrf_k=RRF_K,
+        pool=RRF_POOL,
+        top_k=RRF_TOP_K,
+    )
+
+
+_REG["hybrid_rrf_retrieval_indexed"] = _dc.replace(
+    _REG["hybrid_rrf_retrieval_indexed"], oracle=_REG["hybrid_rrf_retrieval"].oracle
+)

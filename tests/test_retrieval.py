@@ -155,3 +155,113 @@ def test_bm25_merge_rejects_overlapping_ids(spark):
     overlapping = spark.createDataFrame(DOCS[3:], "doc_id long, text string")  # doc 4 in both
     with pytest.raises(ValueError, match="already"):
         merge_into_bm25_index(*bm25_index_tables(old), overlapping)
+
+
+def _rrf_reference(docs, queries, rrf_k=60, pool=20, top_k=10):
+    """Straight-from-the-formula hybrid RRF (dicts and loops): BM25
+    pool + binary-cosine coordinate-match pool, fused 1/(k+rank)."""
+    bm25 = _bm25_reference(docs, queries, top_k=pool)
+    toks = {d: t.split() for d, t in docs}
+    nd = {d: len(set(t)) for d, t in toks.items()}
+    out = {}
+    for qid, qtext in queries:
+        qterms = set(qtext.split())
+        nq = len(qtext.split())
+        cos_scores = {}
+        for d, t in toks.items():
+            ov = len(qterms & set(t))
+            if ov:
+                cos_scores[d] = round(ov / math.sqrt(nd[d] * nq), 6)
+        cos_pool = sorted(cos_scores.items(), key=lambda kv: (-kv[1], kv[0]))[:pool]
+        contrib = {}
+        for rnk, (d, _) in enumerate(bm25.get(qid, []), 1):
+            c, br, cr = contrib.get(d, (0.0, None, None))
+            contrib[d] = (c + 1.0 / (rrf_k + rnk), rnk, cr)
+        for rnk, (d, _) in enumerate(cos_pool, 1):
+            c, br, cr = contrib.get(d, (0.0, None, None))
+            contrib[d] = (c + 1.0 / (rrf_k + rnk), br, rnk)
+        fused = sorted(
+            ((d, round(c, 6), br, cr) for d, (c, br, cr) in contrib.items()),
+            key=lambda r: (-r[1], r[0]),
+        )[:top_k]
+        out[qid] = [
+            (qid, d, s, br, cr, rnk) for rnk, (d, s, br, cr) in enumerate(fused, 1)
+        ]
+    return out
+
+
+def test_hybrid_rrf_indexed_matches_independent_reimplementation(spark):
+    from spk_sl_validation_spark.ext.retrieval import (
+        bm25_doc_term_counts,
+        bm25_index_tables,
+        hybrid_rrf_rank_indexed,
+    )
+
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    postings, df_tbl, stats = bm25_index_tables(docs)
+    nd_tbl = bm25_doc_term_counts(postings)
+    got = hybrid_rrf_rank_indexed(
+        QUERIES, postings, df_tbl, stats, nd_tbl, pool=4, top_k=3
+    ).collect()
+    expected = _rrf_reference(DOCS, QUERIES, pool=4, top_k=3)
+    by_query: dict[int, list] = {}
+    for r in sorted(got, key=lambda r: (r.query_id, r.rnk)):
+        by_query.setdefault(r.query_id, []).append(tuple(r))
+    assert set(by_query) == {10, 20, 30}
+    for qid, exp in expected.items():
+        assert by_query[qid] == exp, f"query {qid}: {by_query[qid]} != {exp}"
+
+
+def test_hybrid_rrf_registry_indexed_equals_direct(spark):
+    """The registered hybrid_rrf_retrieval_indexed query returns
+    byte-identical rows to hybrid_rrf_retrieval (same oracle by
+    construction; this pins the engine side)."""
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+    sf = "/root/testdata/sf0.001"
+    direct = sorted(map(tuple, qs["hybrid_rrf_retrieval"](spark, sf).collect()))
+    indexed = sorted(
+        map(tuple, qs["hybrid_rrf_retrieval_indexed"](spark, sf).collect())
+    )
+    assert indexed == direct
+
+
+def test_hybrid_rrf_persisted_index_scans_no_text(spark, tmp_path):
+    """The production RRF story: all four index artifacts persisted to
+    parquet, read back, fused — result equal to the in-memory path,
+    the postings term filter reaches the scan, and the query-time
+    plan reads NO document text (the direct plan's two corpus-text
+    scans are gone)."""
+    from spk_sl_validation_spark.ext.retrieval import (
+        bm25_doc_term_counts,
+        bm25_index_tables,
+        hybrid_rrf_rank_indexed,
+    )
+    from spk_sl_validation_spark.sources.sinks import write_clustered
+
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    postings, df_tbl, stats = bm25_index_tables(docs)
+    nd_tbl = bm25_doc_term_counts(postings)
+    write_clustered(postings, str(tmp_path / "postings"), ["term"], n_files=2)
+    df_tbl.write.parquet(str(tmp_path / "df"))
+    stats.write.parquet(str(tmp_path / "stats"))
+    nd_tbl.write.parquet(str(tmp_path / "nd"))
+
+    got = hybrid_rrf_rank_indexed(
+        QUERIES,
+        spark.read.parquet(str(tmp_path / "postings")),
+        spark.read.parquet(str(tmp_path / "df")),
+        spark.read.parquet(str(tmp_path / "stats")),
+        spark.read.parquet(str(tmp_path / "nd")),
+        pool=4,
+        top_k=3,
+    )
+    mem = hybrid_rrf_rank_indexed(
+        QUERIES, postings, df_tbl, stats, nd_tbl, pool=4, top_k=3
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, mem.collect()))
+
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "text" not in plan, plan[:2000]
+    assert "PushedFilters: [In(term, " in plan, plan[:2000]
