@@ -486,19 +486,33 @@ def dedup_clusters(
     shingle_n: int = 3,
     jaccard_threshold: float = 0.8,
     max_iterations: int = 20,
+    method: str = "propagate",
 ) -> DataFrame:
     """Transitive near-dup clusters: connected components over the
     verified LSH near-dup graph, labeled by each component's min id.
 
-    The iterative step is min-label propagation: each round every node
-    takes the min of its own label and its neighbors' labels; the loop
-    stops when a round changes nothing. Rounds = graph diameter
-    (near-dup chains are short, so a handful). Each round is one
-    join + aggregate; ``localCheckpoint`` truncates the lineage so the
-    plan doesn't grow per iteration — the standard Spark idiom for
-    iterative algorithms (this is Pregel-style label propagation, the
-    same scheme GraphX's connectedComponents uses).
+    ``method="propagate"`` (default, the oracle-checked mode): min-
+    label propagation — each round every node takes the min of its own
+    label and its neighbors' labels; the loop stops when a round
+    changes nothing. Rounds = graph diameter (near-dup chains are
+    short, so a handful). Each round is one join + aggregate;
+    ``localCheckpoint`` truncates the lineage so the plan doesn't grow
+    per iteration — the standard Spark idiom for iterative algorithms
+    (Pregel-style, the same scheme GraphX's connectedComponents uses).
+    Raises ``ValueError`` if the graph hasn't converged after
+    ``max_iterations`` (a silent partial answer would mislabel long
+    chains) and points at the stars mode.
+
+    ``method="stars"``: alternating large-star/small-star contraction
+    (``ext/graph.py connected_components_stars``) — until-converged in
+    O(log² n) rounds regardless of diameter; the mode for adversarial
+    graphs (a d-long near-dup chain needs d propagation rounds but
+    ~2·log d star rounds — 15 rounds for a 10 000-chain, probed in
+    SCALE.md §7). Identical output on any graph where both converge
+    (pinned by test).
     """
+    if method not in ("propagate", "stars"):
+        raise ValueError(f"unknown method {method!r}: use 'propagate' or 'stars'")
     # Candidates checkpointed for the same reason as dedup_corpus;
     # symmetric edges come from ONE explode over verified rather than a
     # self-union, so the verify subtree appears once in the plan.
@@ -521,6 +535,20 @@ def dedup_clusters(
         .distinct()
         .localCheckpoint(eager=True)
     )
+
+    if method == "stars":
+        from spk_sl_validation_spark.ext.graph import connected_components_stars
+
+        star_labels, _ = connected_components_stars(edges)
+        return (
+            df.select(F.col(id_col))
+            .join(
+                star_labels.withColumnRenamed("node", id_col).hint("shuffle_hash"),
+                id_col,
+                "left",
+            )
+            .select(id_col, F.coalesce("cluster_id", F.col(id_col)).alias("cluster_id"))
+        )
 
     # Only nodes that appear in the near-dup graph can ever change
     # label; every other document is a singleton cluster (label = own
@@ -570,6 +598,13 @@ def dedup_clusters(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        raise ValueError(
+            f"dedup_clusters(method='propagate') did not converge in "
+            f"{max_iterations} rounds — the dup graph has a component with "
+            f"diameter > {max_iterations} (e.g. a long near-dup chain); "
+            "use method='stars', which converges in O(log² n) rounds"
+        )
     return (
         df.select(F.col(id_col))
         .join(labels.hint("shuffle_hash"), id_col, "left")

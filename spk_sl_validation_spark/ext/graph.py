@@ -309,3 +309,83 @@ def pagerank_until_delta(
         if (delta_row["d"] or 0.0) <= eps:
             break
     return ranks.select("node", F.round("rank", 6).alias("rank")), it
+
+
+def connected_components_stars(
+    edges: DataFrame, max_rounds: int = 60
+) -> tuple[DataFrame, int]:
+    """Connected components by alternating large-star / small-star
+    contraction (Kiveris et al., "Connected Components in MapReduce
+    and Beyond", SoCC 2014) — the until-converged mode for graphs
+    whose diameter makes per-round label propagation unaffordable
+    (a d-diameter component needs d propagation rounds but only
+    O(log² n) star rounds, ~2·log n in practice).
+
+    ``edges`` is any (src, dst) pair list (direction ignored,
+    self-loops dropped). Returns ``(labels, n_rounds)`` where labels
+    is (node, cluster_id = component-min id) covering every node that
+    appears in the edge list; callers fold singletons back with a
+    left join exactly as min-label propagation does.
+
+    One round = large-star (every node points its strictly-larger
+    neighbors at the min of its closed neighborhood — keeps the graph
+    connected while halving tall trees) then small-star (every node
+    folds its ≤-neighbors and itself onto its min — contracts to
+    stars). Fixpoint ⟺ the edge set is a star forest rooted at
+    component minima (Theorem 1 of the paper), checked EXACTLY per
+    round (count + one-sided exceptAll, two cheap jobs on the
+    contracting edge relation — a hash/sum proxy could alias).
+    Each star step is one groupBy-min + one hash join on the CURRENT
+    edge relation, which only ever shrinks toward one-edge-per-node;
+    ``localCheckpoint`` truncates lineage per round as in
+    :func:`pagerank`.
+    """
+    # orient large -> small: (src, dst) with src > dst
+    e = (
+        edges.select(
+            F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for rounds in range(1, max_rounds + 1):
+        # -- large-star: emit (v, min(Γ(u) ∪ {u})) for every v ∈ Γ(u), v > u --
+        sym = e.unionAll(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        lmin = (
+            sym.groupBy("src")
+            .agg(F.min("dst").alias("m0"))
+            .select("src", F.least("m0", "src").alias("m"))
+        )
+        large = (
+            sym.join(lmin, "src")
+            .filter(F.col("dst") > F.col("src"))
+            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+            .distinct()
+        )
+        # -- small-star: fold every ≤-neighbor and u itself onto min(Γ⁻(u)) --
+        smin = large.groupBy("src").agg(F.min("dst").alias("m"))
+        new_e = (
+            large.join(smin, "src")
+            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+            .unionAll(smin.select("src", F.col("m").alias("dst")))
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        converged = (
+            new_e.count() == e.count() and new_e.exceptAll(e).limit(1).count() == 0
+        )
+        e = new_e
+        if converged:
+            break
+    else:
+        raise ValueError(
+            f"connected_components_stars did not converge in {max_rounds} rounds"
+        )
+    labels = (
+        e.select(F.col("src").alias("node"), F.col("dst").alias("cluster_id"))
+        .unionAll(e.select(F.col("dst").alias("node"), F.col("dst").alias("cluster_id")))
+        .distinct()
+    )
+    return labels, rounds

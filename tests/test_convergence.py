@@ -79,3 +79,79 @@ def test_kmeans_eps_parity_and_early_stop(spark, sf_dir):
     _, c1 = kmeans(emb, "vec_id", "embedding", k=4, n_iter=60, eps=1e-9)
     _, c2 = kmeans(emb, "vec_id", "embedding", k=4, n_iter=80, eps=1e-9)
     assert np.allclose(c1, c2, atol=1e-8)
+
+
+# ---------------------------------------------------------------------------
+# Connected components: star contraction (the until-converged mode for
+# adversarial graphs) vs min-label propagation (the oracle mode).
+# ---------------------------------------------------------------------------
+
+
+def _cc_labels(spark, edge_list):
+    from spk_sl_validation_spark.ext.graph import connected_components_stars
+
+    edges = spark.createDataFrame(edge_list, "src long, dst long")
+    labels, rounds = connected_components_stars(edges)
+    return {r.node: r.cluster_id for r in labels.collect()}, rounds
+
+
+def test_stars_cc_long_chain_converges_in_log_rounds(spark):
+    """A 10k-long chain — 9 999 propagation rounds, but star
+    contraction must land in ~2·log₂(10k) ≈ 27 rounds or fewer."""
+    got, rounds = _cc_labels(spark, [(i, i + 1) for i in range(9_999)])
+    assert rounds <= 27, rounds
+    assert set(got.values()) == {0}
+    assert len(got) == 10_000
+
+
+def test_stars_cc_mixed_components(spark):
+    edge_list = (
+        [(i, i + 1) for i in range(99)]  # 100-node chain
+        + [(200, 201), (201, 202), (202, 200)]  # triangle
+        + [(300, 301)]  # pair
+        + [(400, 401), (401, 402), (400, 402), (402, 403)]  # clique + tail
+    )
+    got, _ = _cc_labels(spark, edge_list)
+    assert all(got[i] == 0 for i in range(100))
+    assert got[200] == got[201] == got[202] == 200
+    assert got[300] == got[301] == 300
+    assert got[400] == got[401] == got[402] == got[403] == 400
+
+
+def test_stars_cc_direction_and_duplicate_insensitive(spark):
+    got, _ = _cc_labels(spark, [(2, 1), (1, 2), (2, 3), (3, 3), (5, 4)])
+    assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4}
+
+
+def test_dedup_clusters_stars_equals_propagate(spark, sf_dir):
+    from spk_sl_validation_spark.ext.dedup import dedup_clusters
+
+    docs = load_table(spark, sf_dir, "documents")
+    prop = sorted(map(tuple, dedup_clusters(docs).collect()))
+    stars = sorted(map(tuple, dedup_clusters(docs, method="stars").collect()))
+    assert stars == prop
+
+
+def test_dedup_clusters_propagate_raises_on_diameter_blowup(spark):
+    """A near-dup CHAIN whose diameter exceeds max_iterations must
+    fail loudly, not return a silent partial labeling."""
+    import pytest
+
+    from spk_sl_validation_spark.ext.dedup import dedup_clusters
+
+    # Sliding 30-word windows, stride 1: doc i shares 29/31 words with
+    # doc i+1 (shingle Jaccard ≈ 0.93, so LSH at r=2,b=6 cannot miss
+    # the consecutive edges) while the 0.8 verify threshold caps the
+    # longest verified jump at i±3 — a genuine 60-node chain with
+    # diameter ≈ 21 (checked offline via BFS over the verified pairs).
+    words = [f"w{i}" for i in range(120)]
+    docs_rows = [(i, " ".join(words[i : i + 30])) for i in range(60)]
+    docs = spark.createDataFrame(docs_rows, "doc_id long, text string")
+    kwargs = dict(
+        num_hashes=12, bands=6, shingle_n=3, jaccard_threshold=0.8, max_iterations=5
+    )
+    with pytest.raises(ValueError, match="stars"):
+        dedup_clusters(docs, **kwargs).collect()
+    # and the stars mode labels the whole chain as one component
+    got = {r.doc_id: r.cluster_id for r in dedup_clusters(docs, method="stars", **kwargs).collect()}
+    assert got == {i: 0 for i in range(60)}
