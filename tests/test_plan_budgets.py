@@ -79,6 +79,31 @@ NONHEADLINE_BUDGETS = {
     # one-sided incremental exact dedup: batch prefix build + corpus
     # probe + verify joins, all pinned shuffle-hash, 0 SMJ
     "dedup_incremental_exact": (15, 0),
+    # round-5: the expensive non-headline tail (r4 verdict #6) — the
+    # queries whose sf0.1 self-check wall is largest and whose plan
+    # shape carries the scale argument. Counts audited via the same
+    # noop-finalized adaptive plans as the rest of this table.
+    # graph_triangle_parts: 97 -> 6 exchanges after the
+    # localCheckpoint-reuse fix; a regression here re-inlines the edge
+    # derivation 17x and must fail loudly.
+    "graph_triangle_parts": (6, 0),
+    "basket_association_rules": (7, 0),
+    "boilerplate_apply_indexed": (1, 0),
+    "corpus_boilerplate_removal": (3, 0),
+    "training_corpus_pipeline": (3, 0),
+    "quality_by_dup_status": (4, 0),
+    "similarity_ann_recall": (3, 0),
+    "similarity_topk_projected": (2, 0),
+    "temporal_dim_join": (1, 0),
+    "window_time_range": (1, 0),
+    # indexed RRF matches the direct query's 11-exchange fusion shape
+    # at inline-build time; the win is WHAT shuffles (index artifacts,
+    # never corpus text) — the no-text-scan property is pinned in
+    # tests/test_retrieval.py against persisted artifacts.
+    "hybrid_rrf_retrieval_indexed": (11, 0),
+    # the recursive-CTE shape: per-iteration exchanges are internal
+    # eager jobs; the final assembled frame is one exchange.
+    "recursive_capped_cumsum": (1, 0),
 }
 
 
