@@ -34,9 +34,12 @@ def rate_limit_accept(
     divided by 1e6, and every update is the same fixed-order IEEE
     expression the oracle's recursive CTE evaluates — bit-identical.
     """
+    # id/user/ts field types come from the input schema — a string or
+    # int id must pass through unchanged, not be coerced to long.
+    in_fields = {f.name: f.dataType.simpleString() for f in df.schema.fields}
     out_schema = (
-        f"{id_col} long, {user_col} long, {ts_col} timestamp, "
-        "accepted boolean, tokens_after double"
+        f"{id_col} {in_fields[id_col]}, {user_col} {in_fields[user_col]}, "
+        f"{ts_col} {in_fields[ts_col]}, accepted boolean, tokens_after double"
     )
 
     def fold(pdf):

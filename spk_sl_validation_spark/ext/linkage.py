@@ -87,8 +87,12 @@ def fuzzy_best_match_collapsed(
     # broadcast when it proves small, and per-partition hash build is
     # safe when it does not).
     kv = records.select(F.col(key_col), F.col(name_col))
+    # __cnt counts DISTINCT keys, not rows: with duplicate (key, name)
+    # rows a row count would flag same_name with __k2 still NULL (the
+    # group's only other rows carry the same key), silently dropping a
+    # record whose record-level best match is cross-name.
     g1 = kv.groupBy(name_col).agg(
-        F.min(key_col).alias("__k1"), F.count(F.lit(1)).alias("__cnt")
+        F.min(key_col).alias("__k1"), F.countDistinct(key_col).alias("__cnt")
     )
     g2 = (
         kv.join(g1.select(name_col, "__k1").hint("shuffle_hash"), name_col)

@@ -813,7 +813,10 @@ def mmr_select(
     )
 
     spark = pool.sparkSession
-    sel = spark.createDataFrame([], f"rank int, {id_col} long")
+    # Seed-frame id type comes from the pool schema — MMR must work
+    # for string/int ids, not only long (round-4 ADVICE item 3).
+    id_type = pool.schema[id_col].dataType.simpleString()
+    sel = spark.createDataFrame([], f"rank int, {id_col} {id_type}")
     for step in range(1, k + 1):
         msim = (
             pairs.join(
@@ -835,7 +838,7 @@ def mmr_select(
         pick = (
             cand.orderBy(F.col("__mmr").desc(), F.col(id_col).asc())
             .limit(1)
-            .select(F.lit(step).alias("rank"), F.col(id_col).cast("long"))
+            .select(F.lit(step).alias("rank"), F.col(id_col))
         )
         sel = sel.unionByName(pick).localCheckpoint(eager=True)
     return sel.join(F.broadcast(pool.select(id_col, rel_col)), id_col).select(

@@ -142,7 +142,16 @@ class SyntheticEventsWriter(DataSourceWriter):
     returns a commit message; the driver's ``commit`` publishes a
     _SUCCESS manifest listing every part with its row count — the
     standard two-phase output-commit shape (no partial results visible
-    on failure because ``abort`` leaves no manifest)."""
+    on failure because ``abort`` leaves no manifest).
+
+    Filesystem assumption: ``write`` runs on executors and
+    ``commit``/``abort`` on the driver, all against the same plain
+    ``path`` — correct only when driver and executors SHARE that
+    filesystem (local mode, or a mounted NFS/FUSE path). On a real
+    cluster with executor-local disks, point ``path`` at a shared
+    mount or swap the ``open``/``os`` calls for a shared-store client
+    (s3/hdfs); the two-phase commit protocol itself carries over
+    unchanged."""
 
     def __init__(self, options):
         self.path = options.get("path")

@@ -339,3 +339,28 @@ def test_projected_rerank_recall_on_structured_corpus(spark):
         got.setdefault(r["q_id"], set()).add(r["vec_id"])
     for qid, expected in planted.items():
         assert set(expected) == got[qid], f"query {qid}: {got[qid]} != {expected}"
+
+
+def test_mmr_select_works_with_string_ids(spark):
+    """MMR's greedy seed frame takes its id type from the pool schema —
+    string ids select identically to the long-id pool (round-4 ADVICE
+    item 3)."""
+    from spk_sl_validation_spark.ext.similarity import mmr_select
+
+    rows = [
+        (1, [1.0, 0.0], 0.9),
+        (2, [0.99, 0.14], 0.8),  # near-duplicate of 1
+        (3, [0.0, 1.0], 0.7),    # diverse
+        (4, [0.7, 0.7], 0.6),
+    ]
+    long_pool = spark.createDataFrame(rows, "vec_id long, embedding array<double>, rel double")
+    str_pool = spark.createDataFrame(
+        [(f"d{i}", v, r) for i, v, r in rows],
+        "vec_id string, embedding array<double>, rel double",
+    )
+    base = [(r["rank"], r["vec_id"]) for r in mmr_select(long_pool, 3).orderBy("rank").collect()]
+    got = [(r["rank"], r["vec_id"]) for r in mmr_select(str_pool, 3).orderBy("rank").collect()]
+    assert got == [(rk, f"d{i}") for rk, i in base]
+    # pick 1: top relevance; pick 2: diverse d3 beats near-dup d2;
+    # pick 3: d2 (0.7·0.8 − 0.3·0.99 = 0.263) edges d4 (0.42 − 0.3·0.707)
+    assert [i for _, i in base] == [1, 3, 2]

@@ -113,3 +113,29 @@ def test_best_match_is_symmetric_on_exact_dups(spark):
     }
     assert got[1] == (2, 0) and got[2] == (1, 0)
     assert 3 not in got  # no block mate within distance
+
+
+def test_collapsed_handles_duplicate_key_name_rows(spark):
+    """Duplicate (key, name) ROWS must not fake a same-name mate:
+    __cnt counts distinct keys, so a key whose name group contains
+    only copies of itself still gets its cross-name best match
+    (round-4 ADVICE item 1)."""
+    from spk_sl_validation_spark.ext.linkage import fuzzy_best_match_collapsed
+
+    rows = [
+        (1, "aaaa x"),  # key 1 appears twice with the same name
+        (1, "aaaa x"),
+        (2, "aaab x"),  # its real best match, dist 1
+    ]
+    df = spark.createDataFrame(rows, "k long, name string")
+    blk = block_firstchar_lasttoken("name")
+    base = sorted(
+        set(map(tuple, fuzzy_best_match(df, "k", "name", blk, 2).collect()))
+    )
+    fast = sorted(
+        set(map(tuple, fuzzy_best_match_collapsed(df, "k", "name", blk, 2).collect()))
+    )
+    assert fast == base
+    got = {r[0]: (r[2], r[4]) for r in fast}
+    assert got[1] == (2, 1)
+    assert got[2] == (1, 1)

@@ -68,3 +68,24 @@ def test_rate_limit_matches_python_reference(spark, rows):
     }
     want = _python_fold(rows)
     assert got == want
+
+
+def test_rate_limit_preserves_nonlong_id_types(spark):
+    """String event ids / int user ids pass through typed, not coerced
+    to long (round-4 ADVICE item 2)."""
+    rows = [
+        ("e1", 1, _T0),
+        ("e2", 1, _T0 + dt.timedelta(seconds=1)),
+        ("e3", 2, _T0),
+    ]
+    df = spark.createDataFrame(rows, "event_id string, user_id int, ts timestamp")
+    out = rate_limit_accept(df, CAP, RATE)
+    assert dict((f.name, f.dataType.simpleString()) for f in out.schema.fields) == {
+        "event_id": "string",
+        "user_id": "int",
+        "ts": "timestamp",
+        "accepted": "boolean",
+        "tokens_after": "double",
+    }
+    got = {r["event_id"]: r["accepted"] for r in out.collect()}
+    assert got == {"e1": True, "e2": True, "e3": True}
