@@ -267,6 +267,37 @@ _REG["dedup_clusters"] = _dc.replace(_REG["dedup_clusters"], oracle=_dedup_clust
 
 
 @register(
+    "dedup_clusters_stars",
+    doc=(
+        "transitive near-dup clusters via alternating large-star/small-star "
+        "contraction (Kiveris et al. 2014) — the until-converged mode for "
+        "adversarial dup graphs: O(log² n) rounds regardless of diameter "
+        "(a 100k-node path converges in 18 rounds where propagation needs "
+        "99,999 — SCALE.md §7). Identical output to dedup_clusters wherever "
+        "both converge; same oracle"
+    ),
+    oracle=None,
+)
+def dedup_clusters_stars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.dedup_clusters(
+        docs,
+        "doc_id",
+        "text",
+        NUM_HASHES,
+        BANDS,
+        3,
+        jaccard_threshold=JACCARD_TAU,
+        method="stars",
+    )
+
+
+_REG["dedup_clusters_stars"] = _dc.replace(
+    _REG["dedup_clusters_stars"], oracle=_dedup_clusters_oracle()
+)
+
+
+@register(
     "dedup_soft_weights",
     doc=(
         "duplicate-aware soft weighting: every doc keeps weight 1/cluster_size "
