@@ -305,7 +305,8 @@ def merge_into_bm25_index(
     new_docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
-) -> tuple[DataFrame, DataFrame, DataFrame]:
+    nd_tbl: DataFrame | None = None,
+) -> tuple[DataFrame, ...]:
     """Fold a batch of NEW documents (ids disjoint from the indexed
     corpus) into existing index artifacts without a rebuild: postings
     append, per-term df adds, stats adds — all exact-integer unions/
@@ -319,6 +320,11 @@ def merge_into_bm25_index(
     the broadcast new-id set, LIMIT 1) and raises ``ValueError`` on
     overlap rather than skewing scores. Merging is an infrequent batch
     op; one probe job is the right trade.
+
+    When the hybrid-RRF artifact set is maintained, pass ``nd_tbl``
+    (:func:`bm25_doc_term_counts`) and a merged fourth artifact is
+    returned: ids are disjoint, so the per-doc term counts simply
+    append (merge == rebuild, pinned by test).
     """
     new_p, new_df, new_st = bm25_index_tables(new_docs, id_col, text_col)
     overlap = (
@@ -346,4 +352,7 @@ def merge_into_bm25_index(
             F.sum("sum_dl").cast("long").alias("sum_dl"),
         )
     )
-    return postings2, df2, stats2
+    if nd_tbl is None:
+        return postings2, df2, stats2
+    nd2 = nd_tbl.unionByName(bm25_doc_term_counts(new_p, id_col))
+    return postings2, df2, stats2, nd2

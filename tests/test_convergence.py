@@ -155,3 +155,14 @@ def test_dedup_clusters_propagate_raises_on_diameter_blowup(spark):
     # and the stars mode labels the whole chain as one component
     got = {r.doc_id: r.cluster_id for r in dedup_clusters(docs, method="stars", **kwargs).collect()}
     assert got == {i: 0 for i in range(60)}
+
+
+def test_stars_cc_empty_edges(spark):
+    """Zero edges → zero labels in one round (and dedup_clusters'
+    stars mode degrades to all-singletons via the fold-back join)."""
+    from spk_sl_validation_spark.ext.graph import connected_components_stars
+
+    edges = spark.createDataFrame([], "src long, dst long")
+    labels, rounds = connected_components_stars(edges)
+    assert labels.count() == 0
+    assert rounds == 1

@@ -265,3 +265,35 @@ def test_hybrid_rrf_persisted_index_scans_no_text(spark, tmp_path):
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert "text" not in plan, plan[:2000]
     assert "PushedFilters: [In(term, " in plan, plan[:2000]
+
+
+def test_rrf_index_merge_equals_rebuild(spark):
+    """The four-artifact hybrid-RRF index merges under the same
+    disjoint-ids law as the BM25 triple: merged nd == rebuilt nd, and
+    fused rankings through the merged artifacts equal the rebuilt
+    path exactly."""
+    from spk_sl_validation_spark.ext.retrieval import (
+        bm25_doc_term_counts,
+        bm25_index_tables,
+        hybrid_rrf_rank_indexed,
+        merge_into_bm25_index,
+    )
+
+    old = spark.createDataFrame(DOCS[:4], "doc_id long, text string")
+    new = spark.createDataFrame(DOCS[4:], "doc_id long, text string")
+    op, od, os_ = bm25_index_tables(old)
+    merged = merge_into_bm25_index(op, od, os_, new, nd_tbl=bm25_doc_term_counts(op))
+    assert len(merged) == 4
+    full = spark.createDataFrame(DOCS, "doc_id long, text string")
+    rp, rd, rs = bm25_index_tables(full)
+    rebuilt = (rp, rd, rs, bm25_doc_term_counts(rp))
+    assert sorted(map(tuple, merged[3].collect())) == sorted(
+        map(tuple, rebuilt[3].collect())
+    )
+    got = sorted(
+        map(tuple, hybrid_rrf_rank_indexed(QUERIES, *merged, pool=4, top_k=3).collect())
+    )
+    want = sorted(
+        map(tuple, hybrid_rrf_rank_indexed(QUERIES, *rebuilt, pool=4, top_k=3).collect())
+    )
+    assert got == want
