@@ -87,13 +87,7 @@ def fuzzy_best_match_collapsed(
     # broadcast when it proves small, and per-partition hash build is
     # safe when it does not).
     kv = records.select(F.col(key_col), F.col(name_col))
-    # __cnt counts DISTINCT keys, not rows: with duplicate (key, name)
-    # rows a row count would flag same_name with __k2 still NULL (the
-    # group's only other rows carry the same key), silently dropping a
-    # record whose record-level best match is cross-name.
-    g1 = kv.groupBy(name_col).agg(
-        F.min(key_col).alias("__k1"), F.countDistinct(key_col).alias("__cnt")
-    )
+    g1 = kv.groupBy(name_col).agg(F.min(key_col).alias("__k1"))
     g2 = (
         kv.join(g1.select(name_col, "__k1").hint("shuffle_hash"), name_col)
         .filter(F.col(key_col) != F.col("__k1"))
@@ -123,13 +117,18 @@ def fuzzy_best_match_collapsed(
     # Per-name verdict (≤ distinct-names rows — broadcastable), then
     # one broadcast join back onto the full record stream.
     verdict = (
-        groups.select(name_col, "__k1", "__k2", "__cnt")
+        groups.select(name_col, "__k1", "__k2")
         .join(best_cross.hint("shuffle_hash"), name_col, "left")
     )
     out = records.select(F.col(key_col), F.col(name_col)).join(
         F.broadcast(verdict), name_col
     )
-    same_name = F.col("__cnt") >= 2
+    # A same-name mate exists iff a SECOND DISTINCT key exists in the
+    # group — exactly __k2's definition (min key != __k1). A row count
+    # would miscount duplicate (key, name) rows as mates and drop the
+    # record's real cross-name match; countDistinct would cost an
+    # extra expand exchange for a fact __k2 already carries.
+    same_name = F.col("__k2").isNotNull()
     same_key = F.when(F.col(key_col) == F.col("__k1"), F.col("__k2")).otherwise(
         F.col("__k1")
     )

@@ -55,6 +55,7 @@ BNL_ALLOWED = {
     "mixture_temperature",
     # hybrid RRF: inherits bm25_rank's 1-row (n_docs, avgdl) stats fan-in
     "hybrid_rrf_retrieval",
+    "hybrid_rrf_retrieval_indexed",
 }
 
 
