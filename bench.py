@@ -31,6 +31,15 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # Pinned measured-run count (after 1 unmeasured warm-up per query).
 RUNS = int(os.environ.get("BENCH_RUNS", "3"))
 
+# Sampled at IMPORT time, before the Spark JVM and warm-up runs exist:
+# sampling at fingerprint-build time reads the bench's own load
+# (measured >=1.7 even from a 0.04-load shell), making the committed
+# load1 context useless for drift attribution.
+try:
+    _LOAD1_AT_LAUNCH: float | None = round(os.getloadavg()[0], 2)
+except OSError:
+    _LOAD1_AT_LAUNCH = None
+
 
 def _host_fingerprint() -> dict:
     import platform
@@ -45,10 +54,7 @@ def _host_fingerprint() -> dict:
         ).stdout.strip()
     except Exception:
         rev = ""
-    try:
-        load1 = round(os.getloadavg()[0], 2)
-    except OSError:
-        load1 = None
+    load1 = _LOAD1_AT_LAUNCH
     return {
         "cpus": os.cpu_count(),
         "platform": platform.platform(),
