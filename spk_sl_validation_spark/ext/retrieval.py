@@ -210,60 +210,45 @@ def bm25_doc_term_counts(postings: DataFrame, id_col: str = "doc_id") -> DataFra
     return postings.groupBy(id_col).agg(F.count(F.lit(1)).alias("nd"))
 
 
-def hybrid_rrf_rank_indexed(
-    queries: Sequence[tuple[int, str]],
-    postings: DataFrame,
-    df_tbl: DataFrame,
-    stats: DataFrame,
-    nd_tbl: DataFrame,
-    id_col: str = "doc_id",
-    k1: float = BM25_K1,
-    b: float = BM25_B,
-    rrf_k: int = 60,
-    pool: int = 20,
-    top_k: int = 10,
-) -> DataFrame:
-    """Reciprocal-rank fusion of the BM25 pool and the binary-cosine
-    coordinate-match pool, entirely from prebuilt index artifacts
-    (:func:`bm25_index_tables` + :func:`bm25_doc_term_counts`) —
-    query time reads no document text and runs no corpus-wide pass:
-    every postings access is term-filtered (prunes at the scan when
-    postings are written bucketed/sorted by term), nd comes from the
-    materialized per-doc artifact, and both pools are skinny
-    per-query top-``pool`` relations.
+def rrf_query_terms_df(docs_or_any: DataFrame, queries: Sequence[tuple[int, str]]) -> DataFrame:
+    """Deduped (query_id, term, nq) rows for the RRF cosine arm.
 
-    Result-identical to the direct ``hybrid_rrf_retrieval`` shape:
-    ranks are integers, each contribution is one double division
-    rounded identically, and a (query, doc) pair has at most two
-    contributions, so the fusion sum is order-independent.
+    Set semantics throughout: a term repeated inside one query joins
+    the doc-term relation ONCE (a per-token row would double-count the
+    overlap) and ``nq`` is the DISTINCT term count, so the score is a
+    true binary cosine |D∩Q| / sqrt(|D|·|Q|). Oracles must build the
+    same deduped literal.
     """
-    bm25_pool = bm25_rank_indexed(
-        queries, postings, df_tbl, stats, id_col, k1, b, top_k=pool
-    ).select("query_id", id_col, "rnk")
-
-    qterm_n = postings.sparkSession.createDataFrame(
-        [(qid, t, len(text.split(" "))) for qid, text in queries for t in text.split(" ")],
+    return docs_or_any.sparkSession.createDataFrame(
+        sorted(
+            {
+                (qid, t, len(set(text.split(" "))))
+                for qid, text in queries
+                for t in text.split(" ")
+            }
+        ),
         "query_id int, term string, nq int",
     )
-    query_terms = sorted({t for _, text in queries for t in text.split(" ")})
-    ov = (
-        postings.filter(F.col("term").isin(query_terms))
-        .select(id_col, "term")
-        .join(F.broadcast(qterm_n), "term")
-        .groupBy("query_id", id_col)
-        .agg(F.max("nq").alias("nq"), F.count(F.lit(1)).alias("ov"))
-    )
-    cos_score = F.round(
-        F.col("ov").cast("double") / F.sqrt((F.col("nd") * F.col("nq")).cast("double")),
-        6,
-    )
-    w_cos = Window.partitionBy("query_id").orderBy(cos_score.desc(), F.col(id_col).asc())
-    cos_pool = (
-        nd_tbl.join(F.broadcast(ov), id_col)
-        .withColumn("rnk", F.row_number().over(w_cos))
-        .filter(F.col("rnk") <= pool)
-        .select("query_id", id_col, "rnk")
-    )
+
+
+def rrf_fuse(
+    bm25_pool: DataFrame,
+    cos_pool: DataFrame,
+    id_col: str = "doc_id",
+    rrf_k: int = 60,
+    top_k: int = 10,
+) -> DataFrame:
+    """Reciprocal-rank fusion of two (query_id, id, rnk) pools —
+    the SINGLE fusion tail shared by the direct and indexed hybrid
+    queries (they borrow each other's oracle verbatim, so the
+    equality must be structural, not copy-paste).
+
+    unionAll + one hash aggregate keyed (query_id, id) — no full-outer
+    join, so no sort-merge fallback. Determinism: ranks are integers,
+    each contribution is one double division, and a (query, doc) pair
+    has at most two contributions — IEEE addition of two doubles is
+    commutative, so the groupBy sum is order-independent.
+    """
 
     def _c(r: str):
         return F.lit(1.0) / (F.lit(float(rrf_k)) + F.col(r).cast("double"))
@@ -296,6 +281,60 @@ def hybrid_rrf_rank_indexed(
         .filter(F.col("rnk") <= top_k)
         .select("query_id", id_col, "rrf_score", "bm25_rnk", "cos_rnk", "rnk")
     )
+
+
+def hybrid_rrf_rank_indexed(
+    queries: Sequence[tuple[int, str]],
+    postings: DataFrame,
+    df_tbl: DataFrame,
+    stats: DataFrame,
+    nd_tbl: DataFrame,
+    id_col: str = "doc_id",
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    rrf_k: int = 60,
+    pool: int = 20,
+    top_k: int = 10,
+) -> DataFrame:
+    """Reciprocal-rank fusion of the BM25 pool and the binary-cosine
+    coordinate-match pool, entirely from prebuilt index artifacts
+    (:func:`bm25_index_tables` + :func:`bm25_doc_term_counts`) —
+    query time reads no document text and runs no corpus-wide pass:
+    every postings access is term-filtered (prunes at the scan when
+    postings are written bucketed/sorted by term), nd comes from the
+    materialized per-doc artifact, and both pools are skinny
+    per-query top-``pool`` relations.
+
+    Result-identical to the direct ``hybrid_rrf_retrieval`` shape:
+    ranks are integers, each contribution is one double division
+    rounded identically, and a (query, doc) pair has at most two
+    contributions, so the fusion sum is order-independent.
+    """
+    bm25_pool = bm25_rank_indexed(
+        queries, postings, df_tbl, stats, id_col, k1, b, top_k=pool
+    ).select("query_id", id_col, "rnk")
+
+    qterm_n = rrf_query_terms_df(postings, queries)
+    query_terms = sorted({t for _, text in queries for t in text.split(" ")})
+    ov = (
+        postings.filter(F.col("term").isin(query_terms))
+        .select(id_col, "term")
+        .join(F.broadcast(qterm_n), "term")
+        .groupBy("query_id", id_col)
+        .agg(F.max("nq").alias("nq"), F.count(F.lit(1)).alias("ov"))
+    )
+    cos_score = F.round(
+        F.col("ov").cast("double") / F.sqrt((F.col("nd") * F.col("nq")).cast("double")),
+        6,
+    )
+    w_cos = Window.partitionBy("query_id").orderBy(cos_score.desc(), F.col(id_col).asc())
+    cos_pool = (
+        nd_tbl.join(F.broadcast(ov), id_col)
+        .withColumn("rnk", F.row_number().over(w_cos))
+        .filter(F.col("rnk") <= pool)
+        .select("query_id", id_col, "rnk")
+    )
+    return rrf_fuse(bm25_pool, cos_pool, id_col, rrf_k, top_k)
 
 
 def merge_into_bm25_index(

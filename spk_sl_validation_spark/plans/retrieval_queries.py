@@ -128,12 +128,19 @@ RRF_K = 60  # standard reciprocal-rank-fusion constant (Cormack et al. 2009)
 RRF_POOL = 20  # per-ranker candidate pool depth
 RRF_TOP_K = 10
 
-#: (query_id, term, n_query_terms) rows — nq precomputed in Python so
-#: both engines see the same literal (queries have unique terms).
+#: Deduped (query_id, term, n_distinct_query_terms) rows — the same
+#: set `ext/retrieval.py rrf_query_terms_df` builds, precomputed in
+#: Python so both engines see the same literal (set semantics: a
+#: repeated query term joins once; nq = distinct term count).
 _RRF_QTERM_VALUES = ", ".join(
-    f"({qid}, '{t}', {len(text.split(' '))})"
-    for qid, text in BM25_QUERIES
-    for t in text.split(" ")
+    f"({qid}, '{t}', {nq})"
+    for qid, t, nq in sorted(
+        {
+            (qid, t, len(set(text.split(" "))))
+            for qid, text in BM25_QUERIES
+            for t in text.split(" ")
+        }
+    )
 )
 
 
@@ -237,6 +244,7 @@ def hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     from spk_sl_validation_spark.ext.hashing import ws_tokens
+    from spk_sl_validation_spark.ext.retrieval import rrf_fuse, rrf_query_terms_df
 
     docs = load_table(spark, sf_dir, "documents")
 
@@ -244,14 +252,7 @@ def hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id", "doc_id", "rnk"
     )
 
-    qterm = spark.createDataFrame(
-        [
-            (qid, t, len(text.split(" ")))
-            for qid, text in BM25_QUERIES
-            for t in text.split(" ")
-        ],
-        "query_id int, term string, nq int",
-    )
+    qterm = rrf_query_terms_df(docs, BM25_QUERIES)
     query_terms = sorted({t for _, text in BM25_QUERIES for t in text.split(" ")})
     dterm = (
         docs.select("doc_id", F.explode(ws_tokens("text")).alias("term")).distinct()
@@ -275,36 +276,7 @@ def hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= RRF_POOL)
         .select("query_id", "doc_id", "rnk")
     )
-
-    c = lambda r: F.lit(1.0) / (F.lit(float(RRF_K)) + F.col(r).cast("double"))  # noqa: E731
-    contrib = bm25_pool.select(
-        "query_id",
-        "doc_id",
-        c("rnk").alias("c"),
-        F.col("rnk").cast("long").alias("bm25_rnk"),
-        F.lit(None).cast("long").alias("cos_rnk"),
-    ).unionAll(
-        cos_pool.select(
-            "query_id",
-            "doc_id",
-            c("rnk").alias("c"),
-            F.lit(None).cast("long").alias("bm25_rnk"),
-            F.col("rnk").cast("long").alias("cos_rnk"),
-        )
-    )
-    fused = contrib.groupBy("query_id", "doc_id").agg(
-        F.round(F.sum("c"), 6).alias("rrf_score"),
-        F.max("bm25_rnk").cast("int").alias("bm25_rnk"),
-        F.max("cos_rnk").cast("int").alias("cos_rnk"),
-    )
-    w_f = Window.partitionBy("query_id").orderBy(
-        F.col("rrf_score").desc(), F.col("doc_id").asc()
-    )
-    return (
-        fused.withColumn("rnk", F.row_number().over(w_f).cast("int"))
-        .filter(F.col("rnk") <= RRF_TOP_K)
-        .select("query_id", "doc_id", "rrf_score", "bm25_rnk", "cos_rnk", "rnk")
-    )
+    return rrf_fuse(bm25_pool, cos_pool, "doc_id", RRF_K, RRF_TOP_K)
 
 
 @register(

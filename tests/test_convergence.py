@@ -97,9 +97,10 @@ def _cc_labels(spark, edge_list):
 
 def test_stars_cc_long_chain_converges_in_log_rounds(spark):
     """A 10k-long chain — 9 999 propagation rounds, but star
-    contraction must land in ~2·log₂(10k) ≈ 27 rounds or fewer."""
+    contraction lands in 15 (deterministic: rounds depend only on the
+    graph structure; SCALE.md cites this as test-pinned)."""
     got, rounds = _cc_labels(spark, [(i, i + 1) for i in range(9_999)])
-    assert rounds <= 27, rounds
+    assert rounds <= 15, rounds
     assert set(got.values()) == {0}
     assert len(got) == 10_000
 

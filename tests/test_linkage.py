@@ -117,9 +117,10 @@ def test_best_match_is_symmetric_on_exact_dups(spark):
 
 def test_collapsed_handles_duplicate_key_name_rows(spark):
     """Duplicate (key, name) ROWS must not fake a same-name mate:
-    __cnt counts distinct keys, so a key whose name group contains
-    only copies of itself still gets its cross-name best match
-    (round-4 ADVICE item 1)."""
+    same_name derives from __k2 (min SECOND DISTINCT key, NULL when the
+    group holds one key however many rows), so a key whose name group
+    contains only copies of itself still gets its cross-name best
+    match (round-4 ADVICE item 1)."""
     from spk_sl_validation_spark.ext.linkage import fuzzy_best_match_collapsed
 
     rows = [

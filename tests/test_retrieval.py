@@ -166,7 +166,7 @@ def _rrf_reference(docs, queries, rrf_k=60, pool=20, top_k=10):
     out = {}
     for qid, qtext in queries:
         qterms = set(qtext.split())
-        nq = len(qtext.split())
+        nq = len(qterms)  # set semantics: nq = DISTINCT query terms
         cos_scores = {}
         for d, t in toks.items():
             ov = len(qterms & set(t))
@@ -212,17 +212,16 @@ def test_hybrid_rrf_indexed_matches_independent_reimplementation(spark):
         assert by_query[qid] == exp, f"query {qid}: {by_query[qid]} != {exp}"
 
 
-def test_hybrid_rrf_registry_indexed_equals_direct(spark):
+def test_hybrid_rrf_registry_indexed_equals_direct(spark, sf_dir):
     """The registered hybrid_rrf_retrieval_indexed query returns
     byte-identical rows to hybrid_rrf_retrieval (same oracle by
     construction; this pins the engine side)."""
     import __spark_entry__ as entry
 
     qs = entry.queries()
-    sf = "/root/testdata/sf0.001"
-    direct = sorted(map(tuple, qs["hybrid_rrf_retrieval"](spark, sf).collect()))
+    direct = sorted(map(tuple, qs["hybrid_rrf_retrieval"](spark, sf_dir).collect()))
     indexed = sorted(
-        map(tuple, qs["hybrid_rrf_retrieval_indexed"](spark, sf).collect())
+        map(tuple, qs["hybrid_rrf_retrieval_indexed"](spark, sf_dir).collect())
     )
     assert indexed == direct
 

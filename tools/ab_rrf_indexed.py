@@ -24,6 +24,10 @@ RUNS = int(os.environ.get("AB_RUNS", "5"))
 
 
 def main() -> None:
+    # sample BEFORE the Spark JVM exists (same flaw class bench.py fixed:
+    # sampling later reads the benchmark's own load)
+    load1_at_launch = os.getloadavg()[0]
+
     from spk_sl_validation_spark.session import build_session
 
     spark = build_session(app_name="ab-rrf-indexed")
@@ -59,16 +63,26 @@ def main() -> None:
     s2 = spark.read.parquet(f"{tmp}/stats")
     n2 = spark.read.parquet(f"{tmp}/nd")
 
-    def run_direct() -> int:
-        return REGISTRY["hybrid_rrf_retrieval"].builder(spark, SF_DIR).count()
+    def direct_df():
+        return REGISTRY["hybrid_rrf_retrieval"].builder(spark, SF_DIR)
 
-    def run_indexed() -> int:
+    def indexed_df():
         return hybrid_rrf_rank_indexed(
             BM25_QUERIES, p2, d2, s2, n2, rrf_k=RRF_K, pool=RRF_POOL, top_k=RRF_TOP_K
-        ).count()
+        )
 
-    # warm-up (page cache, codegen) once each, then interleave
-    assert run_direct() == run_indexed()
+    def run_direct() -> int:
+        return direct_df().count()
+
+    def run_indexed() -> int:
+        return indexed_df().count()
+
+    # warm-up (page cache, codegen) doubling as a VALUE cross-check —
+    # a row-count compare would pass by construction (both return
+    # top_k rows per query)
+    assert sorted(map(tuple, direct_df().collect())) == sorted(
+        map(tuple, indexed_df().collect())
+    )
     direct_walls, indexed_walls = [], []
     for _ in range(RUNS):
         t = time.monotonic()
@@ -90,7 +104,7 @@ def main() -> None:
                 "speedup": round(d_med / i_med, 2),
                 "direct_walls": [round(w, 3) for w in direct_walls],
                 "indexed_walls": [round(w, 3) for w in indexed_walls],
-                "load1_at_start": os.getloadavg()[0],
+                "load1_at_start": load1_at_launch,
             }
         )
     )
