@@ -180,6 +180,102 @@ FROM c
 """
 
 
+def hll_estimate_by(df: DataFrame, group_col: str, col: str, p: int = 6) -> DataFrame:
+    """Per-group HLL cardinality estimates — the dashboard shape a
+    100 TB pipeline queries constantly (distinct users per event type,
+    distinct docs per source) where per-group exact COUNT(DISTINCT)
+    forces a corpus-wide expand.
+
+    Same bit-exact math as :func:`hll_estimate`, keyed by
+    ``group_col``: partial aggregation collapses every partition to
+    ≤ n_groups · 2^p rows before the shuffle, and the finishing
+    aggregate + exact-side join are n_groups-sized. The exact count
+    rides along per group for the oracle comparison (a production run
+    would drop it and the expand it costs).
+    """
+    m = 1 << p
+    bits = HASH_BITS - p
+    b1 = bits + 1
+    h = md5_long(F.col(col).cast("string"))
+    w = F.shiftright(h, p)
+    first_one = F.instr(F.lpad(F.bin(w), bits, "0"), "1")
+    rank = F.when(w == 0, F.lit(bits + 1)).otherwise(first_one)
+    regs = (
+        df.select(F.col(group_col), (h % F.lit(m)).alias("register"), rank.alias("rank"))
+        .groupBy(group_col, "register")
+        .agg(F.max("rank").alias("max_rank"))
+    )
+    agg = regs.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("long").alias("active_registers"),
+        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {b1} - max_rank)")).alias("z_present"),
+    )
+    exact = df.groupBy(group_col).agg(F.countDistinct(col).alias("exact_distinct"))
+    z_int = (
+        F.col("z_present")
+        + (F.lit(m) - F.col("active_registers")) * F.lit(1 << b1).cast("long")
+    )
+    raw = F.lit(_alpha(m) * m * m) * F.lit(float(1 << b1)) / z_int.cast("double")
+    v_empty = F.lit(m) - F.col("active_registers")
+    linear = F.lit(float(m)) * F.log(F.lit(float(m)) / v_empty.cast("double"))
+    est = F.round(
+        F.when((raw <= F.lit(2.5 * m)) & (v_empty > 0), linear).otherwise(raw), 6
+    )
+    return (
+        agg.join(exact.hint("shuffle_hash"), group_col)
+        .select(
+            group_col,
+            "active_registers",
+            est.alias("hll_estimate"),
+            "exact_distinct",
+            (est / F.col("exact_distinct") - 1.0).alias("rel_err"),
+        )
+    )
+
+
+def hll_estimate_by_sql(table: str, group_col: str, col: str, p: int = 6) -> str:
+    """DuckDB twin of :func:`hll_estimate_by`."""
+    m = 1 << p
+    bits = HASH_BITS - p
+    b1 = bits + 1
+    h = md5_long_sql(f"CAST({col} AS VARCHAR)")
+    return f"""
+WITH h AS (SELECT {group_col} AS g, {h} AS h FROM {table}),
+r AS (
+  SELECT g, h % {m} AS register,
+         CASE WHEN (h >> {p}) = 0 THEN {b1}
+              ELSE strpos(lpad(bin(h >> {p}), {bits}, '0'), '1') END AS rank
+  FROM h
+),
+regs AS (SELECT g, register, max(rank) AS max_rank FROM r GROUP BY g, register),
+z AS (
+  SELECT g, count(*) AS active,
+         sum((1::BIGINT << ({b1} - max_rank))) AS z_present
+  FROM regs GROUP BY g
+),
+e AS (
+  SELECT g, active,
+         {_alpha(m) * m * m!r} * {float(1 << b1)!r}
+           / CAST(z_present + ({m} - active) * (1::BIGINT << {b1}) AS DOUBLE) AS raw,
+         ({m} - active) AS v_empty
+  FROM z
+),
+c AS (
+  SELECT g, active,
+         round(CASE WHEN raw <= {2.5 * m!r} AND v_empty > 0
+                    THEN {float(m)!r} * ln({float(m)!r} / CAST(v_empty AS DOUBLE))
+                    ELSE raw END, 6) AS est
+  FROM e
+),
+x AS (SELECT {group_col} AS g, count(DISTINCT {col}) AS exact_distinct FROM {table} GROUP BY {group_col})
+SELECT c.g AS {group_col},
+       CAST(c.active AS BIGINT) AS active_registers,
+       c.est AS hll_estimate,
+       x.exact_distinct,
+       c.est / x.exact_distinct - 1.0 AS rel_err
+FROM c JOIN x USING (g)
+"""
+
+
 def hll_profile(df: DataFrame, cols: list[str], p: int = 6) -> DataFrame:
     """Per-column NDV estimates for many columns in ONE scan: each row
     explodes into (column-name, value) pairs and every column's HLL

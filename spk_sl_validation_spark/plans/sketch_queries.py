@@ -39,6 +39,21 @@ def sketch_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sketch_hll_by_type",
+    doc=(
+        f"grouped HyperLogLog(2^{HLL_P}): distinct-user estimate PER event "
+        "type — the per-source cardinality dashboard shape; partial agg "
+        "collapses each partition to ≤ groups·2^p rows before the shuffle "
+        "(exact COUNT(DISTINCT) per group would expand the corpus)"
+    ),
+    oracle=SK.hll_estimate_by_sql("events", "event_type", "user_id", HLL_P),
+)
+def sketch_hll_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return SK.hll_estimate_by(events, "event_type", "user_id", HLL_P)
+
+
+@register(
     "sketch_cms_user_counts",
     doc=(
         f"count-min sketch ({CMS_DEPTH}×{CMS_WIDTH}) per-user event-count "

@@ -117,3 +117,21 @@ def test_bottomk_quantile_estimates_near_exact(spark, sf_dir):
         # rank of the estimate in the full distribution ≈ p ± 5pp
         rank = ev.filter(F.col("value").cast("double") <= est).count() / n
         assert abs(rank - p / 100) < 0.06, (p, est, exact, rank)
+
+
+def test_hll_estimate_by_groups_match_global_per_group(spark):
+    """Per-group registers are the global sketch restricted to the
+    group's rows, so each group's estimate equals hll_estimate run on
+    that group's slice alone."""
+    from spk_sl_validation_spark.ext.sketches import hll_estimate, hll_estimate_by
+
+    rows = [(i, f"t{i % 3}", i % 40) for i in range(500)]
+    df = spark.createDataFrame(rows, "event_id long, event_type string, user_id long")
+    by = {
+        r["event_type"]: (r["hll_estimate"], r["exact_distinct"])
+        for r in hll_estimate_by(df, "event_type", "user_id").collect()
+    }
+    assert set(by) == {"t0", "t1", "t2"}
+    for t in by:
+        solo = hll_estimate(df.filter(df.event_type == t), "user_id").first()
+        assert by[t] == (solo["hll_estimate"], solo["exact_distinct"])
