@@ -57,3 +57,91 @@ def benchmark_overlap(
         .agg(F.count("__hit").alias("n_overlap"))
         .withColumn("contaminated", F.col("n_overlap") > 0)
     )
+
+
+def benchmark_overlap_bloom(
+    train: DataFrame,
+    bench: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    n: int = 8,
+    m_bits: int = 8192,
+    k: int = 5,
+) -> DataFrame:
+    """EXACTLY :func:`benchmark_overlap`'s output through a Bloom
+    prefilter — the 100 TB shape when the benchmark n-gram STRING set
+    is too wide to broadcast comfortably (published held-out suites
+    reach 10⁶+ docs ⇒ multi-GB distinct-shingle relations; a Bloom of
+    them is ``m_bits/8`` bytes, period).
+
+    Three stages:
+    1. Bench shingles → Bloom BITMASK (``m_bits/64`` longs), collected
+       to the driver and embedded as a literal — a bounded scalar
+       fan-in (≤ m_bits bits by construction, the same pattern as
+       k-means centroids), so the corpus-side probe is pure
+       whole-stage codegen: k ``element_at``+bit-test conditions per
+       shingle, NO join, NO shuffle, NO higher-order functions.
+    2. Corpus shingles that pass all k bit-tests become candidates —
+       Bloom has no false negatives, so candidates ⊇ true matches and
+       the (tunable) false-positive rate only costs verify work.
+    3. Candidates alone exact-verify against the bench string set
+       (broadcast join over the Bloom-selected sliver), then fold
+       back onto the full train-doc universe with zero-overlap rows —
+       false positives die here, which is why the output is
+       row-identical to the direct path and shares its oracle.
+    """
+    from spk_sl_validation_spark.ext.hashing import md5_long, seeded_perm, seeded_perm_sql
+
+    bench_g = shingle_rows(bench, id_col, text_col, n).select("s").distinct()
+    h_b = md5_long(F.col("s").cast("string"))
+    bit_rows = (
+        bench_g.select(
+            F.explode(
+                F.array(*[(seeded_perm(h_b, i) % F.lit(m_bits)) for i in range(k)])
+            ).alias("pos")
+        )
+        .distinct()
+        .collect()
+    )
+    mask = [0] * ((m_bits + 63) // 64)
+    for r in bit_rows:
+        mask[r.pos // 64] |= 1 << (r.pos % 64)
+    # two's-complement to fit Spark's signed LongType; SQL array
+    # literal so element_at takes a computed index (the Column API's
+    # shift/element_at variants require literal operands)
+    mask_sql = "array(" + ", ".join(
+        f"CAST({v - (1 << 64) if v >= (1 << 63) else v} AS BIGINT)" for v in mask
+    ) + ")"
+
+    train_g = (
+        shingle_rows(train, id_col, text_col, n)
+        .distinct()
+        .withColumn("__h", md5_long(F.col("s").cast("string")))
+        .withColumn("__mask", F.expr(mask_sql))
+    )
+    # shiftright(word, pos % 64) & 1: arithmetic shift is bit-test-safe
+    # (the & 1 reads only the lowest post-shift bit, sign fill never
+    # reaches it for shifts < 64).
+    tests = []
+    for i in range(k):
+        pos = f"({seeded_perm_sql('__h', i)} % {m_bits})"
+        tests.append(
+            f"(shiftright(element_at(__mask, CAST({pos} / 64 AS INT) + 1),"
+            f" CAST({pos} % 64 AS INT)) & 1) = 1"
+        )
+    cand = train_g.filter(F.expr(" AND ".join(tests))).drop("__h", "__mask")
+
+    overlap = (
+        cand.join(F.broadcast(bench_g.withColumn("__hit", F.lit(1))), "s")
+        .groupBy(id_col)
+        .agg(F.count("__hit").alias("n_overlap"))
+    )
+    return (
+        train.select(id_col)
+        .join(overlap.hint("shuffle_hash"), id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_overlap"), F.lit(0).cast("long")).alias("n_overlap"),
+        )
+        .withColumn("contaminated", F.col("n_overlap") > 0)
+    )

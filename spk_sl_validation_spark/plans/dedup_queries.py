@@ -941,3 +941,30 @@ def dedup_incremental_exact_indexed(spark: SparkSession, sf_dir: str) -> DataFra
 _REG["dedup_incremental_exact_indexed"] = _dc.replace(
     _REG["dedup_incremental_exact_indexed"], oracle=_REG["dedup_incremental_exact"].oracle
 )
+
+
+@register(
+    "decontaminate_bloom",
+    doc=(
+        "benchmark decontamination through a Bloom prefilter: bench 8-grams "
+        "-> bitmask literal (m_bits/8 bytes however large the benchmark), "
+        "corpus probe is pure codegen bit-tests (no join/shuffle), exact "
+        "verify only on Bloom candidates — row-identical to "
+        "decontaminate_benchmark, same oracle"
+    ),
+    oracle=None,
+)
+def decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyspark.sql.functions as F
+
+    from spk_sl_validation_spark.ext.decontaminate import benchmark_overlap_bloom
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    train = docs.filter(F.col("doc_id") % 97 != 0)
+    return benchmark_overlap_bloom(train, bench, "doc_id", "text", n=8)
+
+
+_REG["decontaminate_bloom"] = _dc.replace(
+    _REG["decontaminate_bloom"], oracle=_REG["decontaminate_benchmark"].oracle
+)

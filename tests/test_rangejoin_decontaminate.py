@@ -94,6 +94,39 @@ def test_benchmark_overlap_flags_shared_ngrams(spark):
     assert got[3] == (0, False)
 
 
+def test_benchmark_overlap_bloom_equals_direct(spark):
+    """The Bloom-prefiltered path returns row-identical output to the
+    direct path — including with a DELIBERATELY tiny filter (m_bits=64,
+    high false-positive rate): Bloom has no false negatives and the
+    exact-verify stage kills every false positive, so the filter size
+    tunes cost, never correctness."""
+    from spk_sl_validation_spark.ext.decontaminate import benchmark_overlap_bloom
+
+    bench = spark.createDataFrame(
+        [Row(doc_id=100, text="the quick brown fox jumps over the lazy dog")]
+    )
+    train = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="she saw the quick brown fox jumps over nothing"),
+            Row(doc_id=2, text="completely unrelated text with different words entirely"),
+            Row(doc_id=3, text="tiny doc"),
+        ]
+    )
+    direct = sorted(
+        map(tuple, benchmark_overlap(train, bench, "doc_id", "text", n=4).collect())
+    )
+    for m_bits in (64, 8192):
+        bloom = sorted(
+            map(
+                tuple,
+                benchmark_overlap_bloom(
+                    train, bench, "doc_id", "text", n=4, m_bits=m_bits
+                ).collect(),
+            )
+        )
+        assert bloom == direct, m_bits
+
+
 def test_jsonl_roundtrip(spark, tmp_path):
     from spk_sl_validation_spark.sources.readers import load_jsonl_table
 
