@@ -76,11 +76,13 @@ def benchmark_overlap_bloom(
 
     Three stages:
     1. Bench shingles → Bloom BITMASK (``m_bits/64`` longs), collected
-       to the driver and embedded as a literal — a bounded scalar
-       fan-in (≤ m_bits bits by construction, the same pattern as
-       k-means centroids), so the corpus-side probe is pure
-       whole-stage codegen: k ``element_at``+bit-test conditions per
-       shingle, NO join, NO shuffle, NO higher-order functions.
+       to the driver (a bounded fan-in, ≤ m_bits set positions by
+       construction — the k-means-centroid pattern) and shipped back
+       as a ONE-ROW broadcast crossJoin, so the corpus-side probe is
+       k ``element_at``+bit-test conditions per shingle: NO shuffle,
+       NO higher-order functions, and m_bits scales to millions of
+       bits (m_bits/8 bytes per executor) where a plan-text literal
+       would hit the codegen method limit around 2^17.
     2. Corpus shingles that pass all k bit-tests become candidates —
        Bloom has no false negatives, so candidates ⊇ true matches and
        the (tunable) false-positive rate only costs verify work.
@@ -106,18 +108,22 @@ def benchmark_overlap_bloom(
     mask = [0] * ((m_bits + 63) // 64)
     for r in bit_rows:
         mask[r.pos // 64] |= 1 << (r.pos % 64)
-    # two's-complement to fit Spark's signed LongType; SQL array
-    # literal so element_at takes a computed index (the Column API's
-    # shift/element_at variants require literal operands)
-    mask_sql = "array(" + ", ".join(
-        f"CAST({v - (1 << 64) if v >= (1 << 63) else v} AS BIGINT)" for v in mask
-    ) + ")"
+    # two's-complement to fit Spark's signed LongType. The mask ships
+    # as a ONE-ROW broadcast crossJoin (the house 1-row fan-in
+    # pattern), NOT a SQL literal: a literal caps m_bits at what the
+    # plan text / codegen method limit tolerates (~2^17), while a
+    # broadcast row carries a multi-million-bit filter for free
+    # (m_bits/8 bytes once per executor).
+    mask_row = train.sparkSession.createDataFrame(
+        [([v - (1 << 64) if v >= (1 << 63) else v for v in mask],)],
+        "__mask array<bigint>",
+    )
 
     train_g = (
         shingle_rows(train, id_col, text_col, n)
         .distinct()
         .withColumn("__h", md5_long(F.col("s").cast("string")))
-        .withColumn("__mask", F.expr(mask_sql))
+        .crossJoin(F.broadcast(mask_row))
     )
     # shiftright(word, pos % 64) & 1: arithmetic shift is bit-test-safe
     # (the & 1 reads only the lowest post-shift bit, sign fill never

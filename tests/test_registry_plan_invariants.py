@@ -56,6 +56,8 @@ BNL_ALLOWED = {
     # hybrid RRF: inherits bm25_rank's 1-row (n_docs, avgdl) stats fan-in
     "hybrid_rrf_retrieval",
     "hybrid_rrf_retrieval_indexed",
+    # Bloom decontamination: 1-row bitmask fan-in (broadcast crossJoin)
+    "decontaminate_bloom",
 }
 
 
