@@ -106,3 +106,53 @@ def test_containment_property_matches_python(spark, texts):
         inter = len(a & b)
         assert cab == inter / len(a)
         assert cba == inter / len(b)
+
+
+# ---------------------------------------------------------------------------
+# Star-contraction connected components vs union-find
+# ---------------------------------------------------------------------------
+
+
+def _python_components(edge_list):
+    """Union-find reference: node -> min id of its component."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edge_list:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {x: find(x) for x in parent}
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 40), st.integers(0, 40)),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_stars_cc_matches_union_find(spark, edge_list):
+    from spk_sl_validation_spark.ext.graph import connected_components_stars
+
+    edges = spark.createDataFrame(edge_list, "src long, dst long")
+    labels, _ = connected_components_stars(edges)
+    got = {r.node: r.cluster_id for r in labels.collect()}
+    want = {
+        n: c for n, c in _python_components(edge_list).items()
+        # self-loop-only nodes are singletons: the operator omits them
+        # (callers fold singletons back), the reference keeps them
+        if any(a != b and n in (a, b) for a, b in edge_list)
+    }
+    assert got == want

@@ -148,3 +148,20 @@ def test_jsonl_roundtrip(spark, tmp_path):
         (1, "hello world", "en"),
         (2, "bonjour", "fr"),
     ]
+
+
+def test_benchmark_overlap_bloom_empty_bench(spark):
+    """An empty benchmark set → all-zero mask → zero candidates →
+    every train doc uncontaminated (and the driver collect of zero
+    positions is fine)."""
+    from spk_sl_validation_spark.ext.decontaminate import benchmark_overlap_bloom
+
+    bench = spark.createDataFrame([], "doc_id long, text string")
+    train = spark.createDataFrame(
+        [Row(doc_id=1, text="some words here to shingle over the set")]
+    )
+    got = {
+        r.doc_id: (r.n_overlap, r.contaminated)
+        for r in benchmark_overlap_bloom(train, bench, "doc_id", "text", n=4).collect()
+    }
+    assert got == {1: (0, False)}
