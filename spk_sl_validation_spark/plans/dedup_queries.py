@@ -947,8 +947,8 @@ _REG["dedup_incremental_exact_indexed"] = _dc.replace(
     "decontaminate_bloom",
     doc=(
         "benchmark decontamination through a Bloom prefilter: bench 8-grams "
-        "-> bitmask literal (m_bits/8 bytes however large the benchmark), "
-        "corpus probe is pure codegen bit-tests (no join/shuffle), exact "
+        "-> bitmask on a 1-row broadcast (m_bits/8 bytes however large the "
+        "benchmark), corpus probe is codegen bit-tests (no shuffle), exact "
         "verify only on Bloom candidates — row-identical to "
         "decontaminate_benchmark, same oracle"
     ),
