@@ -74,49 +74,45 @@ def benchmark_overlap_bloom(
     reach 10⁶+ docs ⇒ multi-GB distinct-shingle relations; a Bloom of
     them is ``m_bits/8`` bytes, period).
 
-    Three stages:
-    1. Bench shingles → Bloom BITMASK (``m_bits/64`` longs), collected
-       to the driver (a bounded fan-in, ≤ m_bits set positions by
-       construction — the k-means-centroid pattern) and shipped back
-       as a ONE-ROW broadcast crossJoin, so the corpus-side probe is
-       k ``element_at``+bit-test conditions per shingle: NO shuffle,
-       NO higher-order functions, and m_bits scales to millions of
-       bits (m_bits/8 bytes per executor) where a plan-text literal
-       would hit the codegen method limit around 2^17.
-    2. Corpus shingles that pass all k bit-tests become candidates —
-       Bloom has no false negatives, so candidates ⊇ true matches and
-       the (tunable) false-positive rate only costs verify work.
-    3. Candidates alone exact-verify against the bench string set
-       (broadcast join over the Bloom-selected sliver), then fold
-       back onto the full train-doc universe with zero-overlap rows —
-       false positives die here, which is why the output is
-       row-identical to the direct path and shares its oracle.
+    Three stages, all LAZY (constructing the plan runs no job):
+    1. Bench shingle positions (``sketches.bloom_positions`` — the one
+       shared Bloom hash-family convention) pack IN-PLAN into a
+       sparse bitmask: per 64-bit word, ``sum(shiftleft(1, pos%64))``
+       (positions are distinct, so the sum IS the bitwise OR), then
+       one row of ``map<word_idx, word>`` — only non-zero words are
+       stored, and the row rides a 1-row broadcast crossJoin (the
+       house fan-in pattern), so m_bits scales to millions of bits
+       where a plan-text literal would hit the codegen method limit
+       around 2^17.
+    2. The corpus-side probe is k ``element_at``+bit-test conditions
+       per shingle — no shuffle; an absent map key means no bits set
+       in that word, and the NULL bit-test correctly rejects. Bloom
+       has no false negatives, so candidates ⊇ true matches and the
+       (tunable) false-positive rate only costs verify work.
+    3. Candidates alone exact-verify against the bench string set via
+       a pinned SHUFFLE-HASH join (broadcasting the bench strings
+       here would re-introduce exactly the wide broadcast this
+       operator exists to avoid; both join sides — the Bloom-selected
+       sliver and the bench set — are ≪ the corpus shingle stream),
+       then fold back onto the train-doc universe with zero-overlap
+       rows. False positives die in the verify, which is why the
+       output is row-identical to the direct path and shares its
+       oracle. The universe is ``distinct`` non-null-text doc ids —
+       exactly the docs that contribute ≥1 shingle (``split`` of any
+       non-null text yields ≥1 token), matching the direct path's
+       groupBy row set without re-shingling.
     """
-    from spk_sl_validation_spark.ext.hashing import md5_long, seeded_perm, seeded_perm_sql
+    from spk_sl_validation_spark.ext.hashing import md5_long, seeded_perm_sql
+    from spk_sl_validation_spark.ext.sketches import bloom_positions
 
     bench_g = shingle_rows(bench, id_col, text_col, n).select("s").distinct()
-    h_b = md5_long(F.col("s").cast("string"))
-    bit_rows = (
-        bench_g.select(
-            F.explode(
-                F.array(*[(seeded_perm(h_b, i) % F.lit(m_bits)) for i in range(k)])
-            ).alias("pos")
-        )
-        .distinct()
-        .collect()
+    words = (
+        bloom_positions(bench_g, "s", m_bits, k)
+        .groupBy((F.col("pos") / 64).cast("int").alias("w"))
+        .agg(F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))")).alias("v"))
     )
-    mask = [0] * ((m_bits + 63) // 64)
-    for r in bit_rows:
-        mask[r.pos // 64] |= 1 << (r.pos % 64)
-    # two's-complement to fit Spark's signed LongType. The mask ships
-    # as a ONE-ROW broadcast crossJoin (the house 1-row fan-in
-    # pattern), NOT a SQL literal: a literal caps m_bits at what the
-    # plan text / codegen method limit tolerates (~2^17), while a
-    # broadcast row carries a multi-million-bit filter for free
-    # (m_bits/8 bytes once per executor).
-    mask_row = train.sparkSession.createDataFrame(
-        [([v - (1 << 64) if v >= (1 << 63) else v for v in mask],)],
-        "__mask array<bigint>",
+    mask_row = words.agg(
+        F.map_from_entries(F.collect_list(F.struct("w", "v"))).alias("__mask")
     )
 
     train_g = (
@@ -127,23 +123,26 @@ def benchmark_overlap_bloom(
     )
     # shiftright(word, pos % 64) & 1: arithmetic shift is bit-test-safe
     # (the & 1 reads only the lowest post-shift bit, sign fill never
-    # reaches it for shifts < 64).
+    # reaches it for shifts < 64); a missing word key yields NULL,
+    # which the = 1 comparison rejects.
     tests = []
     for i in range(k):
         pos = f"({seeded_perm_sql('__h', i)} % {m_bits})"
         tests.append(
-            f"(shiftright(element_at(__mask, CAST({pos} / 64 AS INT) + 1),"
+            f"(shiftright(element_at(__mask, CAST({pos} / 64 AS INT)),"
             f" CAST({pos} % 64 AS INT)) & 1) = 1"
         )
     cand = train_g.filter(F.expr(" AND ".join(tests))).drop("__h", "__mask")
 
     overlap = (
-        cand.join(F.broadcast(bench_g.withColumn("__hit", F.lit(1))), "s")
+        cand.join(bench_g.withColumn("__hit", F.lit(1)).hint("shuffle_hash"), "s")
         .groupBy(id_col)
         .agg(F.count("__hit").alias("n_overlap"))
     )
     return (
-        train.select(id_col)
+        train.filter(F.col(text_col).isNotNull())
+        .select(id_col)
+        .distinct()
         .join(overlap.hint("shuffle_hash"), id_col, "left")
         .select(
             id_col,

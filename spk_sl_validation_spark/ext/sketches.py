@@ -96,6 +96,28 @@ def hll_estimate(df: DataFrame, col: str, p: int = 6) -> DataFrame:
     return hll_estimate_from_registers(regs, exact, p)
 
 
+def _hll_finish_exprs(p: int):
+    """(raw, est) Column expressions over a relation carrying
+    ``active_registers`` and ``z_present`` — THE single copy of the
+    HLL finishing math (integer-domain harmonic sum, small-range
+    linear-counting correction, round-6). Shared by the global,
+    per-group, and profiling estimators so the correction can never
+    desynchronize between them."""
+    m = 1 << p
+    b1 = HASH_BITS - p + 1
+    z_int = (
+        F.col("z_present")
+        + (F.lit(m) - F.col("active_registers")) * F.lit(1 << b1).cast("long")
+    )
+    raw = F.lit(_alpha(m) * m * m) * F.lit(float(1 << b1)) / z_int.cast("double")
+    v_empty = F.lit(m) - F.col("active_registers")
+    linear = F.lit(float(m)) * F.log(F.lit(float(m)) / v_empty.cast("double"))
+    est = F.round(
+        F.when((raw <= F.lit(2.5 * m)) & (v_empty > 0), linear).otherwise(raw), 6
+    )
+    return raw, est
+
+
 def hll_estimate_from_registers(regs: DataFrame, exact: DataFrame, p: int = 6) -> DataFrame:
     """Finish the HLL estimate from a (register, max_rank) sketch table
     and a single-row ``exact`` frame with ``exact_distinct``.
@@ -113,16 +135,7 @@ def hll_estimate_from_registers(regs: DataFrame, exact: DataFrame, p: int = 6) -
         # accepts a literal int, so spell it in SQL.
         F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {b1} - max_rank)")).alias("z_present"),
     )
-    z_int = (
-        F.col("z_present")
-        + (F.lit(m) - F.col("active_registers")) * F.lit(1 << b1).cast("long")
-    )
-    raw = F.lit(_alpha(m) * m * m) * F.lit(float(1 << b1)) / z_int.cast("double")
-    v_empty = F.lit(m) - F.col("active_registers")
-    linear = F.lit(float(m)) * F.log(F.lit(float(m)) / v_empty.cast("double"))
-    est = F.round(
-        F.when((raw <= F.lit(2.5 * m)) & (v_empty > 0), linear).otherwise(raw), 6
-    )
+    raw, est = _hll_finish_exprs(p)
     return (
         agg_row.crossJoin(exact)
         .select(
@@ -210,16 +223,7 @@ def hll_estimate_by(df: DataFrame, group_col: str, col: str, p: int = 6) -> Data
         F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {b1} - max_rank)")).alias("z_present"),
     )
     exact = df.groupBy(group_col).agg(F.countDistinct(col).alias("exact_distinct"))
-    z_int = (
-        F.col("z_present")
-        + (F.lit(m) - F.col("active_registers")) * F.lit(1 << b1).cast("long")
-    )
-    raw = F.lit(_alpha(m) * m * m) * F.lit(float(1 << b1)) / z_int.cast("double")
-    v_empty = F.lit(m) - F.col("active_registers")
-    linear = F.lit(float(m)) * F.log(F.lit(float(m)) / v_empty.cast("double"))
-    est = F.round(
-        F.when((raw <= F.lit(2.5 * m)) & (v_empty > 0), linear).otherwise(raw), 6
-    )
+    _, est = _hll_finish_exprs(p)
     return (
         agg.join(exact.hint("shuffle_hash"), group_col)
         .select(
@@ -312,16 +316,7 @@ def hll_profile(df: DataFrame, cols: list[str], p: int = 6) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("active_registers"),
         F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {b1} - max_rank)")).alias("z_present"),
     )
-    z_int = (
-        F.col("z_present")
-        + (F.lit(m) - F.col("active_registers")) * F.lit(1 << b1).cast("long")
-    )
-    raw = F.lit(_alpha(m) * m * m) * F.lit(float(1 << b1)) / z_int.cast("double")
-    v_empty = F.lit(m) - F.col("active_registers")
-    linear = F.lit(float(m)) * F.log(F.lit(float(m)) / v_empty.cast("double"))
-    est = F.round(
-        F.when((raw <= F.lit(2.5 * m)) & (v_empty > 0), linear).otherwise(raw), 6
-    )
+    _, est = _hll_finish_exprs(p)
     exact = v.groupBy("cname").agg(F.countDistinct("val").alias("exact_distinct"))
     return (
         z.join(exact, "cname")

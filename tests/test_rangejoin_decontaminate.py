@@ -165,3 +165,33 @@ def test_benchmark_overlap_bloom_empty_bench(spark):
         for r in benchmark_overlap_bloom(train, bench, "doc_id", "text", n=4).collect()
     }
     assert got == {1: (0, False)}
+
+
+def test_benchmark_overlap_bloom_null_text_and_duplicate_rows(spark):
+    """Row-identity with the direct path on degenerate inputs: a
+    NULL-text train row contributes no shingles (both paths omit it)
+    and duplicate train rows collapse to one output row."""
+    from spk_sl_validation_spark.ext.decontaminate import benchmark_overlap_bloom
+
+    bench = spark.createDataFrame(
+        [Row(doc_id=100, text="the quick brown fox jumps over the lazy dog")]
+    )
+    train = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="she saw the quick brown fox jumps over nothing"),
+            Row(doc_id=1, text="she saw the quick brown fox jumps over nothing"),
+            Row(doc_id=2, text=None),
+        ],
+        "doc_id long, text string",
+    )
+    direct = sorted(
+        map(tuple, benchmark_overlap(train, bench, "doc_id", "text", n=4).collect())
+    )
+    bloom = sorted(
+        map(
+            tuple,
+            benchmark_overlap_bloom(train, bench, "doc_id", "text", n=4).collect(),
+        )
+    )
+    assert bloom == direct
+    assert [r[0] for r in bloom] == [1]  # doc 2 (NULL text) omitted, doc 1 once
