@@ -104,6 +104,15 @@ NONHEADLINE_BUDGETS = {
     # the recursive-CTE shape: per-iteration exchanges are internal
     # eager jobs; the final assembled frame is one exchange.
     "recursive_capped_cumsum": (1, 0),
+    # round-5 new queries (values = PLANS.md): stars CC's final frame
+    # is the LSH/verify tail + fold-back (iterations are internal
+    # eager jobs); grouped HLL is two grouped aggregates + the exact
+    # side; bloom decontamination pays candidate/bench-sized
+    # exchanges (in-plan mask agg + pinned shuffle-hash verify) in
+    # exchange for never broadcasting the bench string set.
+    "dedup_clusters_stars": (3, 0),
+    "sketch_hll_by_type": (4, 0),
+    "decontaminate_bloom": (11, 0),
 }
 
 
