@@ -147,7 +147,10 @@ def mixture_sample(
     h = md5_long(F.col(id_col).cast("string")) % SAMPLE_MOD
     thresh = F.lit(0)
     for src, w in sorted(weights.items()):
-        thresh = F.when(F.col(source_col) == src, F.lit(int(w * SAMPLE_MOD))).otherwise(thresh)
+        # round, don't truncate: int(0.29 * 1e6) is 289999 (the product
+        # is 289999.99999999994), silently sampling 1/SAMPLE_MOD short
+        # of the requested weight. Exact-dyadic weights are unaffected.
+        thresh = F.when(F.col(source_col) == src, F.lit(round(w * SAMPLE_MOD))).otherwise(thresh)
     return df.filter(h < thresh)
 
 
@@ -158,7 +161,8 @@ def mixture_predicate_sql(
     embedding in composed oracles)."""
     h = md5_long_sql(f"CAST({id_col} AS VARCHAR)")
     cases = " ".join(
-        f"WHEN {source_col} = '{src}' THEN {int(w * SAMPLE_MOD)}"
+        # quote-escape source names; round like mixture_sample does
+        f"WHEN {source_col} = '{src.replace(chr(39), chr(39) * 2)}' THEN {round(w * SAMPLE_MOD)}"
         for src, w in sorted(weights.items())
     )
     return f"({h}) % {SAMPLE_MOD} < (CASE {cases} ELSE 0 END)"

@@ -32,7 +32,15 @@ def rate_limit_accept(
 
     Determinism: gaps are integer epoch-microsecond differences
     divided by 1e6, and every update is the same fixed-order IEEE
-    expression the oracle's recursive CTE evaluates — bit-identical.
+    expression the oracle's recursive CTE evaluates — bit-identical
+    (tokens_after rounds HALF_UP like F.round/DuckDB, not Python's
+    banker's round, which diverges on exact ties).
+
+    NULL ``user_col`` caveat: groupBy folds all NULL users as one
+    bucket, but the oracle's recursive join (``e.user_id =
+    st.user_id``) never matches NULL, so the oracle drops idx ≥ 2
+    NULL-user rows — filter NULL users out before rate limiting if
+    the stream can contain them (the driver tables cannot).
     """
     # id/user/ts field types come from the input schema — a string or
     # int id must pass through unchanged, not be coerced to long.
@@ -43,6 +51,17 @@ def rate_limit_accept(
     )
 
     def fold(pdf):
+        from decimal import ROUND_HALF_UP, Decimal
+
+        def round6(x: float) -> float:
+            # HALF_UP on the shortest decimal repr — what F.round and
+            # DuckDB's round() do. Python's built-in round() is
+            # banker's (half-even) and diverges on exact ties, e.g.
+            # round(3.0078125, 6): 3.007812 vs the oracle's 3.007813.
+            return float(
+                Decimal(str(x)).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP)
+            )
+
         pdf = pdf.sort_values([ts_col, id_col]).reset_index(drop=True)
         us = pdf[ts_col].astype("int64") // 1000  # ns -> µs
         tokens = float(cap)
@@ -58,7 +77,7 @@ def rate_limit_accept(
             ok = avail >= 1.0
             tokens = avail - 1.0 if ok else avail
             accepted.append(ok)
-            tokens_after.append(round(tokens, 6))
+            tokens_after.append(round6(tokens))
             prev_us = cur
         pdf = pdf[[id_col, user_col, ts_col]].copy()
         pdf["accepted"] = accepted

@@ -42,6 +42,13 @@ def ws_tokens(col: str | Column) -> Column:
     """Whitespace tokenization: ``split(trim(x), '\\s+')``.
 
     DuckDB twin: ``string_split_regex(trim(x), '\\s+')``.
+
+    Known cross-engine edge: Java's ``\\s`` matches vertical tab
+    (``\\x0B``) but DuckDB's RE2 ``\\s`` ([\\t\\n\\f\\r ]) does not,
+    so a document containing ``\\x0B`` tokenizes differently in the
+    two engines (none exists in the driver tables; raw crawl data
+    should be normalized — or both regexes pinned to the explicit
+    class — before relying on oracle parity for such input).
     """
     c = F.col(col) if isinstance(col, str) else col
     return F.split(F.trim(c), r"\s+")

@@ -133,7 +133,13 @@ def run_available_now(
         q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
-    return spark.table(name)
+    # Materialize off the memory sink and DROP it: each sink table
+    # otherwise retains its full result for the driver's lifetime,
+    # growing without bound across a long session's replays. The
+    # checkpointed blocks are released with the returned DataFrame.
+    out = spark.table(name).localCheckpoint(eager=True)
+    spark.catalog.dropTempView(name)
+    return out
 
 
 def windowed_counts(events: DataFrame, window: str = "1 hour", watermark: str = "2 hours") -> DataFrame:
@@ -267,33 +273,19 @@ def user_activity_stats(events: DataFrame) -> DataFrame:
     """
     from pyspark.sql.streaming.stateful_processor import StatefulProcessor, StatefulProcessorHandle
 
-    out_schema = T.StructType(
-        [
-            T.StructField("user_id", T.LongType()),
-            T.StructField("n_events", T.LongType()),
-            T.StructField("first_us", T.LongType()),
-            T.StructField("last_us", T.LongType()),
-        ]
-    )
+    out_schema = _ACTIVITY_SCHEMA
 
     class ActivityProcessor(StatefulProcessor):
         def init(self, handle: StatefulProcessorHandle) -> None:
-            self._state = handle.getValueState(
-                "activity",
-                T.StructType(
-                    [
-                        T.StructField("n", T.LongType()),
-                        T.StructField("first_us", T.LongType()),
-                        T.StructField("last_us", T.LongType()),
-                    ]
-                ),
-            )
+            self._state = handle.getValueState("activity", _ACTIVITY_STATE)
 
         def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
             n, first_us, last_us = (
                 self._state.get() if self._state.exists() else (0, None, None)
             )
             for pdf in rows:
+                if not len(pdf):  # empty chunks are legal in the protocol
+                    continue
                 us = pdf["ts"].astype("int64") // 1000  # ns → µs
                 n += len(pdf)
                 lo, hi = int(us.min()), int(us.max())
@@ -345,6 +337,8 @@ def user_activity_stats_fallback(events: DataFrame) -> DataFrame:
     ) -> Iterator[pd.DataFrame]:
         n, first_us, last_us = state.get if state.exists else (0, None, None)
         for pdf in pdfs:
+            if not len(pdf):  # empty chunks are legal in the protocol
+                continue
             us = pdf["ts"].astype("int64") // 1000  # ns → µs
             n += len(pdf)
             lo, hi = int(us.min()), int(us.max())
@@ -550,6 +544,11 @@ def ingest_dedup_stream(
     index read filters to ``batch_id < current`` so a replayed batch
     never sees the partition its own failed attempt wrote (it would
     misclassify its kept docs as exact dups of themselves).
+
+    Precondition: ``index_dir`` must hold a bootstrapped index
+    (``write_dedup_index`` on the existing corpus — an empty corpus
+    is fine) before the stream starts; batch 0 reads the fp/bands/hs
+    parts and fails with PATH_NOT_FOUND against a bare directory.
 
     Returns the started StreamingQuery (availableNow trigger).
     """

@@ -16,6 +16,14 @@ RATE = 0.05
 _T0 = dt.datetime(2026, 1, 1)
 
 
+def _round6_half_up(x: float) -> float:
+    """HALF_UP like F.round/DuckDB — Python round() is banker's and
+    diverges on exact ties (e.g. 3.0078125)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(Decimal(str(x)).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP))
+
+
 def _python_fold(rows):
     """Reference fold with the same IEEE expression order: epoch-µs
     gaps divided by 1e6, min-clamped refill, spend-one-on-accept."""
@@ -36,7 +44,7 @@ def _python_fold(rows):
             )
             ok = avail >= 1.0
             tokens = avail - 1.0 if ok else avail
-            out[eid] = (ok, round(tokens, 6))
+            out[eid] = (ok, _round6_half_up(tokens))
             prev_us = us
     return out
 
