@@ -510,6 +510,10 @@ def dedup_clusters(
     ~2·log d star rounds — 15 rounds for a 10 000-chain, probed in
     SCALE.md §7). Identical output on any graph where both converge
     (pinned by test).
+
+    ``max_iterations`` bounds work in both modes (propagation rounds,
+    or star rounds — each star round is ~2 shuffles and 20 covers
+    component diameters ≈ 2^10); either mode fails loudly past it.
     """
     if method not in ("propagate", "stars"):
         raise ValueError(f"unknown method {method!r}: use 'propagate' or 'stars'")
@@ -539,7 +543,11 @@ def dedup_clusters(
     if method == "stars":
         from spk_sl_validation_spark.ext.graph import connected_components_stars
 
-        star_labels, _ = connected_components_stars(edges)
+        # max_iterations bounds work in BOTH modes: here it caps star
+        # rounds (each ~2 shuffles, convergence in O(log² n) so the
+        # propagate-sized default of 20 is generous), mirroring the
+        # propagate loop's hard failure past the cap.
+        star_labels, _ = connected_components_stars(edges, max_rounds=max_iterations)
         return (
             df.select(F.col(id_col))
             .join(

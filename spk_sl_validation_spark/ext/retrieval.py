@@ -328,8 +328,10 @@ def hybrid_rrf_rank_indexed(
         6,
     )
     w_cos = Window.partitionBy("query_id").orderBy(cos_score.desc(), F.col(id_col).asc())
+    # df(term)-bounded relation (see plans/retrieval_queries.py): never
+    # broadcast — shuffle_hash, with AQE upgrading small cases.
     cos_pool = (
-        nd_tbl.join(F.broadcast(ov), id_col)
+        nd_tbl.join(ov.hint("shuffle_hash"), id_col)
         .withColumn("rnk", F.row_number().over(w_cos))
         .filter(F.col("rnk") <= pool)
         .select("query_id", id_col, "rnk")

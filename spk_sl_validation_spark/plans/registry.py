@@ -212,6 +212,23 @@ def _driver_green() -> frozenset[str]:
         return frozenset()
 
 
+def _last_green_round() -> dict[str, int]:
+    """name → most recent round whose driver sample verified it
+    (tools/driver_green.json ``last_green_round``). Once the whole
+    registry is driver-green, the sample prefix rotates onto the
+    STALEST evidence: a green from round 1 has survived five rounds of
+    code churn unverified and deserves re-validation before a green
+    from last round. Missing data → 0 (sorts first, i.e. most stale)."""
+    import json
+    import pathlib
+
+    path = pathlib.Path(__file__).resolve().parents[2] / "tools" / "driver_green.json"
+    try:
+        return dict(json.loads(path.read_text())["last_green_round"])
+    except (OSError, ValueError, KeyError):
+        return {}
+
+
 def _ordered_registry() -> dict[str, QuerySpec]:
     """REGISTRY reordered for the driver's prefix sample — the
     verification-provenance policy, mechanized:
@@ -221,8 +238,11 @@ def _ordered_registry() -> dict[str, QuerySpec]:
     2. every other not-yet-driver-green name, registration order —
        so a newly registered query automatically enters the sample
        frontier without editing the priority list;
-    3. driver-green names, registration order (re-sampling them is
-       redundant evidence).
+    3. driver-green names, OLDEST evidence first (ascending
+       ``last_green_round``, registration order as tiebreak) — once
+       the registry is fully green, each round's sample re-validates
+       the stalest greens (r1/r2 survivors) instead of repeating the
+       freshest ones.
 
     Updating tools/driver_green.json with a new round's results
     auto-rotates the next round's sample onto whatever still lacks
@@ -235,7 +255,12 @@ def _ordered_registry() -> dict[str, QuerySpec]:
     green = _driver_green()
     out = {n: REGISTRY[n] for n in SAMPLE_PRIORITY if n not in green}
     out.update((n, s) for n, s in REGISTRY.items() if n not in out and n not in green)
-    out.update((n, s) for n, s in REGISTRY.items() if n not in out)
+    last = _last_green_round()
+    reg_pos = {n: i for i, n in enumerate(REGISTRY)}
+    stale_first = sorted(
+        (n for n in REGISTRY if n not in out), key=lambda n: (last.get(n, 0), reg_pos[n])
+    )
+    out.update((n, REGISTRY[n]) for n in stale_first)
     return out
 
 

@@ -270,8 +270,14 @@ def hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         6,
     )
     w_cos = Window.partitionBy("query_id").orderBy(cos_score.desc(), F.col("doc_id").asc())
+    # `ov` is one row per (query, doc sharing ≥1 query term) — bounded
+    # by df(term), NOT by pool; a stopword-like term makes it approach
+    # corpus size, so broadcasting it would OOM at scale. shuffle_hash
+    # keeps the plan sort-free and AQE still upgrades to broadcast when
+    # runtime stats measure it small (same rationale as the
+    # dedup_incremental verify joins, ext/dedup.py).
     cos_pool = (
-        nd.join(F.broadcast(ov), "doc_id")
+        nd.join(ov.hint("shuffle_hash"), "doc_id")
         .withColumn("rnk", F.row_number().over(w_cos))
         .filter(F.col("rnk") <= RRF_POOL)
         .select("query_id", "doc_id", "rnk")
@@ -283,9 +289,12 @@ def hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     "hybrid_rrf_retrieval_indexed",
     doc=(
         "hybrid RRF through prebuilt index artifacts (postings + df + "
-        "stats + per-doc term counts): query time scans no document "
-        "text and runs no corpus-wide pass — result-identical to "
-        "hybrid_rrf_retrieval, same oracle"
+        "stats + per-doc term counts) — result-identical to "
+        "hybrid_rrf_retrieval. This registered variant builds the "
+        "artifacts inline from the docs table (so its executed plan "
+        "does scan corpus text once, at build time); the zero-text-"
+        "scan query-time property holds for the persisted-artifact "
+        "path and is plan-pinned in tests/test_retrieval.py"
     ),
     oracle=None,
 )

@@ -10,8 +10,10 @@ one session cancel host drift; medians of N printed as one JSON line.
 
 from __future__ import annotations
 
+import atexit
 import json
 import os
+import shutil
 import statistics
 import sys
 import tempfile
@@ -50,7 +52,11 @@ def main() -> None:
 
     _ensure_loaded()
 
+    # persisted artifacts are scratch for this A/B only — reclaim on
+    # exit (atexit rather than try/finally so a Ctrl-C mid-run still
+    # cleans up after the JVM shuts down)
     tmp = tempfile.mkdtemp(prefix="rrf_idx_")
+    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
     docs = load_table(spark, SF_DIR, "documents")
     postings, df_tbl, stats = bm25_index_tables(docs)
     write_clustered(postings, f"{tmp}/postings", ["term"], n_files=8)
