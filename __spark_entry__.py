@@ -13,33 +13,15 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001: enrich the fact table
-    against two broadcast dims, classify every row through the rule
-    cascade, mark dual-source groups, and summarize — the reference's
-    pipeline shape (SURVEY.md §3.1) on the driver testdata."""
-    from pyspark.sql import functions as F
+    """Flagship: the reference's FULL CL pipeline (SL_SPK_Cleansing.py,
+    SURVEY.md §3.1) on /root/testdata/sf0.001 — validity split,
+    broadcast enrichment, dual-source window, SENTINEL-guarded Apex
+    cascades A/B/C, J11/J12 backfill joins, and the Analysis coalesce;
+    returns the main "Valid SL with SPK" sheet relation (the same plan
+    `pipeline_spk_sl_main` runs hash-checked at sf0.01)."""
+    from spk_sl_validation_spark.plans.pipeline_queries import pipeline_spk_sl_main
 
-    from spk_sl_validation_spark.operators import relational as R
-    from spk_sl_validation_spark.plans.relational_queries import _lineitem_rules
-    from spk_sl_validation_spark.operators.rules import compile_to_column
-    from spk_sl_validation_spark.sources.readers import load_table
-
-    sf_dir = "/root/testdata/sf0.001"
-    li = load_table(spark, sf_dir, "lineitem")
-    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
-    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
-
-    enriched = R.left_join(li, supp, on=li.l_suppkey == supp.s_suppkey)
-    enriched = R.left_join(enriched, nation, on=F.col("s_nationkey") == nation.n_nationkey)
-    classified = enriched.withColumn("Comment", compile_to_column(_lineitem_rules()))
-    flagged = R.mark_duplicates(classified, ["l_orderkey", "l_partkey"], flag_col="dual_source")
-    return (
-        flagged.groupBy("n_name", "Comment")
-        .agg(
-            F.count(F.lit(1)).alias("n_lines"),
-            F.sum(F.col("dual_source").cast("long")).alias("n_dual_source"),
-        )
-    )
+    return pipeline_spk_sl_main(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

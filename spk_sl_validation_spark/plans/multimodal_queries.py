@@ -139,3 +139,86 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media.select(
         "doc_id", F.to_json(M.byte_histogram_counts(F.col("media"))).alias("features")
     )
+
+
+@register(
+    "multimodal_wav_stats",
+    doc=(
+        "REAL stdlib WAV codec end-to-end: synthesize RIFF/WAVE binaries "
+        "(LIST chunk before data — fixed-offset parsers break), decode via "
+        "generic chunk walk + PCM16, integer-exact amplitude stats; oracle "
+        "recomputes every stat from the generation law in closed form"
+    ),
+    oracle="""
+WITH d AS (
+  SELECT doc_id,
+         8000 * (1 + doc_id % 3) AS sample_rate,
+         1 + doc_id % 2 AS channels,
+         200 + doc_id % 57 AS n_frames
+  FROM documents
+),
+v AS (
+  SELECT doc_id, channels, unnest(range(0, n_frames)) AS i FROM d
+),
+agg AS (
+  -- frame i holds `channels` copies of s(i) = ((doc_id*7 + i*13) % 4096) - 2048
+  -- interleaved-stream index weight: sum_c (i*channels + c) = i*c^2 + c(c-1)/2
+  SELECT doc_id,
+         SUM((((doc_id * 7 + i * 13) % 4096) - 2048) * channels) AS sum_amp,
+         SUM(abs(((doc_id * 7 + i * 13) % 4096) - 2048) * channels) AS sum_abs_amp,
+         SUM((((doc_id * 7 + i * 13) % 4096) - 2048)
+             * (i * channels * channels + (channels * (channels - 1)) // 2)) AS wsum_amp
+  FROM v GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(d.sample_rate AS INTEGER) AS sample_rate,
+       CAST(d.channels AS INTEGER) AS channels,
+       CAST(16 AS INTEGER) AS bits_per_sample,
+       CAST(d.n_frames AS BIGINT) AS n_frames,
+       CAST(d.n_frames AS DOUBLE) / d.sample_rate AS duration_s,
+       CAST(agg.sum_amp AS BIGINT) AS sum_amp,
+       CAST(agg.sum_abs_amp AS BIGINT) AS sum_abs_amp,
+       CAST(agg.wsum_amp AS BIGINT) AS wsum_amp,
+       true AS ok
+FROM d JOIN agg ON d.doc_id = agg.doc_id
+""",
+)
+def multimodal_wav_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return M.decode_wav(M.synthesize_wav_table(docs))
+
+
+@register(
+    "multimodal_bmp_pixel_stats",
+    doc=(
+        "REAL stdlib BMP codec end-to-end: synthesize 24bpp bottom-up BMPs "
+        "with 0xAB row padding, decode header via the registry codec + full "
+        "pixel array honoring stride/row order; the top-down index-weighted "
+        "sum catches stride or row-order parsing bugs a plain sum cannot"
+    ),
+    oracle="""
+WITH d AS (
+  SELECT doc_id, 1 + doc_id % 13 AS w, 1 + doc_id % 7 AS h FROM documents
+),
+v AS (
+  SELECT doc_id, unnest(range(0, w * h * 3)) AS k FROM d
+),
+agg AS (
+  SELECT doc_id,
+         SUM((doc_id + k) % 251) AS pixel_sum,
+         SUM(k * ((doc_id + k) % 251)) AS pixel_wsum
+  FROM v GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(d.w AS INTEGER) AS width,
+       CAST(d.h AS INTEGER) AS height,
+       CAST(3 AS INTEGER) AS channels,
+       CAST(agg.pixel_sum AS BIGINT) AS pixel_sum,
+       CAST(agg.pixel_wsum AS BIGINT) AS pixel_wsum,
+       true AS ok
+FROM d JOIN agg ON d.doc_id = agg.doc_id
+""",
+)
+def multimodal_bmp_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return M.bmp_pixel_stats(M.synthesize_bmp_table(docs))

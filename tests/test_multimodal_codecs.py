@@ -1,0 +1,209 @@
+"""Real stdlib codecs (WAV RIFF walk, BMP padded rows): pure-Python
+parser units + Spark end-to-end vs the closed-form oracle at sf0.001.
+
+The writers (`_make_wav` / `_make_bmp`) are fixture generators; the
+parsers must survive inputs the writers never produce (fixed-offset
+assumptions, truncation, padding inclusion) — that's what the
+adversarial units below pin.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import pytest
+
+from spk_sl_validation_spark.ext import multimodal as M
+
+# ---------------------------------------------------------------------------
+# WAV parser units
+# ---------------------------------------------------------------------------
+
+
+def test_wav_roundtrip_law():
+    """Parser recovers exactly what the generation law wrote."""
+    for doc_id in (0, 1, 2, 5, 56, 57, 1234):
+        rate, channels, bits, pcm = M._parse_wav(M._make_wav(doc_id))
+        assert rate == 8000 * (1 + doc_id % 3)
+        assert channels == 1 + doc_id % 2
+        assert bits == 16
+        n_frames = 200 + doc_id % 57
+        samples = struct.unpack(f"<{len(pcm) // 2}h", pcm)
+        assert len(samples) == n_frames * channels
+        for i in range(n_frames):
+            want = ((doc_id * 7 + i * 13) % 4096) - 2048
+            for c in range(channels):
+                assert samples[i * channels + c] == want
+
+
+def test_wav_parser_walks_unknown_chunks():
+    """A fixed-offset parser (data at 44) would read the LIST chunk as
+    PCM; the chunk walk must skip it by declared size."""
+    raw = M._make_wav(7)
+    assert raw[36:40] == b"LIST"  # fixture really has LIST before data
+    _, _, _, pcm = M._parse_wav(raw)
+    assert b"INFO" not in pcm[:16]
+
+
+def test_wav_parser_word_aligns_odd_chunks():
+    """RIFF chunks pad to even byte counts; an odd-sized unknown chunk
+    must not desync the walk."""
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    odd = b"junk" + struct.pack("<I", 3) + b"abc" + b"\x00"  # 3 bytes + pad
+    pcm = struct.pack("<3h", 100, -200, 300)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", 16) + fmt + odd + b"data" + struct.pack("<I", 6) + pcm
+    raw = b"RIFF" + struct.pack("<I", len(body)) + body
+    rate, channels, bits, got = M._parse_wav(raw)
+    assert (rate, channels, bits) == (8000, 1, 16)
+    assert struct.unpack("<3h", got) == (100, -200, 300)
+
+
+@pytest.mark.parametrize(
+    "raw",
+    [
+        b"",
+        b"RIFF\x00\x00\x00\x00WAVE",  # no chunks at all
+        b"OggS" + b"\x00" * 40,  # wrong container
+        M._make_wav(3)[:30],  # truncated mid-fmt
+    ],
+)
+def test_wav_parser_rejects_malformed(raw):
+    with pytest.raises(ValueError):
+        M._parse_wav(raw)
+
+
+def test_wav_float_format_rejected():
+    """IEEE-float WAV (fmt tag 3) is not PCM16 — must refuse, not
+    misread the bytes as int16."""
+    fmt = struct.pack("<HHIIHH", 3, 1, 8000, 32000, 4, 32)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", 16) + fmt + b"data" + struct.pack("<I", 0)
+    with pytest.raises(ValueError):
+        M._parse_wav(b"RIFF" + struct.pack("<I", len(body)) + body)
+
+
+# ---------------------------------------------------------------------------
+# BMP parser units
+# ---------------------------------------------------------------------------
+
+
+def test_bmp_header_roundtrip_law():
+    for doc_id in (0, 1, 12, 13, 90, 1234):
+        w, h, c = M._decode_bmp(M._make_bmp(doc_id))
+        assert (w, h, c) == (1 + doc_id % 13, 1 + doc_id % 7, 3)
+
+
+def test_bmp_registry_decodes_real_format():
+    """decode_media's registry path now handles a REAL format — the
+    round-1 claim was plumbing-only; this pins the codec upgrade."""
+    assert M.DECODERS["image/bmp"] is M._decode_bmp
+
+
+def test_bmp_top_down_negative_height():
+    """biHeight < 0 means top-down storage; header decode reports the
+    magnitude."""
+    raw = bytearray(M._make_bmp(5))
+    height = struct.unpack_from("<i", raw, 22)[0]
+    struct.pack_into("<i", raw, 22, -height)
+    w, h, c = M._decode_bmp(bytes(raw))
+    assert h == height
+
+
+@pytest.mark.parametrize(
+    "raw",
+    [b"", b"PNG" + b"\x00" * 60, M._make_bmp(4)[:40]],
+)
+def test_bmp_rejects_malformed(raw):
+    with pytest.raises(ValueError):
+        M._decode_bmp(raw)
+
+
+def _bmp_expected(doc_id: int) -> tuple[int, int]:
+    w, h = 1 + doc_id % 13, 1 + doc_id % 7
+    vals = [(doc_id + k) % 251 for k in range(w * h * 3)]
+    return sum(vals), sum(k * v for k, v in enumerate(vals))
+
+
+def test_bmp_pixel_math_reference():
+    """The numpy stride/flip logic in bmp_pixel_stats, exercised
+    through a driver-free replica: bottom-up rows with 0xAB padding
+    must reorder to the top-down law exactly."""
+    import numpy as np
+
+    for doc_id in (0, 3, 12, 25):  # widths 1,4,13,... exercise stride pad 0..3
+        raw = M._make_bmp(doc_id)
+        w, h, c = M._decode_bmp(raw)
+        off = struct.unpack_from("<I", raw, 10)[0]
+        stride = (w * c + 3) & ~3
+        arr = np.frombuffer(raw, dtype=np.uint8, count=stride * h, offset=off)
+        flat = arr.reshape(h, stride)[::-1, : w * c].reshape(-1).astype("int64")
+        want_sum, want_wsum = _bmp_expected(doc_id)
+        assert int(flat.sum()) == want_sum
+        assert int((np.arange(flat.size) * flat).sum()) == want_wsum
+
+
+# ---------------------------------------------------------------------------
+# Spark end-to-end vs the closed-form oracle (sf0.001)
+# ---------------------------------------------------------------------------
+
+
+def _hash_rows(rows) -> set[tuple]:
+    return {tuple(r) for r in rows}
+
+
+def test_wav_stats_matches_oracle(spark, sf_dir):
+    import duckdb
+
+    from spk_sl_validation_spark.plans.registry import REGISTRY, _ensure_loaded
+
+    _ensure_loaded()
+    spec = REGISTRY["multimodal_wav_stats"]
+    got = spec.builder(spark, sf_dir)
+    cols = sorted(got.columns)
+    got_rows = _hash_rows(got.select(*cols).collect())
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_dir}/documents.parquet')"
+    )
+    want = con.execute(spec.oracle).fetch_df()[cols]
+    assert got_rows == _hash_rows(want.itertuples(index=False))
+
+
+def test_bmp_pixel_stats_matches_oracle(spark, sf_dir):
+    import duckdb
+
+    from spk_sl_validation_spark.plans.registry import REGISTRY, _ensure_loaded
+
+    _ensure_loaded()
+    spec = REGISTRY["multimodal_bmp_pixel_stats"]
+    got = spec.builder(spark, sf_dir)
+    cols = sorted(got.columns)
+    got_rows = _hash_rows(got.select(*cols).collect())
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_dir}/documents.parquet')"
+    )
+    want = con.execute(spec.oracle).fetch_df()[cols]
+    assert got_rows == _hash_rows(want.itertuples(index=False))
+
+
+def test_decode_media_handles_bmp_and_flags_bad_rows(spark, sf_dir):
+    """Registry-path decode on real BMP payloads, with one corrupted
+    row: good rows decode to law dims, the bad row gets ok=false
+    without failing the job."""
+    from pyspark.sql import functions as F
+
+    from spk_sl_validation_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id").limit(20)
+    media = M.synthesize_bmp_table(docs)
+    # corrupt one payload's magic
+    media = media.withColumn(
+        "media",
+        F.when(F.col("doc_id") == 0, F.lit(b"XX garbage")).otherwise(F.col("media")),
+    )
+    out = {r.doc_id: r for r in M.decode_media(media).collect()}
+    for doc_id, r in out.items():
+        if doc_id == 0:
+            assert not r.ok
+        else:
+            assert r.ok and r.width == 1 + doc_id % 13 and r.height == 1 + doc_id % 7
