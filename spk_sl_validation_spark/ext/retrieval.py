@@ -397,3 +397,83 @@ def merge_into_bm25_index(
         return postings2, df2, stats2
     nd2 = nd_tbl.unionByName(bm25_doc_term_counts(new_p, id_col))
     return postings2, df2, stats2, nd2
+
+
+def remove_from_bm25_index(
+    postings: DataFrame,
+    df_tbl: DataFrame,
+    stats: DataFrame,
+    remove_ids: DataFrame,
+    id_col: str = "doc_id",
+    nd_tbl: DataFrame | None = None,
+) -> tuple[DataFrame, ...]:
+    """Delete documents from existing index artifacts without a
+    rebuild — the re-crawl/churn half of the index lifecycle
+    :func:`merge_into_bm25_index` opened. All three artifacts are
+    sum-shaped, so deletion is a negated merge over the removed
+    postings slice: postings anti-join, per-term df subtraction
+    (zero-df terms dropped, matching a rebuild's vocabulary), stats
+    minus the removed docs' exact (count, Σdl). Remove-then-merge of
+    the same docs therefore reproduces the original index
+    row-identically (pinned by test alongside merge == rebuild).
+
+    Preconditions, ENFORCED the same way merge enforces disjointness
+    (one cheap eager probe, LIMIT 1):
+
+    - every remove id must exist in ``postings`` — subtracting an
+      absent id would silently corrupt ``stats`` (n_docs/sum_dl drop
+      for a doc that never contributed);
+    - zero-token documents have no posting rows, so they cannot be
+      removed through this path (they affect only n_docs; reindex to
+      purge them) — the existence probe rejects them for the same
+      reason.
+
+    Join strategy: the ids side is shuffle_hash-hinted, not forced
+    broadcast — a remove batch is usually small (AQE upgrades to
+    broadcast when runtime stats confirm it) but nothing bounds it;
+    a half-the-corpus purge must not OOM the driver (the same
+    rationale as the stats-blinded joins in ext/dedup.py). df/stats
+    deltas aggregate from the removed slice map-side. When
+    maintaining the hybrid-RRF artifact set, pass ``nd_tbl`` for a
+    fourth, anti-joined return.
+    """
+    ids = remove_ids.select(id_col).distinct().localCheckpoint(eager=False)
+    removed = postings.join(ids.hint("shuffle_hash"), id_col, "left_semi").localCheckpoint(
+        eager=True
+    )
+    # Existence probe WITHOUT a corpus-wide distinct: the removed slice
+    # (already needed for the df/stats deltas, checkpointed so the semi
+    # join runs once) covers an id iff it has postings — compare its
+    # distinct-id count against the batch size and name a culprit only
+    # on the failure path.
+    present = removed.select(id_col).distinct()
+    if present.count() != ids.count():
+        missing = ids.join(present, id_col, "left_anti").limit(1).take(1)
+        raise ValueError(
+            f"remove_from_bm25_index: {id_col}={missing[0][0]!r} has no postings "
+            "(not indexed, or a zero-token document); removal requires every id "
+            "to exist in the index — reindex to purge empty documents"
+        )
+    postings2 = postings.join(ids.hint("shuffle_hash"), id_col, "left_anti")
+    df_delta = removed.groupBy("term").agg(F.count(F.lit(1)).alias("df_rm"))
+    df2 = (
+        df_tbl.join(df_delta.hint("shuffle_hash"), "term", "left")
+        .select(
+            "term",
+            (F.col("df") - F.coalesce(F.col("df_rm"), F.lit(0))).cast("long").alias("df"),
+        )
+        .filter(F.col("df") > 0)
+    )
+    # dl repeats on every posting row of a doc; collapse to one row per
+    # removed doc before summing
+    st_delta = removed.select(id_col, "dl").distinct().agg(
+        F.count(F.lit(1)).alias("n_rm"), F.sum("dl").cast("long").alias("dl_rm")
+    )
+    stats2 = stats.crossJoin(F.broadcast(st_delta)).select(
+        (F.col("n_docs") - F.col("n_rm")).cast("long").alias("n_docs"),
+        (F.col("sum_dl") - F.col("dl_rm")).cast("long").alias("sum_dl"),
+    )
+    if nd_tbl is None:
+        return postings2, df2, stats2
+    nd2 = nd_tbl.join(ids.hint("shuffle_hash"), id_col, "left_anti")
+    return postings2, df2, stats2, nd2

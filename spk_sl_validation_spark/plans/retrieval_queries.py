@@ -327,3 +327,42 @@ def hybrid_rrf_retrieval_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
 _REG["hybrid_rrf_retrieval_indexed"] = _dc.replace(
     _REG["hybrid_rrf_retrieval_indexed"], oracle=_REG["hybrid_rrf_retrieval"].oracle
 )
+
+
+@register(
+    "bm25_retrieval_churn",
+    doc=(
+        "index-lifecycle churn path: build artifacts, REMOVE a batch "
+        "(negated merge: anti-joined postings, df subtraction, exact "
+        "stats deltas), merge the same docs back, then rank — "
+        "result-identical to bm25_retrieval on the untouched corpus, "
+        "same oracle (remove==rebuild and roundtrip laws pinned in "
+        "tests/test_retrieval.py)"
+    ),
+    oracle=None,
+)
+def bm25_retrieval_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The re-crawl cycle a real corpus index lives through: docs get
+    re-fetched, their old postings must leave the index before the new
+    version merges in. Here the churn batch (doc_id % 7 == 3) is
+    removed and re-merged unchanged, so the full-corpus oracle checks
+    that remove ∘ merge is exactly the identity on all artifacts —
+    any df/stats subtraction error or postings leak shifts a BM25
+    score and breaks the hash."""
+    from pyspark.sql import functions as F
+
+    from spk_sl_validation_spark.ext.retrieval import remove_from_bm25_index
+
+    docs = load_table(spark, sf_dir, "documents")
+    churn = docs.filter((F.col("doc_id") % 7) == 3)
+    postings, df_tbl, stats = bm25_index_tables(docs)
+    after_rm = remove_from_bm25_index(postings, df_tbl, stats, churn.select("doc_id"))
+    from spk_sl_validation_spark.ext.retrieval import merge_into_bm25_index
+
+    merged = merge_into_bm25_index(*after_rm, churn)
+    return bm25_rank_indexed(BM25_QUERIES, *merged, top_k=BM25_TOP_K)
+
+
+_REG["bm25_retrieval_churn"] = _dc.replace(
+    _REG["bm25_retrieval_churn"], oracle=_BM25_ORACLE
+)

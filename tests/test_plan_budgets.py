@@ -50,7 +50,12 @@ BUDGETS = {
     # round-4 second half: RRF fusion — two ranker pools (term-pruned
     # tf/df aggregates, distinct doc-term relation) + the union fusion
     # aggregate; rank windows partition by query over pool relations.
-    "hybrid_rrf_retrieval": (11, 0),
+    # round-6: +1 exchange — the cosine arm's df(term)-bounded `ov`
+    # relation moved off broadcast (OOM risk on stopword-like terms at
+    # 100 TB) onto a pinned shuffle-hash join; AQE re-upgrades small
+    # cases to broadcast at runtime, but the noop-finalized plan pins
+    # the shuffle shape.
+    "hybrid_rrf_retrieval": (12, 0),
 }
 
 
@@ -100,7 +105,7 @@ NONHEADLINE_BUDGETS = {
     # at inline-build time; the win is WHAT shuffles (index artifacts,
     # never corpus text) — the no-text-scan property is pinned in
     # tests/test_retrieval.py against persisted artifacts.
-    "hybrid_rrf_retrieval_indexed": (11, 0),
+    "hybrid_rrf_retrieval_indexed": (12, 0),  # +1: same ov shuffle_hash swap
     # the recursive-CTE shape: per-iteration exchanges are internal
     # eager jobs; the final assembled frame is one exchange.
     "recursive_capped_cumsum": (1, 0),

@@ -47,6 +47,9 @@ BNL_ALLOWED = {
     "skew_key_stats",
     "bm25_retrieval",
     "bm25_retrieval_indexed",
+    # churn lifecycle: bm25_rank's 1-row stats fan-in + the 1-row
+    # removed-(n_rm, dl_rm) delta applied to the 1-row stats table
+    "bm25_retrieval_churn",
     # round-4: DSIR's 1-row (nt, nr) totals row; ccnet reuses
     # unigram_logprob's 1-row corpus-total fan-in
     "dsir_importance",

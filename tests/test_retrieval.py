@@ -296,3 +296,73 @@ def test_rrf_index_merge_equals_rebuild(spark):
         map(tuple, hybrid_rrf_rank_indexed(QUERIES, *rebuilt, pool=4, top_k=3).collect())
     )
     assert got == want
+
+
+def test_bm25_index_remove_equals_rebuild(spark):
+    """Deleting docs from the artifacts == rebuilding the index on the
+    surviving corpus, artifact-by-artifact (postings rows, df rows
+    incl. dropped zero-df vocabulary, exact stats) and in ranking."""
+    from spk_sl_validation_spark.ext.retrieval import (
+        bm25_index_tables,
+        bm25_rank_indexed,
+        remove_from_bm25_index,
+    )
+
+    full = spark.createDataFrame(DOCS, "doc_id long, text string")
+    gone_ids = [d for d, _ in DOCS[::2]]
+    rm = spark.createDataFrame([(d,) for d in gone_ids], "doc_id long")
+    removed = remove_from_bm25_index(*bm25_index_tables(full), rm)
+    survivors = [row for row in DOCS if row[0] not in gone_ids]
+    rebuilt = bm25_index_tables(spark.createDataFrame(survivors, "doc_id long, text string"))
+    for m, r, label in zip(removed, rebuilt, ("postings", "df", "stats")):
+        ms = sorted(map(tuple, m.collect()))
+        rs = sorted(map(tuple, r.collect()))
+        assert ms == rs, f"{label}: {ms[:5]} != {rs[:5]}"
+    got = sorted(map(tuple, bm25_rank_indexed(QUERIES, *removed).collect()))
+    want = sorted(
+        map(
+            tuple,
+            bm25_rank(
+                spark.createDataFrame(survivors, "doc_id long, text string"), QUERIES
+            ).collect(),
+        )
+    )
+    assert got == want
+
+
+def test_bm25_index_remove_then_merge_roundtrips(spark):
+    """The re-crawl cycle: remove a batch, merge the same docs back —
+    every artifact row-identical to the untouched index (including the
+    4th RRF artifact nd)."""
+    from spk_sl_validation_spark.ext.retrieval import (
+        bm25_doc_term_counts,
+        bm25_index_tables,
+        merge_into_bm25_index,
+        remove_from_bm25_index,
+    )
+
+    full = spark.createDataFrame(DOCS, "doc_id long, text string")
+    op, od, os_ = bm25_index_tables(full)
+    nd = bm25_doc_term_counts(op)
+    churn = spark.createDataFrame(DOCS[1::3], "doc_id long, text string")
+    rm = churn.select("doc_id")
+    after_rm = remove_from_bm25_index(op, od, os_, rm, nd_tbl=nd)
+    back = merge_into_bm25_index(*after_rm[:3], churn, nd_tbl=after_rm[3])
+    for m, o, label in zip(back, (op, od, os_, nd), ("postings", "df", "stats", "nd")):
+        ms = sorted(map(tuple, m.collect()))
+        rs = sorted(map(tuple, o.collect()))
+        assert ms == rs, f"{label} not restored: {ms[:5]} != {rs[:5]}"
+
+
+def test_bm25_remove_rejects_unindexed_id(spark):
+    """Removing an id with no postings would corrupt stats silently —
+    must raise instead (also covers zero-token docs, which have no
+    posting rows to subtract)."""
+    import pytest
+
+    from spk_sl_validation_spark.ext.retrieval import bm25_index_tables, remove_from_bm25_index
+
+    full = spark.createDataFrame(DOCS, "doc_id long, text string")
+    rm = spark.createDataFrame([(999,)], "doc_id long")
+    with pytest.raises(ValueError, match="no postings"):
+        remove_from_bm25_index(*bm25_index_tables(full), rm)
