@@ -229,6 +229,136 @@ def ivf_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+# ---------------------------------------------------------------------------
+# IVF index lifecycle: persisted inverted lists + frozen-quantizer churn
+# ---------------------------------------------------------------------------
+
+
+def ivf_assign_n(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    nprobe: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Each vector's ``nprobe`` nearest centroids (squared-L2, ties →
+    lowest centroid id): the multi-probe generalization of
+    :func:`ivf_assign` (which is the ``nprobe=1`` special case). Used
+    on the QUERY side — probing n lists buys recall linearly in list
+    volume touched, the standard IVF dial."""
+    from pyspark.sql import Window
+
+    c = F.broadcast(centroids.select("centroid_id", F.col(vec_col).alias("__cvec")))
+    scored = vectors.crossJoin(c).withColumn("__dist", sq_l2(F.col(vec_col), F.col("__cvec")))
+    w = Window.partitionBy(id_col).orderBy(F.col("__dist").asc(), F.col("centroid_id").asc())
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= nprobe)
+        .drop("__rn", "__dist", "__cvec")
+    )
+
+
+def ivf_index_tables(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Build the persistable IVF artifact: the inverted-list table
+    (centroid_id, id, vec). Write it partitioned/bucketed by
+    ``centroid_id`` so a query's probe prunes to its lists at the
+    scan — the at-rest layout IS the index (same story as the BM25
+    postings bucketed by term). The centroid table itself is the
+    second, broadcast-sized artifact; it is persisted as-is.
+
+    The quantizer is FROZEN at build time: every lifecycle operation
+    below (probe, merge, remove) assigns against these exact
+    centroids, which is what makes merge == rebuild an exact equality
+    rather than an approximation (standard IVF incremental add —
+    FAISS's IndexIVF.add does the same)."""
+    return ivf_assign(corpus, centroids, id_col, vec_col).select(
+        "centroid_id", F.col(id_col), F.col(vec_col)
+    )
+
+
+def ivf_topk_indexed(
+    queries: DataFrame,
+    centroids: DataFrame,
+    lists: DataFrame,
+    k: int = 5,
+    nprobe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF top-k against prebuilt artifacts: queries assign to their
+    ``nprobe`` nearest centroids (broadcast centroid table, no corpus
+    work), then equi-join the persisted inverted lists and exact-
+    cosine rerank inside the probed lists. Query cost is bounded by
+    Σ probed list sizes; the corpus is never scanned beyond the
+    probed partitions. ``nprobe=1`` returns exactly
+    :func:`ivf_topk`'s rows on the same corpus/centroids (pinned by
+    test); higher nprobe is a strict superset of candidates, so
+    recall is monotone in it (also pinned)."""
+    from pyspark.sql import Window
+
+    queries_a = ivf_assign_n(queries, centroids, nprobe, id_col, vec_col).select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"), "centroid_id"
+    )
+    scored = (
+        lists.join(F.broadcast(queries_a), "centroid_id")
+        .filter(F.col(id_col) != F.col("q_id"))
+        .select("q_id", id_col, cosine(F.col("q_vec"), F.col(vec_col)).alias("cos_sim"))
+    )
+    # a corpus vector can appear under several probed centroids of the
+    # SAME query only via distinct lists — impossible here because each
+    # corpus vector lives in exactly one list; no dedup needed.
+    w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col(id_col).asc())
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def merge_into_ivf_index(
+    lists: DataFrame,
+    centroids: DataFrame,
+    new_vecs: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Fold a new vector batch into the inverted lists under the
+    FROZEN quantizer: assign against the existing centroids, append.
+    Exactly equal to rebuilding the lists over the concatenated
+    corpus with the same centroids (pinned by test) — the quantizer
+    never moves, so no other row changes.
+
+    Disjoint ids ENFORCED the same way the BM25 merge enforces them
+    (one eager LIMIT-1 probe): an overlapping id would leave the old
+    vector in its list alongside the new one, silently corrupting
+    every subsequent top-k."""
+    ids = new_vecs.select(id_col).distinct()
+    overlap = lists.join(F.broadcast(ids), id_col, "left_semi").limit(1).take(1)
+    if overlap:
+        raise ValueError(
+            f"merge_into_ivf_index: {id_col} already indexed; merge requires "
+            "disjoint ids (remove_from_ivf_index the stale version first)"
+        )
+    return lists.unionByName(ivf_index_tables(new_vecs, centroids, id_col, vec_col))
+
+
+def remove_from_ivf_index(
+    lists: DataFrame, remove_ids: DataFrame, id_col: str = "vec_id"
+) -> DataFrame:
+    """Delete vectors from the inverted lists: one anti-join — the
+    lists table is the only artifact that references documents (the
+    frozen centroid table doesn't change), so IVF deletion is exact
+    and trivial where BM25's needed df/stats subtraction. shuffle_hash
+    hinted (not forced broadcast): a purge batch is unbounded; AQE
+    upgrades small ones."""
+    ids = remove_ids.select(id_col).distinct()
+    # re-select in the input's column order: Spark's string-key join
+    # moves the key first, which would silently flip the persisted
+    # artifact layout across a churn cycle
+    return lists.join(ids.hint("shuffle_hash"), id_col, "left_anti").select(*lists.columns)
+
+
 #: above this corpus size, near_dup_pairs refuses the global-matrix
 #: path (driver collect + n·d broadcast) and switches to the banded
 #: bucketed plan, which never materializes the corpus anywhere.

@@ -628,3 +628,99 @@ def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(v).alias("vmax"),
         )
     )
+
+
+IVF_NPROBE = 2
+
+
+@register(
+    "similarity_topk_ivf_indexed",
+    doc=(
+        f"IVF ANN through the PERSISTED index lifecycle (inverted lists under "
+        f"a frozen quantizer, nprobe={IVF_NPROBE} multi-probe): query time "
+        "assigns against the broadcast centroid table and touches only the "
+        "probed lists — zero corpus-wide scans; merge/remove churn laws "
+        "pinned in tests/test_ext_similarity.py"
+    ),
+    oracle=f"""
+WITH centroids AS (
+  SELECT vec_id AS centroid_id, embedding FROM embeddings WHERE vec_id < {N_CENTROIDS}
+),
+assigned AS (
+  SELECT vec_id, embedding, centroid_id FROM (
+    SELECT v.vec_id, v.embedding, c.centroid_id,
+           row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY {_L2_QC} ASC, c.centroid_id ASC) AS rn
+    FROM embeddings v CROSS JOIN centroids c
+  ) WHERE rn = 1
+),
+q_assigned AS (
+  SELECT vec_id, embedding, centroid_id FROM (
+    SELECT v.vec_id, v.embedding, c.centroid_id,
+           row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY {_L2_QC} ASC, c.centroid_id ASC) AS rn
+    FROM embeddings v CROSS JOIN centroids c
+    WHERE v.vec_id < {N_QUERIES}
+  ) WHERE rn <= {IVF_NPROBE}
+),
+scored AS (
+  SELECT q.vec_id AS q_id, x.vec_id AS vec_id,
+         {S.cosine_sql('q.embedding', 'x.embedding')} AS cos_sim
+  FROM q_assigned q JOIN assigned x ON q.centroid_id = x.centroid_id AND x.vec_id <> q.vec_id
+),
+ranked AS (
+  SELECT q_id, vec_id, cos_sim,
+         row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT q_id, vec_id, cos_sim, CAST(rank AS INTEGER) AS rank FROM ranked WHERE rank <= 5
+""",
+)
+def similarity_topk_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production ANN query path: centroids + inverted lists are
+    persisted artifacts (here built inline from the same corpus the
+    oracle sees; the persisted-roundtrip identity is pinned in
+    tests/test_ext_similarity.py); nprobe=2 doubles the candidate
+    volume for recall — each corpus vector lives in exactly one list,
+    so multi-probe needs no dedup."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    lists = S.ivf_index_tables(emb, centroids)
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    out = S.ivf_topk_indexed(queries, centroids, lists, k=5, nprobe=IVF_NPROBE)
+    return out.select("q_id", "vec_id", "cos_sim", F.col("rank").cast("int").alias("rank"))
+
+
+@register(
+    "similarity_ivf_churn",
+    doc=(
+        "IVF index churn lifecycle: remove a vector batch from the inverted "
+        "lists (one anti-join — only the lists reference documents), merge "
+        "the same batch back under the frozen quantizer — remove∘merge is "
+        "the identity, checked against the direct IVF oracle verbatim"
+    ),
+    oracle=None,
+)
+def similarity_ivf_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    lists = S.ivf_index_tables(emb, centroids)
+    churn = emb.filter((F.col("vec_id") % 5) == 2)
+    after_rm = S.remove_from_ivf_index(lists, churn.select("vec_id"))
+    merged = S.merge_into_ivf_index(after_rm, centroids, churn)
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    out = S.ivf_topk_indexed(queries, centroids, merged, k=5, nprobe=1)
+    return out.select("q_id", "vec_id", "cos_sim", F.col("rank").cast("int").alias("rank"))
+
+
+import dataclasses as _dc  # noqa: E402
+
+from spk_sl_validation_spark.plans.registry import REGISTRY as _REG  # noqa: E402
+
+_REG["similarity_ivf_churn"] = _dc.replace(
+    _REG["similarity_ivf_churn"], oracle=_REG["similarity_topk_ivf"].oracle
+)

@@ -364,3 +364,96 @@ def test_mmr_select_works_with_string_ids(spark):
     # pick 1: top relevance; pick 2: diverse d3 beats near-dup d2;
     # pick 3: d2 (0.7·0.8 − 0.3·0.99 = 0.263) edges d4 (0.42 − 0.3·0.707)
     assert [i for _, i in base] == [1, 3, 2]
+
+
+# ---------------------------------------------------------------------------
+# IVF index lifecycle (frozen quantizer): merge/remove laws + multi-probe
+# ---------------------------------------------------------------------------
+
+
+def _ivf_fixture(spark, n=60, dim=8, n_centroids=4):
+    import random
+
+    rng = random.Random(7)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(dim)]) for i in range(n)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    centroids = emb.filter(emb.vec_id < n_centroids).select(
+        emb.vec_id.alias("centroid_id"), "embedding"
+    )
+    return emb, centroids
+
+
+def test_ivf_indexed_nprobe1_equals_direct(spark):
+    emb, centroids = _ivf_fixture(spark)
+    queries = emb.filter(emb.vec_id < 3)
+    direct = sorted(map(tuple, S.ivf_topk(emb, queries, centroids, k=5).collect()))
+    lists = S.ivf_index_tables(emb, centroids)
+    indexed = sorted(
+        map(tuple, S.ivf_topk_indexed(queries, centroids, lists, k=5, nprobe=1).collect())
+    )
+    assert indexed == direct
+
+
+def test_ivf_multiprobe_recall_monotone(spark):
+    """nprobe=n candidates ⊂ nprobe=n+1 candidates, so recall vs the
+    brute-force truth can only rise with nprobe."""
+    emb, centroids = _ivf_fixture(spark, n=80)
+    queries = emb.filter(emb.vec_id < 4)
+    lists = S.ivf_index_tables(emb, centroids)
+    truth = {
+        (r.q_id, r.vec_id)
+        for r in S.brute_force_topk(emb, queries, k=5).collect()
+    }
+    recalls = []
+    for nprobe in (1, 2, 4):
+        got = {
+            (r.q_id, r.vec_id)
+            for r in S.ivf_topk_indexed(queries, centroids, lists, k=5, nprobe=nprobe).collect()
+        }
+        recalls.append(len(got & truth) / len(truth))
+    assert recalls == sorted(recalls), f"recall not monotone in nprobe: {recalls}"
+    assert recalls[-1] >= recalls[0]
+
+
+def test_ivf_merge_equals_rebuild_under_frozen_quantizer(spark):
+    emb, centroids = _ivf_fixture(spark)
+    old = emb.filter(emb.vec_id % 3 != 0)
+    new = emb.filter(emb.vec_id % 3 == 0)
+    merged = S.merge_into_ivf_index(S.ivf_index_tables(old, centroids), centroids, new)
+    rebuilt = S.ivf_index_tables(emb, centroids)
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, rebuilt.collect()))
+
+
+def test_ivf_remove_then_merge_roundtrips(spark):
+    emb, centroids = _ivf_fixture(spark)
+    lists = S.ivf_index_tables(emb, centroids)
+    churn = emb.filter(emb.vec_id % 4 == 1)
+    back = S.merge_into_ivf_index(
+        S.remove_from_ivf_index(lists, churn.select("vec_id")), centroids, churn
+    )
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, lists.collect()))
+
+
+def test_ivf_merge_rejects_overlapping_ids(spark):
+    import pytest
+
+    emb, centroids = _ivf_fixture(spark)
+    lists = S.ivf_index_tables(emb, centroids)
+    with pytest.raises(ValueError, match="disjoint"):
+        S.merge_into_ivf_index(lists, centroids, emb.limit(1))
+
+
+def test_ivf_persisted_roundtrip_identity(spark, tmp_path):
+    """The artifacts survive parquet: write lists partitioned by
+    centroid_id, read back, query — identical rows to the in-memory
+    index (the registered query builds inline; this pins the
+    persisted path it stands for)."""
+    emb, centroids = _ivf_fixture(spark)
+    queries = emb.filter(emb.vec_id < 3)
+    lists = S.ivf_index_tables(emb, centroids)
+    path = str(tmp_path / "ivf_lists")
+    lists.write.partitionBy("centroid_id").parquet(path)
+    lists2 = spark.read.parquet(path)
+    a = sorted(map(tuple, S.ivf_topk_indexed(queries, centroids, lists, k=5, nprobe=2).collect()))
+    b = sorted(map(tuple, S.ivf_topk_indexed(queries, centroids, lists2, k=5, nprobe=2).collect()))
+    assert a == b

@@ -41,6 +41,9 @@ BNL_ALLOWED = {
     "sample_priority_weighted",
     "similarity_topk_bruteforce",
     "similarity_topk_ivf",
+    # IVF index lifecycle: same broadcast-centroid crossJoin assignment
+    "similarity_topk_ivf_indexed",
+    "similarity_ivf_churn",
     "kmeans_assign",
     "similarity_topk_projected",
     "similarity_ann_recall",
