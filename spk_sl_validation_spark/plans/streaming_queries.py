@@ -499,3 +499,55 @@ import dataclasses as _dc_bp  # noqa: E402
 _REG_BP["streaming_boilerplate_gate"] = _dc_bp.replace(
     _REG_BP["streaming_boilerplate_gate"], oracle=_streaming_boilerplate_oracle()
 )
+
+
+@register(
+    "streaming_media_decode_gate",
+    doc=(
+        "REAL media codec ON THE INGEST STREAM: per micro-batch the WAV "
+        "binaries decode through the same Arrow-batched RIFF parser the "
+        "batch path uses (mapInPandas on a streaming relation), malformed "
+        "payloads gated out by ok, integer-exact amplitude mass aggregated "
+        "per sample rate (complete mode, availableNow replay) == batch "
+        "GROUP BY == the closed-form generation-law oracle"
+    ),
+    oracle="""
+WITH d AS (
+  SELECT doc_id,
+         8000 * (1 + doc_id % 3) AS sample_rate,
+         1 + doc_id % 2 AS channels,
+         200 + doc_id % 57 AS n_frames
+  FROM documents
+),
+v AS (
+  SELECT doc_id, sample_rate, channels, unnest(range(0, n_frames)) AS i FROM d
+),
+per_doc AS (
+  SELECT doc_id, sample_rate,
+         SUM(abs(((doc_id * 7 + i * 13) % 4096) - 2048) * channels) AS sum_abs
+  FROM v GROUP BY doc_id, sample_rate
+)
+SELECT CAST(sample_rate AS INTEGER) AS sample_rate,
+       CAST(count(*) AS BIGINT) AS n_media,
+       CAST(count(*) AS BIGINT) AS n_ok,
+       CAST(sum(sum_abs) AS BIGINT) AS total_abs_amp
+FROM per_doc GROUP BY sample_rate
+""",
+)
+def streaming_media_decode_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal ingest at scale is a stream (crawl batches land
+    continuously); the decode gate must run per micro-batch with the
+    exact batch-path semantics. Payloads synthesized from the stream's
+    doc_ids under the generation law, decoded by the REAL chunk-walk
+    parser; n_ok == n_media because every law payload is well-formed —
+    the ok column is the gate the malformed-row test exercises."""
+    from spk_sl_validation_spark.ext import multimodal as M
+
+    stream = P.stream_documents(spark, sf_dir).select("doc_id")
+    decoded = M.decode_wav(M.synthesize_wav_table(stream))
+    agg = decoded.filter(F.col("ok")).groupBy("sample_rate").agg(
+        F.count(F.lit(1)).alias("n_media"),
+        F.count(F.when(F.col("ok"), 1)).alias("n_ok"),
+        F.sum("sum_abs_amp").alias("total_abs_amp"),
+    )
+    return P.run_available_now(agg, output_mode="complete")

@@ -207,3 +207,31 @@ def test_decode_media_handles_bmp_and_flags_bad_rows(spark, sf_dir):
             assert not r.ok
         else:
             assert r.ok and r.width == 1 + doc_id % 13 and r.height == 1 + doc_id % 7
+
+
+def test_streaming_decode_gate_equals_batch(spark, sf_dir):
+    """The stream replay (availableNow, complete mode) must equal the
+    same aggregation run as a plain batch over the same table — the
+    decode path is identical code (mapInPandas), so any divergence is
+    a streaming-semantics bug."""
+    from pyspark.sql import functions as F
+
+    from spk_sl_validation_spark.plans.registry import REGISTRY, _ensure_loaded
+    from spk_sl_validation_spark.sources.readers import load_table
+
+    _ensure_loaded()
+    got = sorted(
+        map(tuple, REGISTRY["streaming_media_decode_gate"].builder(spark, sf_dir).collect())
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    batch = (
+        M.decode_wav(M.synthesize_wav_table(docs))
+        .filter(F.col("ok"))
+        .groupBy("sample_rate")
+        .agg(
+            F.count(F.lit(1)).alias("n_media"),
+            F.count(F.when(F.col("ok"), 1)).alias("n_ok"),
+            F.sum("sum_abs_amp").alias("total_abs_amp"),
+        )
+    )
+    assert got == sorted(map(tuple, batch.collect()))
