@@ -505,11 +505,19 @@ def dedup_clusters(
 
     ``method="stars"``: alternating large-star/small-star contraction
     (``ext/graph.py connected_components_stars``) — until-converged in
-    O(log² n) rounds regardless of diameter; the mode for adversarial
-    graphs (a d-long near-dup chain needs d propagation rounds but
-    ~2·log d star rounds — 15 rounds for a 10 000-chain, probed in
-    SCALE.md §7). Identical output on any graph where both converge
-    (pinned by test).
+    O(log² n) rounds regardless of diameter. Identical output on any
+    graph where both converge (pinned by test).
+
+    Dispatch, measured (SCALE.md §7, round-6 10M-edge sweep): the
+    crossover is in EDGE VOLUME, not diameter. At ≥10⁷ edges stars
+    wins at EVERY diameter — 1.3× even at d=2 where propagation is
+    theoretically optimal, 8× at d=32, because propagation re-joins
+    the full static symmetric edge set every round (shuffle mass
+    linear in rounds: 3.6→32 GB across the sweep) while stars
+    contracts the relation (rounds ≈ 2·log d, mass bounded). Below
+    ~10⁶ edges the two are seconds apart and propagation's
+    recursive-CTE oracle replay makes it the verifiable choice. Use
+    propagate for oracle-checked paths; stars for production volume.
 
     ``max_iterations`` bounds work in both modes (propagation rounds,
     or star rounds — each star round is ~2 shuffles and 20 covers
