@@ -153,7 +153,15 @@ def test_dedup_clusters_propagate_raises_on_diameter_blowup(spark):
     )
     with pytest.raises(ValueError, match="stars"):
         dedup_clusters(docs, **kwargs).collect()
-    # and the stars mode labels the whole chain as one component
+    # max_iterations now bounds BOTH modes (ADVICE r5 item 3): stars
+    # needs ~2·log2(21) ≈ 9 rounds here, so the same 5-round cap must
+    # fail loudly in stars mode too — no silent partial labeling in
+    # either mode
+    with pytest.raises(ValueError, match="did not converge"):
+        dedup_clusters(docs, method="stars", **kwargs).collect()
+    # and with an adequate bound the stars mode labels the whole chain
+    # as one component
+    kwargs["max_iterations"] = 20
     got = {r.doc_id: r.cluster_id for r in dedup_clusters(docs, method="stars", **kwargs).collect()}
     assert got == {i: 0 for i in range(60)}
 
