@@ -724,3 +724,169 @@ from spk_sl_validation_spark.plans.registry import REGISTRY as _REG  # noqa: E40
 _REG["similarity_ivf_churn"] = _dc.replace(
     _REG["similarity_ivf_churn"], oracle=_REG["similarity_topk_ivf"].oracle
 )
+
+
+@register(
+    "similarity_ivf_quantization_stats",
+    doc=(
+        "IVF index health monitor: per-list population + quantization error "
+        "(mean/max squared L2 to the owning centroid) from the persisted "
+        "lists artifact — the drift signal that tells an operator when the "
+        "frozen quantizer needs retraining (hot lists and rising error mean "
+        "the data distribution has moved since build time)"
+    ),
+    oracle=f"""
+WITH centroids AS (
+  SELECT vec_id AS centroid_id, embedding FROM embeddings WHERE vec_id < {N_CENTROIDS}
+),
+assigned AS (
+  SELECT vec_id, embedding, centroid_id, d FROM (
+    SELECT v.vec_id, v.embedding, c.centroid_id, {_L2_QC} AS d,
+           row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY {_L2_QC} ASC, c.centroid_id ASC) AS rn
+    FROM embeddings v CROSS JOIN centroids c
+  ) WHERE rn = 1
+)
+SELECT centroid_id,
+       CAST(count(*) AS BIGINT) AS n_vectors,
+       round(CAST(sum(CAST(round(d, 12) AS DECIMAL(28,12))) AS DOUBLE) / count(*), 6)
+         AS mean_sq_dist,
+       round(max(round(d, 12)), 6) AS max_sq_dist
+FROM assigned GROUP BY centroid_id
+""",
+)
+def similarity_ivf_quantization_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One aggregate over the lists artifact joined to the broadcast
+    centroid table — at 100 TB this is the cheap recurring monitor
+    (no query traffic, no corpus text), and the per-list counts double
+    as the skew signal for probe-cost planning."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    lists = S.ivf_index_tables(emb, centroids)
+    d = S.sq_l2(F.col("embedding"), F.col("__cvec"))
+    return (
+        lists.join(
+            F.broadcast(centroids.select("centroid_id", F.col("embedding").alias("__cvec"))),
+            "centroid_id",
+        )
+        .select("centroid_id", F.round(d, 12).alias("d"))
+        .groupBy("centroid_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.round(
+                F.sum(F.col("d").cast("decimal(28,12)")).cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("mean_sq_dist"),
+            F.round(F.max("d"), 6).alias("max_sq_dist"),
+        )
+    )
+
+
+
+CROSS_MODAL_BITS = 4
+CROSS_MODAL_BANDS = 4
+CROSS_MODAL_TAU = 0.5
+
+_SH3 = "list_distinct(list_transform(range(1, greatest(len(string_split_regex(trim(text), '\\s+')) - 2, 1) + 1), i -> array_to_string(list_slice(string_split_regex(trim(text), '\\s+'), i, i + 2), ' ')))"
+
+
+def _cross_modal_cand_sql() -> str:
+    """Candidate pairs = same bucket in ANY of the 4 sign-LSH bands
+    (OR-of-bands, the standard LSH recall shape), deduped."""
+    bands = "\nUNION\n".join(
+        f"SELECT a.vec_id AS id_a, b2.vec_id AS id_b\n"
+        f"FROM b{o} a JOIN b{o} b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id"
+        for o in range(CROSS_MODAL_BANDS)
+    )
+    withs = ",\n".join(
+        f"b{o} AS (SELECT vec_id, "
+        + S.sign_lsh_bucket_sql("embedding", CROSS_MODAL_BITS, o * CROSS_MODAL_BITS)
+        + " AS bucket FROM embeddings)"
+        for o in range(CROSS_MODAL_BANDS)
+    )
+    return withs, bands
+
+
+_CM_WITHS, _CM_BANDS = _cross_modal_cand_sql()
+
+
+@register(
+    "dedup_cross_modal",
+    doc=(
+        "cross-modal near-dup detection: candidates from embedding sign-LSH "
+        f"banding ({CROSS_MODAL_BANDS} bands x {CROSS_MODAL_BITS} hyperplane "
+        "bits, OR-of-bands — semantic blocking), verified by exact lexical "
+        f"3-gram Jaccard >= {CROSS_MODAL_TAU} on the text side; reports both "
+        "signals per pair. The curation pattern for paraphrase-heavy "
+        "corpora: lexical LSH misses semantically-identical rewrites, "
+        "embedding-only matching admits topically-similar non-dupes — the "
+        "composition keeps only pairs both modalities agree on. Scale: "
+        "banding is never all-pairs, the verify explode rides the candidate "
+        "relation only"
+    ),
+    oracle=f"""
+WITH {_CM_WITHS},
+cand AS (
+{_CM_BANDS}
+),
+ce AS (
+  SELECT c.id_a, c.id_b, {S.cosine_sql('ea.embedding', 'eb.embedding')} AS cos_sim
+  FROM cand c JOIN embeddings ea ON ea.vec_id = c.id_a JOIN embeddings eb ON eb.vec_id = c.id_b
+),
+sh AS (
+  SELECT doc_id, unnest({_SH3}) AS s FROM documents
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.id_a, c.id_b, count(*) AS n_inter
+  FROM cand c JOIN sh a ON a.doc_id = c.id_a JOIN sh b3 ON b3.doc_id = c.id_b AND b3.s = a.s
+  GROUP BY 1, 2
+)
+SELECT c.id_a, c.id_b, c.cos_sim,
+       CAST(i.n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - i.n_inter AS DOUBLE) AS jaccard
+FROM ce c
+JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+JOIN sizes sa ON sa.doc_id = c.id_a
+JOIN sizes sb ON sb.doc_id = c.id_b
+WHERE CAST(i.n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - i.n_inter AS DOUBLE) >= {CROSS_MODAL_TAU}
+""",
+)
+def dedup_cross_modal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from functools import reduce
+
+    from spk_sl_validation_spark.ext.dedup import ngram_jaccard_for_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents")
+    band_pairs = []
+    for o in range(CROSS_MODAL_BANDS):
+        b = emb.select(
+            "vec_id",
+            S.sign_lsh_bucket(
+                F.col("embedding"), CROSS_MODAL_BITS, offset=o * CROSS_MODAL_BITS
+            ).alias("bucket"),
+        )
+        a = b.select(F.col("vec_id").alias("id_a"), "bucket")
+        c = b.select(F.col("vec_id").alias("id_b"), "bucket")
+        band_pairs.append(
+            a.join(c.hint("shuffle_hash"), "bucket")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+        )
+    cand = reduce(lambda x, y: x.union(y), band_pairs).distinct()
+    ea = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("__ea"))
+    eb = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("__eb"))
+    ce = (
+        cand.join(ea.hint("shuffle_hash"), "id_a")
+        .join(eb.hint("shuffle_hash"), "id_b")
+        .select("id_a", "id_b", S.cosine(F.col("__ea"), F.col("__eb")).alias("cos_sim"))
+    )
+    verified = ngram_jaccard_for_pairs(docs, cand, "doc_id", "text", 3).filter(
+        F.col("jaccard") >= CROSS_MODAL_TAU
+    )
+    return verified.join(ce.hint("shuffle_hash"), ["id_a", "id_b"]).select(
+        "id_a", "id_b", "cos_sim", "jaccard"
+    )

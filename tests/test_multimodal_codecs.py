@@ -235,3 +235,66 @@ def test_streaming_decode_gate_equals_batch(spark, sf_dir):
         )
     )
     assert got == sorted(map(tuple, batch.collect()))
+
+
+# ---------------------------------------------------------------------------
+# Fuzz: corpus-scale ingestion sees arbitrary bytes; the parsers must
+# either parse or raise ValueError — never crash with anything else
+# ---------------------------------------------------------------------------
+
+
+def test_wav_parser_total_on_arbitrary_bytes():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.binary(max_size=256))
+    def run(raw):
+        try:
+            M._parse_wav(raw)
+        except ValueError:
+            pass
+
+    run()
+
+
+def test_wav_parser_total_on_mutated_valid_payloads():
+    """Bit-flips of REAL WAVs — the corruption shape a crawl actually
+    produces (truncation, header damage) — must stay in the
+    parse-or-ValueError contract."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    base = M._make_wav(41)
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.integers(min_value=0, max_value=len(base) - 1),
+        st.integers(min_value=0, max_value=255),
+        st.integers(min_value=0, max_value=len(base)),
+    )
+    def run(pos, byte, cut):
+        mutated = bytearray(base)
+        mutated[pos] = byte
+        raw = bytes(mutated[:cut])
+        try:
+            M._parse_wav(raw)
+        except ValueError:
+            pass
+
+    run()
+
+
+def test_bmp_parser_total_on_arbitrary_bytes():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.binary(max_size=256))
+    def run(raw):
+        try:
+            M._decode_bmp(raw)
+        except ValueError:
+            pass
+
+    run()

@@ -118,6 +118,19 @@ NONHEADLINE_BUDGETS = {
     "dedup_clusters_stars": (3, 0),
     "sketch_hll_by_type": (4, 0),
     "decontaminate_bloom": (11, 0),
+    # round-6: the real codecs are pure map pipelines (synthesize →
+    # mapInPandas decode → no shuffle at all — the shape that scales
+    # embarrassingly); any exchange appearing here is a regression.
+    "multimodal_wav_stats": (0, 0),
+    "multimodal_bmp_pixel_stats": (0, 0),
+    # BM25 churn = build (3) + removed-slice semi/anti + df subtract +
+    # stats delta + merged-df re-agg + rank tail; lifecycle op, runs
+    # once per recrawl batch.
+    "bm25_retrieval_churn": (15, 0),
+    # IVF indexed: corpus assignment window + rank tail; churn adds
+    # the anti-join and the batch reassignment.
+    "similarity_topk_ivf_indexed": (3, 0),
+    "similarity_ivf_churn": (5, 0),
 }
 
 

@@ -44,6 +44,7 @@ BNL_ALLOWED = {
     # IVF index lifecycle: same broadcast-centroid crossJoin assignment
     "similarity_topk_ivf_indexed",
     "similarity_ivf_churn",
+    "similarity_ivf_quantization_stats",
     "kmeans_assign",
     "similarity_topk_projected",
     "similarity_ann_recall",
