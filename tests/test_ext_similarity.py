@@ -457,3 +457,44 @@ def test_ivf_persisted_roundtrip_identity(spark, tmp_path):
     a = sorted(map(tuple, S.ivf_topk_indexed(queries, centroids, lists, k=5, nprobe=2).collect()))
     b = sorted(map(tuple, S.ivf_topk_indexed(queries, centroids, lists2, k=5, nprobe=2).collect()))
     assert a == b
+
+
+def test_cross_modal_pairs_are_verified_text_neardups(spark, sf_dir):
+    """Every cross-modal pair must be (a) lexically verified at the
+    same threshold the pure-text path uses and (b) bucket-matched in
+    at least one embedding band — i.e. the result is a SUBSET of the
+    exact text near-dup relation, intersected with semantic blocking,
+    never a superset of either."""
+    from spk_sl_validation_spark.ext.dedup import ngram_jaccard_for_pairs
+    from spk_sl_validation_spark.plans.registry import REGISTRY, _ensure_loaded
+    from spk_sl_validation_spark.plans.similarity_queries import (
+        CROSS_MODAL_BANDS,
+        CROSS_MODAL_BITS,
+        CROSS_MODAL_TAU,
+    )
+    from spk_sl_validation_spark.sources.readers import load_table
+
+    _ensure_loaded()
+    got = REGISTRY["dedup_cross_modal"].builder(spark, sf_dir).collect()
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = spark.createDataFrame(
+        [(r.id_a, r.id_b) for r in got] or [(int(-1), int(-2))], "id_a long, id_b long"
+    )
+    jac = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_for_pairs(docs, pairs, "doc_id").collect()
+    }
+    buckets = {
+        o: {r.vec_id: r.bucket for r in emb.select(
+            "vec_id",
+            S.sign_lsh_bucket(F.col("embedding"), CROSS_MODAL_BITS, offset=o * CROSS_MODAL_BITS).alias("bucket"),
+        ).collect()}
+        for o in range(CROSS_MODAL_BANDS)
+    }
+    for r in got:
+        assert r.jaccard >= CROSS_MODAL_TAU
+        assert abs(jac[(r.id_a, r.id_b)] - r.jaccard) < 1e-12
+        assert any(
+            buckets[o][r.id_a] == buckets[o][r.id_b] for o in range(CROSS_MODAL_BANDS)
+        ), f"pair {(r.id_a, r.id_b)} not bucket-matched in any band"
