@@ -855,28 +855,38 @@ WHERE CAST(i.n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - i.n_inter AS DOUBLE) 
 """,
 )
 def dedup_cross_modal(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from functools import reduce
-
     from spk_sl_validation_spark.ext.dedup import ngram_jaccard_for_pairs
 
     emb = load_table(spark, sf_dir, "embeddings")
     docs = load_table(spark, sf_dir, "documents")
-    band_pairs = []
-    for o in range(CROSS_MODAL_BANDS):
-        b = emb.select(
-            "vec_id",
-            S.sign_lsh_bucket(
-                F.col("embedding"), CROSS_MODAL_BITS, offset=o * CROSS_MODAL_BITS
-            ).alias("bucket"),
-        )
-        a = b.select(F.col("vec_id").alias("id_a"), "bucket")
-        c = b.select(F.col("vec_id").alias("id_b"), "bucket")
-        band_pairs.append(
-            a.join(c.hint("shuffle_hash"), "bucket")
-            .filter(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b")
-        )
-    cand = reduce(lambda x, y: x.union(y), band_pairs).distinct()
+    # ONE banded relation (vec_id, band, bucket) from a single
+    # embeddings scan, self-joined on (band, bucket) — the same shape
+    # the text-LSH banding uses; 4 per-band self-joins would re-scan
+    # the corpus 8x and pay 4 shuffles for the same pair set.
+    banded = emb.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(o).alias("band"),
+                        S.sign_lsh_bucket(
+                            F.col("embedding"), CROSS_MODAL_BITS, offset=o * CROSS_MODAL_BITS
+                        ).alias("bucket"),
+                    )
+                    for o in range(CROSS_MODAL_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("vec_id", "bk.band", "bk.bucket")
+    a = banded.select(F.col("vec_id").alias("id_a"), "band", "bucket")
+    c = banded.select(F.col("vec_id").alias("id_b"), "band", "bucket")
+    cand = (
+        a.join(c.hint("shuffle_hash"), ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
     ea = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("__ea"))
     eb = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("__eb"))
     ce = (

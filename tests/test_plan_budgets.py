@@ -131,6 +131,11 @@ NONHEADLINE_BUDGETS = {
     # the anti-join and the batch reassignment.
     "similarity_topk_ivf_indexed": (3, 0),
     "similarity_ivf_churn": (5, 0),
+    "similarity_ivf_quantization_stats": (2, 0),
+    # cross-modal: one banded self-join (was 4 per-band joins at 23
+    # exchanges before the single-explode restructure) + pair distinct
+    # + verify chain + cosine joins
+    "dedup_cross_modal": (11, 0),
 }
 
 
