@@ -566,61 +566,22 @@ def dedup_clusters(
             .select(id_col, F.coalesce("cluster_id", F.col(id_col)).alias("cluster_id"))
         )
 
-    # Only nodes that appear in the near-dup graph can ever change
-    # label; every other document is a singleton cluster (label = own
-    # id) by construction. Iterating over the edge-node subset keeps
-    # each propagation round proportional to the NEAR-DUP SUBGRAPH —
-    # on a typical corpus a few percent of documents — instead of the
-    # corpus; singletons fold back with one final left join. Provably
-    # identical output: a node with no edges never receives a
-    # neighbor_min row, so the old corpus-wide loop carried it through
-    # every round unchanged. (Edges are symmetric, so src alone covers
-    # both endpoints.) Same-session warm A/B at 200k probe docs: 42.8 s
-    # old vs 42.4 s new — a WASH at probe scale, where candidate
-    # generation + Jaccard verify dominate and 200k labels shuffle for
-    # free. The restriction is kept on the structural argument: per
-    # iteration the old shape shuffles a corpus-sized label relation,
-    # the new shape only the dup subgraph (typically a few percent),
-    # paying one corpus-sized fold-back join ONCE at the end — the
-    # trade that matters exactly when labels stop fitting in memory.
-    labels = (
-        edges.select(F.col("src").alias(id_col))
-        .distinct()
-        .select(F.col(id_col), F.col(id_col).alias("cluster_id"))
-        .localCheckpoint(eager=True)
-    )
-    for _ in range(max_iterations):
-        neighbor_min = (
-            edges.join(labels, edges.src == F.col(id_col))
-            .groupBy(F.col("dst").alias(id_col))
-            .agg(F.min("cluster_id").alias("nbr_min"))
-        )
-        new_labels = (
-            labels.join(neighbor_min, id_col, "left")
-            .select(
-                id_col,
-                F.least(F.col("cluster_id"), F.coalesce(F.col("nbr_min"), F.col("cluster_id"))).alias(
-                    "cluster_id"
-                ),
-            )
-            .localCheckpoint(eager=True)
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), id_col)
-            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            break
-    else:
+    # Propagation shares ONE implementation with the scale probe
+    # (ext/graph.py min_label_propagation — edge-node-subset labels,
+    # static relation per round, hard failure past the cap; the
+    # subset restriction's equivalence argument and the 200k-doc A/B
+    # live in that docstring). Singletons fold back below.
+    from spk_sl_validation_spark.ext.graph import min_label_propagation
+
+    try:
+        labels, _ = min_label_propagation(edges, max_iterations, id_col=id_col)
+    except ValueError as exc:
         raise ValueError(
             f"dedup_clusters(method='propagate') did not converge in "
             f"{max_iterations} rounds — the dup graph has a component with "
             f"diameter > {max_iterations} (e.g. a long near-dup chain); "
             "use method='stars', which converges in O(log² n) rounds"
-        )
+        ) from exc
     return (
         df.select(F.col(id_col))
         .join(labels.hint("shuffle_hash"), id_col, "left")

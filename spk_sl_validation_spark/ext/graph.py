@@ -389,3 +389,63 @@ def connected_components_stars(
         .distinct()
     )
     return labels, rounds
+
+
+def min_label_propagation(
+    edges: DataFrame, max_rounds: int, id_col: str = "node"
+) -> tuple[DataFrame, int]:
+    """Connected components by min-label propagation over a SYMMETRIC
+    (src, dst) edge relation — the oracle-replayable mode (its
+    per-round semantics are exactly a recursive CTE, which is what
+    DuckDB can evaluate; `dedup_clusters(method='propagate')` and
+    `tools/cc_probe.py` both run THIS implementation, so the probe
+    measures the production loop, not a replica).
+
+    Labels cover only nodes appearing in the edge relation — a node
+    with no edges never receives a neighbor_min row, so iterating
+    over the edge-node subset is provably identical to carrying every
+    isolated node through every round; callers fold singletons back
+    with one left join. Per round the shuffled relation is the edge
+    set + the edge-node label table; the relation is STATIC across
+    rounds (contrast :func:`connected_components_stars`, which
+    contracts it — the measured dispatch threshold lives in SCALE.md
+    §7). ``localCheckpoint`` truncates lineage per round (the
+    standard Spark iterative-algorithm idiom). Raises ``ValueError``
+    after ``max_rounds`` non-converged rounds — a silent partial
+    labeling would mislabel long chains.
+
+    Returns ``(labels, n_rounds)`` with columns (id_col, cluster_id =
+    component-min id).
+    """
+    labels = (
+        edges.select(F.col("src").alias(id_col))
+        .distinct()
+        .select(F.col(id_col), F.col(id_col).alias("cluster_id"))
+        .localCheckpoint(eager=True)
+    )
+    for rnd in range(1, max_rounds + 1):
+        neighbor_min = (
+            edges.join(labels, edges.src == F.col(id_col))
+            .groupBy(F.col("dst").alias(id_col))
+            .agg(F.min("cluster_id").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, id_col, "left")
+            .select(
+                id_col,
+                F.least(
+                    F.col("cluster_id"), F.coalesce(F.col("nbr_min"), F.col("cluster_id"))
+                ).alias("cluster_id"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), id_col)
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            return labels, rnd
+    raise ValueError(f"min-label propagation did not converge in {max_rounds} rounds")

@@ -83,42 +83,14 @@ def symmetrize(edges):
 
 
 def propagate(sym_edges, max_rounds: int) -> tuple[int, int]:
-    """Min-label propagation, the exact loop `dedup_clusters`
-    (ext/dedup.py) runs — returns (n_rounds, n_labels)."""
-    from pyspark.sql import functions as F
+    """Min-label propagation — the SHARED production implementation
+    (`ext/graph.py min_label_propagation`, the same loop
+    `dedup_clusters(method='propagate')` executes), so the probe
+    measures the real operator, not a replica."""
+    from spk_sl_validation_spark.ext.graph import min_label_propagation
 
-    labels = (
-        sym_edges.select(F.col("src").alias("node"))
-        .distinct()
-        .select("node", F.col("node").alias("cluster_id"))
-        .localCheckpoint(eager=True)
-    )
-    for rnd in range(1, max_rounds + 1):
-        neighbor_min = (
-            sym_edges.join(labels, sym_edges.src == F.col("node"))
-            .groupBy(F.col("dst").alias("node"))
-            .agg(F.min("cluster_id").alias("nbr_min"))
-        )
-        new_labels = (
-            labels.join(neighbor_min, "node", "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("cluster_id"), F.coalesce(F.col("nbr_min"), F.col("cluster_id"))
-                ).alias("cluster_id"),
-            )
-            .localCheckpoint(eager=True)
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            return rnd, labels.count()
-    raise RuntimeError(f"propagation did not converge in {max_rounds} rounds")
+    labels, rounds = min_label_propagation(sym_edges, max_rounds)
+    return rounds, labels.count()
 
 
 def main() -> None:
