@@ -485,7 +485,7 @@ def dedup_clusters(
     bands: int = 6,
     shingle_n: int = 3,
     jaccard_threshold: float = 0.8,
-    max_iterations: int = 20,
+    max_iterations: int | None = None,
     method: str = "propagate",
 ) -> DataFrame:
     """Transitive near-dup clusters: connected components over the
@@ -519,9 +519,12 @@ def dedup_clusters(
     recursive-CTE oracle replay makes it the verifiable choice. Use
     propagate for oracle-checked paths; stars for production volume.
 
-    ``max_iterations`` bounds work in both modes (propagation rounds,
-    or star rounds — each star round is ~2 shuffles and 20 covers
-    component diameters ≈ 2^10); either mode fails loudly past it.
+    ``max_iterations`` bounds work in BOTH modes and either mode
+    fails loudly past it. Defaults are per-mode: 20 propagation
+    rounds (rounds = diameter, so 20 already means a pathological
+    chain) but 60 star rounds (rounds ≈ 2·log2(d), so 60 covers
+    diameters ≈ 2^29 — star rounds are cheap and the mode exists
+    precisely for graphs whose diameter nobody predicted).
     """
     if method not in ("propagate", "stars"):
         raise ValueError(f"unknown method {method!r}: use 'propagate' or 'stars'")
@@ -551,11 +554,9 @@ def dedup_clusters(
     if method == "stars":
         from spk_sl_validation_spark.ext.graph import connected_components_stars
 
-        # max_iterations bounds work in BOTH modes: here it caps star
-        # rounds (each ~2 shuffles, convergence in O(log² n) so the
-        # propagate-sized default of 20 is generous), mirroring the
-        # propagate loop's hard failure past the cap.
-        star_labels, _ = connected_components_stars(edges, max_rounds=max_iterations)
+        star_labels, _ = connected_components_stars(
+            edges, max_rounds=60 if max_iterations is None else max_iterations
+        )
         return (
             df.select(F.col(id_col))
             .join(
@@ -573,13 +574,14 @@ def dedup_clusters(
     # live in that docstring). Singletons fold back below.
     from spk_sl_validation_spark.ext.graph import min_label_propagation
 
+    prop_rounds = 20 if max_iterations is None else max_iterations
     try:
-        labels, _ = min_label_propagation(edges, max_iterations, id_col=id_col)
+        labels, _ = min_label_propagation(edges, prop_rounds, id_col=id_col)
     except ValueError as exc:
         raise ValueError(
             f"dedup_clusters(method='propagate') did not converge in "
-            f"{max_iterations} rounds — the dup graph has a component with "
-            f"diameter > {max_iterations} (e.g. a long near-dup chain); "
+            f"{prop_rounds} rounds — the dup graph has a component with "
+            f"diameter > {prop_rounds} (e.g. a long near-dup chain); "
             "use method='stars', which converges in O(log² n) rounds"
         ) from exc
     return (

@@ -116,8 +116,12 @@ def _decode_bmp(data: bytes) -> tuple[int, int, int]:
         raise ValueError(f"unsupported BMP info header size {bi_size}")
     width, height = struct.unpack_from("<ii", data, 18)
     planes, bpp = struct.unpack_from("<HH", data, 26)
-    if planes != 1 or bpp % 8:
+    if planes != 1 or bpp % 8 or bpp == 0:
         raise ValueError(f"unsupported BMP planes={planes} bpp={bpp}")
+    if width <= 0 or height == 0:
+        # height<0 is legal (top-down rows); width<=0 or height==0 is
+        # a malformed header that must not surface as ok=true
+        raise ValueError(f"malformed BMP dimensions {width}x{height}")
     return (width, abs(height), bpp // 8)
 
 
@@ -358,6 +362,10 @@ def _parse_wav(data: bytes) -> tuple[int, int, int, bytes]:
             bits = struct.unpack_from("<H", body, 14)[0]
             if audio_fmt != 1 or bits != 16:
                 raise ValueError(f"unsupported WAV fmt={audio_fmt} bits={bits}")
+            if channels < 1 or rate < 1:
+                # a zero here would turn into ZeroDivisionError in the
+                # frame/duration math — malformed, not "unsupported"
+                raise ValueError(f"malformed WAV fmt: channels={channels} rate={rate}")
         elif cid == b"data":
             pcm = body
         pos += 8 + size + (size & 1)  # chunks are word-aligned
@@ -499,9 +507,12 @@ def bmp_pixel_stats(df: DataFrame, media_col: str = "media") -> DataFrame:
                     raw = bytes(data)
                     width, height, chans = _decode_bmp(raw)
                     off = struct.unpack_from("<I", raw, 10)[0]
+                    raw_height = struct.unpack_from("<i", raw, 22)[0]
                     stride = (width * chans + 3) & ~3
                     arr = np.frombuffer(raw, dtype=np.uint8, count=stride * height, offset=off)
-                    grid = arr.reshape(height, stride)[::-1, : width * chans]  # bottom-up → top-down
+                    grid = arr.reshape(height, stride)[:, : width * chans]
+                    if raw_height > 0:  # positive biHeight = bottom-up rows
+                        grid = grid[::-1]
                     flat = grid.reshape(-1).astype("int64")
                     row = (
                         width,

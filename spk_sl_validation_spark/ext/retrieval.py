@@ -466,8 +466,12 @@ def remove_from_bm25_index(
     )
     # dl repeats on every posting row of a doc; collapse to one row per
     # removed doc before summing
+    # COALESCE the sum: an EMPTY remove batch (a churn filter that
+    # matched nothing) yields SUM over zero rows = NULL, and
+    # sum_dl - NULL would silently NULL the stats artifact
     st_delta = removed.select(id_col, "dl").distinct().agg(
-        F.count(F.lit(1)).alias("n_rm"), F.sum("dl").cast("long").alias("dl_rm")
+        F.count(F.lit(1)).alias("n_rm"),
+        F.coalesce(F.sum("dl"), F.lit(0)).cast("long").alias("dl_rm"),
     )
     stats2 = stats.crossJoin(F.broadcast(st_delta)).select(
         (F.col("n_docs") - F.col("n_rm")).cast("long").alias("n_docs"),

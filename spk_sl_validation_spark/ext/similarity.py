@@ -181,22 +181,7 @@ def ivf_assign(
     deployment; here centroids are any DataFrame of
     (centroid_id, vec) — the assignment/probe plumbing is identical.
     """
-    from pyspark.sql import Window
-
-    c = F.broadcast(
-        centroids.select(
-            F.col(centroid_id_col), F.col(vec_col).alias("__cvec")
-        )
-    )
-    scored = vectors.crossJoin(c).withColumn(
-        "__dist", sq_l2(F.col(vec_col), F.col("__cvec"))
-    )
-    w = Window.partitionBy(id_col).orderBy(F.col("__dist").asc(), F.col(centroid_id_col).asc())
-    return (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn", "__dist", "__cvec")
-    )
+    return ivf_assign_n(vectors, centroids, 1, id_col, vec_col, centroid_id_col)
 
 
 def ivf_topk(
@@ -240,6 +225,7 @@ def ivf_assign_n(
     nprobe: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroid_id_col: str = "centroid_id",
 ) -> DataFrame:
     """Each vector's ``nprobe`` nearest centroids (squared-L2, ties →
     lowest centroid id): the multi-probe generalization of
@@ -248,9 +234,13 @@ def ivf_assign_n(
     volume touched, the standard IVF dial."""
     from pyspark.sql import Window
 
-    c = F.broadcast(centroids.select("centroid_id", F.col(vec_col).alias("__cvec")))
+    c = F.broadcast(
+        centroids.select(F.col(centroid_id_col), F.col(vec_col).alias("__cvec"))
+    )
     scored = vectors.crossJoin(c).withColumn("__dist", sq_l2(F.col(vec_col), F.col("__cvec")))
-    w = Window.partitionBy(id_col).orderBy(F.col("__dist").asc(), F.col("centroid_id").asc())
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("__dist").asc(), F.col(centroid_id_col).asc()
+    )
     return (
         scored.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= nprobe)

@@ -793,7 +793,7 @@ CROSS_MODAL_TAU = 0.5
 _SH3 = "list_distinct(list_transform(range(1, greatest(len(string_split_regex(trim(text), '\\s+')) - 2, 1) + 1), i -> array_to_string(list_slice(string_split_regex(trim(text), '\\s+'), i, i + 2), ' ')))"
 
 
-def _cross_modal_cand_sql() -> str:
+def _cross_modal_cand_sql() -> tuple[str, str]:
     """Candidate pairs = same bucket in ANY of the 4 sign-LSH bands
     (OR-of-bands, the standard LSH recall shape), deduped."""
     bands = "\nUNION\n".join(

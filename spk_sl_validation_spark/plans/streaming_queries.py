@@ -545,9 +545,13 @@ def streaming_media_decode_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     stream = P.stream_documents(spark, sf_dir).select("doc_id")
     decoded = M.decode_wav(M.synthesize_wav_table(stream))
-    agg = decoded.filter(F.col("ok")).groupBy("sample_rate").agg(
+    # n_media counts EVERYTHING in the rate group, n_ok/total only the
+    # rows the codec accepted — computing them after a filter(ok)
+    # would make n_ok == n_media by construction and the gate could
+    # never signal a decode regression
+    agg = decoded.groupBy("sample_rate").agg(
         F.count(F.lit(1)).alias("n_media"),
         F.count(F.when(F.col("ok"), 1)).alias("n_ok"),
-        F.sum("sum_abs_amp").alias("total_abs_amp"),
+        F.sum(F.when(F.col("ok"), F.col("sum_abs_amp"))).alias("total_abs_amp"),
     )
     return P.run_available_now(agg, output_mode="complete")

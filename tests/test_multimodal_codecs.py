@@ -226,12 +226,11 @@ def test_streaming_decode_gate_equals_batch(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     batch = (
         M.decode_wav(M.synthesize_wav_table(docs))
-        .filter(F.col("ok"))
         .groupBy("sample_rate")
         .agg(
             F.count(F.lit(1)).alias("n_media"),
             F.count(F.when(F.col("ok"), 1)).alias("n_ok"),
-            F.sum("sum_abs_amp").alias("total_abs_amp"),
+            F.sum(F.when(F.col("ok"), F.col("sum_abs_amp"))).alias("total_abs_amp"),
         )
     )
     assert got == sorted(map(tuple, batch.collect()))
@@ -298,3 +297,87 @@ def test_bmp_parser_total_on_arbitrary_bytes():
             pass
 
     run()
+
+
+def test_wav_zero_channels_or_rate_rejected():
+    """fmt declaring channels=0 or rate=0 must raise ValueError in the
+    parser — otherwise decode_wav's frame/duration math divides by
+    zero and kills the stage (review finding r6)."""
+    for channels, rate in ((0, 8000), (1, 0)):
+        fmt = struct.pack("<HHIIHH", 1, channels, rate, 16000, 2, 16)
+        body = (
+            b"WAVE" + b"fmt " + struct.pack("<I", 16) + fmt + b"data" + struct.pack("<I", 4)
+            + b"\x00" * 4
+        )
+        with pytest.raises(ValueError, match="malformed WAV fmt"):
+            M._parse_wav(b"RIFF" + struct.pack("<I", len(body)) + body)
+
+
+def test_bmp_nonsense_dimensions_rejected():
+    """width<=0, height==0, bpp==0 are malformed, not 'ok=true with
+    nonsense dims'."""
+    base = bytearray(M._make_bmp(5))
+    neg_w = bytearray(base)
+    struct.pack_into("<i", neg_w, 18, -7)
+    zero_h = bytearray(base)
+    struct.pack_into("<i", zero_h, 22, 0)
+    zero_bpp = bytearray(base)
+    struct.pack_into("<H", zero_bpp, 28, 0)
+    for raw in (neg_w, zero_h, zero_bpp):
+        with pytest.raises(ValueError):
+            M._decode_bmp(bytes(raw))
+
+
+def test_bmp_pixel_stats_honors_top_down_storage():
+    """A top-down BMP (negative biHeight) stores rows in semantic
+    order already; the bottom-up flip must NOT be applied — pixel_wsum
+    is the order-sensitive witness (review finding r6)."""
+    import numpy as np
+
+    doc_id = 3
+    raw = bytearray(M._make_bmp(doc_id))
+    w, h, c = M._decode_bmp(bytes(raw))
+    off = struct.unpack_from("<I", raw, 10)[0]
+    stride = (w * c + 3) & ~3
+    # rewrite as top-down: negate height, reverse the stored row order
+    arr = bytes(raw[off:])
+    rows = [arr[i * stride : (i + 1) * stride] for i in range(h)]
+    top_down = bytearray(raw[:off]) + b"".join(reversed(rows))
+    struct.pack_into("<i", top_down, 22, -h)
+
+    def wsum_of(payload: bytes) -> int:
+        a = np.frombuffer(payload, dtype=np.uint8, count=stride * h,
+                          offset=struct.unpack_from("<I", payload, 10)[0])
+        raw_h = struct.unpack_from("<i", payload, 22)[0]
+        grid = a.reshape(h, stride)[:, : w * c]
+        if raw_h > 0:
+            grid = grid[::-1]
+        flat = grid.reshape(-1).astype("int64")
+        return int((np.arange(flat.size) * flat).sum())
+
+    want_sum, want_wsum = _bmp_expected(doc_id)
+    assert wsum_of(bytes(raw)) == want_wsum
+    assert wsum_of(bytes(top_down)) == want_wsum
+
+
+def test_bmp_pixel_stats_spark_top_down(spark):
+    """The real bmp_pixel_stats (mapInPandas) on a top-down payload:
+    same stats as the bottom-up twin of the same image."""
+    doc_id = 3
+    raw = bytearray(M._make_bmp(doc_id))
+    w, h, c = M._decode_bmp(bytes(raw))
+    off = struct.unpack_from("<I", raw, 10)[0]
+    stride = (w * c + 3) & ~3
+    arr = bytes(raw[off:])
+    rows = [arr[i * stride : (i + 1) * stride] for i in range(h)]
+    top_down = bytearray(raw[:off]) + b"".join(reversed(rows))
+    struct.pack_into("<i", top_down, 22, -h)
+    df = spark.createDataFrame(
+        [(0, bytes(raw)), (1, bytes(top_down))], "doc_id long, media binary"
+    )
+    got = {r.doc_id: r for r in M.bmp_pixel_stats(df).collect()}
+    want_sum, want_wsum = _bmp_expected(doc_id)
+    for i in (0, 1):
+        assert got[i].ok
+        assert got[i].pixel_sum == want_sum
+        assert got[i].pixel_wsum == want_wsum

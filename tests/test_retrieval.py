@@ -366,3 +366,22 @@ def test_bm25_remove_rejects_unindexed_id(spark):
     rm = spark.createDataFrame([(999,)], "doc_id long")
     with pytest.raises(ValueError, match="no postings"):
         remove_from_bm25_index(*bm25_index_tables(full), rm)
+
+
+def test_bm25_remove_empty_batch_is_identity(spark):
+    """A churn filter that matches nothing must leave every artifact
+    untouched — in particular stats, where SUM over zero removed rows
+    is NULL and an un-coalesced subtraction would silently NULL
+    sum_dl (review finding r6)."""
+    from spk_sl_validation_spark.ext.retrieval import bm25_index_tables, remove_from_bm25_index
+
+    full = spark.createDataFrame(DOCS, "doc_id long, text string")
+    artifacts = bm25_index_tables(full)
+    empty = spark.createDataFrame([], "doc_id long")
+    removed = remove_from_bm25_index(*artifacts, empty)
+    for m, o, label in zip(removed, artifacts, ("postings", "df", "stats")):
+        ms = sorted(map(tuple, m.collect()))
+        rs = sorted(map(tuple, o.collect()))
+        assert ms == rs, f"{label} changed on empty remove: {ms[:3]} != {rs[:3]}"
+        for row in ms:
+            assert None not in row, f"{label} contains NULL after empty remove"
