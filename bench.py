@@ -113,6 +113,24 @@ def main() -> None:
             "stdev": round(statistics.stdev(samples), 3) if len(samples) > 1 else 0.0,
         }
 
+    host = _host_fingerprint()
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    # Detailed line first; the compact contract line LAST. The driver keeps a
+    # byte-bounded tail of stdout, which truncated the head of the single long
+    # line in r5/r6 ("parsed": null) — a short final line always survives the
+    # tail capture intact.
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_detail",
+                "queries_detail": detail,
+                "runs": RUNS,
+                "aggregation": "median",
+                "host": host,
+                "sf": sf_val,
+            }
+        )
+    )
     print(
         json.dumps(
             {
@@ -120,11 +138,10 @@ def main() -> None:
                 "value": round(sum(medians.values()), 3),
                 "unit": "sec",
                 "queries": medians,
-                "queries_detail": detail,
+                "sf": sf_val,
+                "git_rev": host.get("git_rev"),
                 "runs": RUNS,
                 "aggregation": "median",
-                "host": _host_fingerprint(),
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
     )
