@@ -9,20 +9,23 @@ North-star extension. Design (the part that matters at 100 TB):
   Python** (``mapInPandas`` / ``pandas_udf``): bytes cross the
   JVM↔Python boundary once per batch, not per row, and the work
   parallelizes per input partition with no shuffle.
-- Compressed-codec work (PIL/ffmpeg) is NOT available in this
-  container: decoders for jpeg/png/mp4 are **stubbed** with
-  ``NotImplementedError``; a deterministic fake decoder
-  (``media_type='application/x-fake'``) exercises the full plumbing —
-  schema, batching, partitioning — with verifiable output.
+- Compressed-codec work needing third-party libs (PIL/libjpeg/ffmpeg)
+  is NOT available in this container: decoders for jpeg/mp4 are
+  **stubbed** with ``NotImplementedError``; a deterministic fake
+  decoder (``media_type='application/x-fake'``) exercises the full
+  plumbing — schema, batching, partitioning — with verifiable output.
 - **Real stdlib codecs** (no third-party deps): ``audio/wav`` (RIFF
-  chunk walk + 16-bit PCM, :func:`decode_wav`) and ``image/bmp``
+  chunk walk + 16-bit PCM, :func:`decode_wav`), ``image/bmp``
   (BITMAPINFOHEADER + bottom-up padded pixel rows, ``_decode_bmp`` in
-  the registry + :func:`bmp_pixel_stats`). Both parse genuinely —
+  the registry + :func:`bmp_pixel_stats`), and ``image/png``
+  (CRC-checked chunk walk, multi-IDAT ``zlib`` inflate, all five
+  scanline unfilters — :func:`png_pixel_stats`). All parse genuinely —
   fixed offsets are NOT assumed (WAV walks unknown chunks; BMP honors
-  the pixel-array offset and 4-byte row stride) — and both are
-  hash-checked end-to-end: the registered queries synthesize payloads
-  under a closed-form generation law, decode them back, and DuckDB
-  recomputes the expected stats from the law alone.
+  the pixel-array offset and 4-byte row stride; PNG concatenates split
+  IDATs and skips ancillary chunks) — and all are hash-checked
+  end-to-end: the registered queries synthesize payloads under a
+  closed-form generation law, decode them back, and DuckDB recomputes
+  the expected stats from the law alone.
 
 Metadata-only operators stay JVM-side (length/md5/prefix sniff are
 built-in functions over binary) — Python is reserved for actual
@@ -514,6 +517,251 @@ def bmp_pixel_stats(df: DataFrame, media_col: str = "media") -> DataFrame:
                     if raw_height > 0:  # positive biHeight = bottom-up rows
                         grid = grid[::-1]
                     flat = grid.reshape(-1).astype("int64")
+                    row = (
+                        width,
+                        height,
+                        chans,
+                        int(flat.sum()),
+                        int((np.arange(flat.size) * flat).sum()),
+                        True,
+                    )
+                except (ValueError, IndexError):
+                    row = (0, 0, 0, 0, 0, False)
+                out["doc_id"].append(doc_id)
+                for name, v in zip(
+                    ("width", "height", "channels", "pixel_sum", "pixel_wsum", "ok"), row
+                ):
+                    out[name].append(v)
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(run, BMP_STATS_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Real stdlib codec: PNG (CRC-checked chunk walk + zlib + 5 unfilters)
+# ---------------------------------------------------------------------------
+#
+# Fixture generation law (deterministic per doc_id — the SQL oracle
+# recomputes every decoded stat in closed form, byte-blind):
+#
+#   width    = 1 + doc_id % 11
+#   height   = 1 + doc_id % 5
+#   channels = [1, 3, 4][doc_id % 3]   (gray / RGB / RGBA — PNG color
+#              types 0 / 2 / 6, always 8-bit depth)
+#   raw top-down row-major pixel byte k (k < w*h*channels):
+#       pix(k) = (doc_id * 3 + k) % 249
+#   scanline y is FILTERED with type (doc_id + y) % 5 before deflate,
+#   so decoding exercises None/Sub/Up/Average/Paeth on every corpus.
+#
+# The writer additionally splits the deflate stream across TWO IDAT
+# chunks and places a tEXt chunk before them — a decoder that assumes
+# one IDAT at a fixed offset, or that feeds ancillary bytes to zlib,
+# diverges from the oracle immediately. Chunk CRCs are verified, so
+# fuzzed bit-flips surface as ValueError (ok=false), never as silently
+# wrong pixels.
+
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 6: 4}  # color type -> samples per pixel
+
+
+def _png_chunk(ctype: bytes, body: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(body))
+        + ctype
+        + body
+        + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """PNG Paeth predictor (RFC 2083 §6.6): nearest of left/up/upleft."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def _make_png(doc_id: int) -> bytes:
+    """Build a real PNG under the generation law: 8-bit gray/RGB/RGBA,
+    per-row filter type cycling through all five, deflate stream split
+    across two IDATs with a tEXt chunk ahead of them."""
+    import struct
+    import zlib
+
+    width = 1 + doc_id % 11
+    height = 1 + doc_id % 5
+    color_type = [0, 2, 6][doc_id % 3]
+    bpp = _PNG_CHANNELS[color_type]  # bytes per pixel at 8-bit depth
+    rowlen = width * bpp
+
+    raw = bytes((doc_id * 3 + k) % 249 for k in range(rowlen * height))
+    scanlines = bytearray()
+    prior = bytes(rowlen)
+    for y in range(height):
+        row = raw[y * rowlen : (y + 1) * rowlen]
+        ftype = (doc_id + y) % 5
+        filt = bytearray(rowlen)
+        for x in range(rowlen):
+            left = row[x - bpp] if x >= bpp else 0
+            up = prior[x]
+            upleft = prior[x - bpp] if x >= bpp else 0
+            if ftype == 0:
+                pred = 0
+            elif ftype == 1:
+                pred = left
+            elif ftype == 2:
+                pred = up
+            elif ftype == 3:
+                pred = (left + up) // 2
+            else:
+                pred = _paeth(left, up, upleft)
+            filt[x] = (row[x] - pred) & 0xFF
+        scanlines += bytes([ftype]) + bytes(filt)
+        prior = row
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    z = zlib.compress(bytes(scanlines))
+    half = len(z) // 2
+    return (
+        PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"tEXt", b"Comment\x00synthetic fixture")
+        + _png_chunk(b"IDAT", z[:half])
+        + _png_chunk(b"IDAT", z[half:])
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _parse_png(data: bytes) -> tuple[int, int, int, bytes]:
+    """Generic PNG parse: signature, CRC-verified chunk walk, IHDR
+    validation (8-bit gray/RGB/RGBA, no interlace), multi-IDAT inflate,
+    per-row unfilter. Returns (width, height, channels, raw top-down
+    row-major sample bytes). Raises ``ValueError`` on any malformation
+    — truncation, bad CRC, bad zlib stream, wrong decompressed size —
+    so corrupt corpus payloads surface as ok=false, never wrong pixels."""
+    import struct
+    import zlib
+
+    if len(data) < len(PNG_SIG) + 12 or data[: len(PNG_SIG)] != PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos = len(PNG_SIG)
+    ihdr = None
+    idat = bytearray()
+    seen_iend = False
+    while pos + 12 <= len(data):
+        length = struct.unpack_from(">I", data, pos)[0]
+        ctype = data[pos + 4 : pos + 8]
+        if pos + 12 + length > len(data):  # body or trailing CRC truncated
+            raise ValueError(f"truncated {ctype!r} chunk: need {length} body + 4 CRC bytes")
+        body = data[pos + 8 : pos + 8 + length]
+        crc = struct.unpack_from(">I", data, pos + 8 + length)[0]
+        if crc != (zlib.crc32(ctype + body) & 0xFFFFFFFF):
+            raise ValueError(f"CRC mismatch in {ctype!r} chunk")
+        if ihdr is None and ctype != b"IHDR":
+            raise ValueError("first chunk is not IHDR")
+        if ctype == b"IHDR":
+            if length != 13:
+                raise ValueError(f"IHDR length {length} != 13")
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif ctype == b"IDAT":
+            idat += body
+        elif ctype == b"IEND":
+            seen_iend = True
+            break
+        pos += 12 + length
+    if ihdr is None or not seen_iend:
+        raise ValueError("PNG missing IHDR or IEND")
+    width, height, depth, color_type, comp, filt, interlace = ihdr
+    if depth != 8 or color_type not in _PNG_CHANNELS:
+        raise ValueError(f"unsupported PNG depth={depth} color_type={color_type}")
+    if comp != 0 or filt != 0 or interlace != 0:
+        raise ValueError("unsupported PNG compression/filter/interlace method")
+    if width == 0 or height == 0 or width > 1 << 24 or height > 1 << 24:
+        raise ValueError(f"malformed PNG dimensions {width}x{height}")
+    bpp = _PNG_CHANNELS[color_type]
+    rowlen = width * bpp
+    try:
+        stream = zlib.decompress(bytes(idat))
+    except zlib.error as exc:
+        raise ValueError(f"bad PNG deflate stream: {exc}") from exc
+    if len(stream) != (rowlen + 1) * height:
+        raise ValueError(
+            f"decompressed size {len(stream)} != {(rowlen + 1) * height} for {width}x{height}"
+        )
+    out = bytearray(rowlen * height)
+    prior = bytes(rowlen)
+    for y in range(height):
+        ftype = stream[y * (rowlen + 1)]
+        line = stream[y * (rowlen + 1) + 1 : (y + 1) * (rowlen + 1)]
+        row = bytearray(rowlen)
+        if ftype == 0:
+            row[:] = line
+        elif ftype == 1:  # Sub
+            for x in range(rowlen):
+                left = row[x - bpp] if x >= bpp else 0
+                row[x] = (line[x] + left) & 0xFF
+        elif ftype == 2:  # Up
+            for x in range(rowlen):
+                row[x] = (line[x] + prior[x]) & 0xFF
+        elif ftype == 3:  # Average
+            for x in range(rowlen):
+                left = row[x - bpp] if x >= bpp else 0
+                row[x] = (line[x] + (left + prior[x]) // 2) & 0xFF
+        elif ftype == 4:  # Paeth
+            for x in range(rowlen):
+                left = row[x - bpp] if x >= bpp else 0
+                upleft = prior[x - bpp] if x >= bpp else 0
+                row[x] = (line[x] + _paeth(left, prior[x], upleft)) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter type {ftype} on row {y}")
+        out[y * rowlen : (y + 1) * rowlen] = row
+        prior = bytes(row)
+    return (width, height, bpp, bytes(out))
+
+
+def _decode_png(data: bytes) -> tuple[int, int, int]:
+    """Registry-shape PNG decode: full parse (CRC + inflate + unfilter
+    — a payload is only 'ok' if its pixels actually decode), dims out."""
+    width, height, channels, _ = _parse_png(data)
+    return (width, height, channels)
+
+
+DECODERS["image/png"] = _decode_png
+
+
+def synthesize_png_table(docs: DataFrame) -> DataFrame:
+    """(doc_id, media binary, media_type='image/png')."""
+
+    @F.pandas_udf(T.BinaryType())
+    def make(ids: pd.Series) -> pd.Series:
+        return ids.apply(lambda d: _make_png(int(d)))
+
+    return docs.select(
+        "doc_id", make(F.col("doc_id")).alias("media"), F.lit("image/png").alias("media_type")
+    )
+
+
+def png_pixel_stats(df: DataFrame, media_col: str = "media") -> DataFrame:
+    """Full PNG decode to integer-exact pixel stats (sum + top-down
+    index-weighted sum over the raw sample bytes). The weighted sum is
+    the order-sensitive witness: a wrong unfilter, row order, or IDAT
+    concatenation produces different bytes and misses the oracle.
+    Malformed payloads yield ok=false, zeroed stats."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list[Any]] = {f.name: [] for f in BMP_STATS_SCHEMA.fields}
+            for doc_id, data in zip(pdf["doc_id"], pdf[media_col]):
+                try:
+                    width, height, chans, raw = _parse_png(bytes(data))
+                    flat = np.frombuffer(raw, dtype=np.uint8).astype("int64")
                     row = (
                         width,
                         height,

@@ -222,3 +222,46 @@ FROM d JOIN agg ON d.doc_id = agg.doc_id
 def multimodal_bmp_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     return M.bmp_pixel_stats(M.synthesize_bmp_table(docs))
+
+
+@register(
+    "multimodal_png_pixel_stats",
+    doc=(
+        "REAL stdlib PNG codec end-to-end: synthesize 8-bit gray/RGB/RGBA "
+        "PNGs whose rows cycle through all five scanline filters and whose "
+        "deflate stream is split across two IDATs behind a tEXt chunk, then "
+        "decode via CRC-checked chunk walk + zlib inflate + per-row "
+        "unfilter; the top-down index-weighted pixel sum catches any "
+        "unfilter, row-order, or IDAT-concatenation bug, and the oracle "
+        "recomputes every stat from the generation law in closed form"
+    ),
+    oracle="""
+WITH d AS (
+  SELECT doc_id,
+         1 + doc_id % 11 AS w,
+         1 + doc_id % 5 AS h,
+         CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 4 END AS ch
+  FROM documents
+),
+v AS (
+  SELECT doc_id, unnest(range(0, w * h * ch)) AS k FROM d
+),
+agg AS (
+  SELECT doc_id,
+         SUM((doc_id * 3 + k) % 249) AS pixel_sum,
+         SUM(k * ((doc_id * 3 + k) % 249)) AS pixel_wsum
+  FROM v GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(d.w AS INTEGER) AS width,
+       CAST(d.h AS INTEGER) AS height,
+       CAST(d.ch AS INTEGER) AS channels,
+       CAST(agg.pixel_sum AS BIGINT) AS pixel_sum,
+       CAST(agg.pixel_wsum AS BIGINT) AS pixel_wsum,
+       true AS ok
+FROM d JOIN agg ON d.doc_id = agg.doc_id
+""",
+)
+def multimodal_png_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return M.png_pixel_stats(M.synthesize_png_table(docs))

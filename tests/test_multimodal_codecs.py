@@ -381,3 +381,169 @@ def test_bmp_pixel_stats_spark_top_down(spark):
         assert got[i].ok
         assert got[i].pixel_sum == want_sum
         assert got[i].pixel_wsum == want_wsum
+
+
+# ---------------------------------------------------------------------------
+# PNG parser units (round 7: real stdlib zlib codec replaces the stub)
+# ---------------------------------------------------------------------------
+
+
+def _png_expected(doc_id: int) -> tuple[int, int, int, int, int]:
+    w, h = 1 + doc_id % 11, 1 + doc_id % 5
+    ch = [1, 3, 4][doc_id % 3]
+    vals = [(doc_id * 3 + k) % 249 for k in range(w * h * ch)]
+    return w, h, ch, sum(vals), sum(k * v for k, v in enumerate(vals))
+
+
+def test_png_roundtrip_law():
+    """Parser recovers exactly the raw bytes the generation law wrote —
+    across doc_ids covering every (filter sequence, color type) combo."""
+    for doc_id in range(40):
+        w, h, c, raw = M._parse_png(M._make_png(doc_id))
+        ww, hh, cc, _, _ = _png_expected(doc_id)
+        assert (w, h, c) == (ww, hh, cc)
+        assert raw == bytes((doc_id * 3 + k) % 249 for k in range(w * h * c))
+
+
+def test_png_fixture_exercises_all_five_filters():
+    """Row y of doc_id's PNG is filtered with type (doc_id+y) % 5 —
+    assert the corpus really hits None/Sub/Up/Average/Paeth (a fixture
+    that only ever emits filter 0 would never catch unfilter bugs)."""
+    import zlib
+
+    seen = set()
+    for doc_id in range(10):
+        raw = M._make_png(doc_id)
+        w, h, c, _ = M._parse_png(raw)
+        # extract the concatenated IDAT stream the same way the parser does
+        pos, idat = len(M.PNG_SIG), bytearray()
+        while pos + 12 <= len(raw):
+            length = int.from_bytes(raw[pos : pos + 4], "big")
+            if raw[pos + 4 : pos + 8] == b"IDAT":
+                idat += raw[pos + 8 : pos + 8 + length]
+            pos += 12 + length
+        stream = zlib.decompress(bytes(idat))
+        rowlen = w * c
+        seen |= {stream[y * (rowlen + 1)] for y in range(h)}
+    assert seen == {0, 1, 2, 3, 4}
+
+
+def test_png_parser_concatenates_split_idats():
+    """The fixture splits its deflate stream across two IDATs — a
+    parser that inflates only the first IDAT must fail, not half-parse."""
+    raw = M._make_png(17)
+    assert raw.count(b"IDAT") == 2
+    M._parse_png(raw)  # whole-stream parse succeeds
+
+
+def test_png_registry_decodes_real_format():
+    assert M.DECODERS["image/png"] is M._decode_png
+
+
+@pytest.mark.parametrize(
+    "raw",
+    [
+        b"",
+        b"\x89PNG\r\n\x1a\n",  # signature only
+        M._make_png(3)[:20],  # truncated mid-IHDR
+        M._make_png(3)[:-12],  # IEND removed
+        b"BM" + b"\x00" * 60,  # wrong container
+    ],
+)
+def test_png_rejects_malformed(raw):
+    with pytest.raises(ValueError):
+        M._parse_png(raw)
+
+
+def test_png_crc_catches_any_single_byte_flip():
+    """Every byte position in a real PNG is covered by the signature
+    check, a chunk CRC, the zlib adler32, or a length/structure check —
+    a flipped byte must never parse to silently different pixels."""
+    base = M._make_png(23)
+    want = M._parse_png(base)
+    for pos in range(len(base)):
+        mutated = bytearray(base)
+        mutated[pos] ^= 0xFF
+        try:
+            got = M._parse_png(bytes(mutated))
+        except ValueError:
+            continue
+        assert got == want, f"byte {pos} flip changed pixels without an error"
+
+
+def test_png_parser_total_on_arbitrary_bytes():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.binary(max_size=256))
+    def run(raw):
+        try:
+            M._parse_png(raw)
+        except ValueError:
+            pass
+
+    run()
+
+
+def test_png_parser_total_on_mutated_valid_payloads():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    base = M._make_png(41)
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.integers(min_value=0, max_value=len(base) - 1),
+        st.integers(min_value=0, max_value=255),
+        st.integers(min_value=0, max_value=len(base)),
+    )
+    def run(pos, byte, cut):
+        mutated = bytearray(base)
+        mutated[pos] = byte
+        try:
+            M._parse_png(bytes(mutated[:cut]))
+        except ValueError:
+            pass
+
+    run()
+
+
+def test_png_pixel_stats_matches_oracle(spark, sf_dir):
+    import duckdb
+
+    from spk_sl_validation_spark.plans.registry import REGISTRY, _ensure_loaded
+
+    _ensure_loaded()
+    spec = REGISTRY["multimodal_png_pixel_stats"]
+    got = spec.builder(spark, sf_dir)
+    cols = sorted(got.columns)
+    got_rows = _hash_rows(got.select(*cols).collect())
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_dir}/documents.parquet')"
+    )
+    want = con.execute(spec.oracle).fetch_df()[cols]
+    assert got_rows == _hash_rows(want.itertuples(index=False))
+
+
+def test_decode_media_handles_png_and_flags_bad_rows(spark, sf_dir):
+    """Registry-path decode on real PNG payloads with one corrupted
+    row: good rows decode to law dims, the bad row gets ok=false."""
+    from pyspark.sql import functions as F
+
+    from spk_sl_validation_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id").limit(20)
+    media = M.synthesize_png_table(docs)
+    media = media.withColumn(
+        "media",
+        F.when(F.col("doc_id") == 0, F.lit(b"\x89PNG garbage")).otherwise(F.col("media")),
+    )
+    out = {r.doc_id: r for r in M.decode_media(media).collect()}
+    for doc_id, r in out.items():
+        if doc_id == 0:
+            assert not r.ok
+        else:
+            w, h, c, _, _ = _png_expected(doc_id)
+            assert r.ok and (r.width, r.height, r.channels) == (w, h, c)
