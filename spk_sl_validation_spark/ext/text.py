@@ -379,3 +379,99 @@ def apply_boilerplate_index(
         F.count(F.when(F.col("kept"), 1)).alias("n_spans_kept"),
         F.count(F.when(~F.col("kept"), 1)).alias("n_spans_dropped"),
     )
+
+
+def substring_dedup(
+    df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    w: int = 8,
+    min_len: int = 12,
+):
+    """ExactSubstr-style maximal duplicated-substring removal
+    (Lee et al. 2022, "Deduplicating Training Data Makes Language
+    Models Better") — the maximal-span generalization of
+    :func:`span_dedup`'s fixed non-overlapping 8-grams.
+
+    Every SLIDING ``w``-token window is fingerprinted; a window whose
+    hash also occurs in a lower-``id_col`` document marks its positions
+    as duplicated. Runs of consecutive duplicated positions (islands)
+    become token intervals ``[s, e+w-1]``; intervals that overlap OR
+    touch in token space are MERGED into one maximal contiguous span
+    (equivalently: islands over the set of covered tokens — the
+    suffix-array "maximal match" semantic recovered with windows
+    instead of suffix arrays); merged spans shorter than ``min_len``
+    tokens are kept (Lee et al.'s length threshold — short incidental
+    matches are not duplication). The lowest-id owner keeps
+    its copy, like :func:`span_dedup`. Returns ``(id, clean_text,
+    n_tokens_removed, n_spans_removed)``.
+
+    Scale shape: the corpus TEXT is never shuffled on the fingerprint
+    key — windows are hashed to 8-byte longs immediately and only
+    ``(id, pos, h)`` rows ride the first exchange (window ``min(id)
+    over h``, streaming); surviving duplicated positions (usually a
+    tiny fraction) re-shuffle on ``id`` where islands, interval merge,
+    and the length gate are all windows/aggregates over that single
+    partitioning. Reassembly joins the (small) per-doc interval arrays
+    back to the token arrays — shuffle_hash-hinted, never broadcast
+    (a 50%-duplicated corpus makes the interval side corpus-sized; AQE
+    re-upgrades genuinely small cases). Three exchanges end-to-end,
+    no self-join of the corpus, no driver state.
+    """
+    from pyspark.sql import Window
+
+    docs = df.select(F.col(id_col), ws_tokens(text_col).alias("__t"))
+    sh = docs.select(
+        id_col,
+        F.posexplode(
+            F.expr(
+                f"CASE WHEN size(__t) >= {w} THEN transform(sequence(0, size(__t) - {w}),"
+                f" i -> concat_ws(' ', slice(__t, i + 1, {w}))) ELSE "
+                "array() END"
+            )
+        ).alias("pos", "span"),
+    ).select(id_col, "pos", md5_long("span").alias("h"))
+    dup = (
+        sh.withColumn("owner", F.min(id_col).over(Window.partitionBy("h")))
+        .where(F.col(id_col) != F.col("owner"))
+        .select(id_col, "pos")
+    )
+    wdoc = Window.partitionBy(id_col).orderBy("pos")
+    islands = dup.withColumn("grp", F.col("pos") - F.row_number().over(wdoc))
+    intervals = islands.groupBy(id_col, "grp").agg(
+        F.min("pos").alias("s"), (F.max("pos") + F.lit(w - 1)).alias("e")
+    )
+    ws = Window.partitionBy(id_col).orderBy("s")
+    merged = (
+        intervals.withColumn(
+            "brk",
+            (
+                F.col("s")
+                > F.coalesce(
+                    F.max("e").over(ws.rowsBetween(Window.unboundedPreceding, -1)),
+                    F.lit(-2),
+                )
+                + 1  # s == prev_e + 1 touches: still one contiguous region
+            ).cast("int"),
+        )
+        .withColumn("mgrp", F.sum("brk").over(ws))
+        .groupBy(id_col, "mgrp")
+        .agg(F.min("s").alias("s"), F.max("e").alias("e"))
+        .where(F.col("e") - F.col("s") + 1 >= min_len)
+    )
+    ivs = merged.groupBy(id_col).agg(F.collect_list(F.struct("s", "e")).alias("__iv"))
+    joined = docs.join(ivs.hint("shuffle_hash"), id_col, "left")
+    kept = F.when(F.col("__iv").isNull(), F.col("__t")).otherwise(
+        F.filter(
+            F.col("__t"),
+            lambda tok, i: ~F.exists(
+                F.col("__iv"), lambda v: (i >= v["s"]) & (i <= v["e"])
+            ),
+        )
+    )
+    return joined.select(
+        id_col,
+        F.array_join(kept, " ").alias("clean_text"),
+        (F.size("__t") - F.size(kept)).cast("bigint").alias("n_tokens_removed"),
+        F.coalesce(F.size("__iv"), F.lit(0)).cast("bigint").alias("n_spans_removed"),
+    )

@@ -294,6 +294,105 @@ def corpus_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return span_dedup(docs, "doc_id", "text", SPAN_W)
 
 
+SUBSTR_W = 8  # sliding-window width (tokens)
+SUBSTR_MIN_LEN = 12  # Lee et al. length threshold (tokens)
+
+
+@register(
+    "corpus_substring_dedup",
+    doc=(
+        "ExactSubstr maximal-span dedup (Lee et al. 2022): sliding "
+        f"{SUBSTR_W}-token windows fingerprinted, non-owner duplicated "
+        "positions merged islands-and-gaps into MAXIMAL token spans "
+        "(overlapping or touching spans collapse into one), spans >= "
+        f"{SUBSTR_MIN_LEN} tokens removed, lowest-doc_id owner keeps its "
+        "copy. Text never shuffles on the fingerprint key — only "
+        "(id,pos,hash) rows do; islands/merge/gate share one doc_id "
+        "partitioning; interval arrays rejoin shuffle_hash"
+    ),
+    oracle=f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+sh AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+         CAST(('0x' || substr(md5(array_to_string(list_slice(t, i + 1, i + {SUBSTR_W}), ' ')), 1, 15)) AS BIGINT) AS h
+  FROM toks, unnest(range(0, greatest(len(t) - {SUBSTR_W} + 1, 0))) AS u(i)
+),
+dup AS (
+  SELECT doc_id, pos
+  FROM (SELECT doc_id, pos, min(doc_id) OVER (PARTITION BY h) AS owner FROM sh)
+  WHERE doc_id <> owner
+),
+isl AS (
+  SELECT doc_id, pos,
+         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM dup
+),
+iv AS (
+  SELECT doc_id, min(pos) AS s, max(pos) + {SUBSTR_W} - 1 AS e
+  FROM isl GROUP BY doc_id, grp
+),
+flagged AS (
+  SELECT doc_id, s, e,
+         CASE WHEN s > coalesce(max(e) OVER (
+                PARTITION BY doc_id ORDER BY s
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -2) + 1
+              THEN 1 ELSE 0 END AS brk
+  FROM iv
+),
+merged AS (
+  SELECT doc_id, min(s) AS s, max(e) AS e
+  FROM (SELECT doc_id, s, e,
+               sum(brk) OVER (PARTITION BY doc_id ORDER BY s) AS mgrp
+        FROM flagged)
+  GROUP BY doc_id, mgrp
+),
+big AS (SELECT * FROM merged WHERE e - s + 1 >= {SUBSTR_MIN_LEN}),
+tok AS (
+  SELECT doc_id, CAST(i AS BIGINT) - 1 AS tp, t[i] AS tok
+  FROM toks, unnest(range(1, len(t) + 1)) AS u(i)
+),
+kept AS (
+  SELECT k.doc_id, k.tp, k.tok
+  FROM tok k
+  WHERE NOT EXISTS (
+    SELECT 1 FROM big b WHERE b.doc_id = k.doc_id AND k.tp BETWEEN b.s AND b.e
+  )
+),
+reassembled AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY tp) AS clean_text
+  FROM kept GROUP BY doc_id
+),
+stats AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_spans_removed,
+         CAST(sum(e - s + 1) AS BIGINT) AS n_tokens_removed
+  FROM big GROUP BY doc_id
+)
+SELECT toks.doc_id,
+       coalesce(r.clean_text, '') AS clean_text,
+       coalesce(st.n_tokens_removed, 0) AS n_tokens_removed,
+       coalesce(st.n_spans_removed, 0) AS n_spans_removed
+FROM toks
+LEFT JOIN reassembled r ON toks.doc_id = r.doc_id
+LEFT JOIN stats st ON toks.doc_id = st.doc_id
+""",
+)
+def corpus_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal duplicated-substring removal over the documents table.
+
+    ExactSubstr (Lee et al. 2022) re-expressed without suffix arrays:
+    sliding-window fingerprints + islands-and-gaps windows recover the
+    maximal duplicated spans; see
+    :func:`spk_sl_validation_spark.ext.text.substring_dedup` for the
+    full semantics and the three-exchange scale shape. The reference
+    has no corpus operators (SURVEY.md §2.6 scope extension).
+    """
+    from spk_sl_validation_spark.ext.text import substring_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    return substring_dedup(docs, "doc_id", "text", SUBSTR_W, SUBSTR_MIN_LEN)
+
+
 BP_MIN_DOCS = 3  # spans in >= this many distinct docs are boilerplate
 
 

@@ -1,0 +1,210 @@
+"""ext.text.substring_dedup (corpus_substring_dedup): ExactSubstr
+maximal-span dedup (Lee et al. 2022).
+
+Golden tests pin the maximal-merge semantics the fixed-granularity
+span_dedup cannot express (overlapping/touching duplicated regions
+collapse into ONE removed span); a pure-Python reference replays the
+covered-token-islands definition under hypothesis; the plan-shape test
+pins the three-exchange scale contract; the oracle test value-matches
+DuckDB at sf0.001.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from spk_sl_validation_spark.ext.text import substring_dedup
+
+W = 8
+MIN_LEN = 12
+
+
+def _run(spark, rows, w=W, min_len=MIN_LEN):
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    return {r.doc_id: r for r in substring_dedup(df, "doc_id", "text", w, min_len).collect()}
+
+
+def _wtoks(n):
+    return [f"w{i}" for i in range(n)]
+
+
+def test_overlapping_islands_collapse_into_one_maximal_span(spark):
+    """The round-7 headline golden: doc 2 duplicates doc 0's tokens
+    0..9 AND doc 1's tokens 6..13 — two dup-position islands whose
+    token coverage overlaps — so ONE maximal span [0,13] is removed,
+    not two fragments."""
+    w = _wtoks(14)
+    tail = ["u0", "u1", "u2", "u3"]
+    rows = [
+        (0, " ".join(w[0:10])),
+        (1, " ".join(w[6:14])),
+        (2, " ".join(w + tail)),
+    ]
+    got = _run(spark, rows)
+    assert got[2].n_spans_removed == 1
+    assert got[2].n_tokens_removed == 14
+    assert got[2].clean_text == " ".join(tail)
+    # owners keep their copies untouched
+    assert got[0].clean_text == rows[0][1] and got[0].n_spans_removed == 0
+    assert got[1].clean_text == rows[1][1] and got[1].n_spans_removed == 0
+
+
+def test_touching_islands_collapse_too(spark):
+    """Two removed regions with zero tokens between them are one
+    contiguous maximal region: exactly one span in the stats."""
+    a, b = _wtoks(12), [f"x{i}" for i in range(12)]
+    tail = ["t0", "t1", "t2", "t3", "t4", "t5", "t6", "t7", "t8"]
+    rows = [
+        (0, " ".join(a)),
+        (1, " ".join(b)),
+        (2, " ".join(a + b + tail)),  # a-run and b-run touch at token 12
+    ]
+    got = _run(spark, rows)
+    # boundary 8-grams crossing a|b exist only in doc 2 -> islands
+    # [0..4] (tokens 0..11) and [12..16] (tokens 12..23): touching
+    assert got[2].n_spans_removed == 1
+    assert got[2].n_tokens_removed == 24
+    assert got[2].clean_text == " ".join(tail)
+
+
+def test_min_len_gate_keeps_short_matches(spark):
+    w = _wtoks(11)
+    rows = [
+        (0, " ".join(w)),
+        (1, " ".join(w) + " z0 z1 z2 z3 z4 z5 z6 z7 z8 z9 z10 z11"),
+    ]
+    got = _run(spark, rows)  # 11-token dup run < MIN_LEN=12
+    assert got[1].n_spans_removed == 0 and got[1].n_tokens_removed == 0
+    assert got[1].clean_text == rows[1][1]
+
+
+def test_fully_duplicated_doc_empties(spark):
+    w = _wtoks(16)
+    rows = [(0, " ".join(w)), (1, " ".join(w))]
+    got = _run(spark, rows)
+    assert got[0].clean_text == rows[0][1]
+    assert got[1].clean_text == "" and got[1].n_tokens_removed == 16
+    assert got[1].n_spans_removed == 1
+
+
+def test_doc_shorter_than_window_untouched(spark):
+    rows = [(0, "a b c"), (1, "a b c")]
+    got = _run(spark, rows)
+    for i in (0, 1):
+        assert got[i].clean_text == "a b c" and got[i].n_spans_removed == 0
+
+
+def test_within_owner_repeat_survives(spark):
+    """The owner's own internal repeats are its content, not cross-doc
+    duplication — both copies stay."""
+    w = _wtoks(12)
+    rows = [(0, " ".join(w + w))]
+    got = _run(spark, rows)
+    assert got[0].clean_text == rows[0][1]
+    assert got[0].n_spans_removed == 0
+
+
+# ---------------------------------------------------------------------------
+# Pure-Python reference (covered-token islands) under hypothesis
+# ---------------------------------------------------------------------------
+
+
+def _reference(rows, w, min_len):
+    toks = {i: t.split() for i, t in rows}
+    owner: dict[str, int] = {}
+    for i in sorted(toks):
+        ts = toks[i]
+        for p in range(len(ts) - w + 1):
+            owner.setdefault(" ".join(ts[p : p + w]), i)
+    out = {}
+    for i, ts in toks.items():
+        covered: set[int] = set()
+        for p in range(len(ts) - w + 1):
+            if owner[" ".join(ts[p : p + w])] != i:
+                covered |= set(range(p, p + w))
+        intervals: list[list[int]] = []
+        for t in sorted(covered):
+            if intervals and t == intervals[-1][1] + 1:
+                intervals[-1][1] = t
+            else:
+                intervals.append([t, t])
+        big = [(s, e) for s, e in intervals if e - s + 1 >= min_len]
+        keep = [tok for j, tok in enumerate(ts) if not any(s <= j <= e for s, e in big)]
+        out[i] = (" ".join(keep), len(ts) - len(keep), len(big))
+    return out
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_word = st.sampled_from(["a", "b", "c", "d"])
+_doc = st.lists(_word, min_size=1, max_size=14).map(" ".join)
+_corpus = st.lists(_doc, min_size=1, max_size=6)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(texts=_corpus)
+def test_substring_dedup_matches_python_reference(spark, texts):
+    """Small windows + tiny alphabet force heavy genuine overlap; the
+    Spark windows formulation must equal the covered-token-islands
+    definition on every corpus."""
+    rows = [(i, t) for i, t in enumerate(texts)]
+    got = _run(spark, rows, w=3, min_len=4)
+    want = _reference(rows, w=3, min_len=4)
+    for i, _ in rows:
+        r = got[i]
+        assert (r.clean_text, r.n_tokens_removed, r.n_spans_removed) == want[i], (
+            i,
+            texts,
+            (r.clean_text, r.n_tokens_removed, r.n_spans_removed),
+            want[i],
+        )
+
+
+# ---------------------------------------------------------------------------
+# Plan shape + oracle
+# ---------------------------------------------------------------------------
+
+
+def test_substring_dedup_plan_shape(spark, sf_dir):
+    """Three shuffle exchanges (fingerprint window, doc_id islands,
+    reassembly join), zero sort-merge joins, zero broadcasts (the
+    interval side is unbounded — shuffle_hash by contract), and the
+    corpus text scanned at most twice (fingerprint arm + token arm)."""
+    import re
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from tools.dump_plans import plan_stats
+
+    from spk_sl_validation_spark.plans.registry import REGISTRY, _ensure_loaded
+
+    _ensure_loaded()
+    df = REGISTRY["corpus_substring_dedup"].builder(spark, sf_dir)
+    df.write.mode("overwrite").format("noop").save()
+    qe = df._jdf.queryExecution()
+    formatted = spark._jvm.PythonSQLUtils.explainString(qe, "formatted")
+    st_ = plan_stats(formatted)
+    assert st_["shuffle_exchanges"] <= 4, st_
+    assert st_["sort_merge_joins"] == 0, st_
+    assert "CartesianProduct" not in formatted, "cartesian product in plan"
+    n_scans = len(re.findall(r"\(\d+\) Scan parquet", formatted))
+    assert n_scans <= 2, f"corpus scanned {n_scans}x"
+
+
+def test_substring_dedup_matches_oracle(spark, sf_dir):
+    import duckdb
+
+    from spk_sl_validation_spark.plans.registry import REGISTRY, _ensure_loaded
+
+    _ensure_loaded()
+    spec = REGISTRY["corpus_substring_dedup"]
+    got = spec.builder(spark, sf_dir)
+    cols = sorted(got.columns)
+    got_rows = {tuple(r) for r in got.select(*cols).collect()}
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_dir}/documents.parquet')"
+    )
+    want = con.execute(spec.oracle).fetch_df()[cols]
+    assert got_rows == {tuple(r) for r in want.itertuples(index=False)}
