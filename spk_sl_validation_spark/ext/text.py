@@ -112,33 +112,206 @@ QUALITY_MODEL_WEIGHTS = {
 }
 
 
-def quality_model_prob(col: str | Column) -> Column:
-    """P(keep) from a fixed-weight logistic model over engineered
-    quality features — the model-scoring stage of a corpus filter,
-    as one codegen'd column expression (no UDF).
+#: Feature order of the logistic quality model: the bias plus four
+#: engineered ratios. Training and inference share this tuple so a
+#: learned weight vector drops into :func:`quality_model_prob` directly.
+QUALITY_FEATURES: tuple[str, ...] = ("bias", "length", "stopword", "punct", "distinct")
 
-    Feature vector (all deterministic double ratios):
-    ``least(n_chars/500, 1)``, stopword ratio, punctuation ratio, and
-    distinct-token ratio. The linear term is built strictly
-    left-associative so the SQL oracle's identical expression tree
-    lands on the same double before the (≤1 ulp engine-dependent)
-    ``exp``; consumers round the probability for cross-engine hashes.
-    """
+
+def quality_feature_cols(col: str | Column) -> dict[str, Column]:
+    """The logistic model's feature columns (excluding the implicit
+    bias 1): ``least(n_chars/500, 1)``, stopword ratio, punctuation
+    ratio, distinct-token ratio — all deterministic double ratios with
+    bit-identical SQL twins (the ``_Z`` expression in
+    plans/text_queries.py). Shared by inference and training so the
+    two can never drift."""
     c = F.col(col) if isinstance(col, str) else col
     q = quality_components(c)
     toks = ws_tokens(c)
     n_tokens = F.size(toks).cast("double")
-    x_len = F.least(q["n_chars"].cast("double") / F.lit(500.0), F.lit(1.0))
-    x_distinct = F.size(F.array_distinct(toks)).cast("double") / n_tokens
-    w = QUALITY_MODEL_WEIGHTS
-    z = (
-        F.lit(w["bias"])
-        + F.lit(w["length"]) * x_len
-        + F.lit(w["stopword"]) * q["stopword_ratio"]
-        + F.lit(w["punct"]) * q["punct_ratio"]
-        + F.lit(w["distinct"]) * x_distinct
+    return {
+        "length": F.least(q["n_chars"].cast("double") / F.lit(500.0), F.lit(1.0)),
+        "stopword": q["stopword_ratio"],
+        "punct": q["punct_ratio"],
+        "distinct": F.size(F.array_distinct(toks)).cast("double") / n_tokens,
+    }
+
+
+def _logit_z(x: dict[str, Column], weights: dict[str, float | Column]) -> Column:
+    """Strictly left-associative linear term — the SQL oracle's
+    identical expression tree lands on the same double before the
+    (≤1 ulp engine-dependent) ``exp``."""
+
+    def w(name: str) -> Column:
+        v = weights[name]
+        return F.lit(v) if isinstance(v, float) else v
+
+    return (
+        w("bias")
+        + w("length") * x["length"]
+        + w("stopword") * x["stopword"]
+        + w("punct") * x["punct"]
+        + w("distinct") * x["distinct"]
     )
+
+
+def quality_model_prob(
+    col: str | Column, weights: dict[str, float] | None = None
+) -> Column:
+    """P(keep) from a logistic model over engineered quality features —
+    the model-scoring stage of a corpus filter, as one codegen'd column
+    expression (no UDF).
+
+    ``weights`` defaults to the shipped fixed vector
+    (``QUALITY_MODEL_WEIGHTS``); pass the output of
+    :func:`train_quality_model_weights` to score with a trained model.
+    Consumers round the probability for cross-engine hashes.
+    """
+    x = quality_feature_cols(col)
+    z = _logit_z(x, dict(weights or QUALITY_MODEL_WEIGHTS))
     return F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+
+
+# ---------------------------------------------------------------------------
+# Trainable quality classifier: distributed batch gradient descent
+# ---------------------------------------------------------------------------
+
+QUALITY_TRAIN_LR = 0.5  #: batch-GD learning rate (part of the oracle contract)
+
+
+def _quality_training_set(df, text_col: str, label_col: str | None):
+    """(x features, y double label). The default label distills the
+    shipped fixed-weight model's keep gate (>= 0.5) — the realistic
+    curation loop where an expensive labeler (heuristics, LLM judge)
+    tags a corpus and a cheap logistic model is fit to imitate it."""
+    x = quality_feature_cols(text_col)
+    y = (
+        F.col(label_col).cast("double")
+        if label_col
+        else (quality_model_prob(text_col) >= F.lit(0.5)).cast("double")
+    )
+    return df.select(
+        x["length"].alias("x_length"),
+        x["stopword"].alias("x_stopword"),
+        x["punct"].alias("x_punct"),
+        x["distinct"].alias("x_distinct"),
+        y.alias("y"),
+    )
+
+
+def _gd_step(features, wdf, lr: float):
+    """One batch-GD iteration as pure DataFrame ops: broadcast the
+    1-row weight relation, ONE hash aggregate for the full gradient
+    (exact-decimal staging: per-doc contributions rounded to 12
+    decimals and summed as decimal(38,12) — order-independent, so the
+    shuffle carries 6 numbers), then the weight update. The per-doc
+    probability is rounded to 12 decimals BEFORE the residual so both
+    engines difference the identical grid point (the q12 convention)."""
+    j = features.crossJoin(F.broadcast(wdf))
+    x = {
+        "length": F.col("x_length"),
+        "stopword": F.col("x_stopword"),
+        "punct": F.col("x_punct"),
+        "distinct": F.col("x_distinct"),
+    }
+    w = {name: F.col(f"w_{name}") for name in QUALITY_FEATURES}
+    p12 = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-_logit_z(x, w))), 12)
+    err = p12 - F.col("y")
+
+    def staged(contrib: Column) -> Column:
+        return F.sum(F.round(contrib, 12).cast("decimal(38,12)"))
+
+    g = j.agg(
+        staged(err).alias("g_bias"),
+        staged(err * x["length"]).alias("g_length"),
+        staged(err * x["stopword"]).alias("g_stopword"),
+        staged(err * x["punct"]).alias("g_punct"),
+        staged(err * x["distinct"]).alias("g_distinct"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    upd = [
+        F.round(
+            F.col(f"w_{name}")
+            - F.lit(lr) * (F.col(f"g_{name}").cast("double") / F.col("n").cast("double")),
+            12,
+        ).alias(f"w_{name}")
+        for name in QUALITY_FEATURES
+    ]
+    return g.crossJoin(F.broadcast(wdf)).select(*upd)
+
+
+def train_quality_model(
+    df,
+    text_col: str = "text",
+    label_col: str | None = None,
+    iters: int = 3,
+    lr: float = QUALITY_TRAIN_LR,
+):
+    """Fit the logistic quality model by ``iters`` batch-GD iterations,
+    entirely as chained DataFrame ops — no driver-side weight state, no
+    collect: each iteration is one hash aggregate (the gradient, 6
+    numbers over the wire) cross-joined back as a broadcast 1-row
+    relation. Weights start at zero and stay on a 12-decimal grid
+    (round after every update), so a bounded-iteration SQL oracle can
+    replay every step exactly. Returns the 5-row ``(feature, weight
+    decimal(28,12))`` relation, weights in ``QUALITY_FEATURES`` order.
+
+    Scale shape: the corpus is scanned once per iteration (features are
+    narrow column expressions; persist the feature frame upstream if
+    the scan dominates) and never shuffled — the only exchanges are the
+    6-number gradient partials. Fixed ``iters`` is the oracle mode;
+    :func:`train_quality_model_until_delta` is the production mode.
+    """
+    features = _quality_training_set(df, text_col, label_col)
+    spark = df.sparkSession
+    wdf = spark.range(1).select(
+        *[F.lit(0.0).alias(f"w_{name}") for name in QUALITY_FEATURES]
+    )
+    for _ in range(iters):
+        wdf = _gd_step(features, wdf, lr)
+    stack_args = ", ".join(f"'{name}', w_{name}" for name in QUALITY_FEATURES)
+    # decimal(38,12) is STAGING only (exact gradient sums); the output
+    # weights are plain doubles on the 12-decimal grid — decimal output
+    # columns break the driver's pandas hasher (cross-engine repr).
+    return wdf.selectExpr(
+        f"stack({len(QUALITY_FEATURES)}, {stack_args}) AS (feature, weight)"
+    )
+
+
+def train_quality_model_until_delta(
+    df,
+    text_col: str = "text",
+    label_col: str | None = None,
+    tol: float = 1e-6,
+    max_iters: int = 50,
+    lr: float = QUALITY_TRAIN_LR,
+) -> tuple[dict[str, float], int]:
+    """Production mode: iterate the identical GD step until the max
+    absolute weight change drops below ``tol`` (or ``max_iters``).
+    Collects the 1-row weight relation per iteration to test the stop
+    condition — the canonical iterative-algorithm driver loop (cf.
+    ``pagerank_until_delta``, ext/cluster.py): k floats per round, the
+    corpus itself never leaves the executors. Returns (weights dict
+    usable by :func:`quality_model_prob`, iterations run)."""
+    features = _quality_training_set(df, text_col, label_col).localCheckpoint()
+    spark = df.sparkSession
+    wdf = spark.range(1).select(
+        *[F.lit(0.0).alias(f"w_{name}") for name in QUALITY_FEATURES]
+    )
+    prev = {name: 0.0 for name in QUALITY_FEATURES}
+    it = 0
+    for it in range(1, max_iters + 1):
+        row = _gd_step(features, wdf, lr).collect()[0]
+        cur = {name: float(row[f"w_{name}"]) for name in QUALITY_FEATURES}
+        wdf = spark.createDataFrame(
+            [tuple(cur[n] for n in QUALITY_FEATURES)],
+            ", ".join(f"w_{n} double" for n in QUALITY_FEATURES),
+        )
+        delta = max(abs(cur[n] - prev[n]) for n in QUALITY_FEATURES)
+        prev = cur
+        if delta < tol:
+            break
+    return prev, it
 
 
 def lang_hits(col: str | Column, lang: str) -> Column:

@@ -405,6 +405,96 @@ def text_quality_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TRAIN_ITERS = 3  # bounded-iteration oracle mode (until_delta is the prod mode)
+_FEATS = ("bias", "length", "stopword", "punct", "distinct")
+_X_SQL = {
+    "length": "least(CAST(length(text) AS DOUBLE) / 500.0, 1.0)",
+    "stopword": f"({_STOP_RATIO})",
+    "punct": f"({_PUNCT_RATIO})",
+    "distinct": f"({_DISTINCT_RATIO})",
+}
+
+
+def _train_sql(n_iter: int, lr: float) -> str:
+    """Unrolled batch-GD replay: iteration t's weight CTE feeds t+1's
+    gradient CTE — the same 12-decimal grid walk as ext.text's
+    train_quality_model (p rounded to 12 before the residual, per-doc
+    contributions rounded to 12 and summed as decimal(38,12), update
+    rounded to 12)."""
+    feats = ", ".join(f"{sql} AS x_{k}" for k, sql in _X_SQL.items())
+    parts = [
+        f"""WITH f AS (
+  SELECT {feats},
+         CASE WHEN 1.0 / (1.0 + exp(-({_Z}))) >= 0.5 THEN 1.0 ELSE 0.0 END AS y
+  FROM documents
+),
+it0 AS (SELECT {', '.join(f'CAST(0.0 AS DOUBLE) AS w_{k}' for k in _FEATS)})"""
+    ]
+    for t in range(1, n_iter + 1):
+        z = (
+            "w.w_bias + w.w_length * x_length + w.w_stopword * x_stopword"
+            " + w.w_punct * x_punct + w.w_distinct * x_distinct"
+        )
+        contribs = {"bias": "(p12 - y)"} | {
+            k: f"(p12 - y) * x_{k}" for k in _FEATS if k != "bias"
+        }
+        gsel = ",\n         ".join(
+            f"sum(CAST(round({c}, 12) AS DECIMAL(38,12))) AS g_{k}"
+            for k, c in contribs.items()
+        )
+        usel = ",\n         ".join(
+            f"round(w.w_{k} - {lr} * (CAST(g.g_{k} AS DOUBLE) / CAST(g.n AS DOUBLE)), 12) AS w_{k}"
+            for k in _FEATS
+        )
+        parts.append(
+            f"""g{t} AS (
+  SELECT {gsel},
+         count(*) AS n
+  FROM (SELECT f.*, round(1.0 / (1.0 + exp(-({z}))), 12) AS p12
+        FROM f CROSS JOIN it{t - 1} w)
+),
+it{t} AS (
+  SELECT {usel}
+  FROM g{t} g CROSS JOIN it{t - 1} w
+)"""
+        )
+        pass
+    wlist = ", ".join(f"w_{k}" for k in _FEATS)
+    flist = ", ".join(f"'{k}'" for k in _FEATS)
+    return (
+        ",\n".join(parts)
+        + f"""
+SELECT feature, CAST(weight AS DOUBLE) AS weight
+FROM (SELECT unnest([{flist}]) AS feature, unnest([{wlist}]) AS weight FROM it{n_iter})
+"""
+    )
+
+
+@register(
+    "text_quality_train",
+    doc=(
+        f"TRAINABLE quality classifier: {TRAIN_ITERS} batch-gradient-descent "
+        "iterations fit the logistic model to the fixed-weight gate's labels "
+        "(the distill-an-expensive-labeler loop) — each iteration is ONE hash "
+        "aggregate (6-number gradient, exact-decimal staging) cross-joined "
+        "back as a broadcast 1-row weight relation; no collect, no driver "
+        "state; weights live on a 12-decimal grid so the unrolled-CTE oracle "
+        "replays every step exactly"
+    ),
+    oracle=_train_sql(TRAIN_ITERS, X.QUALITY_TRAIN_LR),
+)
+def text_quality_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-GD training of the logistic quality model (ext.text.
+    train_quality_model). The reference has no trainable components
+    (its model surface is hand-set thresholds, SURVEY.md §2.6); this is
+    the curation-loop extension: fit the cheap classifier on labeled
+    docs, then score the corpus with the learned weights via
+    quality_model_prob(col, weights=...).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return X.train_quality_model(docs, "text", iters=TRAIN_ITERS)
+
+
 TOPFRAC_Q = 0.75
 
 

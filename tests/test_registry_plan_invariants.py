@@ -35,6 +35,10 @@ BNL_ALLOWED = {
     "streaming_hll_distinct",
     "sketch_quantile_sample",
     "text_quality_topfrac",
+    # batch-GD training: every iteration cross-joins the broadcast 1-row
+    # weight relation (and its 1-row gradient aggregate) back onto the
+    # feature frame — 1-row scalar fan-ins by construction
+    "text_quality_train",
     "text_unigram_logprob",
     "equidepth_histogram",
     "dataset_drift_psi",
