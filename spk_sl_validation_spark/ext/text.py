@@ -648,3 +648,113 @@ def substring_dedup(
         (F.size("__t") - F.size(kept)).cast("bigint").alias("n_tokens_removed"),
         F.coalesce(F.size("__iv"), F.lit(0)).cast("bigint").alias("n_spans_removed"),
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE merge-loop training (iterative vocabulary induction)
+# ---------------------------------------------------------------------------
+
+#: Spaced-symbol invariant for BPE sequences: every symbol has ONE
+#: space before and after it, so adjacent symbols are separated by TWO
+#: spaces (`' h  e  l  l  o '`). Under this invariant a single literal
+#: ``replace(s, ' a  b ', ' ab ')`` applies one BPE merge with exact
+#: greedy left-to-right non-overlap semantics — consecutive pair
+#: occurrences do not share boundary spaces, so replace-all merges them
+#: all, while 'a a a' under merge (a,a) correctly yields [aa, a].
+#: Both engines' ``replace`` are literal and scan left-to-right, so the
+#: oracle replays each iteration byte-identically.
+
+
+def _bpe_spaced(word_col: str | Column) -> Column:
+    """word -> spaced symbol string: each char becomes ' c '."""
+    c = F.col(word_col) if isinstance(word_col, str) else word_col
+    return F.regexp_replace(c, "(.)", " $1 ")
+
+
+def _bpe_pair_counts(words):
+    """(lhs, rhs, n): adjacent-symbol pair counts weighted by word
+    frequency, from the spaced-string column ``s`` + count ``cnt``."""
+    return (
+        words.select(
+            # guard: Spark's sequence(1, 0) is the DESCENDING [1, 0],
+            # not empty — a fully-merged 1-symbol word must yield no pairs
+            F.explode(
+                F.expr(
+                    "CASE WHEN size(split(trim(s), '  ')) >= 2 THEN"
+                    " transform(sequence(1, size(split(trim(s), '  ')) - 1),"
+                    " i -> struct(element_at(split(trim(s), '  '), i) AS lhs,"
+                    "             element_at(split(trim(s), '  '), i + 1) AS rhs))"
+                    " ELSE array() END"
+                )
+            ).alias("p"),
+            "cnt",
+        )
+        .groupBy("p.lhs", "p.rhs")
+        .agg(F.sum("cnt").alias("n"))
+    )
+
+
+def learn_bpe_merges(df, text_col: str = "text", n_merges: int = 5):
+    """Learn ``n_merges`` BPE merges over the corpus (Sennrich et al.
+    2016): loop argmax-pair → apply merge everywhere → recount.
+    Returns ``(step, lhs, rhs, merged, pair_count)``, one row per merge
+    in training order.
+
+    Spark-first shape: training runs on the DISTINCT-WORD frequency
+    table, not the corpus (the classic BPE trick — pair counts are
+    word-count weighted, so a 100 TB corpus collapses to its
+    vocabulary, millions of rows, before any iteration); each
+    iteration is one explode + hash aggregate for the counts, a 1-row
+    argmax collect (count desc, then (lhs, rhs) asc — deterministic),
+    and one literal ``replace`` under the spaced-symbol invariant.
+    ``localCheckpoint`` truncates lineage per iteration (the
+    ext/graph.py fixed-point pattern) so iteration t's plan does not
+    re-derive iterations 1..t-1. Words shorter than 2 chars are
+    dropped up front: a 1-symbol sequence never produces a pair in any
+    iteration, so they cannot affect any merge decision.
+
+    All arithmetic is integer and every tie-break is total —
+    hash-exact across engines; the oracle unrolls the same loop in
+    SQL CTEs.
+    """
+    spark = df.sparkSession
+    words = (
+        df.select(F.explode(ws_tokens(text_col)).alias("w"))
+        .where(F.length("w") >= 2)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(_bpe_spaced("w").alias("s"), "cnt")
+        .localCheckpoint()
+    )
+    merges: list[tuple] = []
+    for step in range(1, n_merges + 1):
+        best = (
+            _bpe_pair_counts(words)
+            .orderBy(F.col("n").desc(), F.col("lhs").asc(), F.col("rhs").asc())
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        b = best[0]
+        merges.append((step, b.lhs, b.rhs, b.lhs + b.rhs, b.n))
+        pat = f" {b.lhs}  {b.rhs} "
+        rep = f" {b.lhs}{b.rhs} "
+        words = words.select(
+            F.replace(F.col("s"), F.lit(pat), F.lit(rep)).alias("s"), "cnt"
+        ).localCheckpoint()
+    return spark.createDataFrame(
+        merges, "step int, lhs string, rhs string, merged string, pair_count bigint"
+    )
+
+
+def bpe_segment(col: str | Column, merges: list[tuple]) -> Column:
+    """Apply a learned merge table to a word column: returns the
+    array of BPE symbols for each word (inference twin of
+    :func:`learn_bpe_merges` — same spaced-string invariant, merges
+    applied in training order)."""
+    s = _bpe_spaced(col)
+    for row in merges:
+        lhs, rhs = row[1], row[2]
+        s = F.replace(s, F.lit(f" {lhs}  {rhs} "), F.lit(f" {lhs}{rhs} "))
+    return F.split(F.trim(s), "  ")

@@ -405,6 +405,66 @@ def text_quality_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BPE_MERGES = 5  # merges learned by the registered text_bpe_learn query
+
+
+def _bpe_sql(n_merges: int) -> str:
+    """Unrolled BPE merge-loop replay: iteration t's argmax CTE feeds
+    its spaced-string replace CTE, which feeds t+1's counts — the same
+    distinct-word frequency table, double-space symbol invariant, and
+    (count desc, lhs asc, rhs asc) tie-break as ext.text.learn_bpe_merges."""
+    parts = [
+        r"""WITH w0 AS (
+  SELECT regexp_replace(w, '(.)', ' \1 ', 'g') AS s, CAST(cnt AS BIGINT) AS cnt
+  FROM (SELECT w, count(*) AS cnt
+        FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS w FROM documents)
+        WHERE length(w) >= 2 GROUP BY w)
+)"""
+    ]
+    for t in range(1, n_merges + 1):
+        parts.append(
+            f"""b{t} AS (
+  SELECT lhs, rhs, n FROM (
+    SELECT sym[i] AS lhs, sym[i + 1] AS rhs, CAST(sum(cnt) AS BIGINT) AS n
+    FROM (SELECT string_split(trim(s), '  ') AS sym, cnt FROM w{t - 1}) t,
+         unnest(range(1, len(sym))) AS u(i)
+    GROUP BY 1, 2
+  ) ORDER BY n DESC, lhs ASC, rhs ASC LIMIT 1
+),
+w{t} AS (
+  SELECT replace(s, ' ' || b.lhs || '  ' || b.rhs || ' ',
+                 ' ' || b.lhs || b.rhs || ' ') AS s, cnt
+  FROM w{t - 1} CROSS JOIN b{t} b
+)"""
+        )
+    selects = "\nUNION ALL\n".join(
+        f"SELECT CAST({t} AS INTEGER) AS step, lhs, rhs, lhs || rhs AS merged,"
+        f" n AS pair_count FROM b{t}"
+        for t in range(1, n_merges + 1)
+    )
+    return ",\n".join(parts) + "\n" + selects
+
+
+@register(
+    "text_bpe_learn",
+    doc=(
+        f"ITERATIVE BPE training (Sennrich et al. 2016): learn {BPE_MERGES} "
+        "merges by looping argmax-pair -> literal-replace merge -> recount "
+        "over the DISTINCT-WORD frequency table (the corpus collapses to its "
+        "vocabulary before any iteration). Spaced-symbol string invariant "
+        "makes each merge ONE replace(); lineage localCheckpoint-truncated "
+        "per iteration; integer counts + total tie-break = hash-exact"
+    ),
+    oracle=_bpe_sql(BPE_MERGES),
+)
+def text_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extends text_bpe_pair_stats (the single argmax step) to the full
+    merge LOOP — the reference has no iterative operators; pattern per
+    ext/graph.py fixed-point modes (bounded-iteration oracle replay)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return X.learn_bpe_merges(docs, "text", BPE_MERGES)
+
+
 TRAIN_ITERS = 3  # bounded-iteration oracle mode (until_delta is the prod mode)
 _FEATS = ("bias", "length", "stopword", "punct", "distinct")
 _X_SQL = {
