@@ -555,3 +555,64 @@ def streaming_media_decode_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("ok"), F.col("sum_abs_amp"))).alias("total_abs_amp"),
     )
     return P.run_available_now(agg, output_mode="complete")
+
+
+@register(
+    "streaming_ivf_ingest",
+    doc=(
+        "streaming ANN index maintenance: a file stream of embedding shards "
+        "folded into the PERSISTED IVF index per micro-batch under the frozen "
+        "quantizer (foreachBatch twin of merge_into_ivf_index; batch-"
+        "partitioned dynamic-overwrite writes = exactly-once on replay), then "
+        "probed — results equal the batch-built index, i.e. the direct IVF "
+        "oracle verbatim"
+    ),
+    oracle=None,  # replaced below with the direct-IVF oracle (nprobe=1)
+)
+def streaming_ivf_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream == batch for the ANN index: bootstrap the IVF index from
+    3/4 of the corpus, stream the remaining quarter in as two shards
+    (two micro-batches), and probe the on-disk index that results. The
+    quantizer is frozen at bootstrap, so the final lists are EXACTLY
+    the batch build over the full corpus and the probe matches the
+    full-corpus direct-IVF oracle hash-for-hash."""
+    import pathlib
+    import shutil
+
+    from spk_sl_validation_spark.ext import similarity as S
+    from spk_sl_validation_spark.plans.similarity_queries import N_CENTROIDS, N_QUERIES
+    from spk_sl_validation_spark.sources.readers import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    centroids = emb.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    bootstrap = emb.filter(F.col("vec_id") % 4 != 3)
+
+    label = pathlib.Path(sf_dir).name
+    base = pathlib.Path(f"/tmp/spk_sl_ivf_ingest_{label}")
+    shutil.rmtree(base, ignore_errors=True)
+    index_dir, source_dir, ckpt = str(base / "index"), str(base / "incoming"), str(base / "ckpt")
+    P.write_ivf_index(bootstrap, centroids, index_dir)
+    # two shard files -> two micro-batches (maxFilesPerTrigger=1)
+    for i, pred in enumerate(((F.col("vec_id") % 8) == 3, (F.col("vec_id") % 8) == 7)):
+        emb.filter(pred).coalesce(1).write.mode("overwrite").parquet(f"{source_dir}/shard{i}")
+    q = P.ingest_ivf_stream(spark, f"{source_dir}/*", index_dir, ckpt)
+    q.awaitTermination()
+
+    lists = spark.read.parquet(f"{index_dir}/lists").select("centroid_id", "vec_id", "embedding")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    out = S.ivf_topk_indexed(queries, centroids, lists, k=5, nprobe=1)
+    return out.select("q_id", "vec_id", "cos_sim", F.col("rank").cast("int").alias("rank"))
+
+
+import dataclasses as _dc  # noqa: E402
+
+from spk_sl_validation_spark.plans import similarity_queries as _simq  # noqa: E402
+from spk_sl_validation_spark.plans.registry import REGISTRY as _REG  # noqa: E402
+
+# the stream-maintained index must answer EXACTLY like the batch-built
+# one — same oracle as the direct IVF query, verbatim
+_REG["streaming_ivf_ingest"] = _dc.replace(
+    _REG["streaming_ivf_ingest"], oracle=_REG["similarity_topk_ivf"].oracle
+)

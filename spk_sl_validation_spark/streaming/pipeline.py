@@ -567,3 +567,114 @@ def ingest_dedup_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming ANN index maintenance (foreachBatch merge into the IVF index)
+# ---------------------------------------------------------------------------
+
+VEC_STREAM_SCHEMA = T.StructType(
+    [
+        T.StructField("vec_id", T.LongType(), False),
+        T.StructField("embedding", T.ArrayType(T.FloatType()), True),
+    ]
+)
+
+
+def write_ivf_index(
+    corpus: DataFrame, centroids: DataFrame, index_dir: str, batch_id: int = -1
+) -> None:
+    """Bootstrap the persisted IVF index: the frozen centroid table
+    (written once — the quantizer NEVER changes after this, which is
+    what makes streaming merge == rebuild exact) and the inverted-list
+    table partitioned by contributing batch — the layout
+    :func:`ingest_ivf_stream` appends to with exactly-once semantics."""
+    from spk_sl_validation_spark.ext.similarity import ivf_index_tables
+
+    centroids.write.mode("overwrite").parquet(f"{index_dir}/centroids")
+    (
+        ivf_index_tables(corpus, centroids)
+        .withColumn("batch_id", F.lit(batch_id))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(f"{index_dir}/lists")
+    )
+
+
+def _ivf_ingest_process_batch(
+    spark: SparkSession, batch_df: DataFrame, batch_id: int, index_dir: str
+) -> None:
+    """One micro-batch of :func:`ingest_ivf_stream`: assign the batch
+    against the FROZEN centroid table and append its inverted-list rows
+    as this batch's partition — the streaming form of
+    ext/similarity.merge_into_ivf_index (same disjoint-id contract,
+    same frozen-quantizer assignment; the union lives in the at-rest
+    partition layout instead of a lazy unionByName).
+
+    Idempotent for a fixed (batch contents, batch_id): the overlap
+    guard reads only partitions with ``batch_id < current`` — a
+    replayed batch never trips on the rows its own failed attempt
+    wrote — and the write dynamically overwrites the batch's own
+    partition. Disjoint ids are ENFORCED like the batch merge (one
+    LIMIT-1 semi-join probe on the pruned vec_id column): an
+    overlapping id would leave two versions of the vector in the
+    lists, silently corrupting every subsequent top-k."""
+    batch_df = batch_df.localCheckpoint(eager=True)
+    from spk_sl_validation_spark.ext.similarity import ivf_index_tables
+
+    centroids = spark.read.parquet(f"{index_dir}/centroids")
+    prior = spark.read.parquet(f"{index_dir}/lists").filter(F.col("batch_id") < batch_id)
+    ids = batch_df.select("vec_id").distinct()
+    overlap = prior.join(F.broadcast(ids), "vec_id", "left_semi").limit(1).take(1)
+    if overlap:
+        raise ValueError(
+            "ingest_ivf_stream: vec_id already indexed; the stream merge "
+            "requires disjoint ids (remove_from_ivf_index the stale version "
+            "in a maintenance pass first)"
+        )
+    (
+        ivf_index_tables(batch_df, centroids)
+        .withColumn("batch_id", F.lit(batch_id))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(f"{index_dir}/lists")
+    )
+
+
+def ingest_ivf_stream(
+    spark: SparkSession,
+    source_dir: str,
+    index_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int = 1,
+):
+    """The production embedding-ingest shape: a file stream of vector
+    shards, each micro-batch folded into the PERSISTED IVF index under
+    the frozen quantizer (mirror of :func:`ingest_dedup_stream` for the
+    ANN index; batch-side cost is one broadcast centroid assignment —
+    the existing index is never rewritten, only appended to as a new
+    batch partition).
+
+    Exactly-once across restarts: batch-partitioned dynamic-overwrite
+    writes + a prior-batches-only overlap guard (see
+    :func:`_ivf_ingest_process_batch`). Precondition: ``index_dir``
+    holds a bootstrapped index (:func:`write_ivf_index`; an empty
+    corpus is fine). Returns the started StreamingQuery (availableNow
+    trigger)."""
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        _ivf_ingest_process_batch(spark, batch_df, batch_id, index_dir)
+
+    stream = (
+        spark.readStream.schema(VEC_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(source_dir)
+    )
+    return (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

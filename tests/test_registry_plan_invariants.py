@@ -48,6 +48,7 @@ BNL_ALLOWED = {
     # IVF index lifecycle: same broadcast-centroid crossJoin assignment
     "similarity_topk_ivf_indexed",
     "similarity_ivf_churn",
+    "streaming_ivf_ingest",
     "similarity_ivf_quantization_stats",
     "kmeans_assign",
     "similarity_topk_projected",
