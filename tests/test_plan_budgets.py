@@ -3,9 +3,15 @@ pinned shuffle/sort-merge budget — a future operator change that adds
 an Exchange or degrades a broadcast to a sort-merge join fails HERE,
 not in the next benchmark run.
 
-Budgets are the audited values from PLANS.md (tools/dump_plans.py);
-`<=` comparisons so a plan IMPROVEMENT never fails the gate — tighten
-the budget when that happens.
+The pins are counted on the STATIC optimized physical plan (the plan
+Catalyst emits before any stage runs), deliberately: it is
+deterministic across data sizes and hosts, and it upper-bounds the
+adaptive plan — at runtime AQE can only improve on it (coalesce
+partitions, upgrade a shuffle join to broadcast, split a skewed
+partition), never add an Exchange. PLANS.md (tools/dump_plans.py)
+audits the genuinely-final adaptive plans alongside; these pins are
+the regression gate. `<=` comparisons so a plan IMPROVEMENT never
+fails the gate — tighten the budget when that happens.
 """
 
 from __future__ import annotations
@@ -53,15 +59,15 @@ BUDGETS = {
     # round-6: +1 exchange — the cosine arm's df(term)-bounded `ov`
     # relation moved off broadcast (OOM risk on stopword-like terms at
     # 100 TB) onto a pinned shuffle-hash join; AQE re-upgrades small
-    # cases to broadcast at runtime, but the noop-finalized plan pins
+    # cases to broadcast at runtime, but the static plan pins
     # the shuffle shape.
     "hybrid_rrf_retrieval": (12, 0),
 }
 
 
 # Non-headline production-path queries whose plan shape is
-# scale-load-bearing enough to pin (measured at sf0.001, noop-finalized
-# adaptive plans; `<=` so improvements never fail).
+# scale-load-bearing enough to pin (measured at sf0.001, static
+# optimized plans; `<=` so improvements never fail).
 NONHEADLINE_BUDGETS = {
     "dedup_pipeline_exact_first": (4, 0),
     "dedup_incremental_indexed": (8, 0),
@@ -87,7 +93,7 @@ NONHEADLINE_BUDGETS = {
     # round-5: the expensive non-headline tail (r4 verdict #6) — the
     # queries whose sf0.1 self-check wall is largest and whose plan
     # shape carries the scale argument. Counts audited via the same
-    # noop-finalized adaptive plans as the rest of this table.
+    # static optimized plans as the rest of this table.
     # graph_triangle_parts: 97 -> 6 exchanges after the
     # localCheckpoint-reuse fix; a regression here re-inlines the edge
     # derivation 17x and must fail loudly.
@@ -156,7 +162,9 @@ def test_budget_table_covers_headline_set(headline_specs):
 @pytest.mark.parametrize("name", sorted(BUDGETS))
 def test_headline_plan_within_budget(spark, sf_dir, headline_specs, name):
     df = headline_specs[name].builder(spark, sf_dir)
-    df.write.mode("overwrite").format("noop").save()  # finalize AQE plan
+    # Static optimized plan: explainString plans but does not run the
+    # query (running it would exercise a SEPARATE QueryExecution anyway
+    # — the registry correctness tests already execute every query).
     qe = df._jdf.queryExecution()
     formatted = spark._jvm.PythonSQLUtils.explainString(qe, "formatted")
     st = plan_stats(formatted)
@@ -177,8 +185,7 @@ def test_production_path_plan_within_budget(spark, sf_dir, name):
 
     _ensure_loaded()
     df = REGISTRY[name].builder(spark, sf_dir)
-    df.write.mode("overwrite").format("noop").save()  # finalize AQE plan
-    qe = df._jdf.queryExecution()
+    qe = df._jdf.queryExecution()  # static optimized plan (see module doc)
     formatted = spark._jvm.PythonSQLUtils.explainString(qe, "formatted")
     st = plan_stats(formatted)
     max_shuffles, max_smj = NONHEADLINE_BUDGETS[name]
