@@ -42,6 +42,7 @@ def pack_sequences(
     text_col: str = "text",
     seq_len: int = 2048,
     chunk_size: int = 1024,
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Assign each document its position in the packed token stream:
     documents are concatenated in ``id_col`` order and cut into
@@ -59,8 +60,14 @@ def pack_sequences(
     per-chunk totals (rows = n/chunk_size, one tiny window task) and
     broadcasts them back. No single-task scan of the corpus ever
     happens — this is the distributed scan-primitive shape.
+
+    ``tokens_col``: use a precomputed token-count column instead of
+    tokenizing ``text_col``. In a composed pipeline this lets the
+    caller compute counts map-side at the scan and drop the text
+    column before any shuffle — the packed output never needed text,
+    only its length.
     """
-    n_tok = F.size(ws_tokens(text_col))
+    n_tok = F.col(tokens_col) if tokens_col else F.size(ws_tokens(text_col))
     # base feeds the within-chunk window AND the chunk-totals aggregate;
     # materialize the 3-long-per-doc relation once instead of
     # re-tokenizing the corpus per consumer.

@@ -113,6 +113,29 @@ FROM o
     oracle=None,  # set below (composed from the stage oracles)
 )
 def training_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return compose_training_pipeline(docs)
+
+
+def compose_training_pipeline(
+    docs: DataFrame,
+    weights: dict[str, float] = MIX_WEIGHTS,
+    min_tokens: int = MIN_TOKENS,
+    seq_len: int = SEQ_LEN,
+) -> DataFrame:
+    """The composed pipeline over any (doc_id, source, text) relation —
+    shared by the registered query and tools/pipeline_probe.py.
+
+    "Never shuffle the corpus", composed: text is consumed map-side
+    only (token count at the scan; shingles/signatures inside
+    dedup_corpus). The keep semi-join carries the METADATA relation
+    (doc_id, source, n_tokens — ~tens of bytes/doc), not the documents:
+    joining the text-bearing relation instead shuffles the whole corpus
+    once the keep-id set outgrows the broadcast threshold (~10 MB of
+    ids), which a 100 TB corpus does by 7 orders of magnitude. Packing
+    reads the precomputed n_tokens (tokens_col) so text never reaches
+    it. Measured at 10M docs in SCALE.md §7 (per-stage shuffle bytes).
+    """
     import pyspark.sql.functions as F
 
     from spk_sl_validation_spark.ext import dedup as D
@@ -123,12 +146,15 @@ def training_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         NUM_HASHES,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
-    q = docs.filter(F.size(ws_tokens("text")) >= MIN_TOKENS)
+    n_tok = F.size(ws_tokens("text"))
+    q = docs.filter(n_tok >= min_tokens)
     keep = D.dedup_corpus(q, "doc_id", "text", NUM_HASHES, BANDS, 3, JACCARD_TAU)
-    kept = q.join(keep.filter("keep").select("doc_id"), "doc_id", "left_semi")
-    sampled = A.mixture_sample(kept, MIX_WEIGHTS)
-    packed = A.pack_sequences(sampled, seq_len=SEQ_LEN)
+    meta = docs.select("doc_id", "source", n_tok.alias("n_tokens")).filter(
+        F.col("n_tokens") >= min_tokens
+    )
+    kept = meta.join(keep.filter("keep").select("doc_id"), "doc_id", "left_semi")
+    sampled = A.mixture_sample(kept, weights)
+    packed = A.pack_sequences(sampled, tokens_col="n_tokens", seq_len=seq_len)
     return packed.select("doc_id", "n_tokens", "tok_offset", "seq_id", "offset_in_seq")
 
 
