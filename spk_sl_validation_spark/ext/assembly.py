@@ -107,6 +107,71 @@ def pack_sequences(
     )
 
 
+def pack_state(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    tokens_col: str | None = None,
+) -> DataFrame:
+    """1-row packing state over an already-packed corpus:
+    (n_docs, max_id, total_tokens) — the persistable artifact
+    :func:`pack_sequences_continue` resumes from. At 100 TB this is
+    what turns packing into an INCREMENTAL operator: the state is one
+    row, so continuing a daily ingest batch costs ∝ batch, never a
+    re-scan of the packed corpus (same lifecycle shape as the BM25 /
+    IVF / dedup index merges)."""
+    n_tok = F.col(tokens_col) if tokens_col else F.size(ws_tokens(text_col))
+    return df.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.max(id_col).alias("max_id"),
+        F.coalesce(F.sum(n_tok.cast("long")), F.lit(0).cast("long")).alias("total_tokens"),
+    )
+
+
+def pack_sequences_continue(
+    batch: DataFrame,
+    state: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seq_len: int = 2048,
+    chunk_size: int = 1024,
+    tokens_col: str | None = None,
+) -> DataFrame:
+    """Continue sequence packing from a :func:`pack_state` artifact:
+    pack the batch alone (two-phase prefix sum, cost ∝ batch), then
+    shift every offset by the state's ``total_tokens``. Provably equal
+    to re-packing the full corpus restricted to the batch, BECAUSE the
+    packed stream is id-ordered — so every batch id must exceed the
+    state's ``max_id``; raises ``ValueError`` otherwise (a silent
+    out-of-order append would corrupt every downstream offset). The
+    guard is one tiny aggregate on relations this function scans
+    anyway."""
+    st = state.first()
+    lo_row = batch.agg(F.min(id_col).alias("lo")).first()
+    lo = lo_row["lo"]
+    if lo is not None and st["max_id"] is not None and lo <= st["max_id"]:
+        raise ValueError(
+            f"pack_sequences_continue: batch min {id_col}={lo} <= state max_id="
+            f"{st['max_id']} — packing is id-ordered; re-pack from scratch or "
+            "re-key the batch"
+        )
+    base = int(st["total_tokens"] or 0)
+    packed = pack_sequences(batch, id_col, text_col, seq_len, chunk_size, tokens_col)
+    off = F.col("tok_offset") + F.lit(base)
+    return packed.select(
+        id_col,
+        "n_tokens",
+        off.alias("tok_offset"),
+        (off / seq_len).cast("long").alias("seq_id"),
+        (off % seq_len).alias("offset_in_seq"),
+        (
+            F.when(F.col("n_tokens") > 0, off + F.col("n_tokens") - 1)
+            .otherwise(off)
+            / seq_len
+        ).cast("long").alias("end_seq_id"),
+    )
+
+
 def pack_sequences_sql(
     table: str, id_col: str = "doc_id", text_col: str = "text", seq_len: int = 2048
 ) -> str:

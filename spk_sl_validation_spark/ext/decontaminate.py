@@ -59,6 +59,46 @@ def benchmark_overlap(
     )
 
 
+def bloom_mask_row(
+    bench_g: DataFrame, s_col: str = "s", m_bits: int = 8192, k: int = 5
+) -> DataFrame:
+    """1-row ``map<word_idx, word>`` Bloom bitmask over the distinct
+    strings in ``bench_g[s_col]`` — the persistable filter artifact.
+    Built IN-PLAN (lazy): per 64-bit word, ``sum(shiftleft(1, pos%64))``
+    (positions distinct ⇒ the sum IS the bitwise OR); only non-zero
+    words are stored, and the row rides a 1-row broadcast crossJoin
+    (the house fan-in pattern), so m_bits scales to millions of bits
+    where a plan-text literal would hit the codegen method limit."""
+    from spk_sl_validation_spark.ext.sketches import bloom_positions
+
+    words = (
+        bloom_positions(bench_g, s_col, m_bits, k)
+        .groupBy((F.col("pos") / 64).cast("int").alias("w"))
+        .agg(F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))")).alias("v"))
+    )
+    return words.agg(
+        F.map_from_entries(F.collect_list(F.struct("w", "v"))).alias("__mask")
+    )
+
+
+def bloom_bit_tests(m_bits: int, k: int, h_col: str = "__h", mask_col: str = "__mask") -> str:
+    """SQL predicate string testing ``h_col`` against a crossJoined
+    :func:`bloom_mask_row` column: k shiftright-&-1 bit tests.
+    Arithmetic shift is bit-test-safe (the ``& 1`` reads only the
+    lowest post-shift bit, sign fill never reaches it for shifts
+    < 64); a missing word key yields NULL, which ``= 1`` rejects."""
+    from spk_sl_validation_spark.ext.hashing import seeded_perm_sql
+
+    tests = []
+    for i in range(k):
+        pos = f"({seeded_perm_sql(h_col, i)} % {m_bits})"
+        tests.append(
+            f"(shiftright(element_at({mask_col}, CAST({pos} / 64 AS INT)),"
+            f" CAST({pos} % 64 AS INT)) & 1) = 1"
+        )
+    return " AND ".join(tests)
+
+
 def benchmark_overlap_bloom(
     train: DataFrame,
     bench: DataFrame,
@@ -102,18 +142,10 @@ def benchmark_overlap_bloom(
        non-null text yields ≥1 token), matching the direct path's
        groupBy row set without re-shingling.
     """
-    from spk_sl_validation_spark.ext.hashing import md5_long, seeded_perm_sql
-    from spk_sl_validation_spark.ext.sketches import bloom_positions
+    from spk_sl_validation_spark.ext.hashing import md5_long
 
     bench_g = shingle_rows(bench, id_col, text_col, n).select("s").distinct()
-    words = (
-        bloom_positions(bench_g, "s", m_bits, k)
-        .groupBy((F.col("pos") / 64).cast("int").alias("w"))
-        .agg(F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))")).alias("v"))
-    )
-    mask_row = words.agg(
-        F.map_from_entries(F.collect_list(F.struct("w", "v"))).alias("__mask")
-    )
+    mask_row = bloom_mask_row(bench_g, "s", m_bits, k)
 
     train_g = (
         shingle_rows(train, id_col, text_col, n)
@@ -121,18 +153,9 @@ def benchmark_overlap_bloom(
         .withColumn("__h", md5_long(F.col("s").cast("string")))
         .crossJoin(F.broadcast(mask_row))
     )
-    # shiftright(word, pos % 64) & 1: arithmetic shift is bit-test-safe
-    # (the & 1 reads only the lowest post-shift bit, sign fill never
-    # reaches it for shifts < 64); a missing word key yields NULL,
-    # which the = 1 comparison rejects.
-    tests = []
-    for i in range(k):
-        pos = f"({seeded_perm_sql('__h', i)} % {m_bits})"
-        tests.append(
-            f"(shiftright(element_at(__mask, CAST({pos} / 64 AS INT)),"
-            f" CAST({pos} % 64 AS INT)) & 1) = 1"
-        )
-    cand = train_g.filter(F.expr(" AND ".join(tests))).drop("__h", "__mask")
+    cand = (
+        train_g.filter(F.expr(bloom_bit_tests(m_bits, k))).drop("__h", "__mask")
+    )
 
     overlap = (
         cand.join(bench_g.withColumn("__hit", F.lit(1)).hint("shuffle_hash"), "s")

@@ -758,3 +758,32 @@ def bpe_segment(col: str | Column, merges: list[tuple]) -> Column:
         lhs, rhs = row[1], row[2]
         s = F.replace(s, F.lit(f" {lhs}  {rhs} "), F.lit(f" {lhs}{rhs} "))
     return F.split(F.trim(s), "  ")
+
+
+def bpe_encode_stats(
+    df, merges: list[tuple], id_col: str = "doc_id", text_col: str = "text"
+):
+    """Encode every document under a learned merge table and report
+    per-doc tokenizer statistics: (id, n_words, n_bpe_tokens,
+    bpe_fertility = symbols per word, rounded to 6).
+
+    The tokenizer-serving shape: the merge table is DRIVER-SIDE tiny
+    (tens of rows — it is a tokenizer, not data) and folds into the
+    expression as literals, so encoding is a PURE NARROW MAP — zero
+    shuffles, no join, embarrassingly parallel over a 100 TB corpus.
+    Every word is encoded (training drops <2-char words because they
+    can never form a pair, but they still encode to one symbol each).
+    """
+    toks = ws_tokens(text_col)
+    n_words = F.size(toks).cast("long")
+    n_bpe = F.aggregate(
+        F.transform(toks, lambda w: F.size(bpe_segment(w, merges)).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return df.select(
+        id_col,
+        n_words.alias("n_words"),
+        n_bpe.alias("n_bpe_tokens"),
+        F.round(n_bpe.cast("double") / n_words.cast("double"), 6).alias("bpe_fertility"),
+    )

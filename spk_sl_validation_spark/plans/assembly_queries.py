@@ -67,6 +67,43 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return A.unigram_logprob(docs)
 
 
+@register(
+    "pack_incremental",
+    doc=(
+        "INCREMENTAL sequence packing: a 1-row pack_state artifact "
+        "(n_docs, max_id, total_tokens) over the already-packed half of the "
+        "corpus, then the new batch packs alone and shifts by the state's "
+        "total — continuation == full-rebuild restricted to the batch "
+        "(the oracle IS the full rebuild), guarded against out-of-order "
+        "appends; cost ∝ batch, the same merge-lifecycle shape as the "
+        "BM25/IVF/dedup indexes"
+    ),
+    oracle=f"""
+WITH k AS (SELECT CAST(floor(max(doc_id) / 2) AS BIGINT) AS k FROM documents),
+n AS (SELECT doc_id, len(string_split_regex(trim(text), '\\s+')) AS n_tokens FROM documents),
+o AS (
+  SELECT doc_id, n_tokens,
+         CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_offset
+  FROM n
+)
+SELECT doc_id, n_tokens, tok_offset,
+       tok_offset // {SEQ_LEN} AS seq_id,
+       tok_offset % {SEQ_LEN} AS offset_in_seq
+FROM o CROSS JOIN k WHERE doc_id > k.k
+""",
+)
+def pack_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyspark.sql.functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    k = docs.agg(F.floor(F.max("doc_id") / 2).cast("long").alias("k")).first()["k"]
+    state = A.pack_state(docs.filter(F.col("doc_id") <= k))
+    batch = docs.filter(F.col("doc_id") > k)
+    packed = A.pack_sequences_continue(batch, state, seq_len=SEQ_LEN)
+    return packed.select("doc_id", "n_tokens", "tok_offset", "seq_id", "offset_in_seq")
+
+
 MIN_TOKENS = 30
 
 

@@ -501,6 +501,114 @@ _REG_BP["streaming_boilerplate_gate"] = _dc_bp.replace(
 )
 
 
+DECON_N = 8
+DECON_MBITS = 8192
+DECON_K = 5
+
+
+def _streaming_decontaminate_oracle() -> str:
+    from spk_sl_validation_spark.ext.hashing import word_shingles_sql
+
+    toks = r"string_split_regex(trim(text), '\s+')"
+    sh = f"unnest(list_distinct({word_shingles_sql(toks, DECON_N)})) AS s"
+    return f"""
+WITH sh AS (
+  SELECT doc_id, source, {sh} FROM documents WHERE doc_id % 97 <> 0
+),
+bench AS (
+  SELECT DISTINCT {sh.replace(' AS s', '')} AS s FROM documents WHERE doc_id % 97 = 0
+),
+hits AS (SELECT DISTINCT sh.doc_id, sh.source FROM sh JOIN bench USING (s)),
+tot AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+  FROM documents WHERE doc_id % 97 <> 0 GROUP BY source
+),
+conta AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM hits GROUP BY source)
+SELECT tot.source, tot.n_docs,
+       CAST(coalesce(conta.n, 0) AS BIGINT) AS n_contaminated
+FROM tot LEFT JOIN conta ON tot.source = conta.source
+"""
+
+
+@register(
+    "streaming_decontaminate_gate",
+    doc=(
+        "benchmark decontamination ON THE INGEST STREAM: the Bloom bitmask "
+        "and the bench shingle set are prebuilt batch-side artifacts; each "
+        "micro-batch shingles map-side (array transform, no window), "
+        "bit-tests against the 1-row broadcast mask (codegen, no shuffle), "
+        "exact-verifies only the Bloom sliver against the bench set, "
+        "dropDuplicates collapses to contaminated docs (production adds an "
+        "ingest-time watermark to bound the dedup state), and ONE complete-"
+        "mode aggregate emits per-source counts — batch twin: "
+        "decontaminate_bloom. False positives die in the verify join, so "
+        "stream == batch == oracle"
+    ),
+    oracle=None,  # patched below (generated to share DECON_* params)
+)
+def streaming_decontaminate_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spk_sl_validation_spark.ext.decontaminate import bloom_bit_tests, bloom_mask_row
+    from spk_sl_validation_spark.ext.hashing import (
+        md5_long,
+        shingle_rows,
+        word_shingles,
+        ws_tokens,
+    )
+    from spk_sl_validation_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    # persisted artifacts (checkpointed stand-ins): the bench shingle
+    # set (verify side) and its Bloom bitmask (prefilter side)
+    bench_g = (
+        shingle_rows(bench, "doc_id", "text", DECON_N)
+        .select("s")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    mask = bloom_mask_row(bench_g, "s", DECON_MBITS, DECON_K).localCheckpoint(eager=True)
+
+    stream = P.stream_documents(spark, sf_dir).filter(F.col("doc_id") % 97 != 0)
+    # array-transform shingling: narrow map (the window-based
+    # shingle_rows needs a non-time partition, disallowed on streams)
+    g = stream.select("doc_id", "source", ws_tokens("text").alias("__t")).select(
+        "doc_id",
+        "source",
+        F.explode(F.array_distinct(word_shingles("__t", DECON_N))).alias("s"),
+    )
+    cand = (
+        g.withColumn("__h", md5_long(F.col("s").cast("string")))
+        .crossJoin(F.broadcast(mask))
+        .filter(F.expr(bloom_bit_tests(DECON_MBITS, DECON_K)))
+        .drop("__h", "__mask")
+    )
+    hits = (
+        cand.join(bench_g.hint("shuffle_hash"), "s")
+        .select("doc_id", "source")
+        .dropDuplicates(["doc_id"])
+    )
+    agg = hits.groupBy("source").agg(F.count(F.lit(1)).alias("n_contaminated"))
+    out = P.run_available_now(agg, output_mode="complete")
+    tot = (
+        docs.filter(F.col("doc_id") % 97 != 0)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    return tot.join(out, "source", "left").select(
+        "source",
+        "n_docs",
+        F.coalesce(F.col("n_contaminated"), F.lit(0).cast("long")).alias("n_contaminated"),
+    )
+
+
+from spk_sl_validation_spark.plans.registry import REGISTRY as _REG_DC  # noqa: E402
+import dataclasses as _dc_dc  # noqa: E402
+
+_REG_DC["streaming_decontaminate_gate"] = _dc_dc.replace(
+    _REG_DC["streaming_decontaminate_gate"], oracle=_streaming_decontaminate_oracle()
+)
+
+
 @register(
     "streaming_media_decode_gate",
     doc=(

@@ -465,6 +465,54 @@ def text_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return X.learn_bpe_merges(docs, "text", BPE_MERGES)
 
 
+def _bpe_encode_sql(n_merges: int) -> str:
+    """Learn-chain CTEs (b1..bN from :func:`_bpe_sql`) + per-doc encode
+    replay: every word spaced, each merge applied in training order via
+    the same literal replace, symbols counted per doc."""
+    learn = _bpe_sql(n_merges)
+    ctes = learn.split("\nSELECT CAST(1 AS INTEGER)")[0]  # WITH w0..b1..wN block
+    spaced = r"regexp_replace(w, '(.)', ' \1 ', 'g')"
+    s = spaced
+    for t in range(1, n_merges + 1):
+        s = (
+            f"replace({s}, ' ' || b{t}.lhs || '  ' || b{t}.rhs || ' ',"
+            f" ' ' || b{t}.lhs || b{t}.rhs || ' ')"
+        )
+    crosses = " ".join(f"CROSS JOIN b{t}" for t in range(1, n_merges + 1))
+    return f"""{ctes},
+words AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS w FROM documents
+),
+enc AS (
+  SELECT doc_id, len(string_split(trim({s}), '  ')) AS n_sym
+  FROM words {crosses}
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(n_sym) AS BIGINT) AS n_bpe_tokens,
+       round(CAST(sum(n_sym) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS bpe_fertility
+FROM enc GROUP BY doc_id
+"""
+
+
+@register(
+    "text_bpe_encode",
+    doc=(
+        f"tokenizer SERVING: learn {BPE_MERGES} BPE merges (text_bpe_learn's "
+        "loop), collect the driver-side merge table (tens of rows — it is a "
+        "tokenizer, not data), and encode every document as a PURE NARROW MAP "
+        "(merges fold into the expression as literals: zero shuffles, no "
+        "join). Per-doc fertility = BPE symbols per word — the learn→apply "
+        "lifecycle closure, same pattern as the index build→probe queries"
+    ),
+    oracle=_bpe_encode_sql(BPE_MERGES),
+)
+def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    merges = [tuple(r) for r in X.learn_bpe_merges(docs, "text", BPE_MERGES).collect()]
+    return X.bpe_encode_stats(docs, merges)
+
+
 TRAIN_ITERS = 3  # bounded-iteration oracle mode (until_delta is the prod mode)
 _FEATS = ("bias", "length", "stopword", "punct", "distinct")
 _X_SQL = {

@@ -90,6 +90,44 @@ def test_bpe_consecutive_pair_merging(spark):
     assert got[1] == (2, "aa", "aa", "aaaa", 2)
 
 
+def _py_apply(seq, merges):
+    for _, lhs, rhs, _, _ in merges:
+        out, i = [], 0
+        while i < len(seq):
+            if i + 1 < len(seq) and seq[i] == lhs and seq[i + 1] == rhs:
+                out.append(lhs + rhs)
+                i += 2
+            else:
+                out.append(seq[i])
+                i += 1
+        seq = tuple(out)
+    return seq
+
+
+def test_bpe_encode_stats_python_parity(spark, sf_dir):
+    """bpe_encode_stats encodes EVERY word (including the <2-char words
+    training drops — they stay one symbol) and its per-doc counts match
+    a pure-python replay of the learned table."""
+    from pyspark.sql import functions as F
+
+    from spk_sl_validation_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(40)
+    merges = [tuple(r) for r in X.learn_bpe_merges(docs, n_merges=4).collect()]
+    got = {
+        r.doc_id: (r.n_words, r.n_bpe_tokens)
+        for r in X.bpe_encode_stats(docs, merges).collect()
+    }
+    import re
+
+    want = {}
+    for r in docs.select("doc_id", "text").collect():
+        words = re.split(r"\s+", r.text.strip())
+        n_bpe = sum(len(_py_apply(tuple(w), merges)) for w in words)
+        want[r.doc_id] = (len(words), n_bpe)
+    assert got == want
+
+
 def test_bpe_segment_inference_roundtrip(spark, sf_dir):
     """bpe_segment applies the learned table in training order: the
     symbol sequences must equal the python reference's final state."""

@@ -80,12 +80,38 @@ def rest_jobs(app_id: str) -> list[dict]:
 
 
 
+def legacy_compose(docs):
+    """The pre-round-7 composition: the keep semi-join carries the
+    TEXT-bearing relation and packing re-tokenizes after the join —
+    the corpus-shuffle anti-pattern the metadata-join restructure
+    removed. Kept here as the A/B arm that quantifies the fix."""
+    from spk_sl_validation_spark.ext import assembly as A
+    from spk_sl_validation_spark.ext import dedup as D
+    from spk_sl_validation_spark.ext.hashing import ws_tokens
+    from spk_sl_validation_spark.plans.assembly_queries import (
+        MIN_TOKENS,
+        MIX_WEIGHTS,
+        SEQ_LEN,
+    )
+    from spk_sl_validation_spark.plans.dedup_shared import BANDS, JACCARD_TAU, NUM_HASHES
+
+    q = docs.filter(F.size(ws_tokens("text")) >= MIN_TOKENS)
+    keep = D.dedup_corpus(q, "doc_id", "text", NUM_HASHES, BANDS, 3, JACCARD_TAU)
+    kept = q.join(keep.filter("keep").select("doc_id"), "doc_id", "left_semi")
+    sampled = A.mixture_sample(kept, MIX_WEIGHTS)
+    packed = A.pack_sequences(sampled, seq_len=SEQ_LEN)
+    return packed.select("doc_id", "n_tokens", "tok_offset", "seq_id", "offset_in_seq")
+
+
 def main() -> None:
     n = 10_000_000
+    legacy = False
     args = sys.argv[1:]
     for i, a in enumerate(args):
         if a == "--docs" and i + 1 < len(args):
             n = int(args[i + 1])
+        if a == "--legacy":
+            legacy = True
 
     import os
 
@@ -115,7 +141,7 @@ def main() -> None:
     # (LSH candidates, verify doc-sets, pack base) as separate jobs;
     # the job-id watermark between build and action splits the
     # accounting into the two phases a cluster operator would see.
-    packed = compose_training_pipeline(docs)
+    packed = (legacy_compose if legacy else compose_training_pipeline)(docs)
     t_compose = time.time()
     compose_job_ids = {
         j["jobId"] for j in rest_jobs(app_id) if j["jobId"] not in before_job_ids
@@ -155,7 +181,7 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "op": "training_corpus_pipeline",
+                "op": "training_corpus_pipeline_legacy" if legacy else "training_corpus_pipeline",
                 "docs": n,
                 "out_rows": out_rows,
                 "wall_sec": round(wall, 1),
