@@ -142,6 +142,13 @@ NONHEADLINE_BUDGETS = {
     # exchanges before the single-explode restructure) + pair distinct
     # + verify chain + cosine joins
     "dedup_cross_modal": (11, 0),
+    # round-7: tokenizer serving is a PURE NARROW MAP (the learned
+    # merge table folds in as literals; the learn loop runs as
+    # separate eager jobs) — any exchange appearing here is a
+    # regression; incremental packing = batch-only two-phase prefix
+    # sum + the 1-row state fan-in.
+    "text_bpe_encode": (0, 0),
+    "pack_incremental": (3, 0),
 }
 
 
