@@ -17,15 +17,18 @@ North-star extension. Design (the part that matters at 100 TB):
 - **Real stdlib codecs** (no third-party deps): ``audio/wav`` (RIFF
   chunk walk + 16-bit PCM, :func:`decode_wav`), ``image/bmp``
   (BITMAPINFOHEADER + bottom-up padded pixel rows, ``_decode_bmp`` in
-  the registry + :func:`bmp_pixel_stats`), and ``image/png``
+  the registry + :func:`bmp_pixel_stats`), ``image/png``
   (CRC-checked chunk walk, multi-IDAT ``zlib`` inflate, all five
-  scanline unfilters — :func:`png_pixel_stats`). All parse genuinely —
+  scanline unfilters — :func:`png_pixel_stats`), and ``image/gif``
+  (extension-skipping block walk + a REAL variable-width LZW codec
+  both directions — :func:`gif_pixel_stats`). All parse genuinely —
   fixed offsets are NOT assumed (WAV walks unknown chunks; BMP honors
   the pixel-array offset and 4-byte row stride; PNG concatenates split
-  IDATs and skips ancillary chunks) — and all are hash-checked
-  end-to-end: the registered queries synthesize payloads under a
-  closed-form generation law, decode them back, and DuckDB recomputes
-  the expected stats from the law alone.
+  IDATs and skips ancillary chunks; GIF skips extension blocks and
+  reassembles LZW sub-blocks) — and all are hash-checked end-to-end:
+  the registered queries synthesize payloads under a closed-form
+  generation law, decode them back, and DuckDB recomputes the
+  expected stats from the law alone.
 
 Metadata-only operators stay JVM-side (length/md5/prefix sniff are
 built-in functions over binary) — Python is reserved for actual
@@ -766,6 +769,300 @@ def png_pixel_stats(df: DataFrame, media_col: str = "media") -> DataFrame:
                         width,
                         height,
                         chans,
+                        int(flat.sum()),
+                        int((np.arange(flat.size) * flat).sum()),
+                        True,
+                    )
+                except (ValueError, IndexError):
+                    row = (0, 0, 0, 0, 0, False)
+                out["doc_id"].append(doc_id)
+                for name, v in zip(
+                    ("width", "height", "channels", "pixel_sum", "pixel_wsum", "ok"), row
+                ):
+                    out[name].append(v)
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(run, BMP_STATS_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Real stdlib codec: GIF (block walk + variable-width LZW)
+# ---------------------------------------------------------------------------
+#
+# Fixture generation law (deterministic per doc_id — the SQL oracle
+# recomputes every decoded stat in closed form, byte-blind):
+#
+#   width  = 1 + doc_id % 9
+#   height = 1 + doc_id % 6
+#   16-entry global color table; palette entry j, channel c (0=R,1=G,
+#   2=B): pal(j, c) = (doc_id + j*7 + c*31) % 251
+#   pixel k (top-down row-major, k < w*h): index(k) = (doc_id + k) % 16
+#   decoded flat RGB byte m (m = 3k + c):
+#       rgb(m) = (doc_id + ((doc_id + m//3) % 16)*7 + (m%3)*31) % 251
+#
+# The writer emits GIF89a with a comment extension BEFORE the image
+# (a reader that assumes the image descriptor follows the screen
+# descriptor directly diverges), and the pixel indices go through a
+# REAL variable-width LZW compressor (dictionary growth, width
+# promotion at table sizes 2^w, CLEAR + reset at 4096 — the same
+# schedule the decoder mirrors), chunked into ≤255-byte sub-blocks.
+
+GIF_MAX_CODE = 1 << 12  # the LZW table hard cap (GIF89a spec)
+
+
+def _lzw_encode(indices: bytes, mcs: int) -> bytes:
+    """GIF LZW compress (variable code width, LSB-first bit packing).
+    Emits CLEAR up front and whenever the table reaches 4096 entries,
+    EOI at the end — the exact schedule :func:`_lzw_decode` mirrors."""
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    def fresh_table() -> dict:
+        return {bytes([i]): i for i in range(1 << mcs)}
+
+    width = mcs + 1
+    table = fresh_table()
+    next_code = eoi + 1
+    emit(clear, width)
+    buf = b""
+    for s in bytes(indices):
+        cand = buf + bytes([s])
+        if cand in table:
+            buf = cand
+            continue
+        emit(table[buf], width)
+        table[cand] = next_code
+        next_code += 1
+        if next_code == (1 << width) + 1 and width < 12:
+            # the decoder appends one entry BEHIND the encoder (it
+            # reconstructs this entry only on the NEXT code), so the
+            # encoder widens one assignment later than "table full":
+            # when code 2^width - 1 exists on the DECODER side.
+            width += 1
+        if next_code == GIF_MAX_CODE:
+            emit(clear, width)
+            table = fresh_table()
+            next_code = eoi + 1
+            width = mcs + 1
+        buf = bytes([s])
+    if buf:
+        emit(table[buf], width)
+    emit(eoi, width)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decode(data: bytes, mcs: int) -> bytes:
+    """GIF LZW decompress (variable code width, LSB-first), the
+    general decoder: CLEAR resets, KwKwK self-reference, width
+    promotion when the NEXT code to assign would not fit. Raises
+    ``ValueError`` on any malformation (code beyond the table, stream
+    ending without EOI, mcs out of range)."""
+    if not 2 <= mcs <= 8:
+        raise ValueError(f"GIF LZW min code size {mcs} out of range")
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    pos = 0  # bit position
+    total_bits = len(data) * 8
+    out = bytearray()
+
+    def read(width: int) -> int:
+        nonlocal pos
+        if pos + width > total_bits:
+            raise ValueError("truncated GIF LZW stream")
+        byte0 = pos // 8
+        chunk = int.from_bytes(data[byte0 : byte0 + 4], "little")
+        v = (chunk >> (pos % 8)) & ((1 << width) - 1)
+        pos += width
+        return v
+
+    width = mcs + 1
+    table: list[bytes] = [bytes([i]) for i in range(1 << mcs)] + [b"", b""]
+    prev: bytes | None = None
+    while True:
+        code = read(width)
+        if code == clear:
+            table = [bytes([i]) for i in range(1 << mcs)] + [b"", b""]
+            width = mcs + 1
+            prev = None
+            continue
+        if code == eoi:
+            return bytes(out)
+        if code < len(table) and code not in (clear, eoi):
+            entry = table[code]
+        elif code == len(table) and prev is not None:  # KwKwK
+            entry = prev + prev[:1]
+        else:
+            raise ValueError(f"GIF LZW code {code} beyond table size {len(table)}")
+        out += entry
+        if prev is not None and len(table) < GIF_MAX_CODE:
+            table.append(prev + entry[:1])
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+
+
+def _make_gif(doc_id: int) -> bytes:
+    """GIF89a under the generation law: 16-color global table, comment
+    extension ahead of the image, real LZW-compressed indices."""
+    import struct
+
+    width, height = 1 + doc_id % 9, 1 + doc_id % 6
+    palette = bytes(
+        (doc_id + j * 7 + c * 31) % 251 for j in range(16) for c in range(3)
+    )
+    indices = bytes((doc_id + k) % 16 for k in range(width * height))
+    mcs = 4
+    z = _lzw_encode(indices, mcs)
+    sub = b"".join(
+        bytes([len(z[i : i + 255])]) + z[i : i + 255] for i in range(0, len(z), 255)
+    )
+    return (
+        b"GIF89a"
+        + struct.pack("<HH", width, height)
+        + bytes([0xF3, 0, 0])  # GCT present, 16 entries; bg 0; aspect 0
+        + palette
+        + b"\x21\xfe\x09synthetic\x00"  # comment extension
+        + b"\x2c" + struct.pack("<HHHH", 0, 0, width, height) + b"\x00"
+        + bytes([mcs])
+        + sub
+        + b"\x00\x3b"
+    )
+
+
+def _parse_gif(data: bytes) -> tuple[int, int, bytes, bytes]:
+    """Generic GIF parse: header, logical screen descriptor, global
+    color table, extension-skipping block walk, first image's
+    descriptor + (local or global) palette + LZW-decoded indices.
+    Returns (width, height, palette bytes, index bytes). Raises
+    ``ValueError`` on malformation — truncation, missing palette,
+    interlace (unsupported), bad LZW stream, index/pixel-count
+    mismatch, out-of-palette indices."""
+    import struct
+
+    if len(data) < 13 or data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    sw, sh, packed, _bg, _aspect = struct.unpack_from("<HHBBB", data, 6)
+    pos = 13
+    gct = b""
+    if packed & 0x80:
+        n = 3 * (2 << (packed & 0x07))
+        gct = data[pos : pos + n]
+        if len(gct) != n:
+            raise ValueError("truncated global color table")
+        pos += n
+
+    def sub_blocks(p: int) -> tuple[bytes, int]:
+        chunks = []
+        while True:
+            if p >= len(data):
+                raise ValueError("truncated sub-block chain")
+            ln = data[p]
+            p += 1
+            if ln == 0:
+                return b"".join(chunks), p
+            if p + ln > len(data):
+                raise ValueError("truncated sub-block")
+            chunks.append(data[p : p + ln])
+            p += ln
+
+    while pos < len(data):
+        block = data[pos]
+        pos += 1
+        if block == 0x3B:  # trailer
+            break
+        if block == 0x21:  # extension: label + sub-blocks
+            if pos >= len(data):
+                raise ValueError("truncated extension block")
+            pos += 1
+            _, pos = sub_blocks(pos)
+            continue
+        if block != 0x2C:
+            raise ValueError(f"unknown GIF block 0x{block:02x}")
+        if pos + 9 > len(data):
+            raise ValueError("truncated image descriptor")
+        _left, _top, iw, ih, ipacked = struct.unpack_from("<HHHHB", data, pos)
+        pos += 9
+        if ipacked & 0x40:
+            raise ValueError("interlaced GIF unsupported")
+        pal = gct
+        if ipacked & 0x80:
+            n = 3 * (2 << (ipacked & 0x07))
+            pal = data[pos : pos + n]
+            if len(pal) != n:
+                raise ValueError("truncated local color table")
+            pos += n
+        if not pal:
+            raise ValueError("GIF image has no color table")
+        if iw == 0 or ih == 0 or iw > sw or ih > sh:
+            raise ValueError(f"malformed GIF image dimensions {iw}x{ih} in {sw}x{sh}")
+        if pos >= len(data):
+            raise ValueError("truncated before LZW min code size")
+        mcs = data[pos]
+        pos += 1
+        stream, pos = sub_blocks(pos)
+        indices = _lzw_decode(stream, mcs)
+        if len(indices) != iw * ih:
+            raise ValueError(f"decoded {len(indices)} indices for {iw}x{ih} image")
+        if max(indices) * 3 + 3 > len(pal):
+            raise ValueError("GIF index beyond color table")
+        return (iw, ih, pal, indices)
+    raise ValueError("GIF contains no image block")
+
+
+def _decode_gif(data: bytes) -> tuple[int, int, int]:
+    """Registry-shape GIF decode: full parse (block walk + LZW — a
+    payload is only 'ok' if its pixels actually decode), dims out."""
+    width, height, _, _ = _parse_gif(data)
+    return (width, height, 3)
+
+
+DECODERS["image/gif"] = _decode_gif
+
+
+def synthesize_gif_table(docs: DataFrame) -> DataFrame:
+    """(doc_id, media binary, media_type='image/gif')."""
+
+    @F.pandas_udf(T.BinaryType())
+    def make(ids: pd.Series) -> pd.Series:
+        return ids.apply(lambda d: _make_gif(int(d)))
+
+    return docs.select(
+        "doc_id", make(F.col("doc_id")).alias("media"), F.lit("image/gif").alias("media_type")
+    )
+
+
+def gif_pixel_stats(df: DataFrame, media_col: str = "media") -> DataFrame:
+    """Full GIF decode to integer-exact RGB stats: indices expand
+    through the color table to the flat top-down RGB byte stream; sum
+    + index-weighted sum (the weighted sum catches LZW, palette, or
+    row-order bugs — a plain sum cannot). Malformed payloads yield
+    ok=false, zeroed stats."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list[Any]] = {f.name: [] for f in BMP_STATS_SCHEMA.fields}
+            for doc_id, data in zip(pdf["doc_id"], pdf[media_col]):
+                try:
+                    width, height, pal, idx = _parse_gif(bytes(data))
+                    palette = np.frombuffer(pal, dtype=np.uint8).reshape(-1, 3)
+                    flat = palette[np.frombuffer(idx, dtype=np.uint8)].reshape(-1).astype("int64")
+                    row = (
+                        width,
+                        height,
+                        3,
                         int(flat.sum()),
                         int((np.arange(flat.size) * flat).sum()),
                         True,

@@ -265,3 +265,44 @@ FROM d JOIN agg ON d.doc_id = agg.doc_id
 def multimodal_png_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     return M.png_pixel_stats(M.synthesize_png_table(docs))
+
+
+@register(
+    "multimodal_gif_pixel_stats",
+    doc=(
+        "REAL stdlib GIF codec end-to-end: synthesize GIF89a payloads "
+        "(16-color global table, comment extension ahead of the image, "
+        "REAL variable-width LZW compression with width promotion and "
+        "4096-entry clear-reset), decode via the extension-skipping block "
+        "walk + general LZW decoder (KwKwK handled), expand indices through "
+        "the color table; the index-weighted RGB sum catches any LZW, "
+        "palette, or row-order bug, and the oracle recomputes every stat "
+        "from the generation law in closed form"
+    ),
+    oracle="""
+WITH d AS (
+  SELECT doc_id, 1 + doc_id % 9 AS w, 1 + doc_id % 6 AS h
+  FROM documents
+),
+v AS (
+  SELECT doc_id, unnest(range(0, w * h * 3)) AS m FROM d
+),
+agg AS (
+  SELECT doc_id,
+         SUM((doc_id + ((doc_id + m // 3) % 16) * 7 + (m % 3) * 31) % 251) AS pixel_sum,
+         SUM(m * ((doc_id + ((doc_id + m // 3) % 16) * 7 + (m % 3) * 31) % 251)) AS pixel_wsum
+  FROM v GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(d.w AS INTEGER) AS width,
+       CAST(d.h AS INTEGER) AS height,
+       CAST(3 AS INTEGER) AS channels,
+       CAST(agg.pixel_sum AS BIGINT) AS pixel_sum,
+       CAST(agg.pixel_wsum AS BIGINT) AS pixel_wsum,
+       true AS ok
+FROM d JOIN agg ON d.doc_id = agg.doc_id
+""",
+)
+def multimodal_gif_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return M.gif_pixel_stats(M.synthesize_gif_table(docs))

@@ -547,3 +547,140 @@ def test_decode_media_handles_png_and_flags_bad_rows(spark, sf_dir):
         else:
             w, h, c, _, _ = _png_expected(doc_id)
             assert r.ok and (r.width, r.height, r.channels) == (w, h, c)
+
+
+# ---------------------------------------------------------------------------
+# GIF (block walk + variable-width LZW)
+# ---------------------------------------------------------------------------
+
+
+def test_gif_roundtrip_law():
+    for d in (0, 1, 7, 41, 53, 107):
+        w, h, pal, idx = M._parse_gif(M._make_gif(d))
+        assert (w, h) == (1 + d % 9, 1 + d % 6)
+        assert idx == bytes((d + k) % 16 for k in range(w * h))
+        assert pal == bytes((d + j * 7 + c * 31) % 251 for j in range(16) for c in range(3))
+
+
+def test_gif_registry_decodes_real_format():
+    w, h, ch = M.DECODERS["image/gif"](M._make_gif(23))
+    assert (w, h, ch) == (1 + 23 % 9, 1 + 23 % 6, 3)
+
+
+def test_gif_lzw_roundtrip_property():
+    """The encoder and decoder must share one width-promotion schedule
+    (the decoder reconstructs each table entry one code LATE, so the
+    encoder widens one assignment later than table-full) — long and
+    repetitive inputs force width growth, KwKwK, and the 4096-entry
+    clear-reset."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        st.integers(min_value=2, max_value=8),
+        st.binary(min_size=1, max_size=9000),
+    )
+    def run(mcs, raw):
+        seq = bytes(b % (1 << mcs) for b in raw)
+        assert M._lzw_decode(M._lzw_encode(seq, mcs), mcs) == seq
+
+    run()
+    # repetitive megasequence: table fills, clear-reset mid-stream
+    seq = bytes([1, 1, 2, 1] * 40000)
+    assert M._lzw_decode(M._lzw_encode(seq, 4), 4) == seq
+
+
+def test_gif_parser_skips_extensions_and_rejects_interlace():
+    raw = bytearray(M._make_gif(12))
+    # the fixture carries a comment extension before the image — parsed
+    # fine by construction (test_gif_roundtrip_law). Flip the image
+    # descriptor's interlace bit: packed byte sits 9 bytes into the
+    # 0x2C block.
+    pos = raw.index(0x2C, 13)
+    raw[pos + 9] |= 0x40
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="interlace"):
+        M._parse_gif(bytes(raw))
+
+
+def test_gif_index_beyond_palette_rejected():
+    """A 2-entry local-table GIF whose LZW stream emits index 5 must
+    be rejected, not silently wrapped."""
+    import struct
+
+    mcs = 4
+    z = M._lzw_encode(bytes([5]), mcs)
+    sub = bytes([len(z)]) + z + b"\x00"
+    raw = (
+        b"GIF89a"
+        + struct.pack("<HH", 1, 1)
+        + bytes([0x00, 0, 0])  # no global table
+        + b"\x2c" + struct.pack("<HHHH", 0, 0, 1, 1)
+        + bytes([0x80])  # local table, 2 entries
+        + bytes(6)       # 2 RGB entries, all zero
+        + bytes([mcs])
+        + sub
+        + b"\x3b"
+    )
+    with pytest.raises(ValueError, match="beyond color table"):
+        M._parse_gif(raw)
+
+
+def test_gif_parser_total_on_arbitrary_bytes():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.binary(max_size=256))
+    def run(raw):
+        try:
+            M._parse_gif(raw)
+        except ValueError:
+            pass
+
+    run()
+
+
+def test_gif_parser_total_on_mutated_valid_payloads():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    base = M._make_gif(41)
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.integers(min_value=0, max_value=len(base) - 1),
+        st.integers(min_value=0, max_value=255),
+        st.integers(min_value=0, max_value=len(base)),
+    )
+    def run(pos, byte, cut):
+        mutated = bytearray(base)
+        mutated[pos] = byte
+        raw = bytes(mutated[:cut])
+        try:
+            M._parse_gif(raw)
+        except ValueError:
+            pass
+
+    run()
+
+
+def test_gif_pixel_stats_flags_bad_rows(spark):
+    import pyspark.sql.functions as F
+
+    docs = spark.range(4).withColumnRenamed("id", "doc_id")
+    media = M.synthesize_gif_table(docs).withColumn(
+        "media",
+        F.when(F.col("doc_id") == 2, F.lit(b"GIF89a garbage")).otherwise(F.col("media")),
+    )
+    rows = {r.doc_id: r for r in M.gif_pixel_stats(media).collect()}
+    assert rows[2].ok is False and rows[2].pixel_sum == 0
+    for d in (0, 1, 3):
+        assert rows[d].ok is True
+        w, h = 1 + d % 9, 1 + d % 6
+        want = sum(
+            (d + ((d + m // 3) % 16) * 7 + (m % 3) * 31) % 251 for m in range(w * h * 3)
+        )
+        assert rows[d].pixel_sum == want

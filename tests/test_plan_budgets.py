@@ -149,6 +149,7 @@ NONHEADLINE_BUDGETS = {
     # sum + the 1-row state fan-in.
     "text_bpe_encode": (0, 0),
     "pack_incremental": (3, 0),
+    "multimodal_gif_pixel_stats": (0, 0),  # pure map pipeline, like wav/bmp/png
 }
 
 
