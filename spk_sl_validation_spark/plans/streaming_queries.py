@@ -724,3 +724,66 @@ from spk_sl_validation_spark.plans.registry import REGISTRY as _REG  # noqa: E40
 _REG["streaming_ivf_ingest"] = _dc.replace(
     _REG["streaming_ivf_ingest"], oracle=_REG["similarity_topk_ivf"].oracle
 )
+
+
+@register(
+    "streaming_pack_ingest",
+    doc=(
+        "streaming sequence-pack maintenance: a file stream of document "
+        "shards appended to the PERSISTED packed token stream per micro-"
+        "batch via 1-row state continuation (foreachBatch twin of "
+        "pack_sequences_continue; batch-partitioned dynamic-overwrite "
+        "writes + prior-batches-only state reads = exactly-once on replay; "
+        "out-of-order shards raise) — the resulting packed table equals the "
+        "batch pack_sequences over the whole corpus, i.e. its oracle "
+        "verbatim"
+    ),
+    oracle=None,  # replaced below with pack_sequences' oracle verbatim
+)
+def streaming_pack_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream == batch for the packed token stream: bootstrap a zero
+    state, split documents into two id-ordered shards (two
+    micro-batches; mtimes pinned so the file source processes them in
+    id order), continue-pack each against the persisted state, and
+    read back the packed table — byte-identical to packing the whole
+    corpus at once."""
+    import os
+    import pathlib
+    import shutil
+
+    from spk_sl_validation_spark.plans.assembly_queries import SEQ_LEN
+    from spk_sl_validation_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    k = docs.agg(F.floor(F.max("doc_id") / 2).cast("long").alias("k")).first()["k"]
+
+    label = pathlib.Path(sf_dir).name
+    base = pathlib.Path(f"/tmp/spk_sl_pack_ingest_{label}")
+    shutil.rmtree(base, ignore_errors=True)
+    pack_dir, source_dir, ckpt = str(base / "pack"), str(base / "incoming"), str(base / "ckpt")
+    P.write_pack_state(spark, pack_dir)  # zero bootstrap state
+    for i, pred in enumerate((F.col("doc_id") <= k, F.col("doc_id") > k)):
+        shard = f"{source_dir}/shard{i}"
+        docs.filter(pred).coalesce(1).write.mode("overwrite").parquet(shard)
+        # pin shard order for the file source (it sorts by mtime): the
+        # low-id shard must form the earlier micro-batch
+        t = 1_700_000_000 + i * 60
+        for p in pathlib.Path(shard).rglob("*"):
+            os.utime(p, (t, t))
+    q = P.ingest_pack_stream(spark, f"{source_dir}/*", pack_dir, ckpt, seq_len=SEQ_LEN)
+    q.awaitTermination()
+
+    packed = spark.read.parquet(f"{pack_dir}/packed")
+    return packed.select(
+        "doc_id", "n_tokens", "tok_offset", "seq_id", "offset_in_seq", "end_seq_id"
+    )
+
+
+from spk_sl_validation_spark.ext import assembly as _A  # noqa: E402
+
+# the stream-maintained packed table must equal the batch pack over the
+# full corpus — pack_sequences' oracle verbatim
+_REG["streaming_pack_ingest"] = _dc.replace(
+    _REG["streaming_pack_ingest"],
+    oracle=_A.pack_sequences_sql("documents", seq_len=2048),
+)

@@ -678,3 +678,128 @@ def ingest_ivf_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def write_pack_state(
+    spark: SparkSession,
+    pack_dir: str,
+    batch_id: int = -1,
+    n_docs: int = 0,
+    max_id: int | None = None,
+    total_tokens: int = 0,
+) -> None:
+    """Write one cumulative packing-state row as ``batch_id``'s
+    partition of ``{pack_dir}/state`` — the persisted form of
+    ext/assembly.pack_state. Bootstrap with the defaults (zero state at
+    batch_id=-1); :func:`ingest_pack_stream` appends one row per
+    micro-batch, so the replay-safe state for batch N is the row with
+    the greatest ``batch_id < N``."""
+    df = spark.createDataFrame(
+        [(int(n_docs), max_id, int(total_tokens))],
+        "n_docs long, max_id long, total_tokens long",
+    )
+    (
+        df.withColumn("batch_id", F.lit(batch_id))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(f"{pack_dir}/state")
+    )
+
+
+def _pack_ingest_process_batch(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    batch_id: int,
+    pack_dir: str,
+    seq_len: int = 2048,
+) -> None:
+    """One micro-batch of :func:`ingest_pack_stream`: continue the
+    packed token stream from the persisted state (cost ∝ batch — the
+    already-packed corpus is never re-read beyond its 1-row-per-batch
+    state table), append the batch's packed rows as its partition, and
+    write the new cumulative state row.
+
+    Idempotent for a fixed (batch contents, batch_id): state is read
+    only from partitions with ``batch_id < current`` — a replayed
+    batch resumes from the state its own failed attempt STARTED from —
+    and both writes dynamically overwrite the batch's own partition.
+    Ordering is ENFORCED, not assumed: pack_sequences_continue raises
+    if the batch's min id does not exceed the state's max_id, because
+    packing is id-ordered and a silent out-of-order append would
+    corrupt every downstream offset."""
+    from spk_sl_validation_spark.ext.assembly import pack_sequences_continue, pack_state
+    from spk_sl_validation_spark.ext.hashing import ws_tokens
+
+    batch_df = batch_df.localCheckpoint(eager=True)
+    prior = (
+        spark.read.parquet(f"{pack_dir}/state")
+        .filter(F.col("batch_id") < batch_id)
+        .orderBy(F.col("batch_id").desc())
+        .limit(1)
+        .drop("batch_id")
+        .localCheckpoint(eager=True)
+    )
+    packed = pack_sequences_continue(batch_df, prior, seq_len=seq_len)
+    (
+        packed.withColumn("batch_id", F.lit(batch_id))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(f"{pack_dir}/packed")
+    )
+    st = prior.first()
+    b = batch_df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max("doc_id").alias("mx"),
+        F.coalesce(F.sum(F.size(ws_tokens("text")).cast("long")), F.lit(0).cast("long")).alias(
+            "tok"
+        ),
+    ).first()
+    new_max = b["mx"] if b["mx"] is not None else st["max_id"]
+    write_pack_state(
+        spark,
+        pack_dir,
+        batch_id,
+        n_docs=st["n_docs"] + b["n"],
+        max_id=new_max,
+        total_tokens=st["total_tokens"] + b["tok"],
+    )
+
+
+def ingest_pack_stream(
+    spark: SparkSession,
+    source_dir: str,
+    pack_dir: str,
+    checkpoint_dir: str,
+    seq_len: int = 2048,
+    max_files_per_trigger: int = 1,
+):
+    """The production packing-ingest shape: a file stream of document
+    shards, each micro-batch appended to the PERSISTED packed token
+    stream via state continuation (mirror of :func:`ingest_ivf_stream`
+    for sequence packing; per-batch cost is the batch's own two-phase
+    prefix sum plus a 1-row state read — the packed corpus is never
+    re-packed).
+
+    Exactly-once across restarts: batch-partitioned dynamic-overwrite
+    writes + prior-batches-only state reads (see
+    :func:`_pack_ingest_process_batch`). Precondition: ``pack_dir``
+    holds a bootstrap state row (:func:`write_pack_state`) and shards
+    arrive in id order — out-of-order batches raise. Returns the
+    started StreamingQuery (availableNow trigger)."""
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        _pack_ingest_process_batch(spark, batch_df, batch_id, pack_dir, seq_len)
+
+    stream = (
+        spark.readStream.schema(schemas.DOCUMENTS)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(source_dir)
+    )
+    return (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
