@@ -403,6 +403,56 @@ def run(op: str, docs, n: int) -> dict:
             .agg(F.count(F.lit(1)).alias("n_novel"))
         )
         out = d.join(nov, "source", "left")
+    elif op == "substring_dedup":
+        # ExactSubstr maximal-span dedup (Lee et al. 2022): the span
+        # relation is the scale object (~tokens/8 rows per doc); the
+        # probe corpus's 15% dup mass gives real multi-span merges.
+        from spk_sl_validation_spark.ext.text import substring_dedup
+
+        out = substring_dedup(docs, "doc_id", "text")
+    elif op == "bpe_learn":
+        # Iterative BPE training: the corpus collapses to its
+        # DISTINCT-WORD frequency table before any iteration — probe
+        # cost should be the one tokenize+groupBy plus 5 vocab-sized
+        # iterations, near-independent of corpus duplication.
+        from spk_sl_validation_spark.ext.text import learn_bpe_merges
+
+        t0 = time.time()
+        merges = learn_bpe_merges(docs, "text", 5)
+        n_m = merges.count()
+        wall = time.time() - t0
+        return {
+            "op": op,
+            "docs": n,
+            "wall_sec": round(wall, 1),
+            "docs_per_sec": int(n / wall),
+            "merges": n_m,
+        }
+    elif op == "bpe_encode":
+        # Tokenizer serving: learn on a 1% sample (the tokenizer), then
+        # encode the WHOLE corpus as a pure narrow map — the timed
+        # window is the encode, the shape that runs at 100 TB.
+        from spk_sl_validation_spark.ext.text import bpe_encode_stats, learn_bpe_merges
+
+        merges = [
+            tuple(r)
+            for r in learn_bpe_merges(
+                docs.filter(F.col("doc_id") % 100 == 0), "text", 5
+            ).collect()
+        ]
+        t0 = time.time()
+        out = bpe_encode_stats(docs, merges)
+    elif op == "quality_train":
+        # Distributed batch GD for the logistic quality model: per
+        # iteration one exact-decimal hash aggregate over the corpus
+        # (3 iterations — the bounded oracle mode).
+        from spk_sl_validation_spark.ext.text import train_quality_model
+
+        t0 = time.time()
+        w = train_quality_model(docs, iters=3)
+        w.write.mode("overwrite").format("noop").save()
+        wall = time.time() - t0
+        return {"op": op, "docs": n, "wall_sec": round(wall, 1), "docs_per_sec": int(n / wall)}
     elif op == "boilerplate":
         # Worst-case census pressure: EVERY document carries the shared
         # header span, so one hash owns n rows in the distinct-doc
