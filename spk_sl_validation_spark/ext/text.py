@@ -256,13 +256,20 @@ def train_quality_model(
     replay every step exactly. Returns the 5-row ``(feature, weight
     decimal(28,12))`` relation, weights in ``QUALITY_FEATURES`` order.
 
-    Scale shape: the corpus is scanned once per iteration (features are
-    narrow column expressions; persist the feature frame upstream if
-    the scan dominates) and never shuffled — the only exchanges are the
-    6-number gradient partials. Fixed ``iters`` is the oracle mode;
-    :func:`train_quality_model_until_delta` is the production mode.
+    Scale shape: the feature frame (5 doubles/doc, narrow column
+    expressions over text) is localCheckpoint-materialized ONCE and
+    every iteration aggregates it — without the checkpoint the chained
+    lazy plan re-inlines the regex-heavy feature scan into EVERY
+    consumer subtree (each iteration's weights are a crossJoined
+    aggregate over the previous plan, so scans compound with iters:
+    measured **~50× at 1M docs for just 3 iterations**, 181 s → 3.5 s,
+    identical weights — same-session interleaved A/B).
+    The corpus is never shuffled — the only exchanges are the 6-number
+    gradient partials. Fixed ``iters`` is the oracle mode;
+    :func:`train_quality_model_until_delta` is the production mode
+    (same checkpoint-once shape).
     """
-    features = _quality_training_set(df, text_col, label_col)
+    features = _quality_training_set(df, text_col, label_col).localCheckpoint()
     spark = df.sparkSession
     wdf = spark.range(1).select(
         *[F.lit(0.0).alias(f"w_{name}") for name in QUALITY_FEATURES]
