@@ -306,3 +306,48 @@ FROM d JOIN agg ON d.doc_id = agg.doc_id
 def multimodal_gif_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     return M.gif_pixel_stats(M.synthesize_gif_table(docs))
+
+
+@register(
+    "multimodal_jpeg_pixel_stats",
+    doc=(
+        "REAL baseline-JPEG codec end-to-end: synthesize 3-component "
+        "YCbCr 4:4:4 JPEGs whose constant even-gray 8x8 blocks are BIT-EXACT "
+        "through the 16-step flat quantizer (DC-only spectra — lossless "
+        "through a lossy codec, so the oracle stays closed-form), decode via "
+        "the general marker walk + DHT-read canonical Huffman + DC "
+        "prediction + inverse zigzag + dequant + separable IDCT + YCbCr "
+        "conversion; the index-weighted RGB sum catches any Huffman, "
+        "prediction, zigzag, or IDCT bug"
+    ),
+    oracle="""
+WITH d AS (
+  SELECT doc_id, 8 * (1 + doc_id % 4) AS w, 8 * (1 + doc_id % 3) AS h
+  FROM documents
+),
+v AS (
+  SELECT doc_id, w, unnest(range(0, w * h * 3)) AS m FROM d
+),
+g AS (
+  SELECT doc_id, m,
+         2 * ((doc_id * 7 + ((m // 3) // w // 8) * 13
+               + (((m // 3) % w) // 8) * 31) % 128) AS val
+  FROM v
+),
+agg AS (
+  SELECT doc_id, SUM(val) AS pixel_sum, SUM(m * val) AS pixel_wsum
+  FROM g GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(d.w AS INTEGER) AS width,
+       CAST(d.h AS INTEGER) AS height,
+       CAST(3 AS INTEGER) AS channels,
+       CAST(agg.pixel_sum AS BIGINT) AS pixel_sum,
+       CAST(agg.pixel_wsum AS BIGINT) AS pixel_wsum,
+       true AS ok
+FROM d JOIN agg ON d.doc_id = agg.doc_id
+""",
+)
+def multimodal_jpeg_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return M.jpeg_pixel_stats(M.synthesize_jpeg_table(docs))

@@ -684,3 +684,137 @@ def test_gif_pixel_stats_flags_bad_rows(spark):
             (d + ((d + m // 3) % 16) * 7 + (m % 3) * 31) % 251 for m in range(w * h * 3)
         )
         assert rows[d].pixel_sum == want
+
+
+# ---------------------------------------------------------------------------
+# JPEG (baseline: markers + canonical Huffman + IDCT)
+# ---------------------------------------------------------------------------
+
+
+def test_jpeg_generation_law_is_bit_exact():
+    """Constant even-gray 8x8 blocks through the 16-step flat quantizer
+    are DC-only with exact-integer reconstruction — decoded pixels must
+    equal the source EXACTLY (the property that makes the SQL oracle
+    closed-form despite the codec being lossy in general)."""
+    import numpy as np
+
+    for d in (0, 1, 5, 23, 47, 101):
+        w, h, ch, raw = M._parse_jpeg(M._make_jpeg(d))
+        assert (w, h, ch) == (8 * (1 + d % 4), 8 * (1 + d % 3), 3)
+        px = np.frombuffer(raw, dtype=np.uint8).reshape(h, w, 3)
+        for by in range(h // 8):
+            for bx in range(w // 8):
+                g = 2 * ((d * 7 + by * 13 + bx * 31) % 128)
+                assert (px[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8, :] == g).all()
+
+
+def test_jpeg_registry_decodes_real_format():
+    w, h, ch = M.DECODERS["image/jpeg"](M._make_jpeg(14))
+    assert (w, h, ch) == (8 * (1 + 14 % 4), 8 * (1 + 14 % 3), 3)
+
+
+def test_jpeg_lossy_roundtrip_bounded():
+    """Arbitrary pixels through encode->decode stay within the flat-16
+    quantizer's error envelope (this exercises the AC run-length path,
+    ZRL, EOB, negative coefficients, and byte stuffing)."""
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    px = rng.randint(0, 256, size=(24, 32, 3), dtype=np.uint8)
+    w, h, ch, raw = M._parse_jpeg(M._encode_jpeg(px))
+    assert (w, h, ch) == (32, 24, 3)
+    dec = np.frombuffer(raw, dtype=np.uint8).reshape(24, 32, 3).astype(int)
+    assert np.abs(dec - px.astype(int)).mean() < 20
+
+
+def test_jpeg_grayscale_component_path():
+    import numpy as np
+
+    yy, xx = np.mgrid[0:16, 0:24]
+    gray = ((yy * 5 + xx * 3) % 256).astype(np.uint8)
+    w, h, ch, raw = M._parse_jpeg(M._encode_jpeg(gray))
+    assert (w, h, ch) == (24, 16, 1)
+    dec = np.frombuffer(raw, dtype=np.uint8).reshape(16, 24).astype(int)
+    assert np.abs(dec - gray.astype(int)).mean() < 20
+
+
+def test_jpeg_rejects_non_baseline():
+    raw = bytearray(M._make_jpeg(9))
+    # flip SOF0 (0xFFC0) to progressive SOF2 (0xFFC2)
+    i = raw.index(b"\xff\xc0")
+    raw[i + 1] = 0xC2
+    with pytest.raises(ValueError, match="non-baseline"):
+        M._parse_jpeg(bytes(raw))
+
+
+def test_jpeg_rejects_subsampling_and_restart():
+    raw = bytearray(M._make_jpeg(9))
+    i = raw.index(b"\xff\xc0")
+    raw[i + 11] = 0x22  # Y sampling factor 2x2
+    with pytest.raises(ValueError, match="subsampled"):
+        M._parse_jpeg(bytes(raw))
+    base = M._make_jpeg(9)
+    i = base.index(b"\xff\xda")
+    with_dri = base[:i] + b"\xff\xdd\x00\x04\x00\x08" + base[i:]
+    with pytest.raises(ValueError, match="restart"):
+        M._parse_jpeg(with_dri)
+
+
+def test_jpeg_parser_total_on_arbitrary_bytes():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.binary(max_size=256))
+    def run(raw):
+        try:
+            M._parse_jpeg(raw)
+        except ValueError:
+            pass
+
+    run()
+
+
+def test_jpeg_parser_total_on_mutated_valid_payloads():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    base = M._make_jpeg(41)
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.integers(min_value=0, max_value=len(base) - 1),
+        st.integers(min_value=0, max_value=255),
+        st.integers(min_value=0, max_value=len(base)),
+    )
+    def run(pos, byte, cut):
+        mutated = bytearray(base)
+        mutated[pos] = byte
+        raw = bytes(mutated[:cut])
+        try:
+            M._parse_jpeg(raw)
+        except ValueError:
+            pass
+
+    run()
+
+
+def test_jpeg_pixel_stats_flags_bad_rows(spark):
+    import pyspark.sql.functions as F
+
+    docs = spark.range(4).withColumnRenamed("id", "doc_id")
+    media = M.synthesize_jpeg_table(docs).withColumn(
+        "media",
+        F.when(F.col("doc_id") == 1, F.lit(b"\xff\xd8 garbage")).otherwise(F.col("media")),
+    )
+    rows = {r.doc_id: r for r in M.jpeg_pixel_stats(media).collect()}
+    assert rows[1].ok is False and rows[1].pixel_sum == 0
+    for d in (0, 2, 3):
+        assert rows[d].ok is True
+        w, h = 8 * (1 + d % 4), 8 * (1 + d % 3)
+        want = sum(
+            3 * 64 * 2 * ((d * 7 + by * 13 + bx * 31) % 128)
+            for by in range(h // 8)
+            for bx in range(w // 8)
+        )
+        assert rows[d].pixel_sum == want

@@ -150,6 +150,7 @@ NONHEADLINE_BUDGETS = {
     "text_bpe_encode": (0, 0),
     "pack_incremental": (3, 0),
     "multimodal_gif_pixel_stats": (0, 0),  # pure map pipeline, like wav/bmp/png
+    "multimodal_jpeg_pixel_stats": (0, 0),
 }
 
 
