@@ -864,6 +864,11 @@ def _lzw_encode(indices: bytes, mcs: int) -> bytes:
         buf = bytes([s])
     if buf:
         emit(table[buf], width)
+        # The decoder appends its pending entry AFTER reading this final
+        # data code; if that append fills 2^width the decoder widens
+        # before reading EOI, so EOI must be emitted at the new width.
+        if next_code == (1 << width) and width < 12:
+            width += 1
     emit(eoi, width)
     if nbits:
         out.append(acc & 0xFF)
@@ -1113,7 +1118,7 @@ def gif_pixel_stats(df: DataFrame, media_col: str = "media") -> DataFrame:
 # used with arbitrary pixels in the lossy-roundtrip test.
 #
 # Huffman tables: built programmatically as valid canonical tables
-# (DC: all 12 magnitude symbols at 4 bits; AC: all 176 run/size
+# (DC: all 12 magnitude symbols at 4 bits; AC: all 162 run/size
 # symbols at 9 bits — Kraft-satisfying, spec-legal) and EMITTED IN THE
 # DHT SEGMENTS, so any compliant reader decodes these files; nothing
 # depends on recalling Annex K's suggested tables.
@@ -1205,11 +1210,14 @@ def _jpeg_mag(v: int) -> tuple[int, int]:
     return size, code
 
 
-def _encode_jpeg(pixels, quality_step: int = 16) -> bytes:
+def _encode_jpeg(pixels, quality_step: int = 16, scan_order: tuple = (0, 1, 2)) -> bytes:
     """Real baseline JPEG encoder: FDCT + flat-step quantization +
     run-length/canonical-Huffman entropy coding. ``pixels``: numpy
     (h, w, 3) uint8 RGB (encoded as YCbCr 4:4:4) or (h, w) uint8
-    grayscale (one component); dims multiples of 8."""
+    grayscale (one component); dims multiples of 8. ``scan_order``
+    permutes the (Y, Cb, Cr) component order inside each MCU and in
+    the SOS header — spec-legal, used to test that the decoder maps
+    scan components back to SOF order (color path only)."""
     import struct
 
     import numpy as np
@@ -1235,9 +1243,13 @@ def _encode_jpeg(pixels, quality_step: int = 16) -> bytes:
 
     bw = _JpegBitWriter()
     pred = [0, 0, 0]
+    order = (0,) if gray else tuple(scan_order)
+    if sorted(order) != list(range(len(planes))):
+        raise ValueError(f"scan_order must permute {tuple(range(len(planes)))}")
     for by in range(h // 8):
         for bx in range(w // 8):
-            for ci, plane in enumerate(planes):
+            for ci in order:
+                plane = planes[ci]
                 block = plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
                 coef = C @ block @ C.T
                 q = np.rint(coef / qtab).astype(np.int64)
@@ -1300,10 +1312,10 @@ def _encode_jpeg(pixels, quality_step: int = 16) -> bytes:
             + bytes([0x01]) + bytes(dc_bits) + bytes(dc_vals)
             + bytes([0x11]) + bytes(ac_bits) + bytes(ac_vals),
         )
+        comp_specs = {0: bytes([1, 0x00]), 1: bytes([2, 0x11]), 2: bytes([3, 0x11])}
         sos = seg(
             0xFFDA,
-            bytes([3]) + bytes([1, 0x00]) + bytes([2, 0x11]) + bytes([3, 0x11])
-            + bytes([0, 63, 0]),
+            bytes([3]) + b"".join(comp_specs[ci] for ci in order) + bytes([0, 63, 0]),
         )
     return b"\xff\xd8" + dqt + sof + dht + sos + entropy + b"\xff\xd9"
 
@@ -1477,13 +1489,22 @@ def _parse_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
                 raise ValueError("truncated SOS body")
             if ns != sof[2]:
                 raise ValueError("SOS component count != SOF")
-            scan: list[tuple[int, int, int]] = []  # (quant tq, dc table, ac table)
+            # (SOF component index, quant tq, dc table, ac table) — the SOF
+            # index maps each scan component back to its declared position so
+            # a spec-legal SOS that reorders components (e.g. Cr before Cb)
+            # still lands each plane in Y/Cb/Cr slot order for color convert.
+            scan: list[tuple[int, int, int, int]] = []
             cid_to_tq = dict(comps)
+            cid_to_idx = {cid: i for i, (cid, _) in enumerate(comps)}
+            seen_cids: set[int] = set()
             for i in range(ns):
                 cid, tt = body[1 + 2 * i : 3 + 2 * i]
                 if cid not in cid_to_tq:
                     raise ValueError(f"SOS references unknown component {cid}")
-                scan.append((cid_to_tq[cid], tt >> 4, tt & 0x0F))
+                if cid in seen_cids:
+                    raise ValueError(f"SOS repeats component {cid}")
+                seen_cids.add(cid)
+                scan.append((cid_to_idx[cid], cid_to_tq[cid], tt >> 4, tt & 0x0F))
             if tuple(body[1 + 2 * ns : 4 + 2 * ns]) != (0, 63, 0):
                 raise ValueError("non-baseline spectral selection unsupported")
             break
@@ -1492,7 +1513,7 @@ def _parse_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
         else:
             raise ValueError(f"unknown JPEG marker 0xff{marker:02x}")
     w, h, nc = sof
-    for tq, tdc, tac in scan:
+    for _, tq, tdc, tac in scan:
         if tq not in qtabs or (0, tdc) not in huff or (1, tac) not in huff:
             raise ValueError("JPEG scan references a missing DQT/DHT table")
 
@@ -1504,7 +1525,7 @@ def _parse_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
     pred = [0] * nc
     for by in range(bh_mcus):
         for bx in range(bw_mcus):
-            for ci, (tq, tdc, tac) in enumerate(scan):
+            for ci, (sof_idx, tq, tdc, tac) in enumerate(scan):
                 dc_tab, ac_tab = huff[(0, tdc)], huff[(1, tac)]
                 q = qtabs[tq]
                 coef = np.zeros((8, 8))
@@ -1533,7 +1554,7 @@ def _parse_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
                     coef[yy, xx] = v * q[k]
                     k += 1
                 block = C.T @ coef @ C + 128.0
-                planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = block
+                planes[sof_idx][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = block
     out_planes = [np.clip(np.rint(p[:h, :w]), 0, 255) for p in planes]
     if nc == 1:
         return (w, h, 1, out_planes[0].astype(np.uint8).tobytes())

@@ -818,3 +818,45 @@ def test_jpeg_pixel_stats_flags_bad_rows(spark):
             for bx in range(w // 8)
         )
         assert rows[d].pixel_sum == want
+
+
+def test_jpeg_sos_component_reorder_decodes_to_sof_order():
+    """A spec-legal SOS may list components in any order; planes must
+    land in SOF (Y, Cb, Cr) slots, not scan position."""
+    import itertools
+
+    import numpy as np
+
+    rng = np.random.default_rng(42)
+    px = rng.integers(0, 256, size=(16, 24, 3), dtype=np.uint8)
+    base = M._parse_jpeg(M._encode_jpeg(px))
+    for order in itertools.permutations((0, 1, 2)):
+        assert M._parse_jpeg(M._encode_jpeg(px, scan_order=order)) == base
+
+
+def test_jpeg_sos_duplicate_component_rejected():
+    import numpy as np
+
+    base = bytearray(M._encode_jpeg(
+        np.zeros((8, 8, 3), dtype=np.uint8) + 64
+    ))
+    sos = bytes(base).find(b"\xff\xda")
+    assert sos >= 0
+    # component specs start at sos+5 (marker 2 + len 2 + ns 1); repeat comp 1
+    base[sos + 5 + 2] = 1  # second component id 2 -> 1
+    with pytest.raises(ValueError, match="repeats component"):
+        M._parse_jpeg(bytes(base))
+
+
+def test_gif_lzw_terminal_width_promotion():
+    """Encoder must widen before EOI when the decoder's post-append
+    fill reaches 2^width on the final data code (ADVICE round-8)."""
+    data = bytes([0, 1, 2, 3] * 4 + [0, 0])
+    assert M._lzw_decode(M._lzw_encode(data, 2), 2) == data
+    import random
+
+    rng = random.Random(7)
+    for _ in range(2000):
+        mcs = rng.randint(2, 8)
+        d = bytes(rng.randrange(1 << mcs) for _ in range(rng.randint(0, 60)))
+        assert M._lzw_decode(M._lzw_encode(d, mcs), mcs) == d
