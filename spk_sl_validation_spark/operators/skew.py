@@ -25,6 +25,7 @@ runtime; these helpers cover the cases AQE does not:
 
 from __future__ import annotations
 
+import os
 from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame
@@ -105,6 +106,20 @@ def write_bucketed(
     ``bucket_cols``. Subsequent equi-joins/aggregations on those
     columns between bucketed tables with matching bucket counts plan
     with no Exchange (verified in tests/test_scale_plans.py)."""
+    spark = df.sparkSession
+    if "." not in table and not spark.catalog.tableExists(table):
+        # An orphaned warehouse location with no catalog entry (left by
+        # an interrupted earlier run) makes saveAsTable throw
+        # LOCATION_ALREADY_EXISTS; DROP TABLE can't clear it because the
+        # catalog has nothing to drop. Remove the dangling directory.
+        import shutil
+        from urllib.parse import urlparse
+
+        warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir", "")).path
+        if warehouse:
+            orphan = os.path.join(warehouse, table.lower())
+            if os.path.isdir(orphan):
+                shutil.rmtree(orphan, ignore_errors=True)
     writer = df.write.mode(mode).bucketBy(n_buckets, *bucket_cols)
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
