@@ -567,6 +567,7 @@ def substring_dedup(
     text_col: str = "text",
     w: int = 8,
     min_len: int = 12,
+    ownership: str = "groupby",
 ):
     """ExactSubstr-style maximal duplicated-substring removal
     (Lee et al. 2022, "Deduplicating Training Data Makes Language
@@ -588,15 +589,20 @@ def substring_dedup(
 
     Scale shape: the corpus TEXT is never shuffled on the fingerprint
     key — windows are hashed to 8-byte longs immediately and only
-    ``(id, pos, h)`` rows ride the first exchange (window ``min(id)
-    over h``, streaming); surviving duplicated positions (usually a
-    tiny fraction) re-shuffle on ``id`` where islands, interval merge,
-    and the length gate are all windows/aggregates over that single
+    ``(id, pos, h)`` rows ride the fingerprint exchanges. Ownership is
+    ``groupBy(h).agg(min(id), count)`` (map-side partials absorb a
+    mega-hot fingerprint; a window over ``h`` would pin it to one
+    unsplittable task) + a ``count > 1``-gated join-back that AQE can
+    skew-split; surviving duplicated positions (usually a tiny
+    fraction) re-shuffle on ``id`` where islands, interval merge, and
+    the length gate are all windows/aggregates over that single
     partitioning. Reassembly joins the (small) per-doc interval arrays
     back to the token arrays — shuffle_hash-hinted, never broadcast
     (a 50%-duplicated corpus makes the interval side corpus-sized; AQE
-    re-upgrades genuinely small cases). Three exchanges end-to-end,
-    no self-join of the corpus, no driver state.
+    re-upgrades genuinely small cases). Four exchanges end-to-end, one
+    extra pure-map fingerprint scan (embarrassingly parallel) traded
+    for the removal of the only AQE-unsplittable hot spot; no
+    self-join of the corpus, no driver state.
     """
     from pyspark.sql import Window
 
@@ -611,11 +617,47 @@ def substring_dedup(
             )
         ).alias("pos", "span"),
     ).select(id_col, "pos", md5_long("span").alias("h"))
-    dup = (
-        sh.withColumn("owner", F.min(id_col).over(Window.partitionBy("h")))
-        .where(F.col(id_col) != F.col("owner"))
-        .select(id_col, "pos")
-    )
+    # Ownership via groupBy + join-back, NOT min() over
+    # Window.partitionBy("h"): a window puts every row of one
+    # fingerprint in a single unsplittable task (a boilerplate w-gram
+    # in 10^8 docs stalls there — AQE cannot split window partitions),
+    # whereas the groupBy's map-side partial aggregation absorbs the
+    # hot key and the join-back IS AQE-skew-splittable. Fingerprints
+    # seen once can never mark a duplicate (id == owner), so the
+    # __n > 1 gate shrinks the join build side to duplicate-candidate
+    # hashes only — unique windows dominate real corpora.
+    if ownership == "window":
+        # Probe-only legacy shape (tools/skew_probe.py A/B): correct but
+        # pins every row of one fingerprint to a single window task.
+        dup = (
+            sh.withColumn("owner", F.min(id_col).over(Window.partitionBy("h")))
+            .where(F.col(id_col) != F.col("owner"))
+            .select(id_col, "pos")
+        )
+    else:
+        cand = (
+            sh.groupBy("h")
+            .agg(F.min(id_col).alias("owner"), F.count(F.lit(1)).alias("__n"))
+            .where(F.col("__n") > 1)
+            .drop("__n")
+        )
+        # Lazy localCheckpoint: measured necessity, not style. With the
+        # agg inlined, OptimizeSkewedJoin never fires — its pattern
+        # requires BOTH join children to be plain ENSURE_REQUIREMENTS
+        # shuffle stages, and the agg-on-top-of-stage build side breaks
+        # it (verified empirically in tools/skew_probe.py substr_hot:
+        # inline agg / repartition / rebalance hints all give 0
+        # skew=true; the checkpointed leaf gives the split). The
+        # checkpoint materializes only (h, owner) for duplicated
+        # fingerprints — orders of magnitude under the window-row
+        # frame — and buys AQE the right to split a mega-hot
+        # fingerprint partition on the probe side.
+        cand = cand.localCheckpoint(eager=False)
+        dup = (
+            sh.join(cand.hint("shuffle_hash"), "h")
+            .where(F.col(id_col) != F.col("owner"))
+            .select(id_col, "pos")
+        )
     wdoc = Window.partitionBy(id_col).orderBy("pos")
     islands = dup.withColumn("grp", F.col("pos") - F.row_number().over(wdoc))
     intervals = islands.groupBy(id_col, "grp").agg(

@@ -167,10 +167,13 @@ def test_substring_dedup_matches_python_reference(spark, texts):
 
 
 def test_substring_dedup_plan_shape(spark, sf_dir):
-    """Three shuffle exchanges (fingerprint window, doc_id islands,
-    reassembly join), zero sort-merge joins, zero broadcasts (the
-    interval side is unbounded — shuffle_hash by contract), and the
-    corpus text scanned at most twice (fingerprint arm + token arm)."""
+    """Four shuffle exchanges (fingerprint groupBy + ownership
+    join-back — the AQE-skew-splittable replacement for the old
+    min-over-window-on-h hot spot — doc_id islands, reassembly join),
+    zero sort-merge joins, zero broadcasts (the interval side is
+    unbounded — shuffle_hash by contract), and the corpus text scanned
+    at most three times (two fingerprint arms + token arm; the extra
+    pure-map scan is the price of killing the unsplittable window)."""
     import re
     import sys
 
@@ -189,7 +192,7 @@ def test_substring_dedup_plan_shape(spark, sf_dir):
     assert st_["sort_merge_joins"] == 0, st_
     assert "CartesianProduct" not in formatted, "cartesian product in plan"
     n_scans = len(re.findall(r"\(\d+\) Scan parquet", formatted))
-    assert n_scans <= 2, f"corpus scanned {n_scans}x"
+    assert n_scans <= 3, f"corpus scanned {n_scans}x"
 
 
 def test_substring_dedup_matches_oracle(spark, sf_dir):

@@ -337,6 +337,95 @@ def run(spark, op: str, n: int) -> dict:
         )
         return out
 
+    if op == "substr_hot":
+        # ExactSubstr ownership under mega-hot fingerprints: one
+        # 16-token boilerplate phrase (>= min_len, so its spans
+        # actually get removed) appears in 50% of all docs, so each of
+        # its nine sliding w-gram hashes carries n/2 (id,pos) rows. The legacy
+        # min-over-Window.partitionBy(h) shape pins all of them to a
+        # single task (AQE cannot split window partitions); the
+        # groupBy(h)+join-back shape absorbs the key in map-side
+        # partials and leaves only an AQE-splittable join. Interleaved
+        # A/B (3 alternating runs each, same session), identical output
+        # row counts asserted.
+        from spk_sl_validation_spark.ext.text import substring_dedup
+
+        uniq = (
+            "concat_ws(' ', transform(sequence(0, {k} - 1),"
+            " i -> concat('t', CAST(id AS STRING), 'x', CAST(i + {off} AS STRING))))"
+        )
+        boiler = " ".join(f"boiler{i}" for i in range(16))
+        corpus = (
+            spark.range(n)
+            .select(
+                F.col("id").alias("doc_id"),
+                F.when(
+                    F.col("id") % 2 == 0,
+                    F.expr(
+                        f"concat({uniq.format(k=4, off=0)}, ' {boiler} ',"
+                        f" {uniq.format(k=4, off=100)})"
+                    ),
+                ).otherwise(F.expr(uniq.format(k=24, off=0))).alias("text"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        out = {"op": op, "docs": n, "hot_fingerprint_rows": n // 2}
+        walls: dict[str, list] = {"groupby": [], "window": []}
+        counts: dict[str, int] = {}
+        for rep in range(3):
+            for shape in ("groupby", "window"):
+                res = substring_dedup(corpus, "doc_id", "text", ownership=shape)
+                t0 = time.time()
+                c = res.where(F.col("n_spans_removed") > 0).count()
+                walls[shape].append(round(time.time() - t0, 1))
+                counts[shape] = c
+        assert counts["groupby"] == counts["window"], counts
+        out["docs_with_removed_spans"] = counts["groupby"]
+        for shape in ("groupby", "window"):
+            out[f"{shape}_walls_sec"] = walls[shape]
+            out[f"{shape}_median_sec"] = sorted(walls[shape])[1]
+            out[f"{shape}_min_sec"] = min(walls[shape])
+        out["speedup_groupby_vs_window"] = round(
+            out["window_median_sec"] / max(out["groupby_median_sec"], 1e-9), 2
+        )
+        # Structural half of the argument (drift-proof): with skew
+        # thresholds sized to probe bytes, the groupby shape's
+        # ownership join-back is AQE-skew-SPLIT (skew=true in the final
+        # adaptive plan); the window shape funnels the same hot rows
+        # into Window nodes behind a plain exchange AQE can never split
+        # — zero skew markers by construction, not by luck.
+        # (In the unforced plan AQE *broadcasts* the count>1-gated cand
+        # side — 9 rows here — so the probe arm never shuffles on h at
+        # all; broadcast is disabled below to force the shuffle join
+        # and show the skew split that backstops the big-cand case.)
+        conf = spark.conf
+        saved = {
+            k: conf.get(k)
+            for k in (
+                "spark.sql.autoBroadcastJoinThreshold",
+                "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+                "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+                "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            )
+        }
+        try:
+            conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+            conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "1m")
+            conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1m")
+            for shape in ("groupby", "window"):
+                plan = final_plan(
+                    substring_dedup(corpus, "doc_id", "text", ownership=shape).where(
+                        F.col("n_spans_removed") > 0
+                    )
+                )
+                out[f"{shape}_skew_true_joins"] = len(re.findall(r"skew=true", plan))
+                out[f"{shape}_window_nodes"] = len(re.findall(r"\(\d+\) Window", plan))
+        finally:
+            for k, v in saved.items():
+                conf.set(k, v)
+        return out
+
     raise SystemExit(f"unknown op {op!r}")
 
 
