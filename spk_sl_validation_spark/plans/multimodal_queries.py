@@ -351,3 +351,33 @@ FROM d JOIN agg ON d.doc_id = agg.doc_id
 def multimodal_jpeg_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     return M.jpeg_pixel_stats(M.synthesize_jpeg_table(docs))
+
+
+@register(
+    "multimodal_mp4_meta",
+    doc=(
+        "REAL stdlib ISO BMFF (MP4) container-metadata parse: synthesize "
+        "structurally varied mp4 payloads (faststart vs streaming box "
+        "order, v0/v1 mvhd+tkhd, 600 vs 1000 timescale, 64-bit largesize "
+        "mdat, interleaved free box, optional mp4a audio track), then walk "
+        "boxes generically — ftyp/moov/trak/tkhd(16.16 dims)/mvhd(duration "
+        "via timescale)/hdlr(vide)/stsd(codec fourcc) — as a zero-exchange "
+        "Arrow-batched pure map; frame decode stays the honest ffmpeg stub. "
+        "The oracle recomputes every parsed field from the generation law "
+        "in closed form"
+    ),
+    oracle="""
+SELECT doc_id,
+       CAST(16 * (1 + doc_id % 5) AS INTEGER) AS width,
+       CAST(16 * (1 + doc_id % 4) AS INTEGER) AS height,
+       CAST(500 * (1 + doc_id % 8) AS BIGINT) AS duration_ms,
+       CAST(1 + doc_id % 2 AS INTEGER) AS n_tracks,
+       CASE doc_id % 3 WHEN 0 THEN 'avc1' WHEN 1 THEN 'hev1' ELSE 'vp09' END
+         AS video_codec,
+       true AS ok
+FROM documents
+""",
+)
+def multimodal_mp4_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return M.mp4_container_meta(M.synthesize_mp4_table(docs))

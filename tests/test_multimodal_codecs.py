@@ -860,3 +860,105 @@ def test_gif_lzw_terminal_width_promotion():
         mcs = rng.randint(2, 8)
         d = bytes(rng.randrange(1 << mcs) for _ in range(rng.randint(0, 60)))
         assert M._lzw_decode(M._lzw_encode(d, mcs), mcs) == d
+
+
+# ---------------------------------------------------------------------------
+# MP4 / ISO BMFF container metadata
+# ---------------------------------------------------------------------------
+
+
+def test_mp4_generation_law_all_container_shapes():
+    """40 consecutive ids cover both box layouts (faststart/streaming),
+    v0 and v1 mvhd/tkhd, both timescales, largesize mdat, and 1/2
+    tracks — every parsed field must match the law."""
+    for d in range(40):
+        w, h, dur, nt, codec = M.parse_mp4_meta(M._make_mp4(d))
+        assert w == 16 * (1 + d % 5)
+        assert h == 16 * (1 + d % 4)
+        assert dur == 500 * (1 + d % 8)
+        assert nt == 1 + d % 2
+        assert codec == M._MP4_VIDEO_CODECS[d % 3]
+
+
+def test_mp4_rejects_structural_malformations():
+    base = M._make_mp4(6)  # faststart, v0, largesize mdat absent (6%4!=0)
+    ftyp_sz = int.from_bytes(base[:4], "big")
+    with pytest.raises(ValueError, match="ftyp"):
+        M.parse_mp4_meta(base[ftyp_sz:])  # whole ftyp box removed -> moov first
+    with pytest.raises(ValueError, match="moov"):
+        M.parse_mp4_meta(base[:ftyp_sz])  # keep only ftyp: no moov at all
+    with pytest.raises(ValueError):
+        M.parse_mp4_meta(b"")
+    # duplicated moov
+    moov_at = base.find(b"moov") - 4
+    moov_sz = int.from_bytes(base[moov_at : moov_at + 4], "big")
+    dup = base + base[moov_at : moov_at + moov_sz]
+    with pytest.raises(ValueError, match="one moov"):
+        M.parse_mp4_meta(dup)
+    # audio-only: flip the video handler to 'soun'
+    mut = bytearray(base)
+    mut[base.find(b"vide") : base.find(b"vide") + 4] = b"soun"
+    with pytest.raises(ValueError, match="no video trak"):
+        M.parse_mp4_meta(bytes(mut))
+
+
+def test_mp4_frame_decode_stays_stubbed():
+    with pytest.raises(NotImplementedError):
+        M.DECODERS["video/mp4"](M._make_mp4(3))
+
+
+def test_mp4_parser_total_on_arbitrary_bytes():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.binary(max_size=256))
+    def run(raw):
+        try:
+            M.parse_mp4_meta(raw)
+        except ValueError:
+            pass
+
+    run()
+
+
+def test_mp4_parser_total_on_mutated_valid_payloads():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    base = M._make_mp4(20)  # v1 boxes + largesize mdat (20%5==0, 20%4==0)
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.integers(min_value=0, max_value=len(base) - 1),
+        st.integers(min_value=0, max_value=255),
+        st.integers(min_value=0, max_value=len(base)),
+    )
+    def run(pos, byte, cut):
+        mutated = bytearray(base)
+        mutated[pos] = byte
+        raw = bytes(mutated[:cut])
+        try:
+            M.parse_mp4_meta(raw)
+        except ValueError:
+            pass
+
+    run()
+
+
+def test_mp4_container_meta_flags_bad_rows(spark):
+    import pyspark.sql.functions as F
+
+    docs = spark.range(6).withColumnRenamed("id", "doc_id")
+    media = M.synthesize_mp4_table(docs).withColumn(
+        "media",
+        F.when(F.col("doc_id") == 2, F.lit(b"\x00\x00\x00\x08ftyp")).otherwise(F.col("media")),
+    )
+    rows = {r.doc_id: r for r in M.mp4_container_meta(media).collect()}
+    assert rows[2].ok is False and rows[2].video_codec == ""
+    for d in (0, 1, 3, 4, 5):
+        r = rows[d]
+        assert r.ok is True
+        assert (r.width, r.height, r.duration_ms, r.n_tracks) == (
+            16 * (1 + d % 5), 16 * (1 + d % 4), 500 * (1 + d % 8), 1 + d % 2
+        )
