@@ -697,7 +697,10 @@ def streaming_ivf_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     bootstrap = emb.filter(F.col("vec_id") % 4 != 3)
 
-    label = pathlib.Path(sf_dir).name
+    # applicationId in the path: two concurrent sessions at the same
+    # scale factor must not race on the same index/checkpoint dirs
+    # (rmtree-then-ingest would corrupt one run's result).
+    label = f"{pathlib.Path(sf_dir).name}_{spark.sparkContext.applicationId}"
     base = pathlib.Path(f"/tmp/spk_sl_ivf_ingest_{label}")
     shutil.rmtree(base, ignore_errors=True)
     index_dir, source_dir, ckpt = str(base / "index"), str(base / "incoming"), str(base / "ckpt")
@@ -757,7 +760,8 @@ def streaming_pack_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     k = docs.agg(F.floor(F.max("doc_id") / 2).cast("long").alias("k")).first()["k"]
 
-    label = pathlib.Path(sf_dir).name
+    # applicationId: same concurrent-session isolation as the IVF ingest.
+    label = f"{pathlib.Path(sf_dir).name}_{spark.sparkContext.applicationId}"
     base = pathlib.Path(f"/tmp/spk_sl_pack_ingest_{label}")
     shutil.rmtree(base, ignore_errors=True)
     pack_dir, source_dir, ckpt = str(base / "pack"), str(base / "incoming"), str(base / "ckpt")
