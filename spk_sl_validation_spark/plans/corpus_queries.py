@@ -300,6 +300,7 @@ SUBSTR_MIN_LEN = 12  # Lee et al. length threshold (tokens)
 
 @register(
     "corpus_substring_dedup",
+    headline=True,
     doc=(
         "ExactSubstr maximal-span dedup (Lee et al. 2022): sliding "
         f"{SUBSTR_W}-token windows fingerprinted, non-owner duplicated "

@@ -310,6 +310,7 @@ def multimodal_gif_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "multimodal_jpeg_pixel_stats",
+    headline=True,
     doc=(
         "REAL baseline-JPEG codec end-to-end: synthesize 3-component "
         "YCbCr 4:4:4 JPEGs whose constant even-gray 8x8 blocks are BIT-EXACT "
@@ -355,6 +356,7 @@ def multimodal_jpeg_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "multimodal_mp4_meta",
+    headline=True,
     doc=(
         "REAL stdlib ISO BMFF (MP4) container-metadata parse: synthesize "
         "structurally varied mp4 payloads (faststart vs streaming box "

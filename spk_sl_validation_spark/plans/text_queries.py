@@ -497,6 +497,7 @@ FROM enc GROUP BY doc_id
 
 @register(
     "text_bpe_encode",
+    headline=True,
     doc=(
         f"tokenizer SERVING: learn {BPE_MERGES} BPE merges (text_bpe_learn's "
         "loop), collect the driver-side merge table (tens of rows — it is a "
@@ -580,6 +581,7 @@ FROM (SELECT unnest([{flist}]) AS feature, unnest([{wlist}]) AS weight FROM it{n
 
 @register(
     "text_quality_train",
+    headline=True,
     doc=(
         f"TRAINABLE quality classifier: {TRAIN_ITERS} batch-gradient-descent "
         "iterations fit the logistic model to the fixed-weight gate's labels "

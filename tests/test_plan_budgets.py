@@ -62,6 +62,19 @@ BUDGETS = {
     # cases to broadcast at runtime, but the static plan pins
     # the shuffle shape.
     "hybrid_rrf_retrieval": (12, 0),
+    # round-8 headline additions (the round-7 operator surface joins
+    # the regression bench): substring dedup = fingerprint groupBy +
+    # gated ownership join-back (the AQE-splittable de-skew shape) +
+    # islands + reassembly; quality_train's static tail = the scoring
+    # frame over the checkpointed feature frame (iterations are
+    # internal eager jobs; the 14 broadcasts are 1-row weight fan-ins);
+    # serving/codec queries are pure narrow maps — any exchange is a
+    # regression.
+    "corpus_substring_dedup": (4, 0),
+    "text_quality_train": (7, 0),
+    "text_bpe_encode": (0, 0),
+    "multimodal_jpeg_pixel_stats": (0, 0),
+    "multimodal_mp4_meta": (0, 0),
 }
 
 
@@ -83,7 +96,12 @@ NONHEADLINE_BUDGETS = {
     "embedding_mmr_select": (0, 0),
     "ngram_novelty": (5, 0),
     "ingest_novelty_batch": (4, 0),
-    "dedup_threshold_sweep": (12, 0),
+    # round-8: +6 static exchanges — ngram_jaccard_pairs' doc-sizes
+    # joins moved off forced F.broadcast (corpus-cardinality
+    # standalone) onto shuffle_hash hints, and the sweep re-inlines
+    # the pair relation per consumer; at runtime AQE upgrades the
+    # tiny sizes sides back to broadcast.
+    "dedup_threshold_sweep": (18, 0),
     "mixture_temperature": (3, 0),
     "tokenizer_fertility": (1, 0),
     "vocab_oov_rate": (3, 0),
@@ -142,15 +160,12 @@ NONHEADLINE_BUDGETS = {
     # exchanges before the single-explode restructure) + pair distinct
     # + verify chain + cosine joins
     "dedup_cross_modal": (11, 0),
-    # round-7: tokenizer serving is a PURE NARROW MAP (the learned
-    # merge table folds in as literals; the learn loop runs as
-    # separate eager jobs) — any exchange appearing here is a
-    # regression; incremental packing = batch-only two-phase prefix
-    # sum + the 1-row state fan-in.
-    "text_bpe_encode": (0, 0),
+    # round-7: incremental packing = batch-only two-phase prefix
+    # sum + the 1-row state fan-in. (text_bpe_encode and
+    # multimodal_jpeg_pixel_stats moved to the headline BUDGETS table
+    # in round 8.)
     "pack_incremental": (3, 0),
     "multimodal_gif_pixel_stats": (0, 0),  # pure map pipeline, like wav/bmp/png
-    "multimodal_jpeg_pixel_stats": (0, 0),
 }
 
 
