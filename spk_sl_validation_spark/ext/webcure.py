@@ -1,0 +1,250 @@
+"""Web-corpus curation: URL normalization, domain extraction, URL
+dedup, per-domain caps, domain blocklists.
+
+The standard pre-text curation layer of a web-scale training corpus
+(C4, RefinedWeb, FineWeb all start here): before any content-based
+dedup or quality gate runs, the crawl is canonicalized and diversified
+at the URL level. Everything here is JVM-side (``parse_url`` +
+``regexp_replace`` + windows/joins — no Python in the hot path), and
+every operator has a registered query whose DuckDB oracle recomputes
+the expected output in closed form from the fixture generation law
+(plans/webcure_queries.py) — the normalizer is hash-checked against
+the law, not against itself.
+
+Normalization contract (:func:`normalize_url`) — one documented
+canonical form, applied in this order:
+
+1. scheme and host lowercased;
+2. a leading ``www.`` label stripped (other subdomains — ``m.``,
+   ``cdn.`` — are kept: they usually serve different content);
+3. default ports dropped (``:80`` for http, ``:443`` for https;
+   non-default ports kept);
+4. tracking parameters removed: any key starting ``utm_``, plus
+   ``fbclid`` / ``gclid`` / ``msclkid`` — surviving parameters keep
+   their original relative order (no re-sort: ``?a=1&b=2`` and
+   ``?b=2&a=1`` are semantically equal but servers are not obliged to
+   agree, and a stable normalizer must not merge them);
+5. fragment dropped (never sent to the server);
+6. a trailing slash stripped from non-root paths (``/a/`` == ``/a``
+   for every mainstream server; the root path stays ``/``).
+
+Scale shape: normalization/domain extraction are pure narrow maps.
+URL dedup is one groupBy-min + semi join on the (short) normalized
+key — the corpus text never shuffles. The per-domain cap is a
+TWO-PHASE salted top-k: phase 1 ranks inside (domain, salt) — a
+mega-domain (half the crawl on one host is a real shape) splits
+across ``n_salts`` bounded window partitions; phase 2 re-ranks the
+<= n_salts * k survivors per domain. Identical output to the naive
+single window (the k global minima per domain are each a per-salt
+minimum), without the one-task-per-hot-domain stall that windows
+cannot AQE-split (the round-8 substring_dedup lesson, applied at
+design time).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+#: Tracking parameter keys stripped by :func:`normalize_url`.
+TRACKING_PARAM_RE = r"(utm_[A-Za-z0-9_]*|fbclid|gclid|msclkid)"
+
+#: Second-level labels that combine with a 2-letter ccTLD to form the
+#: public suffix (co.uk-style). A deliberately small, documented
+#: approximation of the Public Suffix List — swap in the real PSL as a
+#: broadcast lookup table for production crawls (the operator shape
+#: does not change).
+_SLD_SUFFIXES = ("co", "ac", "gov", "org", "net")
+
+
+def _strip_tracking(query: Column) -> Column:
+    """Remove tracking k=v pairs from a query string, preserving the
+    relative order of survivors. Pure regexp surgery (JVM-side):
+    drop '&key=…' / leading 'key=…' then tidy separators."""
+    q = F.regexp_replace(query, rf"(&|^){TRACKING_PARAM_RE}=[^&]*", "$1")
+    q = F.regexp_replace(q, r"^&+", "")
+    q = F.regexp_replace(q, r"&&+", "&")
+    return F.regexp_replace(q, r"&$", "")
+
+
+def normalize_url(url: Column | str) -> Column:
+    """Canonicalize a URL per the module contract. Built entirely from
+    ``parse_url`` + regexp expressions — whole-stage-codegen'd, no UDF."""
+    u = F.col(url) if isinstance(url, str) else url
+    scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    hostport = F.lower(F.parse_url(u, F.lit("HOST")))
+    # parse_url(HOST) excludes the port; extract it separately.
+    port = F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*:(\d+)", 1)
+    host = F.regexp_replace(hostport, r"^www\.", "")
+    keep_port = (
+        (port != "")
+        & ~((scheme == "http") & (port == "80"))
+        & ~((scheme == "https") & (port == "443"))
+    )
+    path = F.coalesce(F.parse_url(u, F.lit("PATH")), F.lit(""))
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    path = F.when(
+        (F.length(path) > 1) & path.endswith("/"), F.regexp_replace(path, "/$", "")
+    ).otherwise(path)
+    query = _strip_tracking(F.coalesce(F.parse_url(u, F.lit("QUERY")), F.lit("")))
+    return F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        F.when(keep_port, F.concat(F.lit(":"), port)).otherwise(F.lit("")),
+        path,
+        F.when(query != "", F.concat(F.lit("?"), query)).otherwise(F.lit("")),
+    )
+
+
+def extract_domain(norm_url: Column | str) -> Column:
+    """Registrable domain from a normalized URL: last two host labels,
+    or last three when the second-level label is a known public-suffix
+    combinator on a 2-letter ccTLD (``example.co.uk``). Documented PSL
+    approximation (see ``_SLD_SUFFIXES``)."""
+    u = F.col(norm_url) if isinstance(norm_url, str) else norm_url
+    host = F.regexp_extract(u, r"^[a-z][a-z0-9+.-]*://([^/:?#]*)", 1)
+    parts = F.split(host, r"\.")
+    n = F.size(parts)
+    sld = F.element_at(parts, -2)
+    tld = F.element_at(parts, -1)
+    is_ccsld = (
+        (n >= 3) & (F.length(tld) == 2) & sld.isin(*_SLD_SUFFIXES)
+    )
+    last3 = F.concat_ws(".", F.element_at(parts, -3), sld, tld)
+    last2 = F.concat_ws(".", sld, tld)
+    return F.when(n <= 2, host).when(is_ccsld, last3).otherwise(last2)
+
+
+def url_dedup(
+    df: DataFrame, url_col: str = "url", id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep one document per normalized URL (lowest ``id_col`` wins —
+    deterministic, oracle-replayable). The corpus frame never shuffles
+    on the URL: owners are a groupBy-min over (norm_url, id) pairs and
+    the keep decision rides a semi join on ``id_col``."""
+    keyed = df.select(F.col(id_col), normalize_url(url_col).alias("__nu"))
+    owners = keyed.groupBy("__nu").agg(F.min(id_col).alias(id_col))
+    return df.join(owners.select(id_col).hint("shuffle_hash"), id_col, "left_semi")
+
+
+def domain_cap(
+    df: DataFrame,
+    k: int,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    n_salts: int = 64,
+) -> DataFrame:
+    """Keep at most ``k`` documents per registrable domain (lowest
+    ``id_col`` first — deterministic). Two-phase salted top-k: a
+    mega-domain splits across ``n_salts`` bounded phase-1 window
+    partitions; phase 2 ranks <= n_salts * k survivors per domain.
+    Output identical to the naive single window over domain."""
+    dom = df.withColumn("__dom", extract_domain(normalize_url(url_col)))
+    salt = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_salts))
+    w1 = Window.partitionBy("__dom", "__salt").orderBy(id_col)
+    survivors = (
+        dom.withColumn("__salt", salt)
+        .withColumn("__rn1", F.row_number().over(w1))
+        .filter(F.col("__rn1") <= k)
+        .drop("__rn1", "__salt")
+    )
+    w2 = Window.partitionBy("__dom").orderBy(id_col)
+    return (
+        survivors.withColumn("__rn", F.row_number().over(w2))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn", "__dom")
+    )
+
+
+def blocklist_filter(
+    df: DataFrame, blocked: DataFrame, url_col: str = "url"
+) -> DataFrame:
+    """Drop documents whose registrable domain appears in ``blocked``
+    (a one-column ``domain`` frame). Anti join; blocklists are
+    dim-sized so the planner may broadcast, but nothing forces it —
+    a million-domain blocklist still works."""
+    dom = df.withColumn("__dom", extract_domain(normalize_url(url_col)))
+    return (
+        dom.join(
+            blocked.select(F.col("domain").alias("__dom")).hint("shuffle_hash"),
+            "__dom",
+            "left_anti",
+        ).drop("__dom")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fixture generation law (plans/webcure_queries.py oracles replay it)
+# ---------------------------------------------------------------------------
+#
+# Every SEMANTIC component (what survives normalization) is a function
+# of m = doc_id % 60 only, so the normalized URL has exactly 60
+# possible shapes and URL dedup / domain caps bite hard even at 500
+# docs. Every piece of NOISE the normalizer must remove — www. vs
+# naked host, upper-case scheme+host, default ports, trailing slash,
+# tracking params, fragments — is keyed off j = doc_id // 60, so raw
+# URLs differ within a normalized class. The oracle never sees the raw
+# string: it recomputes the expected normalized output from m alone.
+#
+#   scheme  = https if m%2==0 else http       sub = 'm.' iff m%3==2
+#   core    = site(m%5)                       tld = com if m%4<2 else co.uk
+#   port    = :8080 iff m%7==1                path = '/' if m%3==0 else /p/(m%3)
+#   query   = m%4: 0 -> none; 1,2 -> id=(m%2); 3 -> id=(m%2)&ref=r
+#   noise   = j%2 www-prefix, j%3 default port, j%5 trailing slash /
+#             empty-vs-root path, j%7 fragment, j%11 UPPERCASE
+
+
+def synthesize_url_table(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, url) under the generation law above. Pure Spark
+    expressions — the fixture writer itself is JVM-side."""
+    m = F.col(id_col) % 60
+    j = F.floor(F.col(id_col) / 60)
+    scheme = F.when(m % 2 == 0, F.lit("https")).otherwise(F.lit("http"))
+    raw_sub = (
+        F.when(m % 3 == 2, F.lit("m."))
+        .when(j % 2 == 0, F.lit("www."))
+        .otherwise(F.lit(""))
+    )
+    core = F.concat(F.lit("site"), (m % 5).cast("string"))
+    tld = F.when(m % 4 < 2, F.lit("com")).otherwise(F.lit("co.uk"))
+    host = F.concat(raw_sub, core, F.lit("."), tld)
+    port = (
+        F.when(m % 7 == 1, F.lit(":8080"))
+        .when(
+            j % 3 == 0,
+            F.when(m % 2 == 0, F.lit(":443")).otherwise(F.lit(":80")),
+        )
+        .otherwise(F.lit(""))
+    )
+    k = m % 3
+    path = (
+        F.when((k == 0) & (j % 5 == 0), F.lit("/"))
+        .when(k == 0, F.lit(""))
+        .otherwise(
+            F.concat(
+                F.lit("/p/"),
+                k.cast("string"),
+                F.when(j % 5 == 0, F.lit("/")).otherwise(F.lit("")),
+            )
+        )
+    )
+    b = (m % 2).cast("string")
+    query = (
+        F.when(m % 4 == 1, F.concat(F.lit("?id="), b))
+        .when(m % 4 == 2, F.concat(F.lit("?utm_source=feed&id="), b))
+        .when(m % 4 == 3, F.concat(F.lit("?id="), b, F.lit("&utm_campaign=x&ref=r")))
+        .otherwise(F.lit(""))
+    )
+    frag = F.when(j % 7 == 0, F.lit("#top")).otherwise(F.lit(""))
+    shout = j % 11 == 0
+    url = F.concat(
+        F.when(shout, F.upper(scheme)).otherwise(scheme),
+        F.lit("://"),
+        F.when(shout, F.upper(host)).otherwise(host),
+        port,
+        path,
+        query,
+        frag,
+    )
+    return docs.select(F.col(id_col), url.alias("url"))

@@ -315,6 +315,7 @@ QUERY_MODULES = (
     "event_queries",
     "graph_queries",
     "retrieval_queries",
+    "webcure_queries",
 )
 
 

@@ -1,0 +1,139 @@
+"""Web-corpus curation queries (URL layer of a crawl pipeline).
+
+Fixture URLs are synthesized under the generation law in
+``ext/webcure.py`` (semantic components a function of doc_id % 60,
+normalization noise — www/case/default ports/trailing slash/tracking
+params/fragments — keyed off doc_id // 60), so each oracle recomputes
+the expected NORMALIZED output in closed form from ``doc_id % 60``
+alone, byte-blind to the raw strings Spark actually parses. The
+normalizer is therefore hash-checked against the law, never against
+itself.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spk_sl_validation_spark.ext import webcure as W
+from spk_sl_validation_spark.plans.registry import register
+from spk_sl_validation_spark.sources.readers import load_table
+
+DOMAIN_CAP_K = 3
+BLOCKED_DOMAINS = ("site0.com", "site3.co.uk")
+
+# Shared oracle prelude: the normalized-URL law in SQL, on m = doc_id % 60.
+_ORACLE_LAW = """
+WITH u AS (
+  SELECT doc_id, doc_id % 60 AS m FROM documents
+),
+n AS (
+  SELECT doc_id,
+         (CASE WHEN m % 2 = 0 THEN 'https' ELSE 'http' END)
+         || '://'
+         || (CASE WHEN m % 3 = 2 THEN 'm.' ELSE '' END)
+         || 'site' || CAST(m % 5 AS VARCHAR) || '.'
+         || (CASE WHEN m % 4 < 2 THEN 'com' ELSE 'co.uk' END)
+         || (CASE WHEN m % 7 = 1 THEN ':8080' ELSE '' END)
+         || (CASE WHEN m % 3 = 0 THEN '/' ELSE '/p/' || CAST(m % 3 AS VARCHAR) END)
+         || (CASE m % 4 WHEN 0 THEN ''
+                        WHEN 3 THEN '?id=' || CAST(m % 2 AS VARCHAR) || '&ref=r'
+                        ELSE '?id=' || CAST(m % 2 AS VARCHAR) END) AS norm_url,
+         'site' || CAST(m % 5 AS VARCHAR) || '.'
+         || (CASE WHEN m % 4 < 2 THEN 'com' ELSE 'co.uk' END) AS domain
+  FROM u
+)
+"""
+
+
+def _urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return W.synthesize_url_table(docs)
+
+
+@register(
+    "web_url_normalize",
+    doc=(
+        "URL canonicalization, fully JVM-side (parse_url + regexp, no UDF): "
+        "lowercase scheme/host, strip leading www., drop default ports, "
+        "strip utm_*/fbclid/gclid/msclkid params preserving survivor order, "
+        "drop fragments, strip non-root trailing slash; plus registrable-"
+        "domain extraction with the co.uk-style public-suffix rule. Fixture "
+        "URLs carry all six noise axes; the oracle recomputes the canonical "
+        "form from the generation law in closed form"
+    ),
+    oracle=_ORACLE_LAW + "SELECT doc_id, norm_url, domain FROM n",
+)
+def web_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    urls = _urls(spark, sf_dir)
+    nu = W.normalize_url("url")
+    return urls.select(
+        "doc_id", nu.alias("norm_url"), W.extract_domain(nu).alias("domain")
+    )
+
+
+@register(
+    "web_url_dedup",
+    doc=(
+        "URL-level exact dedup (the crawl pre-pass before any content "
+        "dedup): one winner per NORMALIZED url, lowest doc_id — raw "
+        "variants differing only in case/www/ports/tracking/fragments "
+        "collapse. groupBy-min on the short normalized key + semi join; "
+        "the document frame never shuffles on the URL"
+    ),
+    oracle=_ORACLE_LAW
+    + """
+SELECT doc_id, norm_url FROM n
+QUALIFY doc_id = min(doc_id) OVER (PARTITION BY norm_url)
+""",
+)
+def web_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    urls = _urls(spark, sf_dir)
+    kept = W.url_dedup(urls)
+    return kept.select("doc_id", W.normalize_url("url").alias("norm_url"))
+
+
+@register(
+    "web_domain_cap",
+    doc=(
+        f"domain diversity cap: at most {DOMAIN_CAP_K} documents per "
+        "registrable domain, lowest doc_id first — TWO-PHASE salted top-k "
+        "(rank inside (domain, salt), then rank the <= n_salts*k survivors) "
+        "so a mega-domain never lands one unsplittable window partition; "
+        "output provably identical to the naive single window"
+    ),
+    oracle=_ORACLE_LAW
+    + f"""
+SELECT doc_id, domain FROM n
+QUALIFY row_number() OVER (PARTITION BY domain ORDER BY doc_id) <= {DOMAIN_CAP_K}
+""",
+)
+def web_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    urls = _urls(spark, sf_dir)
+    kept = W.domain_cap(urls, DOMAIN_CAP_K)
+    return kept.select(
+        "doc_id", W.extract_domain(W.normalize_url("url")).alias("domain")
+    )
+
+
+@register(
+    "web_blocklist_filter",
+    doc=(
+        "domain blocklist: anti join on the registrable domain "
+        "(shuffle_hash-hinted — a million-domain blocklist still works; "
+        "AQE broadcasts small ones)"
+    ),
+    oracle=_ORACLE_LAW
+    + "SELECT doc_id, domain FROM n WHERE domain NOT IN ("
+    + ", ".join(f"'{d}'" for d in BLOCKED_DOMAINS)
+    + ")",
+)
+def web_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    urls = _urls(spark, sf_dir)
+    blocked = spark.createDataFrame(
+        [(d,) for d in BLOCKED_DOMAINS], "domain string"
+    )
+    kept = W.blocklist_filter(urls, blocked)
+    return kept.select(
+        "doc_id", W.extract_domain(W.normalize_url("url")).alias("domain")
+    )

@@ -1,0 +1,144 @@
+"""ext.webcure: URL normalization/domain curation units.
+
+The registered queries hash-check the normalizer against the fixture
+law; these tests cover what the law cannot reach — adversarial inputs
+the writer never produces, the idempotence property, and the salted
+two-phase domain cap's equivalence to the naive single window.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from spk_sl_validation_spark.ext import webcure as W
+
+
+def _norm_one(spark, url: str) -> str:
+    return (
+        spark.createDataFrame([(url,)], "url string")
+        .select(W.normalize_url("url").alias("n"))
+        .first()["n"]
+    )
+
+
+CASES = [
+    # case + www + default port + fragment
+    ("HTTPS://WWW.Example.COM:443/A/b/#frag", "https://example.com/A/b"),
+    # path case is PRESERVED (paths are case-sensitive, hosts are not)
+    ("http://EXAMPLE.com:80/CaseSensitive", "http://example.com/CaseSensitive"),
+    # non-default port kept; root path added
+    ("https://example.com:8443", "https://example.com:8443/"),
+    # tracking params stripped wherever they sit; survivor order kept
+    (
+        "https://a.com/x?utm_source=s&b=2&utm_medium=m&a=1&fbclid=F",
+        "https://a.com/x?b=2&a=1",
+    ),
+    # all params are tracking -> no '?' at all
+    ("https://a.com/x?utm_source=s&gclid=G", "https://a.com/x"),
+    # www-only host does NOT collapse to empty
+    ("https://www.foo.org/", "https://foo.org/"),
+    # m. subdomain kept (serves different content)
+    ("https://m.foo.org/p/", "https://m.foo.org/p"),
+    # https default port + trailing slash on nested path
+    ("https://x.co.uk:443/a/", "https://x.co.uk/a"),
+    # 8080 on http kept, 80 on http dropped
+    ("http://h.net:8080/q?id=1#x", "http://h.net:8080/q?id=1"),
+]
+
+
+@pytest.mark.parametrize("raw,want", CASES)
+def test_normalize_adversarial_cases(spark, raw, want):
+    assert _norm_one(spark, raw) == want
+
+
+def test_normalize_is_idempotent(spark):
+    """normalize(normalize(u)) == normalize(u) — the canonical form is
+    a fixed point (checked over the fixture family AND the adversarial
+    cases)."""
+    urls = [r for r, _ in CASES]
+    df = W.synthesize_url_table(
+        spark.range(240).withColumnRenamed("id", "doc_id")
+    ).select("url").unionAll(spark.createDataFrame([(u,) for u in urls], "url string"))
+    once = df.select(W.normalize_url("url").alias("u1"))
+    twice = once.select("u1", W.normalize_url("u1").alias("u2"))
+    diff = twice.filter(F.col("u1") != F.col("u2"))
+    assert diff.count() == 0, diff.limit(5).collect()
+
+
+@pytest.mark.parametrize(
+    "url,want",
+    [
+        ("https://a.b.example.com/x", "example.com"),
+        ("https://shop.example.co.uk/x", "example.co.uk"),
+        ("https://example.co.uk/", "example.co.uk"),
+        ("https://ac.uk/", "ac.uk"),  # bare 2-label host stays itself
+        ("https://x.gov.br:8080/", "x.gov.br"),  # port excluded from host
+        ("https://localhost/x", "localhost"),
+    ],
+)
+def test_extract_domain_psl_rules(spark, url, want):
+    got = (
+        spark.createDataFrame([(url,)], "url string")
+        .select(W.extract_domain(W.normalize_url("url")).alias("d"))
+        .first()["d"]
+    )
+    assert got == want
+
+
+def test_domain_cap_equals_naive_window(spark):
+    """The salted two-phase top-k must be row-identical to the naive
+    single window over domain, including under a mega-domain (80% of
+    rows on one host)."""
+    docs = spark.range(2000).withColumnRenamed("id", "doc_id")
+    hot = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 5 < 4,
+            F.lit("https://hot.example.com/p/"),
+        )
+        .otherwise(F.concat(F.lit("https://cold"), (F.col("doc_id") % 17).cast("string"), F.lit(".org/p")))
+        .alias("url"),
+    )
+    for k in (1, 3, 7):
+        got = {r.doc_id for r in W.domain_cap(hot, k, n_salts=8).collect()}
+        w = Window.partitionBy(
+            W.extract_domain(W.normalize_url("url"))
+        ).orderBy("doc_id")
+        want = {
+            r.doc_id
+            for r in hot.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k)
+            .collect()
+        }
+        assert got == want, f"k={k}: {len(got)} vs {len(want)}"
+
+
+def test_url_dedup_keeps_lowest_id_per_class(spark):
+    """Raw variants that normalize identically collapse to the lowest
+    doc_id; distinct normalized urls all survive."""
+    rows = [
+        (0, "https://A.com/x?utm_source=s"),
+        (1, "https://a.com:443/x/"),
+        (2, "HTTPS://WWW.a.CoM/x#f"),
+        (3, "https://a.com/y"),
+        (4, "http://a.com/x"),  # different scheme -> different url
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    kept = sorted(r.doc_id for r in W.url_dedup(df).collect())
+    assert kept == [0, 3, 4]
+
+
+def test_blocklist_filter_drops_by_registrable_domain(spark):
+    rows = [
+        (0, "https://www.bad.com/x"),
+        (1, "https://sub.bad.com/y"),  # subdomain of blocked domain -> dropped
+        (2, "https://good.com/z"),
+        (3, "https://bad.co.uk/w"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    blocked = spark.createDataFrame([("bad.com",), ("bad.co.uk",)], "domain string")
+    kept = sorted(r.doc_id for r in W.blocklist_filter(df, blocked).collect())
+    assert kept == [2]
