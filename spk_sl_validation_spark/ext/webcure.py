@@ -30,15 +30,13 @@ canonical form, applied in this order:
 
 Scale shape: normalization/domain extraction are pure narrow maps.
 URL dedup is one groupBy-min + semi join on the (short) normalized
-key — the corpus text never shuffles. The per-domain cap is a
-TWO-PHASE salted top-k: phase 1 ranks inside (domain, salt) — a
-mega-domain (half the crawl on one host is a real shape) splits
-across ``n_salts`` bounded window partitions; phase 2 re-ranks the
-<= n_salts * k survivors per domain. Identical output to the naive
-single window (the k global minima per domain are each a per-salt
-minimum), without the one-task-per-hot-domain stall that windows
-cannot AQE-split (the round-8 substring_dedup lesson, applied at
-design time).
+key — the corpus text never shuffles. The per-domain cap rides
+Catalyst's WindowGroupLimit rewrite of rank-limit windows (map-side
+partial limit + final limit), which bounds a mega-domain's shuffle
+contribution at k rows per input partition — measured equal-or-better
+than a hand-salted two-phase top-k at 16M docs with 80% of the crawl
+on one domain, so the hand-salted variant was removed (let Catalyst
+optimize; tools/skew_probe.py domain_cap_hot holds the evidence).
 """
 
 from __future__ import annotations
@@ -133,25 +131,23 @@ def domain_cap(
     k: int,
     url_col: str = "url",
     id_col: str = "doc_id",
-    n_salts: int = 64,
 ) -> DataFrame:
     """Keep at most ``k`` documents per registrable domain (lowest
-    ``id_col`` first — deterministic). Two-phase salted top-k: a
-    mega-domain splits across ``n_salts`` bounded phase-1 window
-    partitions; phase 2 ranks <= n_salts * k survivors per domain.
-    Output identical to the naive single window over domain."""
+    ``id_col`` first — deterministic). Deliberately the PLAIN
+    rank-limit window: Catalyst rewrites ``row_number() <= k`` into a
+    WindowGroupLimit PAIR — a map-side partial limit (each input
+    partition ships at most k rows per domain into the shuffle) and a
+    final limit — so a mega-domain's shuffle mass is bounded at
+    k × n_input_partitions, not its row count. A hand-salted two-phase
+    top-k was built, probed, and REMOVED: it re-implements exactly
+    this rewrite one shuffle slower (tools/skew_probe.py
+    domain_cap_hot — 6.6 s vs 6.0 s min at 16M docs, 80% on one
+    domain; the plan pin in tests/test_webcure.py keeps the rewrite
+    from silently disappearing)."""
     dom = df.withColumn("__dom", extract_domain(normalize_url(url_col)))
-    salt = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_salts))
-    w1 = Window.partitionBy("__dom", "__salt").orderBy(id_col)
-    survivors = (
-        dom.withColumn("__salt", salt)
-        .withColumn("__rn1", F.row_number().over(w1))
-        .filter(F.col("__rn1") <= k)
-        .drop("__rn1", "__salt")
-    )
-    w2 = Window.partitionBy("__dom").orderBy(id_col)
+    w = Window.partitionBy("__dom").orderBy(id_col)
     return (
-        survivors.withColumn("__rn", F.row_number().over(w2))
+        dom.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= k)
         .drop("__rn", "__dom")
     )

@@ -48,6 +48,14 @@ RATIO_BUDGETS = {
     # round-4 second-half promotion: RRF fusion measured ~3.5 vs
     # pricing_summary (2.2 s vs 0.62 s, same session) — x3 headroom
     "hybrid_rrf_retrieval": 11.0,
+    # round-8 headline additions (measured vs pricing_summary 0.52 s
+    # on the 20-query sf0.1 bench row: substr 4.6, bpe 4.0, train 2.9,
+    # jpeg 9.3 — Python-codec bound, pure map — mp4 0.9; x3 headroom)
+    "corpus_substring_dedup": 14.0,
+    "text_bpe_encode": 12.0,
+    "text_quality_train": 9.0,
+    "multimodal_jpeg_pixel_stats": 28.0,
+    "multimodal_mp4_meta": 3.0,
 }
 # catastrophic-only absolute cap for the calibrator itself (sf0.1)
 CALIBRATOR_MAX_SEC = 20.0

@@ -166,6 +166,16 @@ NONHEADLINE_BUDGETS = {
     # in round 8.)
     "pack_incremental": (3, 0),
     "multimodal_gif_pixel_stats": (0, 0),  # pure map pipeline, like wav/bmp/png
+    # round-8 URL curation layer: normalize is a pure narrow map (any
+    # exchange is a regression); dedup = key groupBy + semi join;
+    # cap = ONE rank-limit window shuffle (Catalyst's WindowGroupLimit
+    # pair bounds the hot domain map-side — pinned in
+    # tests/test_webcure.py); blocklist = anti join (both sides
+    # shuffle; AQE broadcasts small blocklists at runtime).
+    "web_url_normalize": (0, 0),
+    "web_url_dedup": (3, 0),
+    "web_domain_cap": (1, 0),
+    "web_blocklist_filter": (2, 0),
 }
 
 

@@ -88,12 +88,9 @@ def test_extract_domain_psl_rules(spark, url, want):
     assert got == want
 
 
-def test_domain_cap_equals_naive_window(spark):
-    """The salted two-phase top-k must be row-identical to the naive
-    single window over domain, including under a mega-domain (80% of
-    rows on one host)."""
-    docs = spark.range(2000).withColumnRenamed("id", "doc_id")
-    hot = docs.select(
+def _hot_crawl(spark, n=2000):
+    docs = spark.range(n).withColumnRenamed("id", "doc_id")
+    return docs.select(
         "doc_id",
         F.when(
             F.col("doc_id") % 5 < 4,
@@ -102,18 +99,39 @@ def test_domain_cap_equals_naive_window(spark):
         .otherwise(F.concat(F.lit("https://cold"), (F.col("doc_id") % 17).cast("string"), F.lit(".org/p")))
         .alias("url"),
     )
+
+
+def test_domain_cap_semantics(spark):
+    """At most k per registrable domain, lowest doc_id first."""
+    hot = _hot_crawl(spark)
     for k in (1, 3, 7):
-        got = {r.doc_id for r in W.domain_cap(hot, k, n_salts=8).collect()}
-        w = Window.partitionBy(
-            W.extract_domain(W.normalize_url("url"))
-        ).orderBy("doc_id")
-        want = {
-            r.doc_id
-            for r in hot.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") <= k)
-            .collect()
-        }
+        rows = W.domain_cap(hot, k).collect()
+        got = {r.doc_id for r in rows}
+        # reference: python top-k per domain
+        by_dom: dict[str, list[int]] = {}
+        for r in _hot_crawl(spark).collect():
+            dom = "hot.example.com" if r.doc_id % 5 < 4 else f"cold{r.doc_id % 17}.org"
+            by_dom.setdefault(dom, []).append(r.doc_id)
+        want = {i for ids in by_dom.values() for i in sorted(ids)[:k]}
         assert got == want, f"k={k}: {len(got)} vs {len(want)}"
+
+
+def test_domain_cap_plan_uses_window_group_limit(spark):
+    """The scale property: Catalyst must rewrite the rank-limit window
+    into a WindowGroupLimit PAIR (map-side partial + final) so a
+    mega-domain ships at most k rows per input partition into the
+    shuffle. domain_cap is deliberately the plain window BECAUSE of
+    this rewrite — if it disappears (regression or a version change),
+    the operator needs the hand-salted two-phase shape back
+    (tools/skew_probe.py domain_cap_hot documents the trade)."""
+    import re
+
+    df = W.domain_cap(_hot_crawl(spark), 5)
+    fmt = spark._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    n_wgl = len(re.findall(r"\(\d+\) WindowGroupLimit", fmt))
+    assert n_wgl >= 2, f"WindowGroupLimit pair missing from plan:\n{fmt[:2000]}"
 
 
 def test_url_dedup_keeps_lowest_id_per_class(spark):

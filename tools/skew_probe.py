@@ -426,6 +426,79 @@ def run(spark, op: str, n: int) -> dict:
                 conf.set(k, v)
         return out
 
+    if op == "domain_cap_hot":
+        # URL-curation skew probe: 80% of the crawl on ONE domain. The
+        # shipped domain_cap is the PLAIN rank-limit window — Catalyst
+        # rewrites it to a WindowGroupLimit pair (map-side partial +
+        # final), bounding the hot domain's shuffle mass at k rows per
+        # input partition. The contender here is the hand-salted
+        # two-phase top-k this repo almost shipped instead; the probe
+        # is the evidence it would have been redundant machinery.
+        # Interleaved A/B, identical keep sets asserted.
+        from spk_sl_validation_spark.ext.webcure import (
+            domain_cap,
+            extract_domain,
+            normalize_url,
+        )
+        from pyspark.sql import Window as W
+
+        crawl = (
+            spark.range(n)
+            .select(
+                F.col("id").alias("doc_id"),
+                F.when(
+                    F.col("id") % 5 < 4, F.lit("https://hot.example.com/p/")
+                )
+                .otherwise(
+                    F.concat(
+                        F.lit("https://cold"),
+                        (F.col("id") % 997).cast("string"),
+                        F.lit(".org/p"),
+                    )
+                )
+                .alias("url"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        k = 100
+        out = {"op": op, "docs": n, "hot_rows": n * 4 // 5, "k": k}
+        walls: dict[str, list] = {"window_group_limit": [], "hand_salted": []}
+        counts: dict[str, int] = {}
+
+        def hand_salted(df, k, n_salts=64):
+            dom = df.withColumn("__dom", extract_domain(normalize_url("url")))
+            salt = F.pmod(F.xxhash64(F.col("doc_id")), F.lit(n_salts))
+            w1 = W.partitionBy("__dom", "__salt").orderBy("doc_id")
+            surv = (
+                dom.withColumn("__salt", salt)
+                .withColumn("__rn1", F.row_number().over(w1))
+                .filter(F.col("__rn1") <= k)
+                .drop("__rn1", "__salt")
+            )
+            w2 = W.partitionBy("__dom").orderBy("doc_id")
+            return (
+                surv.withColumn("__rn", F.row_number().over(w2))
+                .filter(F.col("__rn") <= k)
+                .drop("__rn", "__dom")
+            )
+
+        for rep in range(3):
+            for shape in ("window_group_limit", "hand_salted"):
+                res = domain_cap(crawl, k) if shape == "window_group_limit" else hand_salted(crawl, k)
+                t0 = time.time()
+                counts[shape] = res.count()
+                walls[shape].append(round(time.time() - t0, 1))
+        assert counts["window_group_limit"] == counts["hand_salted"], counts
+        out["kept"] = counts["window_group_limit"]
+        for shape, ws in walls.items():
+            out[f"{shape}_walls_sec"] = ws
+            out[f"{shape}_median_sec"] = sorted(ws)[1]
+            out[f"{shape}_min_sec"] = min(ws)
+        out["shipped_vs_salted"] = round(
+            out["hand_salted_median_sec"] / max(out["window_group_limit_median_sec"], 1e-9), 2
+        )
+        return out
+
     raise SystemExit(f"unknown op {op!r}")
 
 
