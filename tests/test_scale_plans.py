@@ -537,3 +537,25 @@ def test_write_zorder_bounds_both_dims(spark, sf_dir, tmp_path):
     assert max(spans(xpath, "l_partkey")) > 0.9 * g_y
 
     assert spark.read.parquet(zpath).count() == li.count()
+
+
+def test_top_k_per_group_gets_window_group_limit(spark, sf_dir):
+    """Catalyst's InferWindowGroupLimit must rewrite the rank-limit
+    window into a partial+final WindowGroupLimit pair — the map-side
+    bound that makes plain rank-limited windows hot-key-safe (the
+    round-8 domain_cap finding, pinned on the general operator: every
+    rank-tail in the engine inherits this)."""
+    import re
+
+    from spk_sl_validation_spark.operators import relational as R
+    from spk_sl_validation_spark.sources.readers import load_table
+
+    import pyspark.sql.functions as F
+
+    li = load_table(spark, sf_dir, "lineitem")
+    df = R.top_k_per_group(
+        li, ["l_suppkey"], [F.col("l_extendedprice").desc(), F.col("l_orderkey")], 5
+    )
+    fmt = spark._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+    n = len(re.findall(r"\(\d+\) WindowGroupLimit", fmt))
+    assert n >= 2, f"WindowGroupLimit pair missing:\n{fmt[:1500]}"
