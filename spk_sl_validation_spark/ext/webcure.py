@@ -244,3 +244,86 @@ def synthesize_url_table(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
         frag,
     )
     return docs.select(F.col(id_col), url.alias("url"))
+
+
+# ---------------------------------------------------------------------------
+# HTML → text extraction (the raw-crawl step ahead of every text op)
+# ---------------------------------------------------------------------------
+#
+# C4-class tag stripping as a JVM-side regexp chain (whole-stage
+# codegen; zero Python in the hot path): script/style/noscript blocks
+# and comments removed whole, remaining tags become whitespace, the
+# common entities decode (&lt; &gt; &quot; &#39; &nbsp; first, &amp;
+# LAST so double-encodings resolve one level, like a single-pass
+# parser), whitespace collapses. Documented limits, same as every
+# regexp extractor: an attribute value containing a literal '>' ends
+# the tag early, and CDATA is not special-cased — swap in a real DOM
+# parse via mapInPandas for corpora where that matters; the operator
+# and oracle shapes do not change.
+
+
+def html_to_text(html: Column | str) -> Column:
+    """Extract visible text from an HTML payload per the module
+    contract above."""
+    h = F.col(html) if isinstance(html, str) else html
+    h = F.regexp_replace(h, r"(?is)<(script|style|noscript)\b[^>]*>.*?</\1\s*>", " ")
+    h = F.regexp_replace(h, r"(?s)<!--.*?-->", " ")
+    h = F.regexp_replace(h, r"<[^>]*>", " ")
+    for ent, rep in (
+        ("&lt;", "<"), ("&gt;", ">"), ("&quot;", "\""), ("&#39;", "'"), ("&nbsp;", " "),
+    ):
+        h = F.regexp_replace(h, ent, rep)
+    h = F.regexp_replace(h, "&amp;", "&")
+    return F.trim(F.regexp_replace(h, r"\s+", " "))
+
+
+def html_meta(html: Column | str) -> tuple[Column, Column]:
+    """(title, n_links) from an HTML payload: first <title> text and
+    the number of <a …> anchors — the two fields crawl frontiers and
+    datasheets ask for before any extraction runs."""
+    h = F.col(html) if isinstance(html, str) else html
+    title = F.trim(F.regexp_extract(h, r"(?is)<title[^>]*>(.*?)</title\s*>", 1))
+    n_links = F.size(F.split(h, r"(?i)<a\s")) - 1
+    return title, n_links
+
+
+def synthesize_html_table(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, html) wrapping each document's text in a full page
+    under a closed-form law: title ``T<id>``, an ``&amp;``-entity
+    heading, a classed paragraph holding the text verbatim, ``id % 4``
+    nav links with anchor texts ``L0..``, plus comment/style/script
+    noise (the script body carries a decoy entity that must vanish
+    whole). Extracted text is exactly
+    ``T<id> T&<id> <text> [L0 L1 ...]`` — the oracle recomputes it
+    from documents.text without parsing any HTML."""
+    i = F.col(id_col).cast("string")
+    # sequence(0, -1) DESCENDS in Spark — guard the zero-link case.
+    nav = F.when(F.col(id_col) % 4 == 0, F.lit("")).otherwise(
+        F.concat_ws(
+            "",
+            F.transform(
+                F.sequence(F.lit(0), F.col(id_col) % 4 - 1),
+                lambda j: F.concat(
+                    F.lit('<a href="https://site'),
+                    j.cast("string"),
+                    F.lit('.com/l">L'),
+                    j.cast("string"),
+                    F.lit("</a>"),
+                ),
+            ),
+        )
+    )
+    html = F.concat(
+        F.lit("<html><head><title>T"), i,
+        F.lit("</title><style>body { color: #000; }</style>"
+              '<script type="text/javascript">var x = "&amp;"; if (1 > 0) {}</script>'
+              "</head><body><!-- noise "), i,
+        F.lit(' --><h1 class="h">T&amp;'), i,
+        F.lit('</h1><p class="c'), (F.col(id_col) % 3).cast("string"),
+        F.lit('">'), F.col(text_col),
+        F.lit("</p><nav>"), nav,
+        F.lit("</nav></body></html>"),
+    )
+    return docs.select(F.col(id_col), html.alias("html"))

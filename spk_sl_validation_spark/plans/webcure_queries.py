@@ -97,10 +97,11 @@ def web_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "web_domain_cap",
     doc=(
         f"domain diversity cap: at most {DOMAIN_CAP_K} documents per "
-        "registrable domain, lowest doc_id first — TWO-PHASE salted top-k "
-        "(rank inside (domain, salt), then rank the <= n_salts*k survivors) "
-        "so a mega-domain never lands one unsplittable window partition; "
-        "output provably identical to the naive single window"
+        "registrable domain, lowest doc_id first — a plain rank-limit "
+        "window, deliberately: Catalyst's WindowGroupLimit rewrite bounds "
+        "a mega-domain's shuffle mass map-side at k rows per input "
+        "partition (plan-pinned; probed 1.1x faster than the hand-salted "
+        "two-phase alternative at 16M docs, 80% on one domain)"
     ),
     oracle=_ORACLE_LAW
     + f"""
@@ -137,3 +138,50 @@ def web_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.select(
         "doc_id", W.extract_domain(W.normalize_url("url")).alias("domain")
     )
+
+
+@register(
+    "web_html_to_text",
+    doc=(
+        "HTML -> text extraction as a JVM-side regexp chain (C4-class, "
+        "whole-stage codegen, zero Python): script/style/comment blocks "
+        "removed whole (a decoy entity inside the script must vanish with "
+        "it), tags to whitespace, entities decoded (&amp; last), whitespace "
+        "collapsed. Fixture pages wrap documents.text in a full page with "
+        "title/heading/classed paragraph/nav links; the oracle recomputes "
+        "the extracted text from documents.text without parsing any HTML"
+    ),
+    oracle="""
+SELECT doc_id,
+       'T' || CAST(doc_id AS VARCHAR) || ' T&' || CAST(doc_id AS VARCHAR)
+       || ' ' || text
+       || (CASE doc_id % 4 WHEN 0 THEN '' WHEN 1 THEN ' L0'
+                           WHEN 2 THEN ' L0 L1' ELSE ' L0 L1 L2' END)
+         AS text_out
+FROM documents
+""",
+)
+def web_html_to_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    pages = W.synthesize_html_table(docs)
+    return pages.select("doc_id", W.html_to_text("html").alias("text_out"))
+
+
+@register(
+    "web_html_meta",
+    doc=(
+        "HTML page metadata (title + anchor count) via regexp extraction — "
+        "the crawl-frontier fields read before any text extraction runs"
+    ),
+    oracle="""
+SELECT doc_id,
+       'T' || CAST(doc_id AS VARCHAR) AS title,
+       CAST(doc_id % 4 AS INTEGER) AS n_links
+FROM documents
+""",
+)
+def web_html_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    pages = W.synthesize_html_table(docs)
+    title, n_links = W.html_meta("html")
+    return pages.select("doc_id", title.alias("title"), n_links.alias("n_links"))

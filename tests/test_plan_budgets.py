@@ -176,6 +176,8 @@ NONHEADLINE_BUDGETS = {
     "web_url_dedup": (3, 0),
     "web_domain_cap": (1, 0),
     "web_blocklist_filter": (2, 0),
+    "web_html_to_text": (0, 0),  # pure narrow regexp chain
+    "web_html_meta": (0, 0),
 }
 
 

@@ -1,9 +1,10 @@
 """ext.webcure: URL normalization/domain curation units.
 
-The registered queries hash-check the normalizer against the fixture
-law; these tests cover what the law cannot reach — adversarial inputs
-the writer never produces, the idempotence property, and the salted
-two-phase domain cap's equivalence to the naive single window.
+The registered queries hash-check the extractors against the fixture
+laws; these tests cover what the laws cannot reach — adversarial
+inputs the writers never produce, the normalize-idempotence property,
+domain-cap semantics plus its WindowGroupLimit plan pin, and the
+HTML-stripper edge cases.
 """
 
 from __future__ import annotations
@@ -160,3 +161,41 @@ def test_blocklist_filter_drops_by_registrable_domain(spark):
     blocked = spark.createDataFrame([("bad.com",), ("bad.co.uk",)], "domain string")
     kept = sorted(r.doc_id for r in W.blocklist_filter(df, blocked).collect())
     assert kept == [2]
+
+
+@pytest.mark.parametrize(
+    "html,want",
+    [
+        # uppercase tags + attributes; style removed whole
+        ("<HTML><STYLE>p {c}</STYLE><P CLASS='x'>a b</P></HTML>", "a b"),
+        # script with a '>' inside a string still ends at </script>
+        ('<script>if (1 > 0) { x("</div>"); }</script>after', "after"),
+        # double-encoded entity decodes ONE level (&amp;lt; -> &lt;)
+        ("<p>&amp;lt;tag&amp;gt;</p>", "&lt;tag&gt;"),
+        # nbsp becomes a collapsible space; #39 and quot decode
+        ("<p>a&nbsp;&nbsp;b &#39;c&#39; &quot;d&quot;</p>", "a b 'c' \"d\""),
+        # comments spanning lines removed whole
+        ("x<!-- line1\nline2 -->y", "x y"),
+        # noscript removed
+        ("<noscript><img src=x></noscript>keep", "keep"),
+    ],
+)
+def test_html_to_text_adversarial(spark, html, want):
+    got = (
+        spark.createDataFrame([(html,)], "html string")
+        .select(W.html_to_text("html").alias("t"))
+        .first()["t"]
+    )
+    assert got == want
+
+
+def test_html_meta_title_and_links(spark):
+    html = (
+        "<html><head><TITLE> Spaced Title </TITLE></head>"
+        '<body><a href="/1">x</a><A HREF="/2">y</A><p>no a here</p></body></html>'
+    )
+    df = spark.createDataFrame([(html,)], "html string")
+    title, n_links = W.html_meta("html")
+    r = df.select(title.alias("t"), n_links.alias("n")).first()
+    assert r.t == "Spaced Title"
+    assert r.n == 2
