@@ -315,9 +315,25 @@ def synthesize_html_table(
             ),
         )
     )
+    robots = F.element_at(
+        F.array(*[F.lit(v) for v in ROBOTS_LAW]), (F.col(id_col) % 5).cast("int") + 1
+    )
+    # Attribute order alternates (name-first vs content-first) so the
+    # robots extractor cannot assume one; no tag at all when the law
+    # says ''. Attribute-only content — invisible to html_to_text.
+    meta_robots = F.when(robots == "", F.lit("")).otherwise(
+        F.when(
+            F.col(id_col) % 2 == 0,
+            F.concat(F.lit('<meta name="robots" content="'), robots, F.lit('">')),
+        ).otherwise(
+            F.concat(F.lit('<meta content="'), robots, F.lit('" name="robots">'))
+        )
+    )
     html = F.concat(
         F.lit("<html><head><title>T"), i,
-        F.lit("</title><style>body { color: #000; }</style>"
+        F.lit("</title>"),
+        meta_robots,
+        F.lit("<style>body { color: #000; }</style>"
               '<script type="text/javascript">var x = "&amp;"; if (1 > 0) {}</script>'
               "</head><body><!-- noise "), i,
         F.lit(' --><h1 class="h">T&amp;'), i,
@@ -327,3 +343,31 @@ def synthesize_html_table(
         F.lit("</nav></body></html>"),
     )
     return docs.select(F.col(id_col), html.alias("html"))
+
+
+#: meta-robots values in the fixture law, keyed by doc_id % 5 ('' = no tag).
+ROBOTS_LAW = ("", "index,follow", "noindex", "nofollow", "noindex,nofollow")
+
+
+def robots_directive(html: Column | str) -> Column:
+    """The <meta name=robots> content of a page ('' when absent).
+    Handles either attribute order (name-first or content-first) —
+    both occur in the wild — via two anchored extracts."""
+    h = F.col(html) if isinstance(html, str) else html
+    name_first = F.regexp_extract(
+        h, r"""(?is)<meta\s[^>]*name=["']?robots["']?[^>]*content=["']([^"']*)["']""", 1
+    )
+    content_first = F.regexp_extract(
+        h, r"""(?is)<meta\s[^>]*content=["']([^"']*)["'][^>]*name=["']?robots["']?""", 1
+    )
+    return F.when(name_first != "", name_first).otherwise(content_first)
+
+
+def robots_gate(df: DataFrame, html_col: str = "html") -> DataFrame:
+    """Drop pages whose meta-robots directive contains ``noindex``
+    (the page's own request to stay out of corpora/indexes — honoring
+    it is table stakes for a compliant crawl pipeline). ``nofollow``
+    alone keeps the page (it restricts link-following, not content
+    use). Pure narrow filter."""
+    d = F.lower(robots_directive(html_col))
+    return df.filter(~d.contains("noindex"))

@@ -185,3 +185,26 @@ def web_html_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     pages = W.synthesize_html_table(docs)
     title, n_links = W.html_meta("html")
     return pages.select("doc_id", title.alias("title"), n_links.alias("n_links"))
+
+
+@register(
+    "web_robots_gate",
+    doc=(
+        "meta-robots compliance gate: drop pages whose <meta name=robots> "
+        "contains noindex (nofollow alone keeps the page — it restricts "
+        "link-following, not content use); extractor handles both "
+        "attribute orders, which the fixture alternates. Pure narrow filter"
+    ),
+    oracle="""
+SELECT doc_id,
+       CASE doc_id % 5 WHEN 0 THEN '' WHEN 1 THEN 'index,follow'
+                       WHEN 3 THEN 'nofollow' END AS robots
+FROM documents
+WHERE doc_id % 5 IN (0, 1, 3)
+""",
+)
+def web_robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    pages = W.synthesize_html_table(docs)
+    kept = W.robots_gate(pages)
+    return kept.select("doc_id", W.robots_directive("html").alias("robots"))

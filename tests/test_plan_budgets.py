@@ -178,6 +178,7 @@ NONHEADLINE_BUDGETS = {
     "web_blocklist_filter": (2, 0),
     "web_html_to_text": (0, 0),  # pure narrow regexp chain
     "web_html_meta": (0, 0),
+    "web_robots_gate": (0, 0),
 }
 
 

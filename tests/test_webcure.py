@@ -199,3 +199,34 @@ def test_html_meta_title_and_links(spark):
     r = df.select(title.alias("t"), n_links.alias("n")).first()
     assert r.t == "Spaced Title"
     assert r.n == 2
+
+
+@pytest.mark.parametrize(
+    "html,want",
+    [
+        ('<meta name="robots" content="noindex,nofollow">', "noindex,nofollow"),
+        ("<meta content='NOINDEX' name=robots>", "NOINDEX"),
+        ('<META NAME="Robots" CONTENT="none ish">', "none ish"),
+        ('<meta name="viewport" content="width=1">', ""),
+        ("no meta at all", ""),
+    ],
+)
+def test_robots_directive_extraction(spark, html, want):
+    got = (
+        spark.createDataFrame([(html,)], "html string")
+        .select(W.robots_directive("html").alias("r"))
+        .first()["r"]
+    )
+    assert got == want
+
+
+def test_robots_gate_drops_noindex_only(spark):
+    rows = [
+        (0, '<html><head><meta name="robots" content="noindex"></head>x</html>'),
+        (1, '<html><head><meta content="nofollow" name="robots"></head>x</html>'),
+        (2, "<html><head></head>x</html>"),
+        (3, '<html><head><meta name="robots" content="NOINDEX,nofollow"></head>x</html>'),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, html string")
+    kept = sorted(r.doc_id for r in W.robots_gate(df).collect())
+    assert kept == [1, 2]
