@@ -1,5 +1,6 @@
 """Web-corpus curation: URL normalization, domain extraction, URL
-dedup, per-domain caps, domain blocklists.
+dedup, per-domain caps, domain blocklists, HTML→text extraction,
+page metadata, meta-robots compliance gating.
 
 The standard pre-text curation layer of a web-scale training corpus
 (C4, RefinedWeb, FineWeb all start here): before any content-based
