@@ -791,3 +791,44 @@ _REG["streaming_pack_ingest"] = _dc.replace(
     _REG["streaming_pack_ingest"],
     oracle=_A.pack_sequences_sql("documents", seq_len=2048),
 )
+
+
+@register(
+    "streaming_url_frontier",
+    doc=(
+        "streaming crawl-frontier gate: per-micro-batch URL "
+        "canonicalization (ext/webcure normalize, pure codegen'd "
+        "expressions on the stream) + stateful ownership aggregate — one "
+        "winner per NORMALIZED url, min doc_id, so the emitted frontier is "
+        "deterministic and equals the batch url_dedup keep set exactly "
+        "(stream == batch == oracle)"
+    ),
+    oracle="""
+WITH u AS (
+  SELECT doc_id, doc_id % 60 AS m FROM documents
+),
+n AS (
+  SELECT doc_id,
+         (CASE WHEN m % 2 = 0 THEN 'https' ELSE 'http' END)
+         || '://'
+         || (CASE WHEN m % 3 = 2 THEN 'm.' ELSE '' END)
+         || 'site' || CAST(m % 5 AS VARCHAR) || '.'
+         || (CASE WHEN m % 4 < 2 THEN 'com' ELSE 'co.uk' END)
+         || (CASE WHEN m % 7 = 1 THEN ':8080' ELSE '' END)
+         || (CASE WHEN m % 3 = 0 THEN '/' ELSE '/p/' || CAST(m % 3 AS VARCHAR) END)
+         || (CASE m % 4 WHEN 0 THEN ''
+                        WHEN 3 THEN '?id=' || CAST(m % 2 AS VARCHAR) || '&ref=r'
+                        ELSE '?id=' || CAST(m % 2 AS VARCHAR) END) AS norm_url
+  FROM u
+)
+SELECT norm_url, min(doc_id) AS doc_id FROM n GROUP BY norm_url
+""",
+)
+def streaming_url_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spk_sl_validation_spark.ext import webcure as W
+
+    stream = P.stream_documents(spark, sf_dir).select("doc_id")
+    urls = W.synthesize_url_table(stream)
+    keyed = urls.select(W.normalize_url("url").alias("norm_url"), "doc_id")
+    frontier = keyed.groupBy("norm_url").agg(F.min("doc_id").alias("doc_id"))
+    return P.run_available_now(frontier, output_mode="complete")
