@@ -372,3 +372,115 @@ def robots_gate(df: DataFrame, html_col: str = "html") -> DataFrame:
     use). Pure narrow filter."""
     d = F.lower(robots_directive(html_col))
     return df.filter(~d.contains("noindex"))
+
+
+# ---------------------------------------------------------------------------
+# robots.txt: parse + longest-match URL filtering (crawl compliance)
+# ---------------------------------------------------------------------------
+#
+# The file-level half of crawl compliance (the meta-tag half is
+# :func:`robots_gate`). Semantics implemented — the standard
+# longest-match subset every major crawler agrees on:
+#
+# - only the ``User-agent: *`` group applies (named-bot groups are
+#   parsed and ignored; group = directives after a User-agent line
+#   until the next one);
+# - ``Allow:`` / ``Disallow:`` prefixes match when the URL path starts
+#   with them; empty prefixes are ignored;
+# - the LONGEST matching rule wins; a tie goes to Allow; no matching
+#   rule means allowed.
+#
+# Everything is JVM-side: line explode + running-group window (robots
+# files are KB-sized, the window partitions by domain), then a
+# domain join whose rules side is tiny (AQE broadcasts it) and a
+# per-URL longest-match aggregate.
+
+
+def parse_robots_rules(
+    robots: DataFrame, domain_col: str = "domain", txt_col: str = "robots_txt"
+) -> DataFrame:
+    """(domain, rtype 'allow'|'disallow', prefix) for the ``*`` group."""
+    lines = robots.select(
+        F.col(domain_col).alias("domain"),
+        F.posexplode(F.split(F.col(txt_col), "\n")).alias("__pos", "__line"),
+    )
+    line = F.trim(F.col("__line"))
+    ua = F.when(
+        F.lower(line).startswith("user-agent:"),
+        F.trim(F.element_at(F.split(line, ":", 2), 2)),
+    )
+    w = Window.partitionBy("domain").orderBy("__pos")
+    grouped = lines.withColumn("__grp", F.last(ua, ignorenulls=True).over(w))
+    rtype = F.lower(F.trim(F.element_at(F.split(line, ":", 2), 1)))
+    prefix = F.trim(F.element_at(F.split(line, ":", 2), 2))
+    return (
+        grouped.filter(F.col("__grp") == "*")
+        .select("domain", rtype.alias("rtype"), prefix.alias("prefix"))
+        .filter(F.col("rtype").isin("allow", "disallow") & (F.col("prefix") != ""))
+    )
+
+
+def robots_txt_filter(
+    df: DataFrame,
+    robots: DataFrame,
+    url_col: str = "url",
+    keep_blocked: bool = False,
+) -> DataFrame:
+    """Apply robots.txt decisions to a URL frame: adds ``allowed``
+    (longest-match over the ``*`` group of the URL's registrable
+    domain) and drops blocked rows unless ``keep_blocked``.
+
+    Scale shape: the URL frame is NEVER aggregated or re-keyed — rules
+    collapse to one array row per domain (robots files are KB-sized,
+    so collect_list is bounded), ride ONE left join (AQE broadcasts
+    small rule tables; a hot domain concentrates on a JOIN key —
+    splittable — never a window), and the longest-match fold runs
+    per row over the tiny rule array. The higher-order-function cost
+    caveat (SCALE.md §5) doesn't bite here: the array is rule-count
+    sized, not data sized."""
+    nu = normalize_url(url_col)
+    keyed = df.withColumn("__dom", extract_domain(nu)).withColumn(
+        "__path", F.regexp_extract(nu, r"^[a-z][a-z0-9+.-]*://[^/]*(/[^?#]*)", 1)
+    )
+    per_domain = (
+        parse_robots_rules(robots)
+        .groupBy("domain")
+        .agg(F.collect_list(F.struct("rtype", "prefix")).alias("__rules"))
+        .withColumnRenamed("domain", "__dom")
+    )
+    cand = keyed.join(per_domain.hint("shuffle_hash"), "__dom", "left")
+
+    def best(rtype: str):
+        hits = F.filter(
+            F.coalesce(F.col("__rules"), F.array()),
+            lambda r: (r["rtype"] == rtype) & F.col("__path").startswith(r["prefix"]),
+        )
+        return F.aggregate(
+            hits, F.lit(-1), lambda acc, r: F.greatest(acc, F.length(r["prefix"]))
+        )
+
+    out = cand.withColumn("allowed", best("allow") >= best("disallow")).drop(
+        "__rules", "__dom", "__path"
+    )
+    return out if keep_blocked else out.filter(F.col("allowed")).drop("allowed")
+
+
+def synthesize_robots_table(urls: DataFrame, url_col: str = "url") -> DataFrame:
+    """(domain, robots_txt) for each distinct registrable domain of
+    ``urls``, under a closed-form law on the domain index
+    d = digit + 5·[tld == co.uk] (domains are ``site<digit>.<tld>``):
+    a decoy ``badbot`` group that must be ignored, ``Disallow: /p``
+    when d is even, ``Allow: /p/2`` when 3 | d (longest-match
+    override), ``Disallow: /private`` always."""
+    doms = urls.select(extract_domain(normalize_url(url_col)).alias("domain")).distinct()
+    d = (
+        F.regexp_extract("domain", r"^site(\d+)\.", 1).cast("int")
+        + F.when(F.col("domain").endswith(".co.uk"), F.lit(5)).otherwise(F.lit(0))
+    )
+    txt = F.concat(
+        F.lit("User-agent: badbot\nDisallow: /\n\nUser-agent: *\n"),
+        F.when(d % 2 == 0, F.lit("Disallow: /p\n")).otherwise(F.lit("")),
+        F.when(d % 3 == 0, F.lit("Allow: /p/2\n")).otherwise(F.lit("")),
+        F.lit("Disallow: /private\n"),
+    )
+    return doms.select("domain", txt.alias("robots_txt"))

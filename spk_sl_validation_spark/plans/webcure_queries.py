@@ -208,3 +208,38 @@ def web_robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     pages = W.synthesize_html_table(docs)
     kept = W.robots_gate(pages)
     return kept.select("doc_id", W.robots_directive("html").alias("robots"))
+
+
+@register(
+    "web_robots_txt_filter",
+    doc=(
+        "robots.txt crawl compliance: parse each domain's file (line "
+        "explode + running-group window over the KB-sized rules side; "
+        "named-bot decoy groups ignored), collapse to one rule-array row "
+        "per domain, ONE left join against the URL frame, and a per-row "
+        "longest-match fold (tie goes to Allow) — the URL frame is never "
+        "aggregated or window-partitioned. Fixture robots files exercise "
+        "group selection, Disallow /p, and the longer Allow /p/2 override"
+    ),
+    oracle="""
+WITH u AS (
+  SELECT doc_id, doc_id % 60 AS m FROM documents
+),
+d AS (
+  SELECT doc_id,
+         (m % 5) + (CASE WHEN m % 4 >= 2 THEN 5 ELSE 0 END) AS di,
+         m % 3 AS k
+  FROM u
+)
+SELECT doc_id,
+       CASE WHEN k = 0 THEN true
+            WHEN k = 1 THEN NOT (di % 2 = 0)
+            ELSE NOT (di % 2 = 0 AND di % 3 <> 0) END AS allowed
+FROM d
+""",
+)
+def web_robots_txt_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    urls = _urls(spark, sf_dir)
+    robots = W.synthesize_robots_table(urls)
+    out = W.robots_txt_filter(urls, robots, keep_blocked=True)
+    return out.select("doc_id", "allowed")

@@ -179,6 +179,10 @@ NONHEADLINE_BUDGETS = {
     "web_html_to_text": (0, 0),  # pure narrow regexp chain
     "web_html_meta": (0, 0),
     "web_robots_gate": (0, 0),
+    # robots.txt: the 2 exchanges are the KB-sized rules side (group
+    # window + per-domain collapse); the URL frame rides one join,
+    # never an aggregate.
+    "web_robots_txt_filter": (2, 0),
 }
 
 

@@ -230,3 +230,57 @@ def test_robots_gate_drops_noindex_only(spark):
     df = spark.createDataFrame(rows, "doc_id long, html string")
     kept = sorted(r.doc_id for r in W.robots_gate(df).collect())
     assert kept == [1, 2]
+
+
+ROBOTS_CASES = [
+    # (robots_txt, url, want_allowed)
+    # longest match: Allow /p/2 (4) beats Disallow /p (2)
+    ("User-agent: *\nDisallow: /p\nAllow: /p/2\n", "https://a.com/p/2", True),
+    ("User-agent: *\nDisallow: /p\nAllow: /p/2\n", "https://a.com/p/1", False),
+    # tie goes to Allow
+    ("User-agent: *\nDisallow: /x\nAllow: /x\n", "https://a.com/x", True),
+    # decoy named group must not apply
+    ("User-agent: badbot\nDisallow: /\n\nUser-agent: *\nAllow: /\n", "https://a.com/q", True),
+    # directives before ANY User-agent line belong to no group -> ignored
+    ("Disallow: /\nUser-agent: *\nAllow: /ok\n", "https://a.com/anything", True),
+    # case-insensitive directive names, surrounding whitespace
+    ("User-Agent: *\n DISALLOW : /priv\n", "https://a.com/priv/x", False),
+    # no matching rule -> allowed
+    ("User-agent: *\nDisallow: /private\n", "https://a.com/pub", True),
+]
+
+
+@pytest.mark.parametrize("txt,url,want", ROBOTS_CASES)
+def test_robots_txt_longest_match_semantics(spark, txt, url, want):
+    urls = spark.createDataFrame([(0, url)], "doc_id long, url string")
+    dom = urls.select(
+        W.extract_domain(W.normalize_url("url")).alias("domain")
+    ).distinct()
+    robots = dom.select("domain", F.lit(txt).alias("robots_txt"))
+    out = W.robots_txt_filter(urls, robots, keep_blocked=True).first()
+    assert out.allowed == want, (txt, url)
+
+
+def test_robots_txt_domain_without_file_is_allowed(spark):
+    urls = spark.createDataFrame(
+        [(0, "https://nofile.org/x"), (1, "https://ruled.com/x")],
+        "doc_id long, url string",
+    )
+    robots = spark.createDataFrame(
+        [("ruled.com", "User-agent: *\nDisallow: /x\n")], "domain string, robots_txt string"
+    )
+    got = {r.doc_id: r.allowed for r in W.robots_txt_filter(urls, robots, keep_blocked=True).collect()}
+    assert got == {0: True, 1: False}
+
+
+def test_robots_txt_filter_drops_blocked_by_default(spark):
+    urls = spark.createDataFrame(
+        [(0, "https://r.com/keep"), (1, "https://r.com/no/x")],
+        "doc_id long, url string",
+    )
+    robots = spark.createDataFrame(
+        [("r.com", "User-agent: *\nDisallow: /no\n")], "domain string, robots_txt string"
+    )
+    kept = W.robots_txt_filter(urls, robots)
+    assert [r.doc_id for r in kept.collect()] == [0]
+    assert kept.columns == ["doc_id", "url"]
