@@ -243,3 +243,52 @@ def web_robots_txt_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     robots = W.synthesize_robots_table(urls)
     out = W.robots_txt_filter(urls, robots, keep_blocked=True)
     return out.select("doc_id", "allowed")
+
+
+@register(
+    "web_curation_pipeline",
+    doc=(
+        "the full URL-layer curation pass a crawl runs end-to-end, "
+        "composed from the layer's operators in production order: "
+        "robots.txt longest-match gate -> domain blocklist anti join -> "
+        "URL-level exact dedup (min doc_id per normalized URL among "
+        "survivors) -> per-domain diversity cap (WindowGroupLimit top-3). "
+        "The oracle replays the same composition of closed-form laws as "
+        "layered QUALIFY filters"
+    ),
+    oracle=_ORACLE_LAW.rstrip()
+    + f""",
+r AS (
+  SELECT n.doc_id, n.norm_url, n.domain,
+         (u.m % 5) + (CASE WHEN u.m % 4 >= 2 THEN 5 ELSE 0 END) AS di,
+         u.m % 3 AS k
+  FROM n JOIN u ON n.doc_id = u.doc_id
+),
+robots_ok AS (
+  SELECT * FROM r
+  WHERE CASE WHEN k = 0 THEN true
+             WHEN k = 1 THEN NOT (di % 2 = 0)
+             ELSE NOT (di % 2 = 0 AND di % 3 <> 0) END
+),
+unblocked AS (
+  SELECT * FROM robots_ok
+  WHERE domain NOT IN ({", ".join(f"'{d}'" for d in BLOCKED_DOMAINS)})
+),
+deduped AS (
+  SELECT * FROM unblocked
+  QUALIFY doc_id = min(doc_id) OVER (PARTITION BY norm_url)
+)
+SELECT doc_id, norm_url, domain FROM deduped
+QUALIFY row_number() OVER (PARTITION BY domain ORDER BY doc_id) <= {DOMAIN_CAP_K}
+""",
+)
+def web_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    urls = _urls(spark, sf_dir)
+    robots = W.synthesize_robots_table(urls)
+    blocked = spark.createDataFrame([(d,) for d in BLOCKED_DOMAINS], "domain string")
+    kept = W.robots_txt_filter(urls, robots)
+    kept = W.blocklist_filter(kept, blocked)
+    kept = W.url_dedup(kept)
+    kept = W.domain_cap(kept, DOMAIN_CAP_K)
+    nu = W.normalize_url("url")
+    return kept.select("doc_id", nu.alias("norm_url"), W.extract_domain(nu).alias("domain"))

@@ -183,6 +183,11 @@ NONHEADLINE_BUDGETS = {
     # window + per-domain collapse); the URL frame rides one join,
     # never an aggregate.
     "web_robots_txt_filter": (2, 0),
+    # composed layer (robots -> blocklist -> dedup -> cap): static
+    # count re-inlines the rules-side parse per consumer; every
+    # exchange is rules-/key-sized, the URL frame shuffles only for
+    # its dedup semi join and the capped window.
+    "web_curation_pipeline": (12, 0),
 }
 
 
