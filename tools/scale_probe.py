@@ -410,6 +410,33 @@ def run(op: str, docs, n: int) -> dict:
         from spk_sl_validation_spark.ext.text import substring_dedup
 
         out = substring_dedup(docs, "doc_id", "text")
+    elif op == "web_curation":
+        # The URL-layer curation pass composed end-to-end (robots.txt
+        # longest-match gate -> blocklist -> URL dedup -> domain cap):
+        # ONLY (id, url) rows move — no text column exists in this
+        # probe on purpose: at 100 TB the URL layer runs on the
+        # crawl manifest, not the page bodies. Probe URLs follow the
+        # webcure fixture law, so normalized classes repeat every 60
+        # ids and the dedup/cap stages do real work at any n.
+        from spk_sl_validation_spark.ext import webcure as W
+
+        spark = spark_of(docs)
+        urls = W.synthesize_url_table(docs.select("doc_id"))
+        robots = W.synthesize_robots_table(urls)
+        blocked = spark.createDataFrame(
+            [("site0.com",), ("site3.co.uk",)], "domain string"
+        )
+        kept = W.domain_cap(
+            W.url_dedup(W.blocklist_filter(W.robots_txt_filter(urls, robots), blocked)),
+            3,
+        )
+        out = kept
+    elif op == "url_dedup":
+        # URL dedup alone at crawl-manifest scale: groupBy-min on the
+        # normalized key + keep semi join.
+        from spk_sl_validation_spark.ext import webcure as W
+
+        out = W.url_dedup(W.synthesize_url_table(docs.select("doc_id")))
     elif op == "bpe_learn":
         # Iterative BPE training: the corpus collapses to its
         # DISTINCT-WORD frequency table before any iteration — probe
