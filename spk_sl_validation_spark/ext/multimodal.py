@@ -1816,6 +1816,8 @@ def parse_mp4_meta(data: bytes) -> tuple[int, int, int, int, str]:
     if len(mvhds) != 1:
         raise ValueError("moov must carry exactly one mvhd")
     vs, ve = mvhds[0]
+    if ve - vs < 1:
+        raise ValueError("empty mvhd box")
     version = data[vs]
     if version == 1:
         if ve - vs < 4 + 28:
@@ -1842,6 +1844,8 @@ def parse_mp4_meta(data: bytes) -> tuple[int, int, int, int, str]:
         if len(tkhds) != 1 or len(mdias) != 1:
             raise ValueError("trak must carry exactly one tkhd and one mdia")
         hs, he = tkhds[0]
+        if he - hs < 1:
+            raise ValueError("empty tkhd box")
         tkv = data[hs]
         # v0: verflags 4 + created 4 + modified 4 + id 4 + res 4 + dur 4 = 24
         # v1: verflags 4 + created 8 + modified 8 + id 4 + res 4 + dur 8 = 36

@@ -626,6 +626,8 @@ def substring_dedup(
     # seen once can never mark a duplicate (id == owner), so the
     # __n > 1 gate shrinks the join build side to duplicate-candidate
     # hashes only — unique windows dominate real corpora.
+    if ownership not in ("groupby", "window"):
+        raise ValueError(f"unknown ownership mode {ownership!r}")
     if ownership == "window":
         # Probe-only legacy shape (tools/skew_probe.py A/B): correct but
         # pins every row of one fingerprint to a single window task.

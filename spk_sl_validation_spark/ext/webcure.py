@@ -16,8 +16,9 @@ Normalization contract (:func:`normalize_url`) — one documented
 canonical form, applied in this order:
 
 1. scheme and host lowercased;
-2. a leading ``www.`` label stripped (other subdomains — ``m.``,
-   ``cdn.`` — are kept: they usually serve different content);
+2. leading ``www.`` labels stripped — all of them, so the form is a
+   fixed point (other subdomains — ``m.``, ``cdn.`` — are kept: they
+   usually serve different content);
 3. default ports dropped (``:80`` for http, ``:443`` for https;
    non-default ports kept);
 4. tracking parameters removed: any key starting ``utm_``, plus
@@ -72,9 +73,15 @@ def normalize_url(url: Column | str) -> Column:
     u = F.col(url) if isinstance(url, str) else url
     scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
     hostport = F.lower(F.parse_url(u, F.lit("HOST")))
-    # parse_url(HOST) excludes the port; extract it separately.
-    port = F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*:(\d+)", 1)
-    host = F.regexp_replace(hostport, r"^www\.", "")
+    # parse_url(HOST) excludes the port; extract it from the authority
+    # with userinfo stripped and the match anchored at the END — a
+    # digit run after a colon in a password ('user:123pass@h.com') or
+    # inside an IPv6 literal must never be mistaken for a port.
+    authority = F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
+    port = F.regexp_extract(F.regexp_replace(authority, r"^.*@", ""), r":(\d+)$", 1)
+    # (www\.)+ not www\. — repeated www labels must reach the same
+    # fixed point in one pass (normalize is contractually idempotent).
+    host = F.regexp_replace(hostport, r"^(www\.)+", "")
     keep_port = (
         (port != "")
         & ~((scheme == "http") & (port == "80"))
@@ -192,6 +199,34 @@ def blocklist_filter(
 #             empty-vs-root path, j%7 fragment, j%11 UPPERCASE
 
 
+#: The normalized-URL generation law as DuckDB SQL (CTEs ``u``/``n``
+#: over ``documents``) — the single source of truth every oracle that
+#: replays :func:`synthesize_url_table`'s law imports (batch webcure
+#: queries AND the streaming frontier; a drifted copy would let one
+#: oracle silently diverge from the others).
+NORM_URL_ORACLE_LAW = """
+WITH u AS (
+  SELECT doc_id, doc_id % 60 AS m FROM documents
+),
+n AS (
+  SELECT doc_id,
+         (CASE WHEN m % 2 = 0 THEN 'https' ELSE 'http' END)
+         || '://'
+         || (CASE WHEN m % 3 = 2 THEN 'm.' ELSE '' END)
+         || 'site' || CAST(m % 5 AS VARCHAR) || '.'
+         || (CASE WHEN m % 4 < 2 THEN 'com' ELSE 'co.uk' END)
+         || (CASE WHEN m % 7 = 1 THEN ':8080' ELSE '' END)
+         || (CASE WHEN m % 3 = 0 THEN '/' ELSE '/p/' || CAST(m % 3 AS VARCHAR) END)
+         || (CASE m % 4 WHEN 0 THEN ''
+                        WHEN 3 THEN '?id=' || CAST(m % 2 AS VARCHAR) || '&ref=r'
+                        ELSE '?id=' || CAST(m % 2 AS VARCHAR) END) AS norm_url,
+         'site' || CAST(m % 5 AS VARCHAR) || '.'
+         || (CASE WHEN m % 4 < 2 THEN 'com' ELSE 'co.uk' END) AS domain
+  FROM u
+)
+"""
+
+
 def synthesize_url_table(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """(doc_id, url) under the generation law above. Pure Spark
     expressions — the fixture writer itself is JVM-side."""
@@ -281,8 +316,13 @@ def html_to_text(html: Column | str) -> Column:
 def html_meta(html: Column | str) -> tuple[Column, Column]:
     """(title, n_links) from an HTML payload: first <title> text and
     the number of <a …> anchors — the two fields crawl frontiers and
-    datasheets ask for before any extraction runs."""
+    datasheets ask for before any extraction runs. Script/style/
+    noscript blocks and comments are removed FIRST, exactly as
+    :func:`html_to_text` does, so an anchor string inside a script or
+    a commented-out title never counts."""
     h = F.col(html) if isinstance(html, str) else html
+    h = F.regexp_replace(h, r"(?is)<(script|style|noscript)\b[^>]*>.*?</\1\s*>", " ")
+    h = F.regexp_replace(h, r"(?s)<!--.*?-->", " ")
     title = F.trim(F.regexp_extract(h, r"(?is)<title[^>]*>(.*?)</title\s*>", 1))
     n_links = F.size(F.split(h, r"(?i)<a\s")) - 1
     return title, n_links

@@ -107,7 +107,15 @@ def write_bucketed(
     columns between bucketed tables with matching bucket counts plan
     with no Exchange (verified in tests/test_scale_plans.py)."""
     spark = df.sparkSession
-    if "." not in table and not spark.catalog.tableExists(table):
+    if (
+        "." not in table
+        and spark.catalog.currentDatabase() == "default"
+        and not spark.catalog.tableExists(table)
+    ):
+        # currentDatabase gate: <warehouse>/<table> is the DEFAULT
+        # database's location — with another database current,
+        # tableExists('t') checks other.t while the path belongs to
+        # default.t, and "cleanup" would rmtree a live table's data.
         # An orphaned warehouse location with no catalog entry (left by
         # an interrupted earlier run) makes saveAsTable throw
         # LOCATION_ALREADY_EXISTS; DROP TABLE can't clear it because the

@@ -18,8 +18,43 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from spk_sl_validation_spark.ext.webcure import NORM_URL_ORACLE_LAW
 from spk_sl_validation_spark.plans.registry import register
 from spk_sl_validation_spark.streaming import pipeline as P
+
+
+def _ingest_tmp_base(spark, sf_dir: str, prefix: str):
+    """Per-session ingest scratch dir under /tmp.
+
+    applicationId in the path isolates concurrent sessions at the same
+    scale factor (a shared path's rmtree-then-ingest would corrupt one
+    run). That isolation would leak one dir per application, so: own
+    dir is removed at interpreter exit (atexit), and siblings whose
+    tree is untouched for >6 h (crashed sessions — a LIVE ingest
+    writes checkpoint files continuously) are swept best-effort."""
+    import atexit
+    import pathlib
+    import shutil
+    import time as _time
+
+    label = f"{pathlib.Path(sf_dir).name}_{spark.sparkContext.applicationId}"
+    base = pathlib.Path(f"/tmp/{prefix}_{label}")
+    shutil.rmtree(base, ignore_errors=True)
+    atexit.register(shutil.rmtree, str(base), ignore_errors=True)
+    cutoff = _time.time() - 6 * 3600
+    for sib in pathlib.Path("/tmp").glob(f"{prefix}_*"):
+        if sib == base:
+            continue
+        try:
+            newest = max(
+                (p.stat().st_mtime for p in sib.rglob("*") if p.is_file()),
+                default=sib.stat().st_mtime,
+            )
+            if newest < cutoff:
+                shutil.rmtree(sib, ignore_errors=True)
+        except OSError:
+            pass
+    return base
 
 
 @register(
@@ -685,7 +720,6 @@ def streaming_ivf_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     the batch build over the full corpus and the probe matches the
     full-corpus direct-IVF oracle hash-for-hash."""
     import pathlib
-    import shutil
 
     from spk_sl_validation_spark.ext import similarity as S
     from spk_sl_validation_spark.plans.similarity_queries import N_CENTROIDS, N_QUERIES
@@ -697,12 +731,7 @@ def streaming_ivf_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     bootstrap = emb.filter(F.col("vec_id") % 4 != 3)
 
-    # applicationId in the path: two concurrent sessions at the same
-    # scale factor must not race on the same index/checkpoint dirs
-    # (rmtree-then-ingest would corrupt one run's result).
-    label = f"{pathlib.Path(sf_dir).name}_{spark.sparkContext.applicationId}"
-    base = pathlib.Path(f"/tmp/spk_sl_ivf_ingest_{label}")
-    shutil.rmtree(base, ignore_errors=True)
+    base = _ingest_tmp_base(spark, sf_dir, "spk_sl_ivf_ingest")
     index_dir, source_dir, ckpt = str(base / "index"), str(base / "incoming"), str(base / "ckpt")
     P.write_ivf_index(bootstrap, centroids, index_dir)
     # two shard files -> two micro-batches (maxFilesPerTrigger=1)
@@ -752,7 +781,6 @@ def streaming_pack_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus at once."""
     import os
     import pathlib
-    import shutil
 
     from spk_sl_validation_spark.plans.assembly_queries import SEQ_LEN
     from spk_sl_validation_spark.sources.readers import load_table
@@ -760,10 +788,7 @@ def streaming_pack_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     k = docs.agg(F.floor(F.max("doc_id") / 2).cast("long").alias("k")).first()["k"]
 
-    # applicationId: same concurrent-session isolation as the IVF ingest.
-    label = f"{pathlib.Path(sf_dir).name}_{spark.sparkContext.applicationId}"
-    base = pathlib.Path(f"/tmp/spk_sl_pack_ingest_{label}")
-    shutil.rmtree(base, ignore_errors=True)
+    base = _ingest_tmp_base(spark, sf_dir, "spk_sl_pack_ingest")
     pack_dir, source_dir, ckpt = str(base / "pack"), str(base / "incoming"), str(base / "ckpt")
     P.write_pack_state(spark, pack_dir)  # zero bootstrap state
     for i, pred in enumerate((F.col("doc_id") <= k, F.col("doc_id") > k)):
@@ -803,26 +828,10 @@ _REG["streaming_pack_ingest"] = _dc.replace(
         "deterministic and equals the batch url_dedup keep set exactly "
         "(stream == batch == oracle)"
     ),
-    oracle="""
-WITH u AS (
-  SELECT doc_id, doc_id % 60 AS m FROM documents
-),
-n AS (
-  SELECT doc_id,
-         (CASE WHEN m % 2 = 0 THEN 'https' ELSE 'http' END)
-         || '://'
-         || (CASE WHEN m % 3 = 2 THEN 'm.' ELSE '' END)
-         || 'site' || CAST(m % 5 AS VARCHAR) || '.'
-         || (CASE WHEN m % 4 < 2 THEN 'com' ELSE 'co.uk' END)
-         || (CASE WHEN m % 7 = 1 THEN ':8080' ELSE '' END)
-         || (CASE WHEN m % 3 = 0 THEN '/' ELSE '/p/' || CAST(m % 3 AS VARCHAR) END)
-         || (CASE m % 4 WHEN 0 THEN ''
-                        WHEN 3 THEN '?id=' || CAST(m % 2 AS VARCHAR) || '&ref=r'
-                        ELSE '?id=' || CAST(m % 2 AS VARCHAR) END) AS norm_url
-  FROM u
-)
-SELECT norm_url, min(doc_id) AS doc_id FROM n GROUP BY norm_url
-""",
+    # Single-source oracle law: imported from ext/webcure (same
+    # constant the batch webcure oracles use), not a drift-prone copy.
+    oracle=NORM_URL_ORACLE_LAW
+    + "SELECT norm_url, min(doc_id) AS doc_id FROM n GROUP BY norm_url",
 )
 def streaming_url_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spk_sl_validation_spark.ext import webcure as W

@@ -22,28 +22,10 @@ from spk_sl_validation_spark.sources.readers import load_table
 DOMAIN_CAP_K = 3
 BLOCKED_DOMAINS = ("site0.com", "site3.co.uk")
 
-# Shared oracle prelude: the normalized-URL law in SQL, on m = doc_id % 60.
-_ORACLE_LAW = """
-WITH u AS (
-  SELECT doc_id, doc_id % 60 AS m FROM documents
-),
-n AS (
-  SELECT doc_id,
-         (CASE WHEN m % 2 = 0 THEN 'https' ELSE 'http' END)
-         || '://'
-         || (CASE WHEN m % 3 = 2 THEN 'm.' ELSE '' END)
-         || 'site' || CAST(m % 5 AS VARCHAR) || '.'
-         || (CASE WHEN m % 4 < 2 THEN 'com' ELSE 'co.uk' END)
-         || (CASE WHEN m % 7 = 1 THEN ':8080' ELSE '' END)
-         || (CASE WHEN m % 3 = 0 THEN '/' ELSE '/p/' || CAST(m % 3 AS VARCHAR) END)
-         || (CASE m % 4 WHEN 0 THEN ''
-                        WHEN 3 THEN '?id=' || CAST(m % 2 AS VARCHAR) || '&ref=r'
-                        ELSE '?id=' || CAST(m % 2 AS VARCHAR) END) AS norm_url,
-         'site' || CAST(m % 5 AS VARCHAR) || '.'
-         || (CASE WHEN m % 4 < 2 THEN 'com' ELSE 'co.uk' END) AS domain
-  FROM u
-)
-"""
+# Shared oracle prelude: the normalized-URL law in SQL, on m = doc_id % 60
+# (single source of truth lives beside the fixture writer in ext/webcure).
+_ORACLE_LAW = W.NORM_URL_ORACLE_LAW
+
 
 
 def _urls(spark: SparkSession, sf_dir: str) -> DataFrame:

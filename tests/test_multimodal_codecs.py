@@ -962,3 +962,23 @@ def test_mp4_container_meta_flags_bad_rows(spark):
         assert (r.width, r.height, r.duration_ms, r.n_tracks) == (
             16 * (1 + d % 5), 16 * (1 + d % 4), 500 * (1 + d % 8), 1 + d % 2
         )
+
+
+def test_mp4_empty_fullbox_at_eof_is_valueerror():
+    """An 8-byte (empty-payload) mvhd/tkhd ending exactly at EOF must
+    raise ValueError, not IndexError (totality contract)."""
+    import struct
+
+    def box(typ, payload=b""):
+        return struct.pack(">I4s", 8 + len(payload), typ) + payload
+
+    ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 512))
+    with pytest.raises(ValueError, match="empty mvhd"):
+        M.parse_mp4_meta(ftyp + box(b"moov", box(b"mvhd")))
+    # valid mvhd, then an empty tkhd inside a trak at EOF
+    mvhd = box(
+        b"mvhd",
+        bytes([0, 0, 0, 0]) + struct.pack(">IIII", 1, 2, 1000, 1000) + b"\x00" * 80,
+    )
+    with pytest.raises(ValueError, match="tkhd"):
+        M.parse_mp4_meta(ftyp + box(b"moov", mvhd + box(b"trak", box(b"tkhd") + box(b"mdia"))))

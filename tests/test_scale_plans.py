@@ -559,3 +559,29 @@ def test_top_k_per_group_gets_window_group_limit(spark, sf_dir):
     fmt = spark._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
     n = len(re.findall(r"\(\d+\) WindowGroupLimit", fmt))
     assert n >= 2, f"WindowGroupLimit pair missing:\n{fmt[:1500]}"
+
+
+def test_write_bucketed_never_deletes_other_databases_default_table(spark):
+    """Round-8 review finding: with a non-default database current,
+    tableExists('t') checks other.t while <warehouse>/t belongs to
+    default.t — the orphan cleanup must NOT fire and rmtree live data.
+    The guard is the currentDatabase()=='default' gate."""
+    from spk_sl_validation_spark.operators.skew import write_bucketed
+
+    spark.sql("CREATE DATABASE IF NOT EXISTS wbdb")
+    spark.sql("DROP TABLE IF EXISTS default.wb_guard_t")
+    spark.sql("DROP TABLE IF EXISTS wbdb.wb_guard_t")
+    spark.range(5).write.mode("overwrite").saveAsTable("default.wb_guard_t")
+    try:
+        spark.catalog.setCurrentDatabase("wbdb")
+        write_bucketed(
+            spark.range(7).withColumnRenamed("id", "k"), "wb_guard_t", ["k"], 4
+        )
+        assert spark.table("wbdb.wb_guard_t").count() == 7
+        # the default-db table's data must be untouched
+        assert spark.table("default.wb_guard_t").count() == 5
+    finally:
+        spark.catalog.setCurrentDatabase("default")
+        spark.sql("DROP TABLE IF EXISTS default.wb_guard_t")
+        spark.sql("DROP TABLE IF EXISTS wbdb.wb_guard_t")
+        spark.sql("DROP DATABASE IF EXISTS wbdb")
