@@ -5,7 +5,7 @@ Golden tests pin the maximal-merge semantics the fixed-granularity
 span_dedup cannot express (overlapping/touching duplicated regions
 collapse into ONE removed span); a pure-Python reference replays the
 covered-token-islands definition under hypothesis; the plan-shape test
-pins the three-exchange scale contract; the oracle test value-matches
+pins the four-exchange scale contract (round-8 de-skewed ownership); the oracle test value-matches
 DuckDB at sf0.001.
 """
 
