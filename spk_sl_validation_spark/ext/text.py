@@ -384,25 +384,39 @@ def rolling_fingerprints(df, id_col: str, text_col: str = "text", n: int = 3):
     )
 
 
-def _doc_spans(df, id_col: str, text_col: str, span_w: int):
-    """(id, span_idx, span) — each document split into non-overlapping
-    ``span_w``-word spans, a narrow per-row map (one ``transform`` over
-    token slices, ~n_words/span_w spans per doc). Shared by
-    :func:`span_dedup` and :func:`boilerplate_removal`."""
+def _doc_span_arrays(df, id_col: str, text_col: str, span_w: int):
+    """(id, __spans) — each document's non-overlapping ``span_w``-word
+    spans as ONE per-row array (pure map, no explode). The array form
+    is what reassembly wants: spans stay doc-local, indexed by
+    position, and never ride a shuffle individually."""
     spans_per_doc = f"cast(greatest(ceil(size(__t) / {span_w}.0), 1) as int)"
     t = df.select(F.col(id_col), ws_tokens(text_col).alias("__t"))
     return t.select(
         id_col,
-        F.posexplode(
-            F.expr(
-                f"transform(sequence(0, {spans_per_doc} - 1),"
-                f" i -> concat_ws(' ', slice(__t, i * {span_w} + 1, {span_w})))"
-            )
-        ).alias("span_idx", "span"),
+        F.expr(
+            f"transform(sequence(0, {spans_per_doc} - 1),"
+            f" i -> concat_ws(' ', slice(__t, i * {span_w} + 1, {span_w})))"
+        ).alias("__spans"),
     )
 
 
-def span_dedup(df, id_col: str = "doc_id", text_col: str = "text", span_w: int = 8):
+def _doc_spans(df, id_col: str, text_col: str, span_w: int):
+    """(id, span_idx, span) — the exploded view of
+    :func:`_doc_span_arrays`, a narrow per-row map
+    (~n_words/span_w spans per doc). Shared by :func:`span_dedup`
+    and :func:`boilerplate_removal`."""
+    return _doc_span_arrays(df, id_col, text_col, span_w).select(
+        id_col, F.posexplode("__spans").alias("span_idx", "span")
+    )
+
+
+def span_dedup(
+    df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span_w: int = 8,
+    ownership: str = "groupby",
+):
     """C4-style cross-document duplicated-span removal.
 
     Splits each document into non-overlapping ``span_w``-word spans; a
@@ -411,32 +425,73 @@ def span_dedup(df, id_col: str = "doc_id", text_col: str = "text", span_w: int =
     are reassembled in span order. Returns
     ``(id, clean_text, n_spans_kept, n_spans_dropped)``.
 
-    Scale shape: narrow span build (one ``transform`` per row), then a
-    single window ``min(id) over (partition by span_hash)`` — "kept iff
-    this document is the span's lowest-id owner" already covers the
-    unique-span case (the only document IS the owner), so no separate
-    ownership aggregate, no self-join, and the corpus is scanned once
-    with exactly two exchanges end-to-end (span hash, then document
-    id). Window min streams within each sorted partition — bounded
-    memory even for a boilerplate span with millions of occurrences.
-    No driver state, no corpus-sized broadcast. Duplicate spans
-    *within* the owner document are kept — ownership is per-document,
-    not global uniqueness.
-    """
-    from pyspark.sql import Window
+    Scale shape (same rationale as :func:`substring_dedup`, which
+    pioneered it): the corpus TEXT never shuffles on the fingerprint
+    key — spans are hashed to 8-byte longs immediately and only
+    ``(id, span_idx, h)`` rows ride the fingerprint exchanges.
+    Ownership is ``groupBy(h).agg(min(id), count)`` (map-side partials
+    absorb a mega-hot span — license boilerplate in 10^8 docs — where
+    a ``min over Window.partitionBy(h)`` would pin every occurrence to
+    one AQE-unsplittable task) + a ``count > 1``-gated,
+    localCheckpointed join-back that AQE skew-splits. Spans seen once
+    can never be dropped (their only document IS the owner), so the
+    gate shrinks the join build side to duplicate-candidate hashes
+    only. Dropped positions fold to one small ``(id, drop_idx_set)``
+    row per affected doc; a second pure-map scan re-derives the span
+    ARRAYS per document and a shuffle_hash join on the unique doc id
+    (never broadcast — a fully-duplicated corpus makes the drop side
+    corpus-sized; AQE re-upgrades small cases) filters them in place.
+    Duplicate spans *within* the owner document are kept — ownership
+    is per-document, not global uniqueness.
 
-    hashed = _doc_spans(df, id_col, text_col, span_w).withColumn("h", md5_long("span"))
-    flagged = hashed.withColumn(
-        "kept", F.col(id_col) == F.min(id_col).over(Window.partitionBy("h"))
+    ``ownership="window"`` keeps the legacy probe-only shape for
+    interleaved A/B in tools/skew_probe.py (op span_hot).
+    """
+    if ownership not in ("groupby", "window"):
+        raise ValueError(f"unknown ownership mode {ownership!r}")
+    skinny = _doc_spans(df, id_col, text_col, span_w).select(
+        id_col, "span_idx", md5_long("span").alias("h")
     )
-    kept_struct = F.when(F.col("kept"), F.struct("span_idx", "span"))
-    return flagged.groupBy(id_col).agg(
-        F.array_join(
-            F.transform(F.array_sort(F.collect_list(kept_struct)), lambda s: s["span"]),
-            " ",
-        ).alias("clean_text"),
-        F.count(F.when(F.col("kept"), 1)).alias("n_spans_kept"),
-        F.count(F.when(~F.col("kept"), 1)).alias("n_spans_dropped"),
+    if ownership == "window":
+        from pyspark.sql import Window
+
+        dropped_pos = (
+            skinny.withColumn("owner", F.min(id_col).over(Window.partitionBy("h")))
+            .where(F.col(id_col) != F.col("owner"))
+            .select(id_col, "span_idx")
+        )
+    else:
+        cand = (
+            skinny.groupBy("h")
+            .agg(F.min(id_col).alias("owner"), F.count(F.lit(1)).alias("__n"))
+            .where(F.col("__n") > 1)
+            .drop("__n")
+        )
+        # Lazy localCheckpoint: same measured OptimizeSkewedJoin
+        # precondition as substring_dedup — both join children must be
+        # plain shuffle stages for AQE to split the hot fingerprint.
+        cand = cand.localCheckpoint(eager=False)
+        dropped_pos = (
+            skinny.join(cand.hint("shuffle_hash"), "h")
+            .where(F.col(id_col) != F.col("owner"))
+            .select(id_col, "span_idx")
+        )
+    drops = dropped_pos.groupBy(id_col).agg(
+        F.collect_set("span_idx").alias("__drop")
+    )
+    spans = _doc_span_arrays(df, id_col, text_col, span_w)
+    joined = spans.join(drops.hint("shuffle_hash"), id_col, "left")
+    kept = F.when(F.col("__drop").isNull(), F.col("__spans")).otherwise(
+        F.filter(
+            F.col("__spans"),
+            lambda s, i: ~F.array_contains(F.col("__drop"), i),
+        )
+    )
+    return joined.select(
+        id_col,
+        F.array_join(kept, " ").alias("clean_text"),
+        F.size(kept).cast("bigint").alias("n_spans_kept"),
+        F.coalesce(F.size("__drop"), F.lit(0)).cast("bigint").alias("n_spans_dropped"),
     )
 
 

@@ -237,9 +237,10 @@ SPAN_W = 8  # words per non-overlapping span
         f"C4-style cross-document span dedup: {SPAN_W}-word non-overlapping "
         "spans, a span occurring in >1 document survives only in its "
         "lowest-doc_id owner; documents are reassembled in span order with "
-        "kept/dropped counts. Narrow span build, ownership via a single "
-        "window min over the span hash (no self-join), one doc_id agg — "
-        "single corpus scan, two exchanges total"
+        "kept/dropped counts. Skinny (id, span_idx, hash) fingerprint arm, "
+        "ownership via groupBy(h) + count>1-gated join-back (AQE-skew-"
+        "splittable), span text re-derived in a pure-map arm for reassembly "
+        "— span text never rides the fingerprint shuffle"
     ),
     oracle=f"""
 WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
@@ -274,15 +275,19 @@ def corpus_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (lowest doc_id) owner and stripped everywhere else, then each
     document is stitched back together in span order.
 
-    Scale shape: the span build is a narrow per-row map (one
-    ``transform`` over token slices, ~n_words/8 spans per doc);
-    ownership is a single window ``min(doc_id) over (partition by
-    span_hash)`` — "kept iff this doc is the lowest-id owner" subsumes
-    the unique-span case, so there is no ownership aggregate and no
-    self-join: one corpus scan, two exchanges total (span hash, then
-    doc_id for reassembly). No collect, no broadcast of corpus-sized
-    state; window min streams within each sorted partition, so even a
-    boilerplate span with millions of occurrences stays bounded.
+    Scale shape (round-9 rewrite, mirroring corpus_substring_dedup):
+    the span build is a narrow per-row map (one ``transform`` over
+    token slices, ~n_words/8 spans per doc) hashed to 8-byte longs
+    immediately, so only skinny ``(doc_id, span_idx, h)`` rows ride
+    the fingerprint exchanges — span TEXT never shuffles on the
+    fingerprint key. Ownership is ``groupBy(h).agg(min, count)``
+    (map-side partials absorb a boilerplate span in 10^8 docs, where
+    the previous ``min over Window.partitionBy(h)`` pinned every
+    occurrence to one AQE-unsplittable task) + a ``count>1``-gated,
+    localCheckpointed join-back AQE skew-splits; dropped positions
+    fold to one small drop-set row per affected doc and a second
+    pure-map scan re-derives the span arrays for reassembly. Four
+    exchanges, no collect, no broadcast of corpus-sized state.
 
     Duplicate spans *within* a single owner document are kept (the rule
     is per-document ownership, not global uniqueness) — deterministic

@@ -42,10 +42,13 @@ BUDGETS = {
     "similarity_topk_bruteforce": (1, 0),
     "range_join_clicks_before_purchase": (1, 0),
     "scd2_intervals": (1, 0),
-    # round-3 additions: span ownership = window min (no joins at all);
+    # round-9 rewrite: span ownership = skinny groupBy(h) + gated
+    # join-back (the substring_dedup shape) so span text never rides
+    # the fingerprint shuffle; +2 exchanges (drop-set fold, reassembly
+    # join) traded for killing the AQE-unsplittable hot window.
     # incremental dedup = exact fp semi + asymmetric banding + verify,
     # every join broadcast or pinned shuffle-hash (checkpointed sides).
-    "corpus_span_dedup": (2, 0),
+    "corpus_span_dedup": (4, 0),
     "dedup_incremental": (6, 0),
     # bigram LM scoring (round-4 rewrite, 10 -> 5 exchanges): pairs
     # derived map-side via arrays_zip(slice, slice) — no lag window —

@@ -78,10 +78,15 @@ def test_short_doc_single_span(spark):
 
 
 def test_span_dedup_plan_shape(spark, sf_dir):
-    """Single scan, two shuffle exchanges (span hash window, doc_id
-    reassembly), zero joins of any kind — the single-pass ownership
-    design. A third exchange or a join here means the window-min
-    formulation regressed to aggregate+self-join."""
+    """Four shuffle exchanges (skinny fingerprint groupBy + the
+    AQE-skew-splittable ownership join-back — replacing the old
+    min-over-Window.partitionBy(h) hot spot — drop-set fold on doc_id,
+    reassembly join), zero sort-merge joins, zero broadcast-forced
+    joins (the drop side is unbounded on a fully-duplicated corpus —
+    shuffle_hash by contract), and the corpus scanned at most twice
+    (skinny fingerprint arm + the pure-map span-array arm; the extra
+    scan is the price of keeping span TEXT off the fingerprint
+    shuffle entirely)."""
     import sys
 
     sys.path.insert(0, "/root/repo")
@@ -95,12 +100,13 @@ def test_span_dedup_plan_shape(spark, sf_dir):
     qe = df._jdf.queryExecution()
     formatted = spark._jvm.PythonSQLUtils.explainString(qe, "formatted")
     st = plan_stats(formatted)
-    assert st["shuffle_exchanges"] <= 2, st
+    assert st["shuffle_exchanges"] <= 4, st
     assert st["sort_merge_joins"] == 0 and st["broadcast_hash_joins"] == 0, st
+    assert "CartesianProduct" not in formatted, "cartesian product in plan"
     import re
 
     n_scans = len(re.findall(r"\(\d+\) Scan parquet", formatted))
-    assert n_scans == 1, f"corpus scanned {n_scans}x — subtree no longer shared"
+    assert n_scans <= 2, f"corpus scanned {n_scans}x"
 
 
 def test_span_dedup_boilerplate_bounded(spark):

@@ -426,6 +426,92 @@ def run(spark, op: str, n: int) -> dict:
                 conf.set(k, v)
         return out
 
+    if op == "span_hot":
+        # span_dedup ownership under ONE mega-hot span: the same
+        # 8-word boilerplate span opens 50% of all docs, so its hash
+        # carries n/2 (id, span_idx) rows. The legacy
+        # min-over-Window.partitionBy(h) shape pins all of them to a
+        # single task carrying span text (AQE cannot split window
+        # partitions); the round-9 groupBy(h)+gated-join-back shape
+        # hashes spans to longs first, absorbs the hot key in map-side
+        # partials, and leaves only an AQE-splittable skinny join.
+        # Interleaved A/B (3 alternating runs each, same session),
+        # identical aggregate outputs asserted.
+        from spk_sl_validation_spark.ext.text import span_dedup
+
+        uniq = (
+            "concat_ws(' ', transform(sequence(0, {k} - 1),"
+            " i -> concat('t', CAST(id AS STRING), 'x', CAST(i + {off} AS STRING))))"
+        )
+        boiler = " ".join(f"boiler{i}" for i in range(8))
+        corpus = (
+            spark.range(n)
+            .select(
+                F.col("id").alias("doc_id"),
+                F.when(
+                    F.col("id") % 2 == 0,
+                    F.expr(f"concat('{boiler} ', {uniq.format(k=8, off=0)})"),
+                ).otherwise(F.expr(uniq.format(k=16, off=0))).alias("text"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        out = {"op": op, "docs": n, "hot_span_rows": n // 2}
+        walls: dict[str, list] = {"groupby": [], "window": []}
+        sums: dict[str, tuple] = {}
+        for rep in range(3):
+            for shape in ("groupby", "window"):
+                res = span_dedup(corpus, "doc_id", "text", ownership=shape)
+                t0 = time.time()
+                row = res.selectExpr(
+                    "sum(n_spans_dropped) AS d", "sum(n_spans_kept) AS k"
+                ).collect()[0]
+                walls[shape].append(round(time.time() - t0, 1))
+                sums[shape] = (row["d"], row["k"])
+        assert sums["groupby"] == sums["window"], sums
+        out["spans_dropped"], out["spans_kept"] = sums["groupby"]
+        for shape in ("groupby", "window"):
+            out[f"{shape}_walls_sec"] = walls[shape]
+            out[f"{shape}_median_sec"] = sorted(walls[shape])[1]
+            out[f"{shape}_min_sec"] = min(walls[shape])
+        out["speedup_groupby_vs_window"] = round(
+            out["window_median_sec"] / max(out["groupby_median_sec"], 1e-9), 2
+        )
+        # Structural half (drift-proof, same setup as substr_hot):
+        # with skew thresholds sized to probe bytes and broadcast
+        # disabled (AQE otherwise broadcasts the tiny gated cand side
+        # here), the groupby shape's ownership join-back shows
+        # skew=true splits in the final adaptive plan; the window
+        # shape funnels the same hot rows into a Window node behind a
+        # plain exchange AQE can never split — zero markers by
+        # construction.
+        conf = spark.conf
+        saved = {
+            k: conf.get(k)
+            for k in (
+                "spark.sql.autoBroadcastJoinThreshold",
+                "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+                "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+                "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            )
+        }
+        try:
+            conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+            conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "1m")
+            conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1m")
+            for shape in ("groupby", "window"):
+                plan = final_plan(
+                    span_dedup(corpus, "doc_id", "text", ownership=shape).where(
+                        F.col("n_spans_dropped") > 0
+                    )
+                )
+                out[f"{shape}_skew_true_joins"] = len(re.findall(r"skew=true", plan))
+                out[f"{shape}_window_nodes"] = len(re.findall(r"\(\d+\) Window", plan))
+        finally:
+            for k, v in saved.items():
+                conf.set(k, v)
+        return out
+
     if op == "domain_cap_hot":
         # URL-curation skew probe: 80% of the crawl on ONE domain. The
         # shipped domain_cap is the PLAIN rank-limit window — Catalyst
