@@ -51,9 +51,10 @@ TRACKING_PARAM_RE = r"(utm_[A-Za-z0-9_]*|fbclid|gclid|msclkid)"
 
 #: Second-level labels that combine with a 2-letter ccTLD to form the
 #: public suffix (co.uk-style). A deliberately small, documented
-#: approximation of the Public Suffix List — swap in the real PSL as a
-#: broadcast lookup table for production crawls (the operator shape
-#: does not change).
+#: approximation of the Public Suffix List, kept as the zero-join
+#: fast path; the REAL vendored PSL lives in ext/psl.py
+#: (broadcast-join cascade) and is one ``psl=True`` away in
+#: :func:`domain_cap` / :func:`blocklist_filter`.
 _SLD_SUFFIXES = ("co", "ac", "gov", "org", "net")
 
 
@@ -107,7 +108,9 @@ def extract_domain(norm_url: Column | str) -> Column:
     """Registrable domain from a normalized URL: last two host labels,
     or last three when the second-level label is a known public-suffix
     combinator on a 2-letter ccTLD (``example.co.uk``). Documented PSL
-    approximation (see ``_SLD_SUFFIXES``)."""
+    approximation (see ``_SLD_SUFFIXES``); the real-list path is
+    ``ext.psl.registrable_domain`` (wrong on e.g. ``example.com.au``
+    here — every ``.com.au`` site collapses to one domain)."""
     u = F.col(norm_url) if isinstance(norm_url, str) else norm_url
     host = F.regexp_extract(u, r"^[a-z][a-z0-9+.-]*://([^/:?#]*)", 1)
     parts = F.split(host, r"\.")
@@ -139,6 +142,7 @@ def domain_cap(
     k: int,
     url_col: str = "url",
     id_col: str = "doc_id",
+    psl: bool = False,
 ) -> DataFrame:
     """Keep at most ``k`` documents per registrable domain (lowest
     ``id_col`` first — deterministic). Deliberately the PLAIN
@@ -151,8 +155,14 @@ def domain_cap(
     this rewrite one shuffle slower (tools/skew_probe.py
     domain_cap_hot — 6.6 s vs 6.0 s min at 16M docs, 80% on one
     domain; the plan pin in tests/test_webcure.py keeps the rewrite
-    from silently disappearing)."""
-    dom = df.withColumn("__dom", extract_domain(normalize_url(url_col)))
+    from silently disappearing).
+
+    ``psl=True`` routes domain extraction through the full Public
+    Suffix List (ext/psl.py — broadcast-join cascade, still zero
+    shuffles) instead of the regexp approximation; use it whenever
+    the crawl spans ccTLDs like ``.com.au`` the approximation
+    collapses."""
+    dom = _with_domain(df, url_col, psl)
     w = Window.partitionBy("__dom").orderBy(id_col)
     return (
         dom.withColumn("__rn", F.row_number().over(w))
@@ -161,14 +171,28 @@ def domain_cap(
     )
 
 
+def _with_domain(df: DataFrame, url_col: str, psl: bool) -> DataFrame:
+    """``__dom`` = registrable domain of ``url_col``: regexp
+    approximation (fast path, zero joins) or the full PSL lookup
+    (broadcast-join cascade, zero shuffles either way)."""
+    if not psl:
+        return df.withColumn("__dom", extract_domain(normalize_url(url_col)))
+    from spk_sl_validation_spark.ext import psl as P
+
+    return P.registrable_domain(
+        df, P.host_from_url(normalize_url(url_col)), out_col="__dom"
+    )
+
+
 def blocklist_filter(
-    df: DataFrame, blocked: DataFrame, url_col: str = "url"
+    df: DataFrame, blocked: DataFrame, url_col: str = "url", psl: bool = False
 ) -> DataFrame:
     """Drop documents whose registrable domain appears in ``blocked``
     (a one-column ``domain`` frame). Anti join; blocklists are
     dim-sized so the planner may broadcast, but nothing forces it —
-    a million-domain blocklist still works."""
-    dom = df.withColumn("__dom", extract_domain(normalize_url(url_col)))
+    a million-domain blocklist still works. ``psl=True`` as in
+    :func:`domain_cap`."""
+    dom = _with_domain(df, url_col, psl)
     return (
         dom.join(
             blocked.select(F.col("domain").alias("__dom")).hint("shuffle_hash"),

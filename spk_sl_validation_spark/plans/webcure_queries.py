@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from spk_sl_validation_spark.ext import psl as PSL
 from spk_sl_validation_spark.ext import webcure as W
 from spk_sl_validation_spark.plans.registry import register
 from spk_sl_validation_spark.sources.readers import load_table
@@ -274,3 +275,23 @@ def web_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept = W.domain_cap(kept, DOMAIN_CAP_K)
     nu = W.normalize_url("url")
     return kept.select("doc_id", nu.alias("norm_url"), W.extract_domain(nu).alias("domain"))
+
+
+@register(
+    "web_domain_psl",
+    doc=(
+        "registrable-domain extraction via the REAL Public Suffix List "
+        "(vendored publicsuffix.org list, ~9.5k rules incl. the private "
+        "section): full algorithm — longest rule wins, * wildcards, "
+        "! exceptions, host-is-public-suffix fallback — as a cascade of "
+        "broadcast joins on exact suffix keys, zero shuffles, no UDF. "
+        "Fixture hosts cover the cases the regexp approximation gets "
+        "wrong (com.au, *.kawasaki.jp, !www.ck, blogspot.com); the "
+        "oracle replays the expected answer per template in closed form"
+    ),
+    oracle=PSL.PSL_HOST_ORACLE_LAW + "SELECT doc_id, host, domain FROM h",
+)
+def web_domain_psl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    hosts = PSL.synthesize_psl_host_table(docs)
+    return PSL.registrable_domain(hosts, "host", out_col="domain")
