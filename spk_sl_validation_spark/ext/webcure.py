@@ -460,10 +460,32 @@ def robots_gate(df: DataFrame, html_col: str = "html") -> DataFrame:
 # per-URL longest-match aggregate.
 
 
+def _robots_pattern_re(pattern: Column) -> Column:
+    """Compile an RFC 9309 Allow/Disallow path pattern to an anchored
+    Java regex, JVM-side: every regex metacharacter escaped, ``*``
+    becomes ``.*`` (any sequence, incl. empty), and a TRAILING ``$``
+    becomes an end anchor (a ``$`` anywhere else is literal, matching
+    Google/Bing practice). A plain prefix compiles to ``^prefix`` —
+    prefix semantics unchanged."""
+    esc = F.regexp_replace(pattern, r"([\\.\[\]{}()+\-?^$|])", r"\\$1")
+    esc = F.regexp_replace(esc, r"\*", ".*")
+    esc = F.when(
+        # replacement is a Java replaceAll string: '\$' = literal '$'
+        pattern.endswith("$"), F.regexp_replace(esc, r"\\\$$", r"\$")
+    ).otherwise(esc)
+    return F.concat(F.lit("^"), esc)
+
+
 def parse_robots_rules(
     robots: DataFrame, domain_col: str = "domain", txt_col: str = "robots_txt"
 ) -> DataFrame:
-    """(domain, rtype 'allow'|'disallow', prefix) for the ``*`` group."""
+    """(domain, rtype 'allow'|'disallow', prefix, pattern_re) for the
+    ``*`` group. ``pattern_re`` is the RFC 9309 pattern compiled to an
+    anchored regex (:func:`_robots_pattern_re`); ``prefix`` keeps the
+    raw pattern for specificity ranking (most octets wins, per the
+    RFC). Field extraction uses ``F.get`` (0-based, null on
+    out-of-bounds) so colon-less noise lines are total under ANSI mode
+    regardless of predicate evaluation order."""
     lines = robots.select(
         F.col(domain_col).alias("domain"),
         F.posexplode(F.split(F.col(txt_col), "\n")).alias("__pos", "__line"),
@@ -471,16 +493,17 @@ def parse_robots_rules(
     line = F.trim(F.col("__line"))
     ua = F.when(
         F.lower(line).startswith("user-agent:"),
-        F.trim(F.element_at(F.split(line, ":", 2), 2)),
+        F.trim(F.get(F.split(line, ":", 2), 1)),
     )
     w = Window.partitionBy("domain").orderBy("__pos")
     grouped = lines.withColumn("__grp", F.last(ua, ignorenulls=True).over(w))
-    rtype = F.lower(F.trim(F.element_at(F.split(line, ":", 2), 1)))
-    prefix = F.trim(F.element_at(F.split(line, ":", 2), 2))
+    rtype = F.lower(F.trim(F.get(F.split(line, ":", 2), 0)))
+    prefix = F.trim(F.get(F.split(line, ":", 2), 1))
     return (
         grouped.filter(F.col("__grp") == "*")
         .select("domain", rtype.alias("rtype"), prefix.alias("prefix"))
         .filter(F.col("rtype").isin("allow", "disallow") & (F.col("prefix") != ""))
+        .withColumn("pattern_re", _robots_pattern_re(F.col("prefix")))
     )
 
 
@@ -491,8 +514,10 @@ def robots_txt_filter(
     keep_blocked: bool = False,
 ) -> DataFrame:
     """Apply robots.txt decisions to a URL frame: adds ``allowed``
-    (longest-match over the ``*`` group of the URL's registrable
-    domain) and drops blocked rows unless ``keep_blocked``.
+    (most-specific-match over the ``*`` group of the URL's registrable
+    domain, RFC 9309: ``*`` wildcards and trailing-``$`` anchors
+    supported, specificity = pattern octet count, Allow wins ties)
+    and drops blocked rows unless ``keep_blocked``.
 
     Scale shape: the URL frame is NEVER aggregated or re-keyed — rules
     collapse to one array row per domain (robots files are KB-sized,
@@ -509,15 +534,21 @@ def robots_txt_filter(
     per_domain = (
         parse_robots_rules(robots)
         .groupBy("domain")
-        .agg(F.collect_list(F.struct("rtype", "prefix")).alias("__rules"))
+        .agg(
+            F.collect_list(F.struct("rtype", "prefix", "pattern_re")).alias("__rules")
+        )
         .withColumnRenamed("domain", "__dom")
     )
     cand = keyed.join(per_domain.hint("shuffle_hash"), "__dom", "left")
 
     def best(rtype: str):
+        # regexp_like with a per-rule (non-foldable) pattern: fine here
+        # — the array is rule-count sized, and Spark caches the last
+        # compiled pattern per expression instance.
         hits = F.filter(
             F.coalesce(F.col("__rules"), F.array()),
-            lambda r: (r["rtype"] == rtype) & F.col("__path").startswith(r["prefix"]),
+            lambda r: (r["rtype"] == rtype)
+            & F.regexp_like(F.col("__path"), r["pattern_re"]),
         )
         return F.aggregate(
             hits, F.lit(-1), lambda acc, r: F.greatest(acc, F.length(r["prefix"]))
@@ -548,3 +579,57 @@ def synthesize_robots_table(urls: DataFrame, url_col: str = "url") -> DataFrame:
         F.lit("Disallow: /private\n"),
     )
     return doms.select("domain", txt.alias("robots_txt"))
+
+
+# RFC 9309 wildcard fixture law (web_robots_wildcard_filter replays it
+# in closed form): every domain serves the same three-pattern group
+#
+#     User-agent: *
+#     Disallow: /*.pdf$
+#     Allow: /docs/*
+#     Disallow: /p/*/deep
+#
+# and the URL path is a template of m = doc_id % 7:
+#
+#   m  path              decision (specificity = pattern octets)
+#   0  /p/1              no rule matches → allowed
+#   1  /docs/a.pdf       Disallow /*.pdf$ (7) ties Allow /docs/* (7)
+#                        → Allow wins ties → allowed
+#   2  /docs/a.html      Allow /docs/* → allowed
+#   3  /files/x.pdf      Disallow /*.pdf$ → BLOCKED
+#   4  /p/sub/deep       Disallow /p/*/deep (9) → BLOCKED
+#   5  /                 no rule → allowed
+#   6  /docs/a.pdf.html  /*.pdf$ anchored — does NOT match; Allow
+#                        /docs/* → allowed ($ anchor respected)
+#
+# so allowed == (m NOT IN (3, 4)); host = site(doc_id % 2).com.
+
+WILDCARD_ROBOTS_TXT = (
+    "User-agent: *\nDisallow: /*.pdf$\nAllow: /docs/*\nDisallow: /p/*/deep\n"
+)
+
+_WILDCARD_PATHS = (
+    "/p/1", "/docs/a.pdf", "/docs/a.html", "/files/x.pdf",
+    "/p/sub/deep", "/", "/docs/a.pdf.html",
+)
+
+
+def synthesize_wildcard_url_table(
+    docs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, url) under the wildcard fixture law above."""
+    m = F.col(id_col) % 7
+    path = F.element_at(F.array(*[F.lit(p) for p in _WILDCARD_PATHS]), (m + 1).cast("int"))
+    url = F.concat(
+        F.lit("https://site"), (F.col(id_col) % 2).cast("string"), F.lit(".com"), path
+    )
+    return docs.select(F.col(id_col), url.alias("url"))
+
+
+def synthesize_wildcard_robots_table(urls: DataFrame, url_col: str = "url") -> DataFrame:
+    """(domain, robots_txt): the fixed wildcard rule group for every
+    distinct registrable domain in ``urls``."""
+    doms = urls.select(
+        extract_domain(normalize_url(url_col)).alias("domain")
+    ).distinct()
+    return doms.select("domain", F.lit(WILDCARD_ROBOTS_TXT).alias("robots_txt"))

@@ -295,3 +295,38 @@ def web_domain_psl(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     hosts = PSL.synthesize_psl_host_table(docs)
     return PSL.registrable_domain(hosts, "host", out_col="domain")
+
+
+@register(
+    "web_robots_wildcard_filter",
+    doc=(
+        "RFC 9309 robots.txt pattern matching: * wildcards and "
+        "trailing-$ end anchors in Allow/Disallow paths, compiled "
+        "JVM-side to anchored regexes once per rule; most-octets "
+        "specificity, Allow wins ties. Same single-join shape as the "
+        "prefix filter (rules fold to one bounded array per domain); "
+        "the oracle replays the decision table of the 7-template law "
+        "in closed form — incl. the tie case and the $-anchor miss"
+    ),
+    oracle="""
+SELECT doc_id,
+       'https://site' || CAST(doc_id % 2 AS VARCHAR) || '.com' ||
+       CASE CAST(doc_id % 7 AS INTEGER)
+         WHEN 0 THEN '/p/1'
+         WHEN 1 THEN '/docs/a.pdf'
+         WHEN 2 THEN '/docs/a.html'
+         WHEN 3 THEN '/files/x.pdf'
+         WHEN 4 THEN '/p/sub/deep'
+         WHEN 5 THEN '/'
+         ELSE '/docs/a.pdf.html'
+       END AS url,
+       CAST(doc_id % 7 AS INTEGER) NOT IN (3, 4) AS allowed
+FROM documents
+""",
+)
+def web_robots_wildcard_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    urls = W.synthesize_wildcard_url_table(docs)
+    robots = W.synthesize_wildcard_robots_table(urls)
+    out = W.robots_txt_filter(urls, robots, keep_blocked=True)
+    return out.select("doc_id", "url", "allowed")

@@ -247,6 +247,26 @@ ROBOTS_CASES = [
     ("User-Agent: *\n DISALLOW : /priv\n", "https://a.com/priv/x", False),
     # no matching rule -> allowed
     ("User-agent: *\nDisallow: /private\n", "https://a.com/pub", True),
+    # --- RFC 9309 wildcards / anchors (round 9) ---
+    # * wildcard matches any sequence
+    ("User-agent: *\nDisallow: /*.pdf\n", "https://a.com/d/f.pdf", False),
+    # mid-path wildcard, no anchor -> prefix-of-match semantics
+    ("User-agent: *\nDisallow: /p/*/deep\n", "https://a.com/p/s/deep/more", False),
+    # trailing $ anchors: .pdf NOT at end does not match
+    ("User-agent: *\nDisallow: /*.pdf$\n", "https://a.com/d/f.pdf.html", True),
+    ("User-agent: *\nDisallow: /*.pdf$\n", "https://a.com/d/f.pdf", False),
+    # specificity tie between a wildcard Disallow and an Allow -> Allow
+    ("User-agent: *\nDisallow: /*.pdf$\nAllow: /docs/*\n", "https://a.com/docs/a.pdf", True),
+    # $ NOT at the end is a literal character, never an anchor
+    ("User-agent: *\nDisallow: /a$b\n", "https://a.com/a$b/c", False),
+    ("User-agent: *\nDisallow: /a$b\n", "https://a.com/ab/c", True),
+    # regex metacharacters in patterns stay literal
+    ("User-agent: *\nDisallow: /a+b(c)\n", "https://a.com/a+b(c)x", False),
+    ("User-agent: *\nDisallow: /a+b(c)\n", "https://a.com/aab(c)x", True),
+    # empty * (matches zero chars) — /x* matches /x exactly
+    ("User-agent: *\nDisallow: /x*$\n", "https://a.com/x", False),
+    # colon-less noise lines must not break parsing (ANSI totality)
+    ("garbage noise line\nUser-agent: *\n# note\nDisallow: /no\n", "https://a.com/no", False),
 ]
 
 
