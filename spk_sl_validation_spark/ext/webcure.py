@@ -322,6 +322,61 @@ def synthesize_url_table(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
 # and oracle shapes do not change.
 
 
+#: Numeric character reference: &#8217; or &#x2019; (hex, either case).
+_NUMREF_RE = r"&#((?:[Xx][0-9A-Fa-f]{1,6})|(?:[0-9]{1,7}));"
+
+
+def _decode_numeric_refs(h: Column) -> Column:
+    """Decode ``&#NNNN;`` / ``&#xHH;`` numeric character references —
+    ubiquitous in real pages (apostrophes, dashes, non-Latin text) and
+    a different class from the named-entity table: there are 1.1M
+    possible codepoints, so the decode is computed, not looked up.
+
+    JVM-side: split on the reference pattern (segments), extract every
+    reference (tokens), decode each token via
+    ``reflect('java.lang.Character','toString', cp)`` — Spark's
+    ``chr`` is mod-256 ASCII, wrong above U+00FF — and re-interleave
+    with ``zip_with``. Invalid codepoints (0, surrogates, > U+10FFFF,
+    where Character.toString throws) stay as their literal source
+    text. Cost is per-REFERENCE, not per-char, and the fast path
+    (no reference in the page) is one regexp count."""
+    toks = F.regexp_extract_all(h, F.lit(_NUMREF_RE), 1)
+    segs = F.split(h, _NUMREF_RE)
+
+    def decode(tok: Column) -> Column:
+        is_hex = tok.rlike("^[Xx]")
+        cp = (
+            F.when(is_hex, F.conv(F.substring(tok, 2, 6), 16, 10))
+            .otherwise(tok)
+            .cast("long")
+        )
+        valid = (
+            (cp >= 1)
+            & (cp <= 0x10FFFF)
+            & ~((cp >= 0xD800) & (cp <= 0xDFFF))
+        )
+        return F.when(
+            valid,
+            F.reflect(
+                F.lit("java.lang.Character"), F.lit("toString"), cp.cast("int")
+            ),
+        ).otherwise(F.concat(F.lit("&#"), tok, F.lit(";")))
+
+    return F.when(F.size(toks) == 0, h).otherwise(
+        F.concat(
+            F.get(segs, 0),
+            F.array_join(
+                F.zip_with(
+                    F.transform(toks, decode),
+                    F.slice(segs, 2, F.size(segs) - 1),
+                    lambda d, t: F.concat(d, t),
+                ),
+                "",
+            ),
+        )
+    )
+
+
 def html_to_text(html: Column | str) -> Column:
     """Extract visible text from an HTML payload per the module
     contract above."""
@@ -333,6 +388,7 @@ def html_to_text(html: Column | str) -> Column:
         ("&lt;", "<"), ("&gt;", ">"), ("&quot;", "\""), ("&#39;", "'"), ("&nbsp;", " "),
     ):
         h = F.regexp_replace(h, ent, rep)
+    h = _decode_numeric_refs(h)
     h = F.regexp_replace(h, "&amp;", "&")
     return F.trim(F.regexp_replace(h, r"\s+", " "))
 
@@ -348,7 +404,9 @@ def html_meta(html: Column | str) -> tuple[Column, Column]:
     h = F.regexp_replace(h, r"(?is)<(script|style|noscript)\b[^>]*>.*?</\1\s*>", " ")
     h = F.regexp_replace(h, r"(?s)<!--.*?-->", " ")
     title = F.trim(F.regexp_extract(h, r"(?is)<title[^>]*>(.*?)</title\s*>", 1))
-    n_links = F.size(F.split(h, r"(?i)<a\s")) - 1
+    # <a[\s>], not <a\s: a bare attribute-less <a> anchor is valid
+    # HTML and must count.
+    n_links = F.size(F.split(h, r"(?i)<a[\s>]")) - 1
     return title, n_links
 
 
@@ -356,13 +414,15 @@ def synthesize_html_table(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
     """(doc_id, html) wrapping each document's text in a full page
-    under a closed-form law: title ``T<id>``, an ``&amp;``-entity
-    heading, a classed paragraph holding the text verbatim, ``id % 4``
-    nav links with anchor texts ``L0..``, plus comment/style/script
-    noise (the script body carries a decoy entity that must vanish
-    whole). Extracted text is exactly
-    ``T<id> T&<id> <text> [L0 L1 ...]`` — the oracle recomputes it
-    from documents.text without parsing any HTML."""
+    under a closed-form law: title ``T<id>``, a heading carrying an
+    ``&amp;`` named entity plus ``&#8217;`` / ``&#x2014;`` NUMERIC
+    character references (decimal and hex — the decode the extractor
+    must compute, not look up), a classed paragraph holding the text
+    verbatim, ``id % 4`` nav links with anchor texts ``L0..``, plus
+    comment/style/script noise (the script body carries a decoy
+    entity that must vanish whole). Extracted text is exactly
+    ``T<id> T&<id>’s—<id> <text> [L0 L1 ...]`` — the oracle
+    recomputes it from documents.text without parsing any HTML."""
     i = F.col(id_col).cast("string")
     # sequence(0, -1) DESCENDS in Spark — guard the zero-link case.
     nav = F.when(F.col(id_col) % 4 == 0, F.lit("")).otherwise(
@@ -402,6 +462,7 @@ def synthesize_html_table(
               '<script type="text/javascript">var x = "&amp;"; if (1 > 0) {}</script>'
               "</head><body><!-- noise "), i,
         F.lit(' --><h1 class="h">T&amp;'), i,
+        F.lit("&#8217;s&#x2014;"), i,
         F.lit('</h1><p class="c'), (F.col(id_col) % 3).cast("string"),
         F.lit('">'), F.col(text_col),
         F.lit("</p><nav>"), nav,

@@ -129,14 +129,18 @@ def web_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "HTML -> text extraction as a JVM-side regexp chain (C4-class, "
         "whole-stage codegen, zero Python): script/style/comment blocks "
         "removed whole (a decoy entity inside the script must vanish with "
-        "it), tags to whitespace, entities decoded (&amp; last), whitespace "
-        "collapsed. Fixture pages wrap documents.text in a full page with "
-        "title/heading/classed paragraph/nav links; the oracle recomputes "
-        "the extracted text from documents.text without parsing any HTML"
+        "it), tags to whitespace, named entities decoded, NUMERIC character "
+        "references (&#8217; decimal / &#x2014; hex) decoded via "
+        "reflect(Character.toString) — Spark chr is mod-256 — invalid "
+        "codepoints left literal, &amp; last, whitespace collapsed. Fixture "
+        "pages wrap documents.text in a full page; the oracle recomputes "
+        "the extracted text (decoded chars written directly) from "
+        "documents.text without parsing any HTML"
     ),
     oracle="""
 SELECT doc_id,
        'T' || CAST(doc_id AS VARCHAR) || ' T&' || CAST(doc_id AS VARCHAR)
+       || chr(8217) || 's' || chr(8212) || CAST(doc_id AS VARCHAR)
        || ' ' || text
        || (CASE doc_id % 4 WHEN 0 THEN '' WHEN 1 THEN ' L0'
                            WHEN 2 THEN ' L0 L1' ELSE ' L0 L1 L2' END)

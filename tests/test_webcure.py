@@ -178,6 +178,19 @@ def test_blocklist_filter_drops_by_registrable_domain(spark):
         ("x<!-- line1\nline2 -->y", "x y"),
         # noscript removed
         ("<noscript><img src=x></noscript>keep", "keep"),
+        # --- numeric character references (round 9) ---
+        # decimal + hex decode; mixed-case hex marker
+        ("<p>it&#8217;s a&#x2014;b &#X2019;</p>", "it’s a—b ’"),
+        # latin-1-range and astral (4-byte UTF-8) codepoints
+        ("<p>caf&#233; &#x1F600;</p>", "café \U0001f600"),
+        # invalid refs stay literal: 0, surrogate, out of range,
+        # malformed (no digits / unterminated)
+        ("<p>&#0; &#xD800; &#1114112; &#; &#x2014</p>",
+         "&#0; &#xD800; &#1114112; &#; &#x2014"),
+        # double-encoded numeric ref decodes one level (&amp; last)
+        ("<p>&amp;#8217;</p>", "&#8217;"),
+        # adjacent refs, ref at string start/end
+        ("&#65;&#66;mid&#67;", "ABmidC"),
     ],
 )
 def test_html_to_text_adversarial(spark, html, want):
@@ -325,6 +338,15 @@ def test_normalize_port_and_userinfo_edge_cases(spark, raw, want):
     assert got == want
     # and the result is already a fixed point
     assert _norm_one(spark, got) == got
+
+
+def test_html_meta_counts_bare_anchor(spark):
+    # attribute-less <a> is valid HTML and must count (round-9 fix:
+    # split on <a[\s>], not <a\s).
+    html = "<body><a>bare</a><a href='/1'>x</a><abbr>not an anchor</abbr></body>"
+    df = spark.createDataFrame([(html,)], "html string")
+    _, n_links = W.html_meta("html")
+    assert df.select(n_links.alias("n")).first()["n"] == 2
 
 
 def test_html_meta_ignores_script_and_comment_blocks(spark):
