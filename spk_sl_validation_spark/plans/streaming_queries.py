@@ -826,7 +826,11 @@ _REG["streaming_pack_ingest"] = _dc.replace(
         "expressions on the stream) + stateful ownership aggregate — one "
         "winner per NORMALIZED url, min doc_id, so the emitted frontier is "
         "deterministic and equals the batch url_dedup keep set exactly "
-        "(stream == batch == oracle)"
+        "(stream == batch == oracle). complete-mode is the bounded "
+        "driver-check shape (availableNow over a finite fixture) — a "
+        "continuous production frontier must NOT re-emit full state per "
+        "trigger; that shape is streaming_frontier_ingest (foreachBatch "
+        "delta-merge, streaming/pipeline.py ingest_frontier_stream)"
     ),
     # Single-source oracle law: imported from ext/webcure (same
     # constant the batch webcure oracles use), not a drift-prone copy.
@@ -841,3 +845,54 @@ def streaming_url_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     keyed = urls.select(W.normalize_url("url").alias("norm_url"), "doc_id")
     frontier = keyed.groupBy("norm_url").agg(F.min("doc_id").alias("doc_id"))
     return P.run_available_now(frontier, output_mode="complete")
+
+
+@register(
+    "streaming_frontier_ingest",
+    doc=(
+        "the PRODUCTION crawl-frontier shape: foreachBatch delta-merge "
+        "into a persisted frontier table — each micro-batch is "
+        "canonicalized, reduced to per-URL candidates, and ONLY the "
+        "improving rows (new URL or lower doc_id) are appended as a "
+        "batch_id delta; the read side folds deltas with a groupBy-min "
+        "(LSM shape). No full-state re-emission per trigger, unlike the "
+        "complete-mode twin. Exactly-once via batch_id-partitioned "
+        "dynamic overwrite; stream == batch == oracle"
+    ),
+    # Same single-source law constant as streaming_url_frontier / the
+    # batch webcure queries.
+    oracle=NORM_URL_ORACLE_LAW
+    + "SELECT norm_url, min(doc_id) AS doc_id FROM n GROUP BY norm_url",
+)
+def streaming_frontier_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream == batch for the delta-merged frontier: bootstrap an
+    EMPTY frontier, split the synthesized crawl into two id-ordered
+    shards (two micro-batches; mtimes pinned so the file source
+    processes them in id order — though the frontier merge is
+    order-insensitive by construction: min is commutative), ingest
+    both against the persisted state, read back via the LSM fold."""
+    import os
+    import pathlib
+
+    from spk_sl_validation_spark.ext import webcure as W
+    from spk_sl_validation_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    urls = W.synthesize_url_table(docs)
+    k = urls.agg(F.floor(F.max("doc_id") / 2).cast("long").alias("k")).first()["k"]
+
+    base = _ingest_tmp_base(spark, sf_dir, "spk_sl_frontier_ingest")
+    frontier_dir, source_dir, ckpt = (
+        str(base / "frontier"), str(base / "incoming"), str(base / "ckpt")
+    )
+    empty = spark.createDataFrame([], P.URL_STREAM_SCHEMA)
+    P.write_frontier(empty, frontier_dir)  # zero bootstrap state
+    for i, pred in enumerate((F.col("doc_id") <= k, F.col("doc_id") > k)):
+        shard = f"{source_dir}/shard{i}"
+        urls.filter(pred).coalesce(1).write.mode("overwrite").parquet(shard)
+        t = 1_700_000_000 + i * 60
+        for p in pathlib.Path(shard).rglob("*"):
+            os.utime(p, (t, t))
+    q = P.ingest_frontier_stream(spark, f"{source_dir}/*", frontier_dir, ckpt)
+    q.awaitTermination()
+    return P.read_frontier(spark, frontier_dir)

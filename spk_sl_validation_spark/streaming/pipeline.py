@@ -803,3 +803,134 @@ def ingest_pack_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming crawl frontier (foreachBatch delta-merge — the production
+# shape; the complete-mode aggregate in plans/streaming_queries.py is
+# the bounded driver-check twin)
+# ---------------------------------------------------------------------------
+
+URL_STREAM_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("url", T.StringType(), True),
+    ]
+)
+
+#: On-disk frontier schema (batch_id is the delta partition column).
+#: Reads pass it explicitly so an EMPTY bootstrap — a dir with no
+#: parquet files yet — does not fail schema inference.
+FRONTIER_SCHEMA = "norm_url string, doc_id long, batch_id int"
+
+
+def write_frontier(urls: DataFrame, frontier_dir: str, batch_id: int = -1) -> None:
+    """Bootstrap the persisted crawl frontier under ``frontier_dir``:
+    one ``(norm_url, doc_id)`` winner per normalized URL of the
+    existing crawl (an empty ``(doc_id, url)`` frame is fine),
+    partitioned by the batch that contributed it — the LSM-style
+    delta layout :func:`ingest_frontier_stream` appends to."""
+    from spk_sl_validation_spark.ext.webcure import normalize_url
+
+    f = (
+        urls.select(normalize_url("url").alias("norm_url"), "doc_id")
+        .groupBy("norm_url")
+        .agg(F.min("doc_id").alias("doc_id"))
+    )
+    (
+        f.withColumn("batch_id", F.lit(batch_id))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(frontier_dir)
+    )
+
+
+def _frontier_process_batch(
+    spark: SparkSession, batch_df: DataFrame, batch_id: int, frontier_dir: str
+) -> None:
+    """One micro-batch of :func:`ingest_frontier_stream`: normalize
+    the batch, reduce it to per-URL candidates, and append ONLY the
+    candidates that improve on the persisted frontier (new URL, or a
+    lower doc_id than every earlier delta). No full-state rewrite —
+    per-trigger write volume is the batch's novel URLs, not the
+    frontier size; correctness does not even depend on the dominance
+    filter because :func:`read_frontier` folds deltas with a
+    groupBy-min (the filter only bounds write amplification).
+    Idempotent for a fixed (batch contents, batch_id): the frontier
+    read excludes ``batch_id >= current`` and the delta write
+    dynamically overwrites its own partition."""
+    from spk_sl_validation_spark.ext.webcure import normalize_url
+
+    batch_df = batch_df.localCheckpoint(eager=True)
+    cand = (
+        batch_df.select(normalize_url("url").alias("norm_url"), "doc_id")
+        .groupBy("norm_url")
+        .agg(F.min("doc_id").alias("doc_id"))
+    )
+    best_old = (
+        spark.read.schema(FRONTIER_SCHEMA)
+        .parquet(frontier_dir)
+        .filter(F.col("batch_id") < batch_id)
+        .groupBy("norm_url")
+        .agg(F.min("doc_id").alias("__old"))
+    )
+    improved = (
+        cand.join(best_old, "norm_url", "left")
+        .filter(F.col("__old").isNull() | (F.col("doc_id") < F.col("__old")))
+        .select("norm_url", "doc_id")
+    )
+    (
+        improved.withColumn("batch_id", F.lit(batch_id))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(frontier_dir)
+    )
+
+
+def read_frontier(spark: SparkSession, frontier_dir: str) -> DataFrame:
+    """The current frontier: groupBy-min over all delta partitions
+    (LSM read-side merge; run :func:`write_frontier` with the result
+    to compact when the delta count grows)."""
+    return (
+        spark.read.schema(FRONTIER_SCHEMA)
+        .parquet(frontier_dir)
+        .groupBy("norm_url")
+        .agg(F.min("doc_id").alias("doc_id"))
+    )
+
+
+def ingest_frontier_stream(
+    spark: SparkSession,
+    source_dir: str,
+    frontier_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int = 1,
+):
+    """The production crawl-frontier shape: a file stream of
+    ``(doc_id, url)`` shards, each micro-batch canonicalized and
+    delta-merged into the persisted frontier — in contrast to the
+    complete-mode aggregate twin, nothing ever re-emits the full
+    frontier per trigger. Exactly-once across restarts via the same
+    batch_id-partitioned dynamic-overwrite recipe as
+    :func:`ingest_dedup_stream`.
+
+    Precondition: ``frontier_dir`` bootstrapped with
+    :func:`write_frontier` (empty is fine). Returns the started
+    StreamingQuery (availableNow trigger)."""
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        _frontier_process_batch(spark, batch_df, batch_id, frontier_dir)
+
+    stream = (
+        spark.readStream.schema(URL_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(source_dir)
+    )
+    return (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
