@@ -1725,6 +1725,56 @@ def _make_mp4(doc_id: int) -> bytes:
         )
         return _box(b"tkhd", head + tail)
 
+    # --- sample tables (video track only; round-9 law extension) ---
+    # n_samples    = 8 + doc_id % 5
+    # stsz uniform (sample_size = 200 + doc_id % 50) when 3 | doc_id,
+    #   else per-sample sizes 100 + 10*((doc_id + i) % 7)
+    # stts one run when doc_id even, else two runs (3 + rest)
+    # chunk offsets: n_chunks = 1 + doc_id % 3, co64 when 4 | doc_id
+    n_samples = 8 + doc_id % 5
+    if doc_id % 3 == 0:
+        uniform = 200 + doc_id % 50
+        sizes = [uniform] * n_samples
+        stsz = _box(
+            b"stsz", _full(0) + struct.pack(">II", uniform, n_samples)
+        )
+    else:
+        sizes = [100 + 10 * ((doc_id + i) % 7) for i in range(n_samples)]
+        stsz = _box(
+            b"stsz",
+            _full(0)
+            + struct.pack(">II", 0, n_samples)
+            + b"".join(struct.pack(">I", s) for s in sizes),
+        )
+    delta = max(dur_units // n_samples, 1)
+    if doc_id % 2 == 0:
+        stts_entries = [(n_samples, delta)]
+    else:
+        stts_entries = [(3, delta), (n_samples - 3, delta + 1)]
+    stts = _box(
+        b"stts",
+        _full(0)
+        + struct.pack(">I", len(stts_entries))
+        + b"".join(struct.pack(">II", c, d) for c, d in stts_entries),
+    )
+    n_chunks = 1 + doc_id % 3
+    offs = [48 + sum(sizes[: max(0, j)]) for j in range(n_chunks)]
+    if doc_id % 4 == 0:
+        stco = _box(
+            b"co64",
+            _full(0)
+            + struct.pack(">I", n_chunks)
+            + b"".join(struct.pack(">Q", o) for o in offs),
+        )
+    else:
+        stco = _box(
+            b"stco",
+            _full(0)
+            + struct.pack(">I", n_chunks)
+            + b"".join(struct.pack(">I", o) for o in offs),
+        )
+    video_sample_boxes = stts + stsz + stco
+
     def trak(track_id: int, handler: bytes, entry_fourcc: bytes, tw: int, th: int) -> bytes:
         mdhd = _box(
             b"mdhd",
@@ -1736,7 +1786,9 @@ def _make_mp4(doc_id: int) -> bytes:
         # minimal sample entry: 6 reserved + data_reference_index
         entry = _box(entry_fourcc, b"\x00" * 6 + struct.pack(">H", 1))
         stsd = _box(b"stsd", _full(0) + struct.pack(">I", 1) + entry)
-        stbl = _box(b"stbl", stsd)
+        stbl = _box(
+            b"stbl", stsd + (video_sample_boxes if handler == b"vide" else b"")
+        )
         minf = _box(b"minf", stbl)
         mdia = _box(b"mdia", mdhd + hdlr + minf)
         return _box(b"trak", tkhd(track_id, tw, th) + mdia)
@@ -1890,6 +1942,127 @@ def parse_mp4_meta(data: bytes) -> tuple[int, int, int, int, str]:
     return (width, height, int(duration_ms), len(traks), codec)
 
 
+def parse_mp4_samples(data: bytes) -> tuple[int, int, int, int]:
+    """Parse the first video track's SAMPLE TABLES (the filtering
+    metadata a video corpus needs beyond parse_mp4_meta's header
+    fields): returns ``(n_samples, total_sample_bytes, n_chunks,
+    avg_bitrate_bps)``.
+
+    - ``stsz``: uniform mode (sample_size != 0 — total = size x count)
+      and per-sample mode both supported;
+    - ``stts``: every run's count summed and cross-checked against the
+      stsz count (a mismatch is malformation, not a guess);
+    - ``stco`` OR ``co64`` (32/64-bit chunk offsets) for n_chunks;
+    - bitrate = total bytes x 8000 / mvhd duration_ms (floor).
+
+    Raises ValueError on malformation (truncated tables, count
+    mismatch, zero samples/chunks/duration, missing boxes) — total
+    under fuzzing like the rest of the codec layer."""
+    import struct
+
+    if len(data) < 8:
+        raise ValueError("not an MP4 payload")
+    tops = list(_mp4_children(data, 0, len(data)))
+    if not tops or tops[0][0] != b"ftyp":
+        raise ValueError("MP4 must start with ftyp")
+    moovs = [(s, e) for typ, s, e in tops if typ == b"moov"]
+    if len(moovs) != 1:
+        raise ValueError(f"expected exactly one moov box, found {len(moovs)}")
+    ms, me = moovs[0]
+    mvhds = _mp4_find(data, ms, me, b"mvhd")
+    if len(mvhds) != 1:
+        raise ValueError("moov must carry exactly one mvhd")
+    vs, ve = mvhds[0]
+    if ve - vs < 1:
+        raise ValueError("empty mvhd box")
+    version = data[vs]
+    if version == 1:
+        if ve - vs < 4 + 28:
+            raise ValueError("truncated mvhd v1")
+        timescale, duration = struct.unpack_from(">IQ", data, vs + 4 + 16)
+    elif version == 0:
+        if ve - vs < 4 + 16:
+            raise ValueError("truncated mvhd v0")
+        timescale, duration = struct.unpack_from(">II", data, vs + 4 + 8)
+    else:
+        raise ValueError(f"unknown mvhd version {version}")
+    if timescale == 0:
+        raise ValueError("mvhd timescale is zero")
+    duration_ms = duration * 1000 // timescale
+    if duration_ms <= 0:
+        raise ValueError("zero mvhd duration")
+
+    for ts_, te_ in _mp4_find(data, ms, me, b"trak"):
+        mdias = _mp4_find(data, ts_, te_, b"mdia")
+        if len(mdias) != 1:
+            raise ValueError("trak must carry exactly one mdia")
+        mdia_s, mdia_e = mdias[0]
+        handler = None
+        stbls: list[tuple[int, int]] = []
+        for typ, s, e in _mp4_children(data, mdia_s, mdia_e):
+            if typ == b"hdlr":
+                if e - s < 12:
+                    raise ValueError("truncated hdlr")
+                handler = data[s + 8 : s + 12]
+            elif typ == b"minf":
+                stbls.extend(_mp4_find(data, s, e, b"stbl"))
+        if handler != b"vide":
+            continue
+        if len(stbls) != 1:
+            raise ValueError("video mdia must carry exactly one stbl")
+        sb_s, sb_e = stbls[0]
+        boxes = {typ: (s, e) for typ, s, e in _mp4_children(data, sb_s, sb_e)}
+        for need in (b"stts", b"stsz"):
+            if need not in boxes:
+                raise ValueError(f"video stbl missing {need.decode()}")
+        if (b"stco" in boxes) == (b"co64" in boxes):
+            raise ValueError("video stbl needs exactly one of stco/co64")
+
+        s, e = boxes[b"stsz"]
+        if e - s < 12:
+            raise ValueError("truncated stsz")
+        sample_size, n_samples = struct.unpack_from(">II", data, s + 4)
+        if n_samples < 1:
+            raise ValueError("stsz with zero samples")
+        if sample_size != 0:
+            total_bytes = sample_size * n_samples
+        else:
+            if e - s < 12 + 4 * n_samples:
+                raise ValueError("truncated stsz size table")
+            total_bytes = sum(
+                struct.unpack_from(f">{n_samples}I", data, s + 12)
+            )
+
+        s, e = boxes[b"stts"]
+        if e - s < 8:
+            raise ValueError("truncated stts")
+        n_runs = struct.unpack_from(">I", data, s + 4)[0]
+        if e - s < 8 + 8 * n_runs:
+            raise ValueError("truncated stts run table")
+        stts_total = sum(
+            struct.unpack_from(">I", data, s + 8 + 8 * i)[0] for i in range(n_runs)
+        )
+        if stts_total != n_samples:
+            raise ValueError(
+                f"stts sample count {stts_total} != stsz count {n_samples}"
+            )
+
+        co_typ = b"stco" if b"stco" in boxes else b"co64"
+        s, e = boxes[co_typ]
+        if e - s < 8:
+            raise ValueError(f"truncated {co_typ.decode()}")
+        n_chunks = struct.unpack_from(">I", data, s + 4)[0]
+        width = 4 if co_typ == b"stco" else 8
+        if n_chunks < 1:
+            raise ValueError("zero chunk offsets")
+        if e - s < 8 + width * n_chunks:
+            raise ValueError(f"truncated {co_typ.decode()} offset table")
+
+        avg_bitrate_bps = total_bytes * 8000 // duration_ms
+        return (n_samples, total_bytes, n_chunks, avg_bitrate_bps)
+    raise ValueError("no video trak in moov")
+
+
 MP4_META_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),
@@ -1940,3 +2113,42 @@ def mp4_container_meta(df: DataFrame, media_col: str = "media") -> DataFrame:
             yield pd.DataFrame(out)
 
     return df.mapInPandas(run, MP4_META_SCHEMA)
+
+
+MP4_SAMPLE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_samples", T.IntegerType()),
+        T.StructField("total_sample_bytes", T.LongType()),
+        T.StructField("n_chunks", T.IntegerType()),
+        T.StructField("avg_bitrate_bps", T.LongType()),
+        T.StructField("ok", T.BooleanType()),
+    ]
+)
+
+
+def mp4_sample_stats(df: DataFrame, media_col: str = "media") -> DataFrame:
+    """Per-payload video sample-table stats (Arrow-batched pure map,
+    zero exchanges): sample count, total sample bytes, chunk count,
+    average bitrate — the size/bitrate filters a video corpus applies
+    before ever decoding a frame. Same totality contract as
+    :func:`mp4_container_meta`: malformed payloads yield ok=false."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list[Any]] = {f.name: [] for f in MP4_SAMPLE_SCHEMA.fields}
+            for doc_id, data in zip(pdf["doc_id"], pdf[media_col]):
+                try:
+                    ns, tb, nc, br = parse_mp4_samples(bytes(data))
+                    row = (ns, tb, nc, br, True)
+                except (ValueError, IndexError):
+                    row = (0, 0, 0, 0, False)
+                out["doc_id"].append(doc_id)
+                for name, v in zip(
+                    ("n_samples", "total_sample_bytes", "n_chunks",
+                     "avg_bitrate_bps", "ok"), row
+                ):
+                    out[name].append(v)
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(run, MP4_SAMPLE_SCHEMA)

@@ -383,3 +383,45 @@ FROM documents
 def multimodal_mp4_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     return M.mp4_container_meta(M.synthesize_mp4_table(docs))
+
+
+@register(
+    "multimodal_mp4_sample_stats",
+    doc=(
+        "MP4 sample-table stats (round-9 law extension: the writer now "
+        "emits real stts/stsz/stco tables in the video track): sample "
+        "count, total sample bytes, chunk count, average bitrate — the "
+        "pre-decode size/bitrate filters of a video corpus. The parser "
+        "must genuinely walk variants: uniform vs per-sample stsz, one- "
+        "vs two-run stts (cross-checked against the stsz count), 32-bit "
+        "stco vs 64-bit co64. Zero-exchange Arrow-batched pure map; the "
+        "oracle recomputes every stat from the generation law"
+    ),
+    oracle="""
+WITH p AS (
+  SELECT doc_id,
+         CAST(8 + doc_id % 5 AS INTEGER) AS n,
+         CAST(500 * (1 + doc_id % 8) AS BIGINT) AS dur_ms,
+         CAST(1 + doc_id % 3 AS INTEGER) AS n_chunks
+  FROM documents
+), tot AS (
+  SELECT p.doc_id,
+         CASE WHEN p.doc_id % 3 = 0
+              THEN p.n * (200 + p.doc_id % 50)
+              ELSE (SELECT SUM(100 + 10 * ((p.doc_id + g.i) % 7))
+                    FROM range(0, 12) g(i) WHERE g.i < p.n)
+         END AS total_bytes
+  FROM p
+)
+SELECT p.doc_id,
+       p.n AS n_samples,
+       CAST(t.total_bytes AS BIGINT) AS total_sample_bytes,
+       p.n_chunks,
+       CAST(t.total_bytes * 8000 // p.dur_ms AS BIGINT) AS avg_bitrate_bps,
+       true AS ok
+FROM p JOIN tot t ON p.doc_id = t.doc_id
+""",
+)
+def multimodal_mp4_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return M.mp4_sample_stats(M.synthesize_mp4_table(docs))

@@ -982,3 +982,94 @@ def test_mp4_empty_fullbox_at_eof_is_valueerror():
     )
     with pytest.raises(ValueError, match="tkhd"):
         M.parse_mp4_meta(ftyp + box(b"moov", mvhd + box(b"trak", box(b"tkhd") + box(b"mdia"))))
+
+
+# ---------------------------------------------------------------------------
+# mp4 sample tables (round-9 law extension: stts/stsz/stco|co64)
+# ---------------------------------------------------------------------------
+
+
+def test_mp4_sample_law_all_shapes():
+    """Every writer variant parses to the law's closed form: uniform vs
+    per-sample stsz (3|d), one- vs two-run stts (parity), stco vs co64
+    (4|d), across faststart/streaming and v0/v1 container shapes."""
+    for d in range(0, 61):
+        ns, tb, nc, br = M.parse_mp4_samples(M._make_mp4(d))
+        n = 8 + d % 5
+        if d % 3 == 0:
+            want_tb = n * (200 + d % 50)
+        else:
+            want_tb = sum(100 + 10 * ((d + i) % 7) for i in range(n))
+        dur_ms = 500 * (1 + d % 8)
+        assert ns == n, d
+        assert tb == want_tb, d
+        assert nc == 1 + d % 3, d
+        assert br == want_tb * 8000 // dur_ms, d
+
+
+def test_mp4_sample_parser_rejects_table_malformations():
+    base = bytearray(M._make_mp4(7))  # per-sample stsz, two-run stts, stco
+    # corrupt the stts run count so run totals mismatch stsz
+    at = bytes(base).find(b"stts")
+    with pytest.raises(ValueError):
+        mut = bytearray(base)
+        mut[at + 4 + 4 + 3] += 1  # bump first run's sample count
+        M.parse_mp4_samples(bytes(mut))
+    # stsz sample count zero
+    at = bytes(base).find(b"stsz")
+    with pytest.raises(ValueError):
+        mut = bytearray(base)
+        mut[at + 4 + 8 : at + 4 + 12] = b"\x00\x00\x00\x00"
+        M.parse_mp4_samples(bytes(mut))
+    # audio-only file (no video trak): build from a doc with audio then
+    # strip the video track's hdlr marker
+    with pytest.raises(ValueError):
+        M.parse_mp4_samples(bytes(base).replace(b"vide", b"xxxx"))
+
+
+def test_mp4_sample_parser_total_on_arbitrary_and_mutated_bytes():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    base = M._make_mp4(12)  # uniform stsz (12%3==0), co64 (12%4==0), v0
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.binary(max_size=256))
+    def arbitrary(raw):
+        try:
+            M.parse_mp4_samples(raw)
+        except ValueError:
+            pass
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.integers(min_value=0, max_value=len(base) - 1),
+        st.integers(min_value=0, max_value=255),
+        st.integers(min_value=0, max_value=len(base)),
+    )
+    def mutated(pos, byte, cut):
+        mut = bytearray(base)
+        mut[pos] = byte
+        try:
+            M.parse_mp4_samples(bytes(mut[:cut]))
+        except ValueError:
+            pass
+
+    arbitrary()
+    mutated()
+
+
+def test_mp4_sample_stats_flags_bad_rows(spark):
+    import pyspark.sql.functions as F
+
+    docs = spark.range(8).selectExpr("id AS doc_id")
+    media = M.synthesize_mp4_table(docs).withColumn(
+        "media",
+        F.when(F.col("doc_id") == 3, F.lit(b"\x00\x01garbage")).otherwise(
+            F.col("media")
+        ),
+    )
+    rows = {r.doc_id: r for r in M.mp4_sample_stats(media).collect()}
+    assert not rows[3].ok and rows[3].n_samples == 0
+    ok_rows = [r for d, r in rows.items() if d != 3]
+    assert all(r.ok and r.n_samples >= 8 and r.avg_bitrate_bps > 0 for r in ok_rows)
