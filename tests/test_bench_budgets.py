@@ -39,8 +39,12 @@ RATIO_BUDGETS = {
     "similarity_topk_bruteforce": 1.6,
     "range_join_clicks_before_purchase": 0.8,
     # round-3 promotions (measured vs pricing_summary on the 13-query
-    # bench row: span 0.98, incremental 5.0 — x3 headroom)
-    "corpus_span_dedup": 3.0,
+    # bench row: incremental 5.0 — x3 headroom)
+    # round-9: span_dedup re-measured after the ownership de-skew
+    # (groupBy+join-back adds 2 exchanges + 1 scan of fixed overhead
+    # at bench scale, ratio 2.9 vs the old window shape's ~1.0; the
+    # win is the AQE-splittable hot key at 100x — SCALE.md span_hot)
+    "corpus_span_dedup": 9.0,
     "dedup_incremental": 15.0,
     # round-4 map-side rewrite (10 -> 5 exchanges, 1.42x): measured
     # ~1.4 vs pricing_summary — x3 headroom
@@ -56,6 +60,14 @@ RATIO_BUDGETS = {
     "text_quality_train": 9.0,
     "multimodal_jpeg_pixel_stats": 28.0,
     "multimodal_mp4_meta": 3.0,
+    # round-9 headline additions (verdict task 7): url_dedup measured
+    # 0.87 vs pricing_summary; the composed curation pipeline is
+    # driver-side PLANNING-bound at bench scale (execution <2 s of its
+    # ~12 s — see the builder docstring), so its ratio is large and
+    # stable-by-construction rather than data-proportional: measured
+    # ~11-20 depending on JIT warmth — x3 headroom on the high end.
+    "web_url_dedup": 3.0,
+    "web_curation_pipeline": 60.0,
 }
 # catastrophic-only absolute cap for the calibrator itself (sf0.1)
 CALIBRATOR_MAX_SEC = 20.0
