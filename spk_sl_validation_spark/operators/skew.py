@@ -123,7 +123,13 @@ def write_bucketed(
         import shutil
         from urllib.parse import urlparse
 
-        warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir", "")).path
+        parsed = urlparse(spark.conf.get("spark.sql.warehouse.dir", ""))
+        # Scheme gate: only sweep LOCAL warehouse paths. With a remote
+        # warehouse (hdfs://nn/wh, s3a://bucket/wh) whose path component
+        # happens to exist on the driver's local filesystem, rmtree
+        # would delete an unrelated local directory; remote orphans need
+        # the Hadoop FS API and are out of scope for this local helper.
+        warehouse = parsed.path if parsed.scheme in ("", "file") else ""
         if warehouse:
             orphan = os.path.join(warehouse, table.lower())
             if os.path.isdir(orphan):

@@ -585,3 +585,39 @@ def test_write_bucketed_never_deletes_other_databases_default_table(spark):
         spark.sql("DROP TABLE IF EXISTS default.wb_guard_t")
         spark.sql("DROP TABLE IF EXISTS wbdb.wb_guard_t")
         spark.sql("DROP DATABASE IF EXISTS wbdb")
+
+
+def test_write_bucketed_cleanup_skips_remote_warehouse(spark, tmp_path, monkeypatch):
+    """Round-9 review finding: with a REMOTE warehouse URI whose path
+    component also exists locally (s3a://bucket/wh vs /wh on the
+    driver), the orphan sweep must not rmtree the unrelated local
+    directory — the guard is the scheme in ('', 'file') gate."""
+    import os
+
+    from spk_sl_validation_spark.operators.skew import write_bucketed
+
+    local_twin = tmp_path / "wh" / "wb_remote_t"
+    local_twin.mkdir(parents=True)
+    (local_twin / "keep.txt").write_text("live data")
+    real = spark.conf.get("spark.sql.warehouse.dir")
+
+    class FakeConf:
+        def get(self, key, default=None):
+            if key == "spark.sql.warehouse.dir":
+                return f"s3a://bucket{tmp_path}/wh"
+            return spark.conf.get(key, default)
+
+        def set(self, k, v):
+            spark.conf.set(k, v)
+
+    monkeypatch.setattr(type(spark), "conf", property(lambda self: FakeConf()))
+    try:
+        spark.sql("DROP TABLE IF EXISTS wb_remote_t")
+        write_bucketed(
+            spark.range(3).withColumnRenamed("id", "k"), "wb_remote_t", ["k"], 2
+        )
+        assert os.path.exists(local_twin / "keep.txt"), "remote-URI sweep hit local fs"
+    finally:
+        monkeypatch.undo()
+        spark.sql("DROP TABLE IF EXISTS wb_remote_t")
+    assert spark.conf.get("spark.sql.warehouse.dir") == real
