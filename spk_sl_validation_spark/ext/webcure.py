@@ -694,3 +694,126 @@ def synthesize_wildcard_robots_table(urls: DataFrame, url_col: str = "url") -> D
         extract_domain(normalize_url(url_col)).alias("domain")
     ).distinct()
     return doms.select("domain", F.lit(WILDCARD_ROBOTS_TXT).alias("robots_txt"))
+
+
+# ---------------------------------------------------------------------------
+# C4 line-level page cleaning (Raffel et al. 2020, "Exploring the
+# Limits of Transfer Learning..." §2.2 — the cleaning pass that built
+# C4 from Common Crawl; the reference has no corpus operators, this
+# extends SURVEY.md §2.6 cleansing scope to crawl pages)
+# ---------------------------------------------------------------------------
+
+#: C4 page-level poison strings: a page containing any of these is
+#: dropped whole (case-insensitive "lorem ipsum"; a literal '{' marks
+#: leaked code/templating).
+C4_MIN_WORDS_PER_LINE = 3
+C4_MIN_LINES_PER_PAGE = 5
+#: terminal punctuation a retained line must end with (C4 keeps quoted
+#: sentence ends too).
+_C4_TERMINAL_RE = r'[.!?"]$'
+
+
+def c4_line_stats(text: Column | str) -> tuple[Column, Column, Column]:
+    """(clean_text, n_lines_kept, n_lines_dropped) of one page under
+    the C4 line rules, as pure array expressions (whole-stage
+    codegen): split on newlines, trim, keep lines that (a) end in
+    terminal punctuation, (b) carry at least 3 words, and (c) do not
+    contain the word "javascript" (case-insensitive) — the classic
+    cookie-banner/enable-JS chaff rule. Kept lines are rejoined with
+    newlines."""
+    t = F.col(text) if isinstance(text, str) else text
+    # explicit single-arg lambda: passing F.trim directly would bind
+    # transform's (element, index) pair to trim's deprecated
+    # two-parameter (str, trimStr) signature and trim DIGITS.
+    lines = F.transform(F.split(t, r"\n"), lambda ln: F.trim(ln))
+    kept = F.filter(
+        lines,
+        lambda ln: ln.rlike(_C4_TERMINAL_RE)
+        & (F.size(F.split(ln, r"\s+")) >= C4_MIN_WORDS_PER_LINE)
+        & ~F.lower(ln).contains("javascript"),
+    )
+    return (
+        F.array_join(kept, "\n"),
+        F.size(kept),
+        F.size(lines) - F.size(kept),
+    )
+
+
+def c4_clean(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """C4 page cleaning: line filter (:func:`c4_line_stats`) plus the
+    page-level gates — a page survives only if it kept at least 5
+    lines AND contains neither "lorem ipsum" (any case) nor a literal
+    '{' anywhere in its RAW text. Returns
+    ``(id, clean_text, n_lines_kept, n_lines_dropped, page_kept)``
+    for every input page (filter on ``page_kept`` for the corpus
+    view; keeping dropped pages visible is what a curation datasheet
+    wants). Pure narrow map — zero exchanges, embarrassingly
+    parallel at any corpus size."""
+    clean, n_kept, n_dropped = c4_line_stats(text_col)
+    raw_lower = F.lower(F.col(text_col))
+    page_kept = (
+        (n_kept >= C4_MIN_LINES_PER_PAGE)
+        & ~raw_lower.contains("lorem ipsum")
+        & ~F.col(text_col).contains("{")
+    )
+    return df.select(
+        F.col(id_col),
+        clean.alias("clean_text"),
+        n_kept.cast("bigint").alias("n_lines_kept"),
+        n_dropped.cast("bigint").alias("n_lines_dropped"),
+        page_kept.alias("page_kept"),
+    )
+
+
+# Fixture generation law (web_c4_clean's oracle replays it): each page
+# is 7 template lines keyed on m = doc_id % 4 and c = doc_id % 5;
+# per-line keep decisions are knowable by eye:
+#
+#   line                                    kept?
+#   'Sentence c<c> is long enough.'         yes (period, 5 words)
+#   'Too short.'                            no  (2 words)
+#   'no terminal punctuation here'          no
+#   'Please enable JavaScript to view.'     no  (javascript)
+#   'Another good line number <c> stands!'  yes
+#   'menu home about contact'               no  (no terminal punct)
+#   m==0: 'A third fine sentence exists.'   yes → 3 kept
+#   m==1: 'Filler without ending'           no  → 2 kept
+#   m==2: 'Lorem Ipsum dolor sit amet.'     poison → page dropped
+#   m==3: 'code { display: none; }'         poison '{' (also no punct
+#                                           ... wait: ends '}' → not
+#                                           terminal, line dropped AND
+#                                           page poisoned)
+#
+# With C4_MIN_LINES_PER_PAGE=5 every page fails the >=5 gate unless
+# j = doc_id % 3 == 0, which appends three extra good lines
+# 'Extra sentence <k> fills the page.' (k=0..2) — so page_kept is
+# m NOT IN (2,3) AND j == 0 AND kept-count >= 5.
+
+
+def synthesize_c4_page_table(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, page) under the C4 fixture law above."""
+    c = (F.col(id_col) % 5).cast("string")
+    m = F.col(id_col) % 4
+    j = F.col(id_col) % 3
+    base = F.array(
+        F.concat(F.lit("Sentence c"), c, F.lit(" is long enough.")),
+        F.lit("Too short."),
+        F.lit("no terminal punctuation here"),
+        F.lit("Please enable JavaScript to view."),
+        F.concat(F.lit("Another good line number "), c, F.lit(" stands!")),
+        F.lit("menu home about contact"),
+        F.when(m == 0, F.lit("A third fine sentence exists."))
+        .when(m == 1, F.lit("Filler without ending"))
+        .when(m == 2, F.lit("Lorem Ipsum dolor sit amet."))
+        .otherwise(F.lit("code { display: none; }")),
+    )
+    extra = F.when(
+        j == 0,
+        F.array(
+            *[F.lit(f"Extra sentence {k} fills the page.") for k in range(3)]
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    page = F.array_join(F.concat(base, extra), "\n")
+    return docs.select(F.col(id_col), page.alias("page"))

@@ -346,3 +346,48 @@ def web_robots_wildcard_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     robots = W.synthesize_wildcard_robots_table(urls)
     out = W.robots_txt_filter(urls, robots, keep_blocked=True)
     return out.select("doc_id", "url", "allowed")
+
+
+@register(
+    "web_c4_clean",
+    doc=(
+        "C4 page cleaning (Raffel et al. 2020 §2.2): line filter — keep "
+        "lines ending in terminal punctuation with >=3 words and no "
+        "'javascript' — plus the page gates (>=5 kept lines, no 'lorem "
+        "ipsum' any case, no '{' in the raw text). Pure narrow array "
+        "expressions, zero exchanges; every page stays visible with its "
+        "page_kept verdict (datasheet-friendly). The oracle replays the "
+        "7-line fixture law's keep decisions in closed form — including "
+        "the lorem-ipsum page whose LINES pass but whose PAGE is poisoned"
+    ),
+    oracle="""
+WITH p AS (
+  SELECT doc_id,
+         CAST(doc_id % 4 AS INTEGER) AS m,
+         CAST(doc_id % 5 AS VARCHAR) AS c,
+         CAST(doc_id % 3 AS INTEGER) AS j
+  FROM documents
+)
+SELECT doc_id,
+       'Sentence c' || c || ' is long enough.'
+       || chr(10) || 'Another good line number ' || c || ' stands!'
+       || (CASE WHEN m = 0 THEN chr(10) || 'A third fine sentence exists.'
+                WHEN m = 2 THEN chr(10) || 'Lorem Ipsum dolor sit amet.'
+                ELSE '' END)
+       || (CASE WHEN j = 0 THEN chr(10) || 'Extra sentence 0 fills the page.'
+                  || chr(10) || 'Extra sentence 1 fills the page.'
+                  || chr(10) || 'Extra sentence 2 fills the page.'
+                ELSE '' END) AS clean_text,
+       CAST(2 + (CASE WHEN m IN (0, 2) THEN 1 ELSE 0 END)
+              + (CASE WHEN j = 0 THEN 3 ELSE 0 END) AS BIGINT) AS n_lines_kept,
+       CAST(7 + (CASE WHEN j = 0 THEN 3 ELSE 0 END)
+              - 2 - (CASE WHEN m IN (0, 2) THEN 1 ELSE 0 END)
+              - (CASE WHEN j = 0 THEN 3 ELSE 0 END) AS BIGINT) AS n_lines_dropped,
+       (j = 0 AND m IN (0, 1)) AS page_kept
+FROM p
+""",
+)
+def web_c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    pages = W.synthesize_c4_page_table(docs)
+    return W.c4_clean(pages, "doc_id", "page")

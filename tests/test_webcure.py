@@ -360,3 +360,51 @@ def test_html_meta_ignores_script_and_comment_blocks(spark):
     r = df.select(title.alias("t"), n_links.alias("n")).first()
     assert r.t == "Real"
     assert r.n == 1
+
+
+# ---------------------------------------------------------------------------
+# C4 line cleaning (round 9)
+# ---------------------------------------------------------------------------
+
+
+def _c4_one(spark, text):
+    df = spark.createDataFrame([(0, text)], "doc_id long, text string")
+    return W.c4_clean(df).first()
+
+
+def test_c4_line_rules(spark):
+    page = "\n".join(
+        [
+            "This line ends with a period.",
+            "Short one.",  # 2 words -> dropped
+            "no terminal punctuation",  # dropped
+            "Please enable JavaScript now.",  # javascript -> dropped
+            'He said "quoted ending works."',  # kept (quote after period)
+            "Does a question mark count?",  # kept
+            "Exclamations also count here!",  # kept
+        ]
+    )
+    r = _c4_one(spark, page)
+    assert r.clean_text.split("\n") == [
+        "This line ends with a period.",
+        'He said "quoted ending works."',
+        "Does a question mark count?",
+        "Exclamations also count here!",
+    ]
+    assert r.n_lines_kept == 4 and r.n_lines_dropped == 3
+    assert not r.page_kept  # 4 < 5 kept lines
+
+
+def test_c4_page_gates(spark):
+    good = "\n".join(f"Perfectly good sentence number {i}." for i in range(6))
+    assert _c4_one(spark, good).page_kept
+    assert not _c4_one(spark, good + "\nstray { brace").page_kept
+    assert not _c4_one(spark, good + "\nsome LoReM iPsUm filler.").page_kept
+    # whitespace-only page: zero lines kept, page dropped, no errors
+    r = _c4_one(spark, "   \n  \n")
+    assert r.n_lines_kept == 0 and not r.page_kept
+
+
+def test_c4_lines_trimmed_before_rules(spark):
+    r = _c4_one(spark, "   Indented line still counts fine.   \nx")
+    assert r.clean_text == "Indented line still counts fine."
