@@ -817,3 +817,119 @@ def synthesize_c4_page_table(docs: DataFrame, id_col: str = "doc_id") -> DataFra
     ).otherwise(F.array().cast("array<string>"))
     page = F.array_join(F.concat(base, extra), "\n")
     return docs.select(F.col(id_col), page.alias("page"))
+
+
+# ---------------------------------------------------------------------------
+# Outlink extraction (the crawl's graph feed: page -> href targets,
+# resolved against the page URL; composes with ext/graph.py PageRank
+# and the frontier ops)
+# ---------------------------------------------------------------------------
+
+
+def extract_hrefs(html: Column | str) -> Column:
+    """array<string> of raw href attribute values from anchor tags, in
+    document order — script/style/noscript blocks and comments removed
+    first (a commented-out link is not an outlink). Single- or
+    double-quoted attributes, any attribute order inside the tag.
+    Pure regexp_extract_all (JVM-side)."""
+    h = F.col(html) if isinstance(html, str) else html
+    h = F.regexp_replace(h, r"(?is)<(script|style|noscript)\b[^>]*>.*?</\1\s*>", " ")
+    h = F.regexp_replace(h, r"(?s)<!--.*?-->", " ")
+    return F.regexp_extract_all(
+        h, F.lit(r"""(?i)<a\s[^>]*?href\s*=\s*["']([^"']*)["']"""), 1
+    )
+
+
+def resolve_href(base_url: Column | str, href: Column) -> Column:
+    """Resolve one href against the page's (normalized) base URL —
+    the RFC 3986 subset that covers real pages, as expressions:
+
+    - absolute (``scheme://…``) → unchanged;
+    - protocol-relative (``//host/p``) → base scheme + href;
+    - root-relative (``/p``) → base origin + href;
+    - fragment-only (``#x``) → NULL (same-document, not an outlink);
+    - non-http(s) schemes (``mailto:``, ``javascript:``, ``tel:``,
+      ``data:``) → NULL;
+    - everything else (relative path ``p/q``, ``?q=1``) → resolved
+      against the base's DIRECTORY (path up to the last '/'), query
+      replaced per the RFC.
+
+    ``..`` segments are kept literally (documented: dot-segment
+    normalization needs a fixpoint loop; crawl frontiers treat the
+    normalized string as the key either way)."""
+    b = F.col(base_url) if isinstance(base_url, str) else base_url
+    scheme = F.regexp_extract(b, r"^([a-z][a-z0-9+.-]*)://", 1)
+    origin = F.regexp_extract(b, r"^([a-z][a-z0-9+.-]*://[^/?#]*)", 1)
+    # base directory: origin + path up to and including the last '/'
+    path = F.regexp_extract(b, r"^[a-z][a-z0-9+.-]*://[^/?#]*(/[^?#]*)?", 1)
+    dir_ = F.regexp_replace(F.when(path == "", F.lit("/")).otherwise(path), r"[^/]*$", "")
+    return (
+        F.when(href.rlike(r"^[A-Za-z][A-Za-z0-9+.-]*:"),
+               F.when(href.rlike(r"^(?i)https?:"), href))  # other schemes -> null
+        .when(href.startswith("//"), F.concat(scheme, F.lit(":"), href))
+        .when(href.startswith("/"), F.concat(origin, href))
+        .when(href.startswith("#"), F.lit(None).cast("string"))
+        .when(href.startswith("?"), F.concat(origin, path, href))
+        .otherwise(F.concat(origin, dir_, href))
+    )
+
+
+def outlinks(
+    df: DataFrame, url_col: str = "url", html_col: str = "html", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, src_url, dst_url): one row per resolvable outlink, both
+    endpoints NORMALIZED — the edge list a link graph (PageRank, hub
+    detection, frontier expansion) consumes directly. Narrow map +
+    posexplode; duplicate (src, dst) pairs are KEPT (multiplicity is
+    signal for weighted graphs — dedup downstream when unwanted).
+    Fragment-only and non-http(s) hrefs resolve to NULL and are
+    dropped here."""
+    src = normalize_url(url_col)
+    exploded = df.select(
+        F.col(id_col),
+        src.alias("src_url"),
+        F.explode(extract_hrefs(html_col)).alias("__href"),
+    )
+    dst = resolve_href("src_url", F.col("__href"))
+    return (
+        exploded.withColumn("dst_url", normalize_url(dst))
+        .filter(F.col("dst_url").isNotNull())
+        .drop("__href")
+    )
+
+
+# Outlink fixture law (web_outlinks' oracle replays it): page URL
+# https://site<k>.com/a/b/page<c> (k = doc_id % 3, c = doc_id % 5);
+# the page carries one anchor per resolution branch plus three decoys
+# (script-embedded, commented-out, attribute-order variant), so each
+# page yields EXACTLY five outlinks in closed form:
+#
+#   href                      dst_url
+#   https://ext.org/x         https://ext.org/x          (absolute)
+#   //cdn.site<k>.com/lib     https://cdn.site<k>.com/lib (protocol-rel)
+#   /top                      https://site<k>.com/top     (root-rel)
+#   next<c>.html              .../a/b/next<c>.html        (relative)
+#   ?p=2                      .../a/b/page<c>?p=2         (query-only)
+#   #sec                      (dropped: fragment-only)
+#   mailto:a@b.example        (dropped: non-http scheme)
+
+
+def synthesize_outlink_page_table(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, url, html) under the outlink fixture law above."""
+    k = (F.col(id_col) % 3).cast("string")
+    c = (F.col(id_col) % 5).cast("string")
+    url = F.concat(F.lit("https://site"), k, F.lit(".com/a/b/page"), c)
+    html = F.concat(
+        F.lit("<html><body>"
+              "<script>var a = '<a href=\"/script-link\">x</a>';</script>"
+              "<!-- <a href=\"/commented\">y</a> -->"
+              '<a href="https://ext.org/x">e</a>'),
+        F.lit("<a class='z' href='//cdn.site"), k, F.lit(".com/lib'>cdn</a>"),
+        F.lit('<a href="/top">t</a>'),
+        F.lit('<a href="next'), c, F.lit('.html">n</a>'),
+        F.lit('<a href="?p=2">q</a>'),
+        F.lit('<a href="#sec">s</a>'),
+        F.lit('<a href="mailto:a@b.example">m</a>'),
+        F.lit("</body></html>"),
+    )
+    return docs.select(F.col(id_col), url.alias("url"), html.alias("html"))

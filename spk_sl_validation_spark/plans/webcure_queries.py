@@ -391,3 +391,41 @@ def web_c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     pages = W.synthesize_c4_page_table(docs)
     return W.c4_clean(pages, "doc_id", "page")
+
+
+@register(
+    "web_outlinks",
+    doc=(
+        "outlink extraction: hrefs from anchor tags (script/comment "
+        "blocks removed first — a commented-out link is not an outlink) "
+        "resolved against the page URL per the RFC 3986 subset real "
+        "pages use (absolute / protocol-relative / root-relative / "
+        "relative / query-only; fragment-only and mailto:/javascript: "
+        "dropped), both endpoints normalized — the edge list PageRank "
+        "and frontier expansion consume. Narrow map + posexplode, zero "
+        "joins; the oracle emits each page's five resolved links from "
+        "the fixture law in closed form"
+    ),
+    oracle="""
+WITH p AS (
+  SELECT doc_id,
+         CAST(doc_id % 3 AS VARCHAR) AS k,
+         CAST(doc_id % 5 AS VARCHAR) AS c
+  FROM documents
+)
+SELECT doc_id,
+       'https://site' || k || '.com/a/b/page' || c AS src_url,
+       dst_url
+FROM p, unnest([
+  'https://ext.org/x',
+  'https://cdn.site' || k || '.com/lib',
+  'https://site' || k || '.com/top',
+  'https://site' || k || '.com/a/b/next' || c || '.html',
+  'https://site' || k || '.com/a/b/page' || c || '?p=2'
+]) AS t(dst_url)
+""",
+)
+def web_outlinks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    pages = W.synthesize_outlink_page_table(docs)
+    return W.outlinks(pages)

@@ -408,3 +408,64 @@ def test_c4_page_gates(spark):
 def test_c4_lines_trimmed_before_rules(spark):
     r = _c4_one(spark, "   Indented line still counts fine.   \nx")
     assert r.clean_text == "Indented line still counts fine."
+
+
+# ---------------------------------------------------------------------------
+# Outlink extraction (round 9)
+# ---------------------------------------------------------------------------
+
+
+def test_extract_hrefs_order_quotes_and_decoys(spark):
+    html = (
+        "<script>var x = '<a href=\"/in-script\">no</a>';</script>"
+        "<!-- <a href='/in-comment'>no</a> -->"
+        "<a href=\"/first\">1</a>"
+        "<A HREF='/second'>2</A>"
+        "<a data-x=1 href = '/third'>3</a>"
+        "<a>no href</a>"
+    )
+    got = (
+        spark.createDataFrame([(html,)], "html string")
+        .select(W.extract_hrefs("html").alias("h"))
+        .first()["h"]
+    )
+    assert got == ["/first", "/second", "/third"]
+
+
+@pytest.mark.parametrize(
+    "base,href,want",
+    [
+        ("https://a.com/d/page", "https://b.org/x", "https://b.org/x"),
+        ("https://a.com/d/page", "//c.net/y", "https://c.net/y"),
+        ("https://a.com/d/page", "/root", "https://a.com/root"),
+        ("https://a.com/d/page", "sib.html", "https://a.com/d/sib.html"),
+        ("https://a.com/d/page", "?q=1", "https://a.com/d/page?q=1"),
+        # base with root path: relative resolves against '/'
+        ("https://a.com/", "x.html", "https://a.com/x.html"),
+        # dropped classes
+        ("https://a.com/d/page", "#frag", None),
+        ("https://a.com/d/page", "mailto:a@b.c", None),
+        ("https://a.com/d/page", "javascript:void(0)", None),
+        ("https://a.com/d/page", "tel:+123", None),
+    ],
+)
+def test_resolve_href_branches(spark, base, href, want):
+    got = (
+        spark.createDataFrame([(base, href)], "b string, h string")
+        .select(W.resolve_href("b", F.col("h")).alias("r"))
+        .first()["r"]
+    )
+    assert got == want, (base, href)
+
+
+def test_outlinks_endpoints_normalized_and_dupes_kept(spark):
+    rows = [(0, "HTTPS://WWW.A.com/d/p/",
+             '<a href="/X/">x</a><a href="/X/">x-again</a>'
+             '<a href="HTTPS://B.ORG:443/q?utm_source=s">b</a>')]
+    df = spark.createDataFrame(rows, "doc_id long, url string, html string")
+    got = [(r.src_url, r.dst_url) for r in W.outlinks(df).collect()]
+    assert got == [
+        ("https://a.com/d/p", "https://a.com/X"),
+        ("https://a.com/d/p", "https://a.com/X"),  # multiplicity kept
+        ("https://a.com/d/p", "https://b.org/q"),
+    ]
