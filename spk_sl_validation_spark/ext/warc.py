@@ -1,0 +1,220 @@
+"""WARC (Web ARChive, ISO 28500) record parsing — the container
+format crawls actually arrive in (Common Crawl ships WARC; every
+curation layer in this package starts one step downstream of it).
+
+REAL stdlib parser, same contract as the media codecs in
+ext/multimodal.py: strict on structure (version line, header grammar,
+exact Content-Length, record terminator), ValueError on malformation
+— total under fuzzing — and the Spark surface is a zero-exchange
+Arrow-batched ``mapInPandas`` that explodes each WARC payload into
+one row per record. For ``response`` records carrying an HTTP/1.x
+message, the status code and body are additionally split out (the
+fields a crawl pipeline filters on before any HTML work).
+
+Scope notes (documented, not silent): payloads are parsed UNGZIPPED
+(Common Crawl's member-gzip framing is a transport detail — Spark's
+file sources decompress `.gz` transparently when records are stored
+one-per-file, and a splittable re-container is what a real lake
+would use); WARC/1.0 and 1.1 accepted; headers are latin-1 decoded
+per the spec's octet orientation.
+
+The reference (SL_SPK_Cleansing.py — xlsx ingest only) has no crawl
+source; this extends SURVEY.md §2.1's source surface the way the
+parquet/CSV readers do."""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_CRLF = b"\r\n"
+
+
+def parse_warc(data: bytes) -> list[dict]:
+    """Parse a WARC file's records. Each record dict carries
+    ``rec_type, target_uri, warc_date, content_length, http_status,
+    body`` (the latter two None/empty for non-HTTP records).
+
+    Strictness: every record must open with ``WARC/1.0`` or
+    ``WARC/1.1``, carry well-formed ``Name: value`` headers
+    terminated by a blank line, a ``Content-Length`` that exactly
+    covers the block, and the two-CRLF record terminator; trailing
+    bytes that are not a further record are malformation."""
+    records: list[dict] = []
+    pos = 0
+    n = len(data)
+    if n == 0:
+        raise ValueError("empty WARC payload")
+    while pos < n:
+        head_end = data.find(_CRLF + _CRLF, pos)
+        if head_end < 0:
+            raise ValueError("WARC header block not terminated")
+        head = data[pos:head_end].split(_CRLF)
+        version = head[0]
+        if version not in (b"WARC/1.0", b"WARC/1.1"):
+            raise ValueError(f"bad WARC version line {version[:20]!r}")
+        headers: dict[str, str] = {}
+        for line in head[1:]:
+            if b":" not in line:
+                raise ValueError(f"malformed WARC header line {line[:40]!r}")
+            k, v = line.split(b":", 1)
+            headers[k.strip().decode("latin-1").lower()] = v.strip().decode("latin-1")
+        try:
+            length = int(headers["content-length"])
+        except KeyError:
+            raise ValueError("WARC record without Content-Length") from None
+        except ValueError:
+            raise ValueError("non-integer WARC Content-Length") from None
+        if length < 0:
+            raise ValueError("negative WARC Content-Length")
+        rec_type = headers.get("warc-type")
+        if not rec_type:
+            raise ValueError("WARC record without WARC-Type")
+        block_start = head_end + 4
+        block_end = block_start + length
+        if block_end + 4 > n:
+            raise ValueError("WARC block overruns payload")
+        if data[block_end : block_end + 4] != _CRLF + _CRLF:
+            raise ValueError("WARC record terminator missing")
+        block = data[block_start:block_end]
+        http_status = None
+        body = b""
+        if rec_type == "response" and block[:5] == b"HTTP/":
+            sep = block.find(_CRLF + _CRLF)
+            if sep < 0:
+                raise ValueError("HTTP headers not terminated in response block")
+            status_line = block[: block.find(_CRLF)].split(b" ")
+            if len(status_line) < 2 or not status_line[1].isdigit():
+                raise ValueError("malformed HTTP status line")
+            http_status = int(status_line[1])
+            body = block[sep + 4 :]
+        records.append(
+            {
+                "rec_type": rec_type,
+                "target_uri": headers.get("warc-target-uri"),
+                "warc_date": headers.get("warc-date"),
+                "content_length": length,
+                "http_status": http_status,
+                "body": body,
+            }
+        )
+        pos = block_end + 4
+    return records
+
+
+WARC_RECORD_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("rec_idx", T.IntegerType()),
+        T.StructField("rec_type", T.StringType()),
+        T.StructField("target_uri", T.StringType()),
+        T.StructField("http_status", T.IntegerType()),
+        T.StructField("body_len", T.LongType()),
+        T.StructField("body_text", T.StringType()),
+        T.StructField("ok", T.BooleanType()),
+    ]
+)
+
+
+def warc_records(df: DataFrame, warc_col: str = "warc") -> DataFrame:
+    """Explode each WARC payload into one row per record
+    (Arrow-batched pure map, zero exchanges). A malformed payload
+    yields a single ``ok=false`` row — a corrupt archive in a 100 TB
+    crawl must never kill the stage. ``body_text`` is the UTF-8
+    decode (replace errors) of the HTTP body for response records."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list[Any]] = {f.name: [] for f in WARC_RECORD_SCHEMA.fields}
+
+            def emit(doc_id, idx, rec_type, uri, status, blen, btext, ok):
+                for name, v in zip(
+                    ("doc_id", "rec_idx", "rec_type", "target_uri",
+                     "http_status", "body_len", "body_text", "ok"),
+                    (doc_id, idx, rec_type, uri, status, blen, btext, ok),
+                ):
+                    out[name].append(v)
+
+            for doc_id, data in zip(pdf["doc_id"], pdf[warc_col]):
+                try:
+                    recs = parse_warc(bytes(data))
+                except (ValueError, IndexError):
+                    emit(doc_id, 0, "", None, None, 0, "", False)
+                    continue
+                for i, r in enumerate(recs):
+                    emit(
+                        doc_id, i, r["rec_type"], r["target_uri"],
+                        r["http_status"], len(r["body"]),
+                        r["body"].decode("utf-8", "replace"), True,
+                    )
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(run, WARC_RECORD_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Fixture generation law (web_warc_records' oracle replays it):
+# each doc_id becomes one WARC file holding a warcinfo record plus
+# r = 1 + doc_id % 3 response records i = 0..r-1 with
+#
+#   target_uri  = https://site<doc_id % 3>.com/w/<i>
+#   http_status = 404 if (doc_id + i) % 4 == 0 else 200
+#   body        = 'payload ' * (1 + (doc_id + i) % 5), utf-8
+#                 (body_len = 8 * (1 + (doc_id + i) % 5))
+#
+# The writer varies framing the parser must not assume: WARC/1.1 vs
+# 1.0 by doc parity, an extra X-Noise header on even records, and an
+# HTTP X-Pad response header whose length varies per record (so block
+# Content-Length never equals body length).
+# ---------------------------------------------------------------------------
+
+
+def _make_warc(doc_id: int) -> bytes:
+    version = b"WARC/1.1" if doc_id % 2 else b"WARC/1.0"
+
+    def record(rec_type: bytes, extra: list[bytes], block: bytes) -> bytes:
+        head = [version, b"WARC-Type: " + rec_type] + extra + [
+            b"Content-Length: " + str(len(block)).encode()
+        ]
+        return _CRLF.join(head) + _CRLF + _CRLF + block + _CRLF + _CRLF
+
+    info = record(
+        b"warcinfo",
+        [b"WARC-Date: 2024-01-01T00:00:00Z"],
+        b"software: spk-sl-fixture",
+    )
+    out = [info]
+    for i in range(1 + doc_id % 3):
+        body = b"payload " * (1 + (doc_id + i) % 5)
+        status = 404 if (doc_id + i) % 4 == 0 else 200
+        http = (
+            b"HTTP/1.1 " + str(status).encode() + b" X\r\n"
+            b"Content-Type: text/html\r\n"
+            b"X-Pad: " + b"p" * (1 + (doc_id + i) % 3) + b"\r\n\r\n" + body
+        )
+        extra = [
+            b"WARC-Target-URI: https://site"
+            + str(doc_id % 3).encode()
+            + b".com/w/"
+            + str(i).encode(),
+            b"WARC-Date: 2024-01-02T00:00:00Z",
+        ]
+        if doc_id % 2 == 0:
+            extra.append(b"X-Noise: ignored")
+        out.append(record(b"response", extra, http))
+    return b"".join(out)
+
+
+def synthesize_warc_table(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, warc binary) under the generation law above."""
+
+    @F.pandas_udf(T.BinaryType())
+    def make(ids: pd.Series) -> pd.Series:
+        return ids.apply(lambda d: _make_warc(int(d)))
+
+    return docs.select(F.col(id_col), make(F.col(id_col)).alias("warc"))

@@ -429,3 +429,52 @@ def web_outlinks(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     pages = W.synthesize_outlink_page_table(docs)
     return W.outlinks(pages)
+
+
+@register(
+    "web_warc_records",
+    doc=(
+        "REAL stdlib WARC (ISO 28500) record parsing — the container "
+        "crawls arrive in: strict version line / header grammar / exact "
+        "Content-Length / record-terminator checks, HTTP status+body "
+        "split out of response blocks, one row per record via a "
+        "zero-exchange Arrow-batched mapInPandas (ok=false rows for "
+        "corrupt archives, never a stage kill). The writer varies "
+        "framing (WARC/1.0 vs 1.1, noise headers, per-record HTTP "
+        "header padding so block length never equals body length); the "
+        "oracle replays every field from the generation law"
+    ),
+    oracle="""
+WITH p AS (
+  SELECT doc_id, CAST(doc_id % 3 AS VARCHAR) AS k,
+         1 + doc_id % 3 AS r
+  FROM documents
+),
+info AS (
+  SELECT doc_id, 0 AS rec_idx, 'warcinfo' AS rec_type,
+         CAST(NULL AS VARCHAR) AS target_uri,
+         CAST(NULL AS INTEGER) AS http_status,
+         CAST(0 AS BIGINT) AS body_len, '' AS body_text, true AS ok
+  FROM p
+),
+resp AS (
+  SELECT p.doc_id, CAST(g.i + 1 AS INTEGER) AS rec_idx,
+         'response' AS rec_type,
+         'https://site' || p.k || '.com/w/' || CAST(g.i AS VARCHAR)
+           AS target_uri,
+         CAST(CASE WHEN (p.doc_id + g.i) % 4 = 0 THEN 404 ELSE 200 END
+              AS INTEGER) AS http_status,
+         CAST(8 * (1 + (p.doc_id + g.i) % 5) AS BIGINT) AS body_len,
+         repeat('payload ', CAST(1 + (p.doc_id + g.i) % 5 AS INTEGER))
+           AS body_text,
+         true AS ok
+  FROM p JOIN range(0, 3) g(i) ON g.i < p.r
+)
+SELECT * FROM info UNION ALL SELECT * FROM resp
+""",
+)
+def web_warc_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spk_sl_validation_spark.ext import warc as WC
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return WC.warc_records(WC.synthesize_warc_table(docs))

@@ -1,0 +1,117 @@
+"""ext.warc: WARC record parsing (web_warc_records is value-hashed
+against the generation-law oracle by the registry differential test;
+these tests pin the parser's strictness, totality, and the Spark
+surface's corrupt-row contract)."""
+
+from __future__ import annotations
+
+import pytest
+
+from spk_sl_validation_spark.ext.warc import (
+    _CRLF,
+    _make_warc,
+    parse_warc,
+    synthesize_warc_table,
+    warc_records,
+)
+
+
+def test_law_roundtrip_all_shapes():
+    for d in range(0, 24):
+        recs = parse_warc(_make_warc(d))
+        assert recs[0]["rec_type"] == "warcinfo"
+        assert recs[0]["http_status"] is None and recs[0]["body"] == b""
+        assert len(recs) == 1 + (1 + d % 3)
+        for i, r in enumerate(recs[1:]):
+            assert r["rec_type"] == "response"
+            assert r["target_uri"] == f"https://site{d % 3}.com/w/{i}"
+            assert r["http_status"] == (404 if (d + i) % 4 == 0 else 200)
+            assert r["body"] == b"payload " * (1 + (d + i) % 5)
+            # block length covers HTTP headers too — never equals body
+            assert r["content_length"] > len(r["body"])
+
+
+def test_parser_strictness():
+    good = _make_warc(5)
+    with pytest.raises(ValueError):
+        parse_warc(b"")
+    with pytest.raises(ValueError):
+        parse_warc(good + b"trailing junk")
+    with pytest.raises(ValueError):
+        parse_warc(good.replace(b"WARC/1.1", b"WARC/9.9", 1))
+    with pytest.raises(ValueError):
+        parse_warc(good.replace(b"Content-Length: ", b"Content-Length: x", 1))
+    # truncation anywhere inside the record is malformation
+    with pytest.raises(ValueError):
+        parse_warc(good[:-3])
+    # header line without a colon
+    bad = good.replace(b"WARC-Type: warcinfo", b"WARC-Type warcinfo", 1)
+    with pytest.raises(ValueError):
+        parse_warc(bad)
+
+
+def test_parser_total_on_arbitrary_and_mutated_bytes():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    base = _make_warc(7)
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.binary(max_size=200))
+    def arbitrary(raw):
+        try:
+            parse_warc(raw)
+        except ValueError:
+            pass
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.integers(min_value=0, max_value=len(base) - 1),
+        st.integers(min_value=0, max_value=255),
+        st.integers(min_value=0, max_value=len(base)),
+    )
+    def mutated(pos, byte, cut):
+        mut = bytearray(base)
+        mut[pos] = byte
+        try:
+            parse_warc(bytes(mut[:cut]))
+        except ValueError:
+            pass
+
+    arbitrary()
+    mutated()
+
+
+def test_non_http_response_block_keeps_empty_body():
+    # a response record whose block is not HTTP/1.x: parsed, no status
+    block = b"not an http message"
+    rec = (
+        b"WARC/1.0\r\nWARC-Type: response\r\nContent-Length: "
+        + str(len(block)).encode()
+        + b"\r\n\r\n"
+        + block
+        + b"\r\n\r\n"
+    )
+    recs = parse_warc(rec)
+    assert recs[0]["http_status"] is None and recs[0]["body"] == b""
+
+
+def test_warc_records_flags_bad_rows(spark):
+    import pyspark.sql.functions as F
+
+    docs = spark.range(6).selectExpr("id AS doc_id")
+    tab = synthesize_warc_table(docs).withColumn(
+        "warc",
+        F.when(F.col("doc_id") == 2, F.lit(b"WARC/1.0 garbage")).otherwise(
+            F.col("warc")
+        ),
+    )
+    rows = warc_records(tab).collect()
+    bad = [r for r in rows if r.doc_id == 2]
+    assert len(bad) == 1 and not bad[0].ok
+    good = [r for r in rows if r.doc_id != 2]
+    assert all(r.ok for r in good)
+    # response bodies decode to the law's text
+    r30 = next(r for r in good if r.doc_id == 3 and r.rec_idx == 1)
+    assert r30.body_text == "payload " * (1 + 3 % 5)
+    assert r30.http_status == 200
