@@ -218,3 +218,138 @@ def synthesize_warc_table(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
         return ids.apply(lambda d: _make_warc(int(d)))
 
     return docs.select(F.col(id_col), make(F.col(id_col)).alias("warc"))
+
+
+# ---------------------------------------------------------------------------
+# Charset detection + decode (the bytes->text step between a WARC
+# response body and html_to_text; real crawls are ~95% UTF-8 but the
+# tail is exactly what breaks naive pipelines)
+# ---------------------------------------------------------------------------
+
+#: BOM table, longest first (UTF-32 LE starts with UTF-16 LE's BOM).
+_BOMS = (
+    (b"\xff\xfe\x00\x00", "utf-32-le"),
+    (b"\x00\x00\xfe\xff", "utf-32-be"),
+    (b"\xef\xbb\xbf", "utf-8"),
+    (b"\xff\xfe", "utf-16-le"),
+    (b"\xfe\xff", "utf-16-be"),
+)
+
+_META_CHARSET_RE = (
+    rb"(?is)<meta[^>]+charset\s*=\s*[\"']?\s*([A-Za-z0-9_\-]+)"
+)
+
+
+def detect_charset(data: bytes) -> tuple[str, bool]:
+    """(charset, had_bom) for an HTML byte payload, in the precedence
+    order real browsers use: BOM first, then a ``<meta charset=…>`` /
+    ``http-equiv`` declaration in the first 1024 bytes (the HTML5
+    prescan window), then strict-UTF-8 sniff, then the windows-1252
+    fallback (the de-facto web default; a superset of iso-8859-1 on
+    the printable range). Charset labels are lowercased as declared —
+    no alias table, documented."""
+    import re
+
+    for bom, enc in _BOMS:
+        if data.startswith(bom):
+            return enc, True
+    m = re.search(_META_CHARSET_RE, data[:1024])
+    if m:
+        return m.group(1).decode("ascii").lower(), False
+    try:
+        data.decode("utf-8", "strict")
+        return "utf-8", False
+    except UnicodeDecodeError:
+        return "windows-1252", False
+
+
+def decode_html_bytes_py(data: bytes) -> tuple[str, str, bool]:
+    """(text, charset, had_bom): decode per :func:`detect_charset`.
+    The BOM itself is stripped from the text; an unknown declared
+    charset or undecodable payload falls back to windows-1252 with
+    replacement (decode must be total — a mislabeled page in a 100 TB
+    crawl must never kill the stage)."""
+    charset, had_bom = detect_charset(data)
+    if had_bom:
+        bom = next(b for b, e in _BOMS if e == charset)
+        data = data[len(bom):]
+    try:
+        return data.decode(charset, "replace"), charset, had_bom
+    except LookupError:
+        return data.decode("windows-1252", "replace"), charset, had_bom
+
+
+HTML_DECODE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("charset", T.StringType()),
+        T.StructField("had_bom", T.BooleanType()),
+    ]
+)
+
+
+def decode_html_bytes(df: DataFrame, bytes_col: str = "raw") -> DataFrame:
+    """bytes -> (text, charset, had_bom) per payload (Arrow-batched
+    pure map, zero exchanges). Python is the right tool here — the
+    decode target charset varies PER ROW, which JVM ``decode(col,
+    charset)`` cannot express (its charset argument is a literal)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list[Any]] = {f.name: [] for f in HTML_DECODE_SCHEMA.fields}
+            for doc_id, data in zip(pdf["doc_id"], pdf[bytes_col]):
+                text, charset, had_bom = decode_html_bytes_py(bytes(data))
+                out["doc_id"].append(doc_id)
+                out["text"].append(text)
+                out["charset"].append(charset)
+                out["had_bom"].append(had_bom)
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(run, HTML_DECODE_SCHEMA)
+
+
+# Fixture generation law (web_charset_decode's oracle replays it):
+# the unicode document is always '<p>T<doc_id> café</p>'; its BYTES
+# vary by m = doc_id % 6 (meta declarations are prepended to the
+# document before encoding, so the decoded text includes them):
+#
+#   m  bytes                                    charset        bom
+#   0  utf-8, no BOM                            utf-8          no
+#   1  utf-8 with BOM                           utf-8          yes
+#   2  utf-16-le with BOM                       utf-16-le      yes
+#   3  '<meta charset="windows-1252">' + doc,   windows-1252   no
+#      cp1252-encoded
+#   4  '<meta http-equiv="Content-Type" content="text/html; '
+#      'charset=iso-8859-1">' + doc, latin-1    iso-8859-1     no
+#   5  doc cp1252-encoded, NO meta (0xE9 é is   windows-1252   no
+#      invalid utf-8 -> sniff fails -> fallback)
+
+
+def _make_html_bytes(doc_id: int) -> bytes:
+    doc = f"<p>T{doc_id} café</p>"
+    m = doc_id % 6
+    if m == 0:
+        return doc.encode("utf-8")
+    if m == 1:
+        return b"\xef\xbb\xbf" + doc.encode("utf-8")
+    if m == 2:
+        return b"\xff\xfe" + doc.encode("utf-16-le")
+    if m == 3:
+        return ('<meta charset="windows-1252">' + doc).encode("windows-1252")
+    if m == 4:
+        return (
+            '<meta http-equiv="Content-Type" content="text/html; '
+            "charset=iso-8859-1\">" + doc
+        ).encode("iso-8859-1")
+    return doc.encode("windows-1252")
+
+
+def synthesize_html_bytes_table(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, raw binary) under the generation law above."""
+
+    @F.pandas_udf(T.BinaryType())
+    def make(ids: pd.Series) -> pd.Series:
+        return ids.apply(lambda d: _make_html_bytes(int(d)))
+
+    return docs.select(F.col(id_col), make(F.col(id_col)).alias("raw"))

@@ -478,3 +478,39 @@ def web_warc_records(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     return WC.warc_records(WC.synthesize_warc_table(docs))
+
+
+@register(
+    "web_charset_decode",
+    doc=(
+        "charset detection + decode, the bytes->text step between a "
+        "WARC response body and html_to_text, in browser precedence "
+        "order: BOM (utf-8/16/32 both endians) -> <meta charset=...> / "
+        "http-equiv in the HTML5 1024-byte prescan window -> strict "
+        "utf-8 sniff -> windows-1252 fallback. Arrow-batched pure map "
+        "(the target charset varies PER ROW — JVM decode() takes a "
+        "literal charset, so Python IS the right tool); decode is "
+        "total via replacement. The oracle replays text/charset/bom "
+        "from the 6-way generation law in closed form"
+    ),
+    oracle="""
+SELECT doc_id,
+       CASE WHEN doc_id % 6 = 3
+            THEN '<meta charset="windows-1252">' ELSE '' END
+       || CASE WHEN doc_id % 6 = 4
+            THEN '<meta http-equiv="Content-Type" content="text/html; charset=iso-8859-1">'
+            ELSE '' END
+       || '<p>T' || CAST(doc_id AS VARCHAR) || ' café</p>' AS text,
+       CASE CAST(doc_id % 6 AS INTEGER)
+         WHEN 0 THEN 'utf-8' WHEN 1 THEN 'utf-8' WHEN 2 THEN 'utf-16-le'
+         WHEN 3 THEN 'windows-1252' WHEN 4 THEN 'iso-8859-1'
+         ELSE 'windows-1252' END AS charset,
+       doc_id % 6 IN (1, 2) AS had_bom
+FROM documents
+""",
+)
+def web_charset_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spk_sl_validation_spark.ext import warc as WC
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return WC.decode_html_bytes(WC.synthesize_html_bytes_table(docs))

@@ -115,3 +115,70 @@ def test_warc_records_flags_bad_rows(spark):
     r30 = next(r for r in good if r.doc_id == 3 and r.rec_idx == 1)
     assert r30.body_text == "payload " * (1 + 3 % 5)
     assert r30.http_status == 200
+
+
+# ---------------------------------------------------------------------------
+# charset detection + decode
+# ---------------------------------------------------------------------------
+
+from spk_sl_validation_spark.ext.warc import (  # noqa: E402
+    decode_html_bytes,
+    decode_html_bytes_py,
+    detect_charset,
+    synthesize_html_bytes_table,
+)
+
+
+@pytest.mark.parametrize(
+    "data,want",
+    [
+        (b"\xef\xbb\xbfhello", ("utf-8", True)),
+        (b"\xff\xfeh\x00", ("utf-16-le", True)),
+        (b"\xfe\xff\x00h", ("utf-16-be", True)),
+        (b"\xff\xfe\x00\x00h\x00\x00\x00", ("utf-32-le", True)),  # not utf-16!
+        (b'<META CHARSET="UTF-8"><p>x</p>', ("utf-8", False)),
+        (b"<meta charset=koi8-r><p>x</p>", ("koi8-r", False)),
+        (b'<meta http-equiv="Content-Type" content="text/html; charset=Shift_JIS">',
+         ("shift_jis", False)),
+        (b"plain ascii", ("utf-8", False)),
+        ("café".encode("utf-8"), ("utf-8", False)),  # valid multibyte
+        (b"caf\xe9", ("windows-1252", False)),  # invalid utf-8 -> fallback
+    ],
+)
+def test_detect_charset(data, want):
+    assert detect_charset(data) == want
+
+
+def test_meta_outside_prescan_window_ignored():
+    data = b"<p>" + b"x" * 1100 + b'</p><meta charset="koi8-r">'
+    assert detect_charset(data) == ("utf-8", False)
+
+
+def test_decode_totality():
+    # unknown declared charset -> fallback decode, never a raise
+    text, cs, bom = decode_html_bytes_py(b'<meta charset="no-such-cs">\xe9')
+    assert cs == "no-such-cs" and "é" in text
+    # BOM stripped from the decoded text
+    text, cs, bom = decode_html_bytes_py(b"\xef\xbb\xbfabc")
+    assert text == "abc" and bom
+    # undecodable bytes under the detected charset -> replacement
+    text, cs, bom = decode_html_bytes_py(b"\xff\xfe\xe9")  # utf-16 odd length
+    assert "�" in text
+
+
+def test_decode_law_roundtrip():
+    for d in range(12):
+        text, cs, bom = decode_html_bytes_py(
+            __import__(
+                "spk_sl_validation_spark.ext.warc", fromlist=["_make_html_bytes"]
+            )._make_html_bytes(d)
+        )
+        assert f"T{d} café" in text
+        assert bom == (d % 6 in (1, 2))
+
+
+def test_decode_html_bytes_spark(spark):
+    docs = spark.range(12).selectExpr("id AS doc_id")
+    rows = {r.doc_id: r for r in decode_html_bytes(synthesize_html_bytes_table(docs)).collect()}
+    assert rows[2].charset == "utf-16-le" and rows[2].had_bom
+    assert rows[5].charset == "windows-1252" and "café" in rows[5].text
