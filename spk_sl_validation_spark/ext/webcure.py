@@ -933,3 +933,119 @@ def synthesize_outlink_page_table(docs: DataFrame, id_col: str = "doc_id") -> Da
         F.lit("</body></html>"),
     )
     return docs.select(F.col(id_col), url.alias("url"), html.alias("html"))
+
+
+# ---------------------------------------------------------------------------
+# Main-content extraction (jusText/boilerpipe-class block scoring —
+# html_to_text keeps nav chrome; this drops it. RefinedWeb/FineWeb use
+# trafilatura for exactly this step)
+# ---------------------------------------------------------------------------
+
+#: Block-level boundary tags (opening OR closing splits the page).
+_BLOCK_TAG_RE = (
+    r"(?i)</?(?:p|div|section|article|h[1-6]|li|ul|ol|table|tr|td|nav|"
+    r"footer|header|aside|main|body|html|br)\b[^>]*>"
+)
+MAIN_MIN_CHARS = 40
+MAIN_MAX_LINK_DENSITY = 0.35
+
+
+def main_content(html: Column | str) -> tuple[Column, Column, Column]:
+    """(main_text, n_blocks_kept, n_blocks_dropped): segment the page
+    into text blocks at block-level tag boundaries, score each block
+    by LENGTH (≥ 40 visible chars) and LINK DENSITY (anchor-text chars
+    / visible chars ≤ 0.35 — nav bars and footers are link-dense,
+    article prose is not), keep the passing blocks in document order.
+
+    Entirely JVM array expressions: script/style/comment removal, one
+    split on the block-tag regex, then per-block regexp stats over the
+    page-sized array (HOF cost is block-count sized). Same class of
+    heuristic as jusText/boilerpipe — a deliberately dependency-free
+    stand-in for trafilatura with the same plan shape."""
+    h = F.col(html) if isinstance(html, str) else html
+    h = F.regexp_replace(h, r"(?is)<(script|style|noscript)\b[^>]*>.*?</\1\s*>", " ")
+    h = F.regexp_replace(h, r"(?s)<!--.*?-->", " ")
+    blocks = F.split(h, _BLOCK_TAG_RE)
+
+    def visible(b: Column) -> Column:
+        return F.trim(
+            F.regexp_replace(F.regexp_replace(b, r"<[^>]*>", " "), r"\s+", " ")
+        )
+
+    def anchor_chars(b: Column) -> Column:
+        return F.aggregate(
+            F.regexp_extract_all(
+                b, F.lit(r"(?is)<a\b[^>]*>(.*?)</a\s*>"), 1
+            ),
+            F.lit(0),
+            lambda acc, a: acc + F.length(visible(a)),
+        )
+
+    scored = F.transform(
+        blocks,
+        lambda b: F.struct(
+            visible(b).alias("txt"), anchor_chars(b).alias("ac")
+        ),
+    )
+    kept = F.filter(
+        scored,
+        lambda s: (F.length(s["txt"]) >= MAIN_MIN_CHARS)
+        & (s["ac"] <= MAIN_MAX_LINK_DENSITY * F.length(s["txt"])),
+    )
+    n_candidates = F.size(F.filter(scored, lambda s: F.length(s["txt"]) > 0))
+    main_text = F.array_join(
+        F.transform(kept, lambda s: s["txt"]), "\n"
+    )
+    return main_text, F.size(kept), n_candidates - F.size(kept)
+
+
+def main_content_extract(
+    df: DataFrame, html_col: str = "html", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, main_text, n_blocks_kept, n_blocks_dropped) — pure narrow
+    map, zero exchanges."""
+    text, n_kept, n_dropped = main_content(html_col)
+    return df.select(
+        F.col(id_col),
+        text.alias("main_text"),
+        n_kept.cast("bigint").alias("n_blocks_kept"),
+        n_dropped.cast("bigint").alias("n_blocks_dropped"),
+    )
+
+
+# Fixture generation law (web_main_content's oracle replays it): each
+# page is nav + header + two content paragraphs + link-dense related
+# box + footer; k = doc_id % 3 and c = doc_id % 5 vary the link/text
+# labels. Expected kept blocks (in order):
+#   P1: 'Article c<c> paragraph one …' (64 chars of prose, no links)
+#   P2: prose with ONE inline link whose anchor text is short
+#       relative to the block (density ~0.1) — kept
+# Dropped: nav (3 links, no prose), header title (short), related box
+# (anchor text dominates), footer (short + link).
+
+
+def synthesize_main_content_table(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, html) under the main-content law above."""
+    c = (F.col(id_col) % 5).cast("string")
+    k = (F.col(id_col) % 3).cast("string")
+    p1 = F.concat(
+        F.lit("Article c"), c,
+        F.lit(" paragraph one carries enough prose to pass the length gate easily."),
+    )
+    p2_text = F.concat(
+        F.lit("Paragraph two of article c"), c,
+        F.lit(" also has plenty of running text around "),
+    )
+    html = F.concat(
+        F.lit('<html><body><nav><a href="/">Home</a> <a href="/a">News'), k,
+        F.lit('</a> <a href="/b">More</a></nav>'),
+        F.lit("<h1>Title"), c, F.lit("</h1>"),
+        F.lit("<p>"), p1, F.lit("</p>"),
+        F.lit("<p>"), p2_text,
+        F.lit('<a href="/ref">a link</a> in the middle of it.</p>'),
+        F.lit('<div class="related"><a href="/r1">Related story one about topics</a> '),
+        F.lit('<a href="/r2">Related story two about things</a> and then some</div>'),
+        F.lit('<footer><a href="/about">About</a> (c) 2024</footer>'),
+        F.lit("</body></html>"),
+    )
+    return docs.select(F.col(id_col), html.alias("html"))

@@ -514,3 +514,34 @@ def web_charset_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     return WC.decode_html_bytes(WC.synthesize_html_bytes_table(docs))
+
+
+@register(
+    "web_main_content",
+    doc=(
+        "main-content extraction (jusText/boilerpipe-class block "
+        "scoring — the step RefinedWeb/FineWeb delegate to trafilatura): "
+        "segment the page at block-level tags, keep blocks with >=40 "
+        "visible chars and anchor-text link density <=0.35, in document "
+        "order. html_to_text keeps nav chrome; this drops it. Pure JVM "
+        "array expressions, zero exchanges; the oracle replays the two "
+        "surviving paragraphs of the fixture law in closed form (nav, "
+        "title, link-dense related box, and footer all drop)"
+    ),
+    oracle="""
+SELECT doc_id,
+       'Article c' || CAST(doc_id % 5 AS VARCHAR)
+       || ' paragraph one carries enough prose to pass the length gate easily.'
+       || chr(10)
+       || 'Paragraph two of article c' || CAST(doc_id % 5 AS VARCHAR)
+       || ' also has plenty of running text around a link in the middle of it.'
+         AS main_text,
+       CAST(2 AS BIGINT) AS n_blocks_kept,
+       CAST(4 AS BIGINT) AS n_blocks_dropped
+FROM documents
+""",
+)
+def web_main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    pages = W.synthesize_main_content_table(docs)
+    return W.main_content_extract(pages)

@@ -469,3 +469,50 @@ def test_outlinks_endpoints_normalized_and_dupes_kept(spark):
         ("https://a.com/d/p", "https://a.com/X"),  # multiplicity kept
         ("https://a.com/d/p", "https://b.org/q"),
     ]
+
+
+# ---------------------------------------------------------------------------
+# main-content extraction (round 9)
+# ---------------------------------------------------------------------------
+
+
+def _main_one(spark, html):
+    df = spark.createDataFrame([(0, html)], "doc_id long, html string")
+    return W.main_content_extract(df).first()
+
+
+def test_main_content_drops_linkdense_and_short_blocks(spark):
+    prose = "Running prose that is comfortably past the forty character line."
+    html = (
+        f"<nav><a href='/'>Home</a><a href='/n'>News</a></nav>"
+        f"<p>{prose}</p>"
+        f"<div><a href='/r'>{prose}</a></div>"  # long but 100% link text
+        f"<p>short</p>"
+    )
+    r = _main_one(spark, html)
+    assert r.main_text == prose
+    assert r.n_blocks_kept == 1 and r.n_blocks_dropped == 3
+
+
+def test_main_content_inline_link_tolerated(spark):
+    html = ("<p>A perfectly ordinary paragraph mentioning "
+            "<a href='/x'>one thing</a> inline and then continuing on.</p>")
+    r = _main_one(spark, html)
+    assert r.n_blocks_kept == 1
+    assert "one thing inline" in r.main_text
+
+
+def test_main_content_script_and_comment_blocks_invisible(spark):
+    prose = "Long enough body text for the extractor to keep this block."
+    html = (
+        f"<script>var x = 'not {prose}';</script>"
+        f"<!-- {prose} commented -->"
+        f"<p>{prose}</p>"
+    )
+    r = _main_one(spark, html)
+    assert r.main_text == prose and r.n_blocks_kept == 1
+
+
+def test_main_content_empty_page(spark):
+    r = _main_one(spark, "<html><body></body></html>")
+    assert r.main_text == "" and r.n_blocks_kept == 0 and r.n_blocks_dropped == 0
