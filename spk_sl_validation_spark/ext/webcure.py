@@ -1049,3 +1049,64 @@ def synthesize_main_content_table(docs: DataFrame, id_col: str = "doc_id") -> Da
         F.lit("</body></html>"),
     )
     return docs.select(F.col(id_col), html.alias("html"))
+
+
+# ---------------------------------------------------------------------------
+# URL features + URL-level quality gate (FineWeb-style: the cheapest
+# quality signals of all — computed before a single page byte is
+# fetched, so they prune the frontier, not the corpus)
+# ---------------------------------------------------------------------------
+
+
+def url_features(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """Append the URL-level quality features to a crawl manifest
+    (pure narrow map over the NORMALIZED url):
+
+    - ``path_depth``: '/' segments ('/a/b' → 2, '/' → 0);
+    - ``n_params``: query parameters;
+    - ``digit_ratio``: digit chars / path length (session-id and
+      pagination URLs are digit-heavy);
+    - ``url_len``: full normalized length (spam URLs run long);
+    - ``is_index``: root path.
+    """
+    nu = normalize_url(url_col)
+    path = F.regexp_extract(nu, r"^[a-z][a-z0-9+.-]*://[^/?#]*(/[^?#]*)", 1)
+    query = F.coalesce(F.parse_url(nu, F.lit("QUERY")), F.lit(""))
+    depth = F.when(path == "/", F.lit(0)).otherwise(
+        F.size(F.split(path, "/")) - 1
+    )
+    digits = F.length(F.regexp_replace(path, r"[^0-9]", ""))
+    return (
+        df.withColumn("norm_url", nu)
+        .withColumn("path_depth", depth.cast("int"))
+        .withColumn(
+            "n_params",
+            F.when(query == "", F.lit(0))
+            .otherwise(F.size(F.split(query, "&")))
+            .cast("int"),
+        )
+        .withColumn(
+            "digit_ratio",
+            (digits / F.greatest(F.length(path), F.lit(1))).cast("double"),
+        )
+        .withColumn("url_len", F.length(nu).cast("int"))
+        .withColumn("is_index", path == "/")
+    )
+
+
+def url_word_blocklist(
+    df: DataFrame, words: list[str], url_col: str = "url"
+) -> DataFrame:
+    """Drop manifest rows whose NORMALIZED url contains any blocked
+    word (FineWeb's URL-level filter; case-insensitive substring —
+    the published lists are substrings, not tokens). The word list is
+    compiled into ONE alternation regex literal, so the filter is a
+    single codegen'd rlike per row — fine into the tens of thousands
+    of words; beyond that, switch to the blocklist anti-join shape
+    (:func:`blocklist_filter`) on extracted tokens."""
+    import re as _re
+
+    if not words:
+        return df
+    pat = "(?i)(" + "|".join(_re.escape(w) for w in words) + ")"
+    return df.filter(~normalize_url(url_col).rlike(pat))

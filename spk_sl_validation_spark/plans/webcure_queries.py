@@ -545,3 +545,44 @@ def web_main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     pages = W.synthesize_main_content_table(docs)
     return W.main_content_extract(pages)
+
+
+@register(
+    "web_url_features",
+    doc=(
+        "URL-level quality features (FineWeb-style, the cheapest "
+        "signals of all — computed on the manifest before any page "
+        "byte is fetched): path depth, query-param count, path digit "
+        "ratio, url length, is-index. Pure narrow map on the "
+        "normalized url; the oracle recomputes every feature from the "
+        "law's normalized form with DuckDB's own string functions — "
+        "independent arithmetic, same closed form"
+    ),
+    oracle=_ORACLE_LAW
+    + """
+SELECT doc_id, norm_url,
+       CAST(CASE WHEN path_part = '/' THEN 0
+                 ELSE len(string_split(path_part, '/')) - 1 END AS INTEGER)
+         AS path_depth,
+       CAST(CASE WHEN query_part = '' THEN 0
+                 ELSE len(string_split(query_part, '&')) END AS INTEGER)
+         AS n_params,
+       CAST(len(regexp_replace(path_part, '[^0-9]', '', 'g'))
+            / greatest(len(path_part), 1) AS DOUBLE) AS digit_ratio,
+       CAST(len(norm_url) AS INTEGER) AS url_len,
+       path_part = '/' AS is_index
+FROM (
+  SELECT doc_id, norm_url,
+         coalesce(regexp_extract(norm_url,
+             '^[a-z][a-z0-9+.-]*://[^/?#]*(/[^?#]*)', 1), '/') AS path_part,
+         coalesce(regexp_extract(norm_url, '\\?(.*)$', 1), '') AS query_part
+  FROM n
+)
+""",
+)
+def web_url_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    urls = _urls(spark, sf_dir)
+    return W.url_features(urls).select(
+        "doc_id", "norm_url", "path_depth", "n_params",
+        "digit_ratio", "url_len", "is_index",
+    )

@@ -516,3 +516,40 @@ def test_main_content_script_and_comment_blocks_invisible(spark):
 def test_main_content_empty_page(spark):
     r = _main_one(spark, "<html><body></body></html>")
     assert r.main_text == "" and r.n_blocks_kept == 0 and r.n_blocks_dropped == 0
+
+
+# ---------------------------------------------------------------------------
+# URL features + word blocklist (round 9)
+# ---------------------------------------------------------------------------
+
+
+def test_url_features_edges(spark):
+    rows = [
+        (0, "https://a.com"),  # root: depth 0, is_index
+        (1, "https://a.com/p1/22/x3?a=1&b=2"),
+        (2, "https://a.com/nodigits"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    got = {r.doc_id: r for r in W.url_features(df).collect()}
+    assert got[0].path_depth == 0 and got[0].is_index and got[0].n_params == 0
+    r1 = got[1]
+    assert r1.path_depth == 3 and r1.n_params == 2 and not r1.is_index
+    # path '/p1/22/x3' = 9 chars, 4 digits
+    assert abs(r1.digit_ratio - 4 / 9) < 1e-12
+    assert got[2].digit_ratio == 0.0
+
+
+def test_url_word_blocklist(spark):
+    rows = [
+        (0, "https://a.com/casino-games"),  # blocked word
+        (1, "https://CASINO.example.com/x"),  # case-insensitive, in host
+        (2, "https://a.com/fine/page"),
+        (3, "https://a.com/escape.the[regex]"),  # metachars in words are literal
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    kept = sorted(
+        r.doc_id for r in W.url_word_blocklist(df, ["casino", "the[regex]"]).collect()
+    )
+    assert kept == [2]
+    # empty list is the identity
+    assert W.url_word_blocklist(df, []).count() == 4
