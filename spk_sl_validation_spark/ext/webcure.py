@@ -70,10 +70,15 @@ def _strip_tracking(query: Column) -> Column:
 
 def normalize_url(url: Column | str) -> Column:
     """Canonicalize a URL per the module contract. Built entirely from
-    ``parse_url`` + regexp expressions — whole-stage-codegen'd, no UDF."""
+    ``try_parse_url`` + regexp expressions — whole-stage-codegen'd, no
+    UDF. URLs Spark's parser rejects (stray ``[`` ``]`` etc. — RFC-
+    invalid but present in any real crawl) normalize to NULL rather
+    than killing the stage; every consumer in this module falls back
+    to the raw string for such rows (dedup keys on it, blocklists
+    scan it, caps group them under one pseudo-domain)."""
     u = F.col(url) if isinstance(url, str) else url
     scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
-    hostport = F.lower(F.parse_url(u, F.lit("HOST")))
+    hostport = F.lower(F.try_parse_url(u, F.lit("HOST")))
     # parse_url(HOST) excludes the port; extract it from the authority
     # with userinfo stripped and the match anchored at the END — a
     # digit run after a colon in a password ('user:123pass@h.com') or
@@ -88,12 +93,12 @@ def normalize_url(url: Column | str) -> Column:
         & ~((scheme == "http") & (port == "80"))
         & ~((scheme == "https") & (port == "443"))
     )
-    path = F.coalesce(F.parse_url(u, F.lit("PATH")), F.lit(""))
+    path = F.coalesce(F.try_parse_url(u, F.lit("PATH")), F.lit(""))
     path = F.when(path == "", F.lit("/")).otherwise(path)
     path = F.when(
         (F.length(path) > 1) & path.endswith("/"), F.regexp_replace(path, "/$", "")
     ).otherwise(path)
-    query = _strip_tracking(F.coalesce(F.parse_url(u, F.lit("QUERY")), F.lit("")))
+    query = _strip_tracking(F.coalesce(F.try_parse_url(u, F.lit("QUERY")), F.lit("")))
     return F.concat(
         scheme,
         F.lit("://"),
@@ -132,7 +137,12 @@ def url_dedup(
     deterministic, oracle-replayable). The corpus frame never shuffles
     on the URL: owners are a groupBy-min over (norm_url, id) pairs and
     the keep decision rides a semi join on ``id_col``."""
-    keyed = df.select(F.col(id_col), normalize_url(url_col).alias("__nu"))
+    # invalid URLs (normalize -> NULL) dedup on their raw string: an
+    # all-null key would collapse every unparseable URL into one winner.
+    keyed = df.select(
+        F.col(id_col),
+        F.coalesce(normalize_url(url_col), F.col(url_col)).alias("__nu"),
+    )
     owners = keyed.groupBy("__nu").agg(F.min(id_col).alias(id_col))
     return df.join(owners.select(id_col).hint("shuffle_hash"), id_col, "left_semi")
 
@@ -176,7 +186,14 @@ def _with_domain(df: DataFrame, url_col: str, psl: bool) -> DataFrame:
     approximation (fast path, zero joins) or the full PSL lookup
     (broadcast-join cascade, zero shuffles either way)."""
     if not psl:
-        return df.withColumn("__dom", extract_domain(normalize_url(url_col)))
+        # unparseable URLs group under one pseudo-domain: a cap then
+        # throttles crawl garbage collectively instead of erroring.
+        return df.withColumn(
+            "__dom",
+            F.coalesce(
+                extract_domain(normalize_url(url_col)), F.lit("__invalid__")
+            ),
+        )
     from spk_sl_validation_spark.ext import psl as P
 
     return P.registrable_domain(
@@ -1109,4 +1126,5 @@ def url_word_blocklist(
     if not words:
         return df
     pat = "(?i)(" + "|".join(_re.escape(w) for w in words) + ")"
-    return df.filter(~normalize_url(url_col).rlike(pat))
+    scan = F.coalesce(normalize_url(url_col), F.lower(F.col(url_col)))
+    return df.filter(~scan.rlike(pat))

@@ -553,3 +553,24 @@ def test_url_word_blocklist(spark):
     assert kept == [2]
     # empty list is the identity
     assert W.url_word_blocklist(df, []).count() == 4
+
+
+def test_invalid_urls_are_total_not_fatal(spark):
+    """RFC-invalid URLs (present in any real crawl) must never kill a
+    stage: normalize -> NULL, dedup keys on the raw string, caps group
+    them under one pseudo-domain, blocklists scan the raw text."""
+    rows = [
+        (0, "https://a.com/ok"),
+        (1, "https://a.com/bad[bracket]"),
+        (2, "https://a.com/bad[bracket]"),  # exact dup of the invalid url
+        (3, "https://b.com/also[bad]"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    assert _norm_one(spark, "https://a.com/bad[bracket]") is None
+    # dedup: the two identical invalid urls collapse; distinct ones survive
+    assert sorted(r.doc_id for r in W.url_dedup(df).collect()) == [0, 1, 3]
+    # cap: invalid urls share the __invalid__ pseudo-domain
+    assert sorted(r.doc_id for r in W.domain_cap(df, 1).collect()) == [0, 1]
+    # word blocklist scans the raw string of unparseable urls
+    kept = W.url_word_blocklist(df, ["bracket"]).collect()
+    assert sorted(r.doc_id for r in kept) == [0, 3]
