@@ -1128,3 +1128,134 @@ def url_word_blocklist(
     pat = "(?i)(" + "|".join(_re.escape(w) for w in words) + ")"
     scan = F.coalesce(normalize_url(url_col), F.lower(F.col(url_col)))
     return df.filter(~scan.rlike(pat))
+
+
+# ---------------------------------------------------------------------------
+# Sitemap parsing (the OTHER frontier seed besides outlinks; plain
+# urlset files and sitemapindex files both occur)
+# ---------------------------------------------------------------------------
+
+
+def sitemap_locs(xml: Column | str) -> tuple[Column, Column]:
+    """(locs array<string>, is_index) from a sitemap XML payload:
+    ``<loc>`` values in document order, entity-decoded one level
+    (sitemap spec requires XML-escaped URLs — ``&amp;`` is the one
+    that occurs in practice); ``is_index`` when the root element is
+    ``<sitemapindex>`` (its locs are child SITEMAPS to fetch, not
+    page URLs). Pure regexp extraction — the sitemap grammar is flat
+    enough that a DOM adds nothing."""
+    x = F.col(xml) if isinstance(xml, str) else xml
+    x = F.regexp_replace(x, r"(?s)<!--.*?-->", " ")
+    locs = F.transform(
+        F.regexp_extract_all(x, F.lit(r"(?is)<loc\s*>\s*(.*?)\s*</loc\s*>"), 1),
+        lambda v: F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(v, "&lt;", "<"), "&gt;", ">"
+            ),
+            "&amp;",
+            "&",
+        ),
+    )
+    is_index = x.rlike(r"(?is)<\s*sitemapindex[\s>]")
+    return locs, is_index
+
+
+def sitemap_entries(
+    df: DataFrame, xml_col: str = "sitemap_xml", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, loc_idx, loc, is_index): one row per ``<loc>``, normalized
+    — directly unionable into the crawl frontier. Narrow map +
+    posexplode, zero joins."""
+    locs, is_index = sitemap_locs(xml_col)
+    return df.select(
+        F.col(id_col), is_index.alias("is_index"), F.posexplode(locs).alias("loc_idx", "__raw")
+    ).select(
+        id_col, "loc_idx", normalize_url(F.col("__raw")).alias("loc"), "is_index"
+    )
+
+
+# Fixture law (web_sitemap_entries replays it): m = doc_id % 2 picks
+# urlset (page locs) vs sitemapindex (child sitemap locs); each file
+# carries r = 1 + doc_id % 3 locs; loc i of doc d is
+#   urlset:        https://site<d%3>.com/s/<i>?a=1&b=2   (written with &amp;)
+#   sitemapindex:  https://site<d%3>.com/sitemap<i>.xml
+
+
+def synthesize_sitemap_table(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, sitemap_xml) under the law above."""
+    d3 = (F.col(id_col) % 3).cast("string")
+    r = (F.col(id_col) % 3 + 1).cast("int")
+    is_idx = F.col(id_col) % 2 == 1
+    loc = lambda i: F.when(  # noqa: E731
+        is_idx,
+        F.concat(F.lit("https://site"), d3, F.lit(".com/sitemap"), i.cast("string"), F.lit(".xml")),
+    ).otherwise(
+        F.concat(F.lit("https://site"), d3, F.lit(".com/s/"), i.cast("string"), F.lit("?a=1&amp;b=2")),
+    )
+    body = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), r - 1),
+            lambda i: F.concat(
+                F.when(is_idx, F.lit("<sitemap><loc> ")).otherwise(F.lit("<url><loc> ")),
+                loc(i),
+                F.when(is_idx, F.lit(" </loc></sitemap>")).otherwise(F.lit(" </loc></url>")),
+            ),
+        ),
+        "",
+    )
+    xml = F.concat(
+        F.lit('<?xml version="1.0"?><!-- <loc>https://decoy.com/</loc> -->'),
+        F.when(is_idx, F.lit("<sitemapindex>")).otherwise(F.lit("<urlset>")),
+        body,
+        F.when(is_idx, F.lit("</sitemapindex>")).otherwise(F.lit("</urlset>")),
+    )
+    return docs.select(F.col(id_col), xml.alias("sitemap_xml"))
+
+
+# ---------------------------------------------------------------------------
+# Crawl politeness scheduling (frontier -> fetch waves: at most
+# `rate` URLs per registrable domain per wave)
+# ---------------------------------------------------------------------------
+
+
+def politeness_schedule(
+    df: DataFrame,
+    rate: int,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    n_salts: int = 64,
+    psl: bool = False,
+) -> DataFrame:
+    """Assign each manifest row a fetch ``wave`` such that no
+    registrable domain receives more than ``rate`` URLs per wave —
+    the frontier-side politeness contract (robots Crawl-delay maps to
+    wave duration).
+
+    Scale shape: this op needs a per-domain ENUMERATION, not a top-k,
+    so Catalyst's WindowGroupLimit cannot bound a mega-domain and a
+    plain per-domain window would pin 10^8 rows of one host to a
+    single task. The enumeration is therefore salt-blocked BY DESIGN:
+    ``salt = pmod(id, n_salts)`` splits each domain into ``n_salts``
+    window partitions, each row gets the unique per-domain slot
+    ``(rank_within_salt - 1) * n_salts + salt``, and
+    ``wave = slot / rate``. Slots are injective per domain, so the
+    ≤ rate guarantee holds exactly; slot GAPS (uneven salt blocks)
+    only ever delay a fetch, never accelerate one — the safe
+    direction for politeness. Raise ``n_salts`` for crawls where one
+    domain dominates. Deterministic (salt is id-derived, not a hash
+    seed) and therefore oracle-replayable."""
+    dom = _with_domain(df, url_col, psl)
+    salt = F.pmod(F.col(id_col), F.lit(n_salts))
+    w = Window.partitionBy("__dom", "__salt").orderBy(id_col)
+    return (
+        dom.withColumn("__salt", salt)
+        .withColumn(
+            "wave",
+            (
+                ((F.row_number().over(w) - 1) * n_salts + F.col("__salt"))
+                / rate
+            ).cast("bigint"),
+        )
+        .withColumnRenamed("__dom", "domain")
+        .drop("__salt")
+    )

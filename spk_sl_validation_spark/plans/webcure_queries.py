@@ -586,3 +586,63 @@ def web_url_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "norm_url", "path_depth", "n_params",
         "digit_ratio", "url_len", "is_index",
     )
+
+
+@register(
+    "web_sitemap_entries",
+    doc=(
+        "sitemap parsing (the frontier seed besides outlinks): <loc> "
+        "values in document order via regexp extraction (comments "
+        "removed first — a commented-out loc is a decoy), XML entities "
+        "decoded one level, entries normalized; sitemapindex files "
+        "flagged (their locs are child sitemaps, not pages). Narrow "
+        "map + posexplode; the oracle emits every loc from the "
+        "generation law in closed form"
+    ),
+    oracle="""
+WITH p AS (
+  SELECT doc_id, CAST(doc_id % 3 AS VARCHAR) AS k,
+         1 + doc_id % 3 AS r, doc_id % 2 = 1 AS is_index
+  FROM documents
+)
+SELECT p.doc_id, CAST(g.i AS INTEGER) AS loc_idx,
+       CASE WHEN p.is_index
+            THEN 'https://site' || p.k || '.com/sitemap'
+                 || CAST(g.i AS VARCHAR) || '.xml'
+            ELSE 'https://site' || p.k || '.com/s/'
+                 || CAST(g.i AS VARCHAR) || '?a=1&b=2'
+       END AS loc,
+       p.is_index
+FROM p JOIN range(0, 3) g(i) ON g.i < p.r
+""",
+)
+def web_sitemap_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return W.sitemap_entries(W.synthesize_sitemap_table(docs))
+
+
+@register(
+    "web_politeness_schedule",
+    doc=(
+        "crawl politeness scheduling: at most `rate` URLs per "
+        "registrable domain per fetch wave. Needs a per-domain "
+        "ENUMERATION (not a top-k — WindowGroupLimit cannot help), so "
+        "the window is salt-blocked BY DESIGN: pmod(id, S) splits a "
+        "mega-domain across S partitions, slot = (rank-1)*S + salt is "
+        "injective per domain, wave = slot/rate — the <=rate guarantee "
+        "is exact and gaps only ever delay fetches (the safe "
+        "direction). Deterministic salt -> fully oracle-replayable"
+    ),
+    oracle=_ORACLE_LAW
+    + """
+SELECT doc_id, domain,
+       CAST(((ROW_NUMBER() OVER (PARTITION BY domain, doc_id % 4
+                                 ORDER BY doc_id) - 1) * 4
+             + doc_id % 4) // 3 AS BIGINT) AS wave
+FROM n
+""",
+)
+def web_politeness_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    urls = _urls(spark, sf_dir)
+    out = W.politeness_schedule(urls, rate=3, n_salts=4)
+    return out.select("doc_id", "domain", "wave")

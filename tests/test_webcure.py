@@ -574,3 +574,56 @@ def test_invalid_urls_are_total_not_fatal(spark):
     # word blocklist scans the raw string of unparseable urls
     kept = W.url_word_blocklist(df, ["bracket"]).collect()
     assert sorted(r.doc_id for r in kept) == [0, 3]
+
+
+# ---------------------------------------------------------------------------
+# sitemap + politeness (round 9)
+# ---------------------------------------------------------------------------
+
+
+def test_sitemap_urlset_vs_index_and_decoys(spark):
+    xml = (
+        "<?xml ?><!-- <loc>https://decoy.com/x</loc> -->"
+        "<urlset><url><loc> https://A.com/p?x=1&amp;y=2 </loc></url>"
+        "<url><LOC>https://a.com/q/</LOC></url></urlset>"
+    )
+    df = spark.createDataFrame([(0, xml)], "doc_id long, sitemap_xml string")
+    rows = W.sitemap_entries(df).collect()
+    assert [(r.loc_idx, r.loc, r.is_index) for r in rows] == [
+        (0, "https://a.com/p?x=1&y=2", False),
+        (1, "https://a.com/q", False),
+    ]
+    idx = "<sitemapindex><sitemap><loc>https://a.com/s1.xml</loc></sitemap></sitemapindex>"
+    df2 = spark.createDataFrame([(1, idx)], "doc_id long, sitemap_xml string")
+    assert W.sitemap_entries(df2).first().is_index
+
+
+def test_politeness_rate_guarantee_and_completeness(spark):
+    # 300 urls on one hot domain + 20 cold: every wave carries at most
+    # `rate` per domain; every url is scheduled exactly once.
+    hot = _hot_crawl(spark, 320)
+    out = W.politeness_schedule(hot, rate=5, n_salts=8)
+    rows = out.collect()
+    assert len(rows) == 320 and len({r.doc_id for r in rows}) == 320
+    per = {}
+    for r in rows:
+        per[(r.domain, r.wave)] = per.get((r.domain, r.wave), 0) + 1
+    assert max(per.values()) <= 5
+    # the hot domain (hot.example.com -> registrable example.com)
+    # actually spreads across many waves
+    hot_waves = {r.wave for r in rows if r.domain == "example.com"}
+    assert len(hot_waves) >= (320 * 4 // 5) // 5 // 2
+
+
+def test_politeness_window_is_salt_blocked(spark):
+    """The plan must partition windows by (domain, salt), never by
+    domain alone — the mega-domain safety property. Multi-domain
+    input (a constant domain would be folded out of the spec)."""
+    df = W.politeness_schedule(_hot_crawl(spark, 100), rate=3, n_salts=8)
+    fmt = spark._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    import re
+
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", fmt)
+    assert specs and all("__salt" in sp for sp in specs), specs
