@@ -353,3 +353,78 @@ def synthesize_html_bytes_table(docs: DataFrame, id_col: str = "doc_id") -> Data
         return ids.apply(lambda d: _make_html_bytes(int(d)))
 
     return docs.select(F.col(id_col), make(F.col(id_col)).alias("raw"))
+
+
+# ---------------------------------------------------------------------------
+# Composed-ingest fixture: WARC archives whose response bodies are
+# HTML pages under a known main-content law (web_ingest_pipeline
+# replays the composition end-to-end)
+# ---------------------------------------------------------------------------
+
+
+def _ingest_page_html(c: int) -> str:
+    """The main-content law page, Python twin (c = (doc_id+i) % 5):
+    nav / title / footer blocks fail the extractor's gates; the two
+    article paragraphs survive. Any drift against the oracle's
+    expected text is caught by the hash compare."""
+    return (
+        '<html><body><nav><a href="/">Home</a> <a href="/a">News</a></nav>'
+        f"<h1>Title{c}</h1>"
+        f"<p>Article c{c} paragraph one carries enough prose to pass the "
+        "length gate easily.</p>"
+        f"<p>Paragraph two of article c{c} also has plenty of running text "
+        'around <a href="/ref">a link</a> in the middle of it.</p>'
+        '<footer><a href="/about">(c) 2024 About</a></footer></body></html>'
+    )
+
+
+def _make_warc_html(doc_id: int) -> bytes:
+    """Same WARC framing law as :func:`_make_warc` (version by parity,
+    noise headers, HTTP padding) but response bodies are the
+    main-content law pages for c = (doc_id + i) % 5."""
+    version = b"WARC/1.1" if doc_id % 2 else b"WARC/1.0"
+
+    def record(rec_type: bytes, extra: list[bytes], block: bytes) -> bytes:
+        head = [version, b"WARC-Type: " + rec_type] + extra + [
+            b"Content-Length: " + str(len(block)).encode()
+        ]
+        return _CRLF.join(head) + _CRLF + _CRLF + block + _CRLF + _CRLF
+
+    out = [
+        record(
+            b"warcinfo",
+            [b"WARC-Date: 2024-01-01T00:00:00Z"],
+            b"software: spk-sl-fixture",
+        )
+    ]
+    for i in range(1 + doc_id % 3):
+        body = _ingest_page_html((doc_id + i) % 5).encode("utf-8")
+        status = 404 if (doc_id + i) % 4 == 0 else 200
+        http = (
+            b"HTTP/1.1 " + str(status).encode() + b" X\r\n"
+            b"Content-Type: text/html\r\n\r\n" + body
+        )
+        out.append(
+            record(
+                b"response",
+                [
+                    b"WARC-Target-URI: https://site"
+                    + str(doc_id % 3).encode()
+                    + b".com/w/"
+                    + str(i).encode(),
+                    b"WARC-Date: 2024-01-02T00:00:00Z",
+                ],
+                http,
+            )
+        )
+    return b"".join(out)
+
+
+def synthesize_warc_html_table(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, warc binary) under the composed-ingest law above."""
+
+    @F.pandas_udf(T.BinaryType())
+    def make(ids: pd.Series) -> pd.Series:
+        return ids.apply(lambda d: _make_warc_html(int(d)))
+
+    return docs.select(F.col(id_col), make(F.col(id_col)).alias("warc"))

@@ -646,3 +646,45 @@ def web_politeness_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     urls = _urls(spark, sf_dir)
     out = W.politeness_schedule(urls, rate=3, n_salts=4)
     return out.select("doc_id", "domain", "wave")
+
+
+@register(
+    "web_ingest_pipeline",
+    doc=(
+        "the crawl-ingest pass end-to-end, composed from this round's "
+        "operators in production order: WARC record parse -> keep "
+        "HTTP-200 response records -> main-content extraction on the "
+        "page bodies. One zero-exchange Arrow map (WARC) feeding pure "
+        "JVM array expressions (extractor) — the whole pipeline is a "
+        "narrow map chain, no shuffle anywhere. The oracle composes "
+        "the two generation laws in closed form (the 404 rows vanish, "
+        "survivors carry the two law paragraphs)"
+    ),
+    oracle="""
+WITH p AS (
+  SELECT doc_id, CAST(doc_id % 3 AS VARCHAR) AS k, 1 + doc_id % 3 AS r
+  FROM documents
+)
+SELECT p.doc_id,
+       'https://site' || p.k || '.com/w/' || CAST(g.i AS VARCHAR)
+         AS target_uri,
+       'Article c' || CAST((p.doc_id + g.i) % 5 AS VARCHAR)
+       || ' paragraph one carries enough prose to pass the length gate easily.'
+       || chr(10)
+       || 'Paragraph two of article c' || CAST((p.doc_id + g.i) % 5 AS VARCHAR)
+       || ' also has plenty of running text around a link in the middle of it.'
+         AS main_text
+FROM p JOIN range(0, 3) g(i) ON g.i < p.r
+WHERE (p.doc_id + g.i) % 4 <> 0
+""",
+)
+def web_ingest_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spk_sl_validation_spark.ext import warc as WC
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    recs = WC.warc_records(WC.synthesize_warc_html_table(docs))
+    pages = recs.filter(
+        F.col("ok") & (F.col("rec_type") == "response") & (F.col("http_status") == 200)
+    )
+    text, _nk, _nd = W.main_content("body_text")
+    return pages.select("doc_id", "target_uri", text.alias("main_text"))
