@@ -34,10 +34,11 @@ codegen). No UDF, no explode, no groupBy — a crawl manifest keeps
 its partitioning through the lookup.
 
 Matching is exact on the lowercased host labels as given (the list
-carries unicode labels; IDNA/punycode conversion of raw hosts is out
-of scope here, as in the reference pandas layer's string handling —
-reference: SL_SPK_Cleansing.py has no URL layer at all; this extends
-SURVEY.md §2.6 curation scope).
+carries unicode labels); raw unicode hosts convert to their ASCII
+A-label form first via :func:`idna_encode_hosts` (stdlib IDNA codec,
+Arrow-batched) and then look up normally. Reference:
+SL_SPK_Cleansing.py has no URL layer at all; this extends SURVEY.md
+§2.6 curation scope.
 """
 
 from __future__ import annotations
@@ -279,3 +280,83 @@ def registrable_domain_py(host: str, include_private: bool = True) -> str | None
     if n < reg_len:
         return None
     return ".".join(labels[n - reg_len:])
+
+
+# ---------------------------------------------------------------------------
+# IDNA / punycode host conversion (closes the documented scope gap
+# above: raw crawls carry unicode hosts, the PSL matches on ASCII
+# A-labels — convert first, then look up)
+# ---------------------------------------------------------------------------
+
+IDNA_SCHEMA = "host string, ascii_host string, idna_ok boolean"
+
+
+def idna_encode_hosts(
+    df: DataFrame, host_col: str = "host", out_col: str = "ascii_host"
+) -> DataFrame:
+    """Append ``out_col`` = the IDNA (punycode) A-label form of a
+    unicode hostname (stdlib ``idna`` codec — IDNA 2003, the
+    registry-compatible baseline), plus ``idna_ok``. ASCII hosts pass
+    through lowercased. Codec failures (empty labels, length
+    violations) keep the lowercased original with ``idna_ok=false`` —
+    total, like every ingest op here. Arrow-batched map: the codec is
+    per-row Python by nature; hosts are short strings, cost is
+    per-ROW not per-byte.
+
+    Compose with :func:`registrable_domain`:
+    ``registrable_domain(idna_encode_hosts(df), "ascii_host")``."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    fields = [f for f in df.schema.fields]
+    out_schema = T.StructType(
+        fields
+        + [
+            T.StructField(out_col, T.StringType()),
+            T.StructField("idna_ok", T.BooleanType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            def enc(h):
+                if h is None:
+                    return None, False
+                try:
+                    return h.encode("idna").decode("ascii"), True
+                except (UnicodeError, ValueError):
+                    return h.lower(), False
+
+            res = pdf[host_col].apply(enc)
+            pdf = pdf.copy()
+            pdf[out_col] = res.apply(lambda t: t[0])
+            pdf["idna_ok"] = res.apply(lambda t: t[1])
+            yield pdf
+
+    return df.mapInPandas(run, out_schema)
+
+
+# Fixture law (web_idna_hosts replays it): m = doc_id % 4 picks the
+# host; expected A-label forms are fixed strings (verified against
+# the stdlib codec):
+#   0: plain<c>.com           -> plain<c>.com            (ascii)
+#   1: bücher<c>.example      -> xn--bcher<c>-3ya.example
+#   2: müller.de              -> xn--mller-kva.de
+#   3: 日本.jp                 -> xn--wgv71a.jp
+# (c = doc_id % 5; note m=1's punycode tail is -3ya, not -kva: the
+# trailing digit shifts the encoded insertion offset.)
+
+
+def synthesize_idna_host_table(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, host) under the law above."""
+    m = F.col(id_col) % 4
+    c = (F.col(id_col) % 5).cast("string")
+    host = (
+        F.when(m == 0, F.concat(F.lit("plain"), c, F.lit(".com")))
+        .when(m == 1, F.concat(F.lit("bücher"), c, F.lit(".example")))
+        .when(m == 2, F.lit("müller.de"))
+        .otherwise(F.lit("日本.jp"))
+    )
+    return docs.select(F.col(id_col), host.alias("host"))

@@ -688,3 +688,36 @@ def web_ingest_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     text, _nk, _nd = W.main_content("body_text")
     return pages.select("doc_id", "target_uri", text.alias("main_text"))
+
+
+@register(
+    "web_idna_hosts",
+    doc=(
+        "IDNA/punycode host conversion (the step before a PSL lookup "
+        "on a raw crawl — the list matches ASCII A-labels): stdlib "
+        "idna codec as an Arrow-batched map (per-row Python by "
+        "nature), ascii passthrough lowercased, codec failures total "
+        "with idna_ok=false. The oracle emits the fixed A-label forms "
+        "of the 4-way law (punycode outputs verified against the "
+        "codec — the digit-bearing variant encodes to -3ya, not -kva)"
+    ),
+    oracle="""
+SELECT doc_id,
+       CASE CAST(doc_id % 4 AS INTEGER)
+         WHEN 0 THEN 'plain' || CAST(doc_id % 5 AS VARCHAR) || '.com'
+         WHEN 1 THEN 'bücher' || CAST(doc_id % 5 AS VARCHAR) || '.example'
+         WHEN 2 THEN 'müller.de'
+         ELSE '日本.jp' END AS host,
+       CASE CAST(doc_id % 4 AS INTEGER)
+         WHEN 0 THEN 'plain' || CAST(doc_id % 5 AS VARCHAR) || '.com'
+         WHEN 1 THEN 'xn--bcher' || CAST(doc_id % 5 AS VARCHAR) || '-3ya.example'
+         WHEN 2 THEN 'xn--mller-kva.de'
+         ELSE 'xn--wgv71a.jp' END AS ascii_host,
+       true AS idna_ok
+FROM documents
+""",
+)
+def web_idna_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    hosts = PSL.synthesize_idna_host_table(docs)
+    return PSL.idna_encode_hosts(hosts)

@@ -139,3 +139,35 @@ def test_curation_ops_identical_under_psl_on_fixture(spark, sf_dir):
     a = {tuple(r) for r in W.blocklist_filter(urls, blocked).collect()}
     b = {tuple(r) for r in W.blocklist_filter(urls, blocked, psl=True).collect()}
     assert a == b and a
+
+
+# ---------------------------------------------------------------------------
+# IDNA host conversion (round 9)
+# ---------------------------------------------------------------------------
+
+
+def test_idna_encode_and_psl_composition(spark):
+    from spk_sl_validation_spark.ext.psl import idna_encode_hosts
+
+    rows = [
+        (0, "Bücher.Example"),      # mixed case unicode
+        (1, "plain.com"),
+        (2, "日本.jp"),
+        (3, "bad..empty"),          # empty label -> codec error, total
+        (4, None),                  # null host stays null
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, host string")
+    got = {r.doc_id: (r.ascii_host, r.idna_ok) for r in idna_encode_hosts(df).collect()}
+    assert got[0] == ("xn--bcher-kva.example", True)
+    assert got[1] == ("plain.com", True)
+    assert got[2] == ("xn--wgv71a.jp", True)
+    assert got[3] == ("bad..empty", False)
+    assert got[4] == (None, False)
+    # composition: unicode host -> A-labels -> PSL registrable domain
+    comp = registrable_domain(
+        idna_encode_hosts(
+            spark.createDataFrame([(0, "shop.Bücher.co.jp")], "doc_id long, host string")
+        ),
+        "ascii_host",
+    ).first()
+    assert comp.domain == "xn--bcher-kva.co.jp"
