@@ -325,7 +325,10 @@ def idna_encode_hosts(
                 if h is None:
                     return None, False
                 try:
-                    return h.encode("idna").decode("ascii"), True
+                    # pre-lower: the stdlib codec nameprep-lowercases
+                    # unicode labels but passes ASCII labels through
+                    # verbatim ('Example' would stay 'Example')
+                    return h.lower().encode("idna").decode("ascii"), True
                 except (UnicodeError, ValueError):
                     return h.lower(), False
 
