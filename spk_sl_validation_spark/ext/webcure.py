@@ -1259,3 +1259,79 @@ def politeness_schedule(
         .withColumnRenamed("__dom", "domain")
         .drop("__salt")
     )
+
+
+# ---------------------------------------------------------------------------
+# Domain reputation (FineWeb-style domain-level quality gating: a
+# domain whose pages are consistently junk drops whole, including its
+# occasional fluke page)
+# ---------------------------------------------------------------------------
+
+
+def domain_reputation(
+    df: DataFrame, score_col: str, url_col: str = "url", psl: bool = False
+) -> DataFrame:
+    """(domain, n_docs, avg_score): per-registrable-domain aggregate
+    of any per-document quality score. Manifest-sized groupBy — the
+    corpus never shuffles, only (domain, score) pairs."""
+    dom = _with_domain(df, url_col, psl)
+    return dom.groupBy(F.col("__dom").alias("domain")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg(score_col).alias("avg_score"),
+    )
+
+
+def domain_reputation_filter(
+    df: DataFrame,
+    min_avg: float,
+    score_col: str,
+    url_col: str = "url",
+    min_docs: int = 1,
+    psl: bool = False,
+) -> DataFrame:
+    """Keep documents whose registrable domain has ``avg_score >=
+    min_avg`` over at least ``min_docs`` pages (small-sample domains
+    below the floor are KEPT — no evidence is not negative evidence).
+    Reputation is a domain-count-sized relation riding a semi join;
+    the document frame shuffles once, on the domain key."""
+    rep = domain_reputation(df, score_col, url_col, psl)
+    passing = rep.filter(
+        (F.col("avg_score") >= min_avg) | (F.col("n_docs") < min_docs)
+    ).select("domain")
+    dom = _with_domain(df, url_col, psl)
+    return (
+        dom.join(
+            passing.withColumnRenamed("domain", "__dom").hint("shuffle_hash"),
+            "__dom",
+            "left_semi",
+        ).drop("__dom")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Intra-document paragraph dedup (C4 does this at line level for
+# three-sentence spans; repeated nav/footer text inside ONE page is
+# the common case cross-doc dedup never sees)
+# ---------------------------------------------------------------------------
+
+
+def paragraph_dedup(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", sep: str = "\n"
+) -> DataFrame:
+    """Drop repeated paragraphs WITHIN each document, keeping first
+    occurrences in order. Pure array expression: a paragraph survives
+    iff its first index equals its own (``array_position`` is
+    1-based). Quadratic in the per-document paragraph count — pages
+    have tens of paragraphs, so the constant is small and the map
+    stays narrow; zero exchanges. Returns
+    ``(id, clean_text, n_paras_kept, n_paras_dropped)``."""
+    paras = F.split(F.col(text_col), sep)
+    kept = F.filter(
+        paras, lambda p, i: F.array_position(paras, p) == i + F.lit(1)
+    )
+    return df.select(
+        F.col(id_col),
+        F.array_join(kept, sep).alias("clean_text"),
+        F.size(kept).cast("bigint").alias("n_paras_kept"),
+        (F.size(paras) - F.size(kept)).cast("bigint").alias("n_paras_dropped"),
+    )

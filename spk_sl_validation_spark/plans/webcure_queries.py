@@ -721,3 +721,88 @@ def web_idna_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     hosts = PSL.synthesize_idna_host_table(docs)
     return PSL.idna_encode_hosts(hosts)
+
+
+@register(
+    "web_domain_reputation_filter",
+    doc=(
+        "domain-level quality gating (FineWeb-style): per-registrable-"
+        "domain average of a per-document score (manifest-sized "
+        "groupBy), domains below the threshold drop WHOLE — including "
+        "their fluke good pages — via a semi join; small-sample "
+        "domains below min_docs are kept (no evidence is not negative "
+        "evidence). Score column here is the deterministic doc_id % 7 "
+        "stand-in; the operator is score-agnostic. The oracle replays "
+        "the same gate with window aggregates over the law"
+    ),
+    oracle=_ORACLE_LAW
+    + """
+SELECT doc_id, domain, CAST(doc_id % 7 AS DOUBLE) AS score
+FROM n
+QUALIFY avg(doc_id % 7) OVER (PARTITION BY domain) >= 2.9
+     OR count(*) OVER (PARTITION BY domain) < 3
+""",
+)
+def web_domain_reputation_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    urls = _urls(spark, sf_dir).withColumn(
+        "score", (F.col("doc_id") % 7).cast("double")
+    )
+    kept = W.domain_reputation_filter(urls, 2.9, "score", min_docs=3)
+    return kept.select(
+        "doc_id", W.extract_domain(W.normalize_url("url")).alias("domain"), "score"
+    )
+
+
+@register(
+    "web_paragraph_dedup",
+    doc=(
+        "intra-document paragraph dedup: repeated paragraphs WITHIN one "
+        "page (nav/footer text the cross-doc passes never see) drop, "
+        "first occurrences kept in order — a paragraph survives iff "
+        "array_position == its own index. Pure array expression, zero "
+        "exchanges; the oracle replays first-occurrence survival via a "
+        "rank-1 window over exploded paragraphs"
+    ),
+    oracle="""
+WITH p AS (
+  SELECT doc_id,
+         CAST(doc_id % 5 AS VARCHAR) AS c,
+         CAST(doc_id % 3 AS VARCHAR) AS m
+  FROM documents
+), paras AS (
+  SELECT doc_id, g.i AS idx,
+         CASE g.i
+           WHEN 0 THEN 'Alpha paragraph ' || c || '.'
+           WHEN 1 THEN 'Beta boilerplate.'
+           WHEN 2 THEN 'Alpha paragraph ' || c || '.'
+           WHEN 3 THEN 'Gamma unique ' || m || '.'
+           ELSE 'Beta boilerplate.'
+         END AS para
+  FROM p JOIN range(0, 5) g(i) ON true
+), firsts AS (
+  SELECT doc_id, idx, para,
+         row_number() OVER (PARTITION BY doc_id, para ORDER BY idx) AS rn
+  FROM paras
+)
+SELECT doc_id,
+       string_agg(para, chr(10) ORDER BY idx) FILTER (WHERE rn = 1)
+         AS clean_text,
+       CAST(count(*) FILTER (WHERE rn = 1) AS BIGINT) AS n_paras_kept,
+       CAST(count(*) FILTER (WHERE rn > 1) AS BIGINT) AS n_paras_dropped
+FROM firsts GROUP BY doc_id
+""",
+)
+def web_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    c = (F.col("doc_id") % 5).cast("string")
+    m = (F.col("doc_id") % 3).cast("string")
+    page = F.concat_ws(
+        "\n",
+        F.concat(F.lit("Alpha paragraph "), c, F.lit(".")),
+        F.lit("Beta boilerplate."),
+        F.concat(F.lit("Alpha paragraph "), c, F.lit(".")),
+        F.concat(F.lit("Gamma unique "), m, F.lit(".")),
+        F.lit("Beta boilerplate."),
+    )
+    pages = docs.select("doc_id", page.alias("text"))
+    return W.paragraph_dedup(pages)

@@ -78,6 +78,15 @@ BUDGETS = {
     "text_bpe_encode": (0, 0),
     "multimodal_jpeg_pixel_stats": (0, 0),
     "multimodal_mp4_meta": (0, 0),
+    # round-9 headline additions (verdict task 7): url_dedup = key
+    # groupBy + semi join; the composed curation pipeline's STATIC
+    # plan shows only its final segment (the cap window) — the lazy
+    # localCheckpoints between layers (production manifest
+    # materialization; see the builder docstring) turn each layer into
+    # its own execution, so the per-layer budgets live in
+    # NONHEADLINE_BUDGETS rows for the individual operators.
+    "web_url_dedup": (3, 0),
+    "web_curation_pipeline": (1, 0),
 }
 
 
@@ -176,7 +185,6 @@ NONHEADLINE_BUDGETS = {
     # tests/test_webcure.py); blocklist = anti join (both sides
     # shuffle; AQE broadcasts small blocklists at runtime).
     "web_url_normalize": (0, 0),
-    "web_url_dedup": (3, 0),
     "web_domain_cap": (1, 0),
     "web_blocklist_filter": (2, 0),
     "web_html_to_text": (0, 0),  # pure narrow regexp chain
@@ -186,11 +194,6 @@ NONHEADLINE_BUDGETS = {
     # window + per-domain collapse); the URL frame rides one join,
     # never an aggregate.
     "web_robots_txt_filter": (2, 0),
-    # composed layer (robots -> blocklist -> dedup -> cap): static
-    # count re-inlines the rules-side parse per consumer; every
-    # exchange is rules-/key-sized, the URL frame shuffles only for
-    # its dedup semi join and the capped window.
-    "web_curation_pipeline": (12, 0),
 }
 
 
