@@ -1,6 +1,12 @@
 """Web-corpus curation: URL normalization, domain extraction, URL
 dedup, per-domain caps, domain blocklists, HTML→text extraction,
-page metadata, meta-robots compliance gating.
+page metadata, meta-robots compliance gating; round 9 adds C4 line
+cleaning, main-content (link-density) extraction, outlink
+extraction/resolution, sitemap parsing, URL quality features + word
+blocklists, politeness scheduling, domain reputation gating, and
+intra-document paragraph dedup. Binary-side ingest (WARC, charset
+detection) lives in ext/warc.py; the real Public Suffix List in
+ext/psl.py.
 
 The standard pre-text curation layer of a web-scale training corpus
 (C4, RefinedWeb, FineWeb all start here): before any content-based
