@@ -428,3 +428,121 @@ def synthesize_warc_html_table(docs: DataFrame, id_col: str = "doc_id") -> DataF
         return ids.apply(lambda d: _make_warc_html(int(d)))
 
     return docs.select(F.col(id_col), make(F.col(id_col)).alias("warc"))
+
+
+# ---------------------------------------------------------------------------
+# Member-gzip WARC (the framing Common Crawl actually ships: each
+# record is its own gzip member, concatenated — so a reader can seek
+# to a record without decompressing the file)
+# ---------------------------------------------------------------------------
+
+_GZIP_MAGIC = b"\x1f\x8b"
+
+
+def gunzip_members(data: bytes) -> tuple[bytes, int]:
+    """(decompressed, n_members) for a concatenated-member gzip
+    payload. Strict: non-gzip input, a corrupt member, or trailing
+    garbage after the last member raise ValueError."""
+    import zlib
+
+    if not data.startswith(_GZIP_MAGIC):
+        raise ValueError("not a gzip payload")
+    out = []
+    n = 0
+    rest = data
+    while rest:
+        if not rest.startswith(_GZIP_MAGIC):
+            raise ValueError("trailing non-gzip bytes after last member")
+        d = zlib.decompressobj(wbits=31)
+        try:
+            out.append(d.decompress(rest))
+        except zlib.error as e:
+            raise ValueError(f"corrupt gzip member: {e}") from None
+        if not d.eof:
+            raise ValueError("truncated gzip member")
+        n += 1
+        rest = d.unused_data
+    return b"".join(out), n
+
+
+def parse_warc_gz(data: bytes) -> tuple[list[dict], int]:
+    """(records, n_members): member-gzip WARC parse — decompress all
+    members (one per record in Common Crawl's layout, but the parser
+    only requires that the CONCATENATION is a valid WARC stream) and
+    parse. Same strictness as :func:`parse_warc`."""
+    raw, n_members = gunzip_members(data)
+    return parse_warc(raw), n_members
+
+
+def warc_gz_records(df: DataFrame, warc_col: str = "warc_gz") -> DataFrame:
+    """Member-gzip twin of :func:`warc_records` — same output schema,
+    ok=false rows for corrupt archives (bad gzip OR bad WARC)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list[Any]] = {f.name: [] for f in WARC_RECORD_SCHEMA.fields}
+
+            def emit(doc_id, idx, rec_type, uri, status, blen, btext, ok):
+                for name, v in zip(
+                    ("doc_id", "rec_idx", "rec_type", "target_uri",
+                     "http_status", "body_len", "body_text", "ok"),
+                    (doc_id, idx, rec_type, uri, status, blen, btext, ok),
+                ):
+                    out[name].append(v)
+
+            for doc_id, data in zip(pdf["doc_id"], pdf[warc_col]):
+                try:
+                    recs, _ = parse_warc_gz(bytes(data))
+                except (ValueError, IndexError):
+                    emit(doc_id, 0, "", None, None, 0, "", False)
+                    continue
+                for i, r in enumerate(recs):
+                    emit(
+                        doc_id, i, r["rec_type"], r["target_uri"],
+                        r["http_status"], len(r["body"]),
+                        r["body"].decode("utf-8", "replace"), True,
+                    )
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(run, WARC_RECORD_SCHEMA)
+
+
+def synthesize_warc_gz_table(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, warc_gz binary): the :func:`_make_warc` law with each
+    RECORD compressed as its own gzip member (Common Crawl framing;
+    mtime pinned to 0 so payloads are deterministic)."""
+    import gzip as _gzip
+    import io as _io
+
+    def _gz_member(b: bytes) -> bytes:
+        buf = _io.BytesIO()
+        with _gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as g:
+            g.write(b)
+        return buf.getvalue()
+
+    def _make(doc_id: int) -> bytes:
+        whole = _make_warc(doc_id)
+        # re-split into records on the WARC version line to gzip each
+        # as its own member (the writer framing, not the parser's)
+        recs = parse_warc(whole)
+        # rebuild record byte-spans: walk again but keep raw slices
+        spans = []
+        pos = 0
+        for _ in recs:
+            head_end = whole.find(_CRLF + _CRLF, pos)
+            head = whole[pos:head_end].split(_CRLF)
+            length = next(
+                int(line.split(b":", 1)[1])
+                for line in head
+                if line.lower().startswith(b"content-length")
+            )
+            end = head_end + 4 + length + 4
+            spans.append(whole[pos:end])
+            pos = end
+        return b"".join(_gz_member(s) for s in spans)
+
+    @F.pandas_udf(T.BinaryType())
+    def make(ids: pd.Series) -> pd.Series:
+        return ids.apply(lambda d: _make(int(d)))
+
+    return docs.select(F.col(id_col), make(F.col(id_col)).alias("warc_gz"))

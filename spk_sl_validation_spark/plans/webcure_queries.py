@@ -806,3 +806,50 @@ def web_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pages = docs.select("doc_id", page.alias("text"))
     return W.paragraph_dedup(pages)
+
+
+@register(
+    "web_warc_gz_records",
+    doc=(
+        "member-gzip WARC parsing — the framing Common Crawl actually "
+        "ships (one gzip member per record, concatenated, so readers "
+        "can seek without decompressing the file): strict member walk "
+        "via zlib unused_data (corrupt member / trailing garbage / "
+        "truncation all ValueError), then the same strict WARC parse; "
+        "identical output law to web_warc_records, which is exactly "
+        "the point — the oracle is shared verbatim"
+    ),
+    oracle="""
+WITH p AS (
+  SELECT doc_id, CAST(doc_id % 3 AS VARCHAR) AS k,
+         1 + doc_id % 3 AS r
+  FROM documents
+),
+info AS (
+  SELECT doc_id, 0 AS rec_idx, 'warcinfo' AS rec_type,
+         CAST(NULL AS VARCHAR) AS target_uri,
+         CAST(NULL AS INTEGER) AS http_status,
+         CAST(0 AS BIGINT) AS body_len, '' AS body_text, true AS ok
+  FROM p
+),
+resp AS (
+  SELECT p.doc_id, CAST(g.i + 1 AS INTEGER) AS rec_idx,
+         'response' AS rec_type,
+         'https://site' || p.k || '.com/w/' || CAST(g.i AS VARCHAR)
+           AS target_uri,
+         CAST(CASE WHEN (p.doc_id + g.i) % 4 = 0 THEN 404 ELSE 200 END
+              AS INTEGER) AS http_status,
+         CAST(8 * (1 + (p.doc_id + g.i) % 5) AS BIGINT) AS body_len,
+         repeat('payload ', CAST(1 + (p.doc_id + g.i) % 5 AS INTEGER))
+           AS body_text,
+         true AS ok
+  FROM p JOIN range(0, 3) g(i) ON g.i < p.r
+)
+SELECT * FROM info UNION ALL SELECT * FROM resp
+""",
+)
+def web_warc_gz_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spk_sl_validation_spark.ext import warc as WC
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return WC.warc_gz_records(WC.synthesize_warc_gz_table(docs))

@@ -182,3 +182,72 @@ def test_decode_html_bytes_spark(spark):
     rows = {r.doc_id: r for r in decode_html_bytes(synthesize_html_bytes_table(docs)).collect()}
     assert rows[2].charset == "utf-16-le" and rows[2].had_bom
     assert rows[5].charset == "windows-1252" and "café" in rows[5].text
+
+
+# ---------------------------------------------------------------------------
+# member-gzip WARC (Common Crawl framing)
+# ---------------------------------------------------------------------------
+
+from spk_sl_validation_spark.ext.warc import (  # noqa: E402
+    gunzip_members,
+    parse_warc_gz,
+)
+
+
+def _gz(b: bytes) -> bytes:
+    import gzip
+    import io
+
+    buf = io.BytesIO()
+    with gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as g:
+        g.write(b)
+    return buf.getvalue()
+
+
+def test_gunzip_members_roundtrip_and_count():
+    parts = [b"alpha", b"beta", b"gamma"]
+    data, n = gunzip_members(b"".join(_gz(p) for p in parts))
+    assert data == b"alphabetagamma" and n == 3
+
+
+def test_gunzip_members_strictness():
+    with pytest.raises(ValueError):
+        gunzip_members(b"not gzip")
+    with pytest.raises(ValueError):
+        gunzip_members(_gz(b"x") + b"trailing")
+    with pytest.raises(ValueError):
+        gunzip_members(_gz(b"x")[:-4])  # truncated member
+    corrupt = bytearray(_gz(b"hello world payload"))
+    corrupt[12] ^= 0xFF
+    with pytest.raises(ValueError):
+        gunzip_members(bytes(corrupt))
+
+
+def test_parse_warc_gz_equals_plain_parse():
+    for d in (0, 5, 11):
+        whole = _make_warc(d)
+        recs_gz, n = parse_warc_gz(_gz(whole))
+        assert recs_gz == parse_warc(whole)
+        assert n == 1  # single member here; the fixture writer does per-record
+
+
+def test_gz_fuzz_totality():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    base = _gz(_make_warc(3))
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.integers(min_value=0, max_value=len(base) - 1),
+        st.integers(min_value=0, max_value=255),
+    )
+    def mutated(pos, byte):
+        mut = bytearray(base)
+        mut[pos] = byte
+        try:
+            parse_warc_gz(bytes(mut))
+        except ValueError:
+            pass
+
+    mutated()
