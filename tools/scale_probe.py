@@ -431,6 +431,32 @@ def run(op: str, docs, n: int) -> dict:
             3,
         )
         out = kept
+    elif op == "ingest_text":
+        # The round-9 page-text layer end-to-end as pure narrow maps
+        # (zero exchanges by construction): synthesize main-content-law
+        # pages, extract main content, then C4-gate the result. The
+        # probe measures per-core throughput — at 100 TB these scale
+        # out embarrassingly, so pages/s here IS the cluster story
+        # divided by core count.
+        from spk_sl_validation_spark.ext import webcure as W
+
+        pages = W.synthesize_main_content_table(docs.select("doc_id"))
+        mc = W.main_content_extract(pages)
+        out = W.c4_clean(mc, "doc_id", "main_text")
+    elif op == "warc_parse":
+        # WARC record explode at archive scale (Arrow-batched map):
+        # fixture archives carry 1-3 response records each.
+        from spk_sl_validation_spark.ext import warc as WC
+
+        out = WC.warc_records(WC.synthesize_warc_table(docs.select("doc_id")))
+    elif op == "psl_lookup":
+        # The PSL broadcast-join cascade on a host manifest: six
+        # broadcast joins of a 9.5k-row relation, zero shuffles — the
+        # probe pins the per-row cost of the cascade.
+        from spk_sl_validation_spark.ext import psl as P
+
+        hosts = P.synthesize_psl_host_table(docs.select("doc_id"))
+        out = P.registrable_domain(hosts, "host")
     elif op == "url_dedup":
         # URL dedup alone at crawl-manifest scale: groupBy-min on the
         # normalized key + keep semi join.
