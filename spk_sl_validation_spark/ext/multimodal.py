@@ -2011,7 +2011,11 @@ def parse_mp4_samples(data: bytes) -> tuple[int, int, int, int]:
         if len(stbls) != 1:
             raise ValueError("video mdia must carry exactly one stbl")
         sb_s, sb_e = stbls[0]
-        boxes = {typ: (s, e) for typ, s, e in _mp4_children(data, sb_s, sb_e)}
+        boxes: dict = {}
+        for typ, s_, e_ in _mp4_children(data, sb_s, sb_e):
+            if typ in (b"stts", b"stsz", b"stco", b"co64") and typ in boxes:
+                raise ValueError(f"duplicate {typ.decode()} box in stbl")
+            boxes[typ] = (s_, e_)
         for need in (b"stts", b"stsz"):
             if need not in boxes:
                 raise ValueError(f"video stbl missing {need.decode()}")
@@ -2101,9 +2105,11 @@ def mp4_container_meta(df: DataFrame, media_col: str = "media") -> DataFrame:
             out: dict[str, list[Any]] = {f.name: [] for f in MP4_META_SCHEMA.fields}
             for doc_id, data in zip(pdf["doc_id"], pdf[media_col]):
                 try:
+                    # TypeError: bytes(None) — a NULL media column must
+                    # degrade like a corrupt payload, never kill the stage
                     w, h, dur, nt, codec = parse_mp4_meta(bytes(data))
                     row = (w, h, dur, nt, codec, True)
-                except (ValueError, IndexError):
+                except (ValueError, IndexError, TypeError):
                     row = (0, 0, 0, 0, "", False)
                 out["doc_id"].append(doc_id)
                 for name, v in zip(
@@ -2141,7 +2147,7 @@ def mp4_sample_stats(df: DataFrame, media_col: str = "media") -> DataFrame:
                 try:
                     ns, tb, nc, br = parse_mp4_samples(bytes(data))
                     row = (ns, tb, nc, br, True)
-                except (ValueError, IndexError):
+                except (ValueError, IndexError, TypeError):
                     row = (0, 0, 0, 0, False)
                 out["doc_id"].append(doc_id)
                 for name, v in zip(

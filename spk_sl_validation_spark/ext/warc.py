@@ -24,6 +24,8 @@ parquet/CSV readers do."""
 
 from __future__ import annotations
 
+import re
+import zlib
 from collections.abc import Iterator
 from typing import Any
 
@@ -121,12 +123,11 @@ WARC_RECORD_SCHEMA = T.StructType(
 )
 
 
-def warc_records(df: DataFrame, warc_col: str = "warc") -> DataFrame:
-    """Explode each WARC payload into one row per record
-    (Arrow-batched pure map, zero exchanges). A malformed payload
-    yields a single ``ok=false`` row — a corrupt archive in a 100 TB
-    crawl must never kill the stage. ``body_text`` is the UTF-8
-    decode (replace errors) of the HTTP body for response records."""
+def _records_map(parse_fn, warc_col: str):
+    """Shared Arrow runner for the plain and member-gzip record ops:
+    one row per parsed record, a single ``ok=false`` row per corrupt
+    OR NULL payload (``bytes(None)`` raises TypeError — a null column
+    value must degrade like a corrupt one, never kill the stage)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -142,8 +143,8 @@ def warc_records(df: DataFrame, warc_col: str = "warc") -> DataFrame:
 
             for doc_id, data in zip(pdf["doc_id"], pdf[warc_col]):
                 try:
-                    recs = parse_warc(bytes(data))
-                except (ValueError, IndexError):
+                    recs = parse_fn(bytes(data))
+                except (ValueError, IndexError, TypeError):
                     emit(doc_id, 0, "", None, None, 0, "", False)
                     continue
                 for i, r in enumerate(recs):
@@ -154,7 +155,17 @@ def warc_records(df: DataFrame, warc_col: str = "warc") -> DataFrame:
                     )
             yield pd.DataFrame(out)
 
-    return df.mapInPandas(run, WARC_RECORD_SCHEMA)
+    return run
+
+
+def warc_records(df: DataFrame, warc_col: str = "warc") -> DataFrame:
+    """Explode each WARC payload into one row per record
+    (Arrow-batched pure map, zero exchanges). A malformed or NULL
+    payload yields a single ``ok=false`` row — a corrupt archive in a
+    100 TB crawl must never kill the stage. ``body_text`` is the
+    UTF-8 decode (replace errors) of the HTTP body for response
+    records."""
+    return df.mapInPandas(_records_map(parse_warc, warc_col), WARC_RECORD_SCHEMA)
 
 
 # ---------------------------------------------------------------------------
@@ -174,14 +185,19 @@ def warc_records(df: DataFrame, warc_col: str = "warc") -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _warc_record(version: bytes, rec_type: bytes, extra: list[bytes], block: bytes) -> bytes:
+    """One framed WARC record (shared by both fixture writers)."""
+    head = [version, b"WARC-Type: " + rec_type] + extra + [
+        b"Content-Length: " + str(len(block)).encode()
+    ]
+    return _CRLF.join(head) + _CRLF + _CRLF + block + _CRLF + _CRLF
+
+
 def _make_warc(doc_id: int) -> bytes:
     version = b"WARC/1.1" if doc_id % 2 else b"WARC/1.0"
 
     def record(rec_type: bytes, extra: list[bytes], block: bytes) -> bytes:
-        head = [version, b"WARC-Type: " + rec_type] + extra + [
-            b"Content-Length: " + str(len(block)).encode()
-        ]
-        return _CRLF.join(head) + _CRLF + _CRLF + block + _CRLF + _CRLF
+        return _warc_record(version, rec_type, extra, block)
 
     info = record(
         b"warcinfo",
@@ -235,7 +251,7 @@ _BOMS = (
     (b"\xfe\xff", "utf-16-be"),
 )
 
-_META_CHARSET_RE = (
+_META_CHARSET_RE = re.compile(
     rb"(?is)<meta[^>]+charset\s*=\s*[\"']?\s*([A-Za-z0-9_\-]+)"
 )
 
@@ -248,12 +264,10 @@ def detect_charset(data: bytes) -> tuple[str, bool]:
     fallback (the de-facto web default; a superset of iso-8859-1 on
     the printable range). Charset labels are lowercased as declared —
     no alias table, documented."""
-    import re
-
     for bom, enc in _BOMS:
         if data.startswith(bom):
             return enc, True
-    m = re.search(_META_CHARSET_RE, data[:1024])
+    m = _META_CHARSET_RE.search(data[:1024])
     if m:
         return m.group(1).decode("ascii").lower(), False
     try:
@@ -275,7 +289,11 @@ def decode_html_bytes_py(data: bytes) -> tuple[str, str, bool]:
         data = data[len(bom):]
     try:
         return data.decode(charset, "replace"), charset, had_bom
-    except LookupError:
+    except (LookupError, ValueError):
+        # LookupError: unknown label. ValueError (incl. UnicodeError):
+        # pseudo-codecs a page can DECLARE — 'undefined' raises on any
+        # input, 'idna'/'punycode' raise on non-conforming bytes even
+        # with errors='replace'. Decode must be total either way.
         return data.decode("windows-1252", "replace"), charset, had_bom
 
 
@@ -299,7 +317,10 @@ def decode_html_bytes(df: DataFrame, bytes_col: str = "raw") -> DataFrame:
         for pdf in batches:
             out: dict[str, list[Any]] = {f.name: [] for f in HTML_DECODE_SCHEMA.fields}
             for doc_id, data in zip(pdf["doc_id"], pdf[bytes_col]):
-                text, charset, had_bom = decode_html_bytes_py(bytes(data))
+                if data is None:
+                    text, charset, had_bom = None, None, False
+                else:
+                    text, charset, had_bom = decode_html_bytes_py(bytes(data))
                 out["doc_id"].append(doc_id)
                 out["text"].append(text)
                 out["charset"].append(charset)
@@ -385,10 +406,7 @@ def _make_warc_html(doc_id: int) -> bytes:
     version = b"WARC/1.1" if doc_id % 2 else b"WARC/1.0"
 
     def record(rec_type: bytes, extra: list[bytes], block: bytes) -> bytes:
-        head = [version, b"WARC-Type: " + rec_type] + extra + [
-            b"Content-Length: " + str(len(block)).encode()
-        ]
-        return _CRLF.join(head) + _CRLF + _CRLF + block + _CRLF + _CRLF
+        return _warc_record(version, rec_type, extra, block)
 
     out = [
         record(
@@ -443,8 +461,6 @@ def gunzip_members(data: bytes) -> tuple[bytes, int]:
     """(decompressed, n_members) for a concatenated-member gzip
     payload. Strict: non-gzip input, a corrupt member, or trailing
     garbage after the last member raise ValueError."""
-    import zlib
-
     if not data.startswith(_GZIP_MAGIC):
         raise ValueError("not a gzip payload")
     out = []
@@ -476,35 +492,10 @@ def parse_warc_gz(data: bytes) -> tuple[list[dict], int]:
 
 def warc_gz_records(df: DataFrame, warc_col: str = "warc_gz") -> DataFrame:
     """Member-gzip twin of :func:`warc_records` — same output schema,
-    ok=false rows for corrupt archives (bad gzip OR bad WARC)."""
-
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            out: dict[str, list[Any]] = {f.name: [] for f in WARC_RECORD_SCHEMA.fields}
-
-            def emit(doc_id, idx, rec_type, uri, status, blen, btext, ok):
-                for name, v in zip(
-                    ("doc_id", "rec_idx", "rec_type", "target_uri",
-                     "http_status", "body_len", "body_text", "ok"),
-                    (doc_id, idx, rec_type, uri, status, blen, btext, ok),
-                ):
-                    out[name].append(v)
-
-            for doc_id, data in zip(pdf["doc_id"], pdf[warc_col]):
-                try:
-                    recs, _ = parse_warc_gz(bytes(data))
-                except (ValueError, IndexError):
-                    emit(doc_id, 0, "", None, None, 0, "", False)
-                    continue
-                for i, r in enumerate(recs):
-                    emit(
-                        doc_id, i, r["rec_type"], r["target_uri"],
-                        r["http_status"], len(r["body"]),
-                        r["body"].decode("utf-8", "replace"), True,
-                    )
-            yield pd.DataFrame(out)
-
-    return df.mapInPandas(run, WARC_RECORD_SCHEMA)
+    ok=false rows for corrupt/NULL archives (bad gzip OR bad WARC)."""
+    return df.mapInPandas(
+        _records_map(lambda b: parse_warc_gz(b)[0], warc_col), WARC_RECORD_SCHEMA
+    )
 
 
 def synthesize_warc_gz_table(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:

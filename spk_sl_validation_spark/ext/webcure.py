@@ -202,8 +202,15 @@ def _with_domain(df: DataFrame, url_col: str, psl: bool) -> DataFrame:
         )
     from spk_sl_validation_spark.ext import psl as P
 
-    return P.registrable_domain(
+    out = P.registrable_domain(
         df, P.host_from_url(normalize_url(url_col)), out_col="__dom"
+    )
+    # unparseable URLs: normalize -> NULL -> host NULL -> even the
+    # fallback_to_host coalesce stays NULL; map to the same
+    # __invalid__ pseudo-domain the fast path uses so the two branches
+    # stay interchangeable.
+    return out.withColumn(
+        "__dom", F.coalesce(F.col("__dom"), F.lit("__invalid__"))
     )
 
 
@@ -887,8 +894,11 @@ def resolve_href(base_url: Column | str, href: Column) -> Column:
     path = F.regexp_extract(b, r"^[a-z][a-z0-9+.-]*://[^/?#]*(/[^?#]*)?", 1)
     dir_ = F.regexp_replace(F.when(path == "", F.lit("/")).otherwise(path), r"[^/]*$", "")
     return (
-        F.when(href.rlike(r"^[A-Za-z][A-Za-z0-9+.-]*:"),
-               F.when(href.rlike(r"^(?i)https?:"), href))  # other schemes -> null
+        F.when(href == "", F.lit(None).cast("string"))  # <a href=""> is a
+        # same-document reference (RFC 3986 §5.3 resolves it to the base
+        # itself) — not an outlink, like the fragment-only case below
+        .when(href.rlike(r"^[A-Za-z][A-Za-z0-9+.-]*:"),
+              F.when(href.rlike(r"^(?i)https?:"), href))  # other schemes -> null
         .when(href.startswith("//"), F.concat(scheme, F.lit(":"), href))
         .when(href.startswith("/"), F.concat(origin, href))
         .when(href.startswith("#"), F.lit(None).cast("string"))

@@ -1073,3 +1073,50 @@ def test_mp4_sample_stats_flags_bad_rows(spark):
     assert not rows[3].ok and rows[3].n_samples == 0
     ok_rows = [r for d, r in rows.items() if d != 3]
     assert all(r.ok and r.n_samples >= 8 and r.avg_bitrate_bps > 0 for r in ok_rows)
+
+
+def test_mp4_sample_parser_rejects_duplicate_sibling_tables():
+    base = M._make_mp4(7)  # per-sample stsz, stco
+    # duplicate the stsz box inside the stbl: locate stbl, append a
+    # second copy of its stsz child, and re-frame every ancestor box
+    import struct
+
+    def find_box(data, start, end, fourcc):
+        for typ, s, e in M._mp4_children(data, start, end):
+            if typ == fourcc:
+                return s, e
+        raise AssertionError(fourcc)
+
+    tops = list(M._mp4_children(base, 0, len(base)))
+    ms, me = next((s, e) for t, s, e in tops if t == b"moov")
+    # walking down: moov -> trak(video first) -> mdia -> minf -> stbl
+    ts, te = find_box(base, ms, me, b"trak")
+    ds, de = find_box(base, ts, te, b"mdia")
+    fs, fe = find_box(base, ds, de, b"minf")
+    ss, se = find_box(base, fs, fe, b"stbl")
+    zs, ze = find_box(base, ss, se, b"stsz")
+    stsz_whole = base[zs - 8 : ze]  # include header
+    insert_at = se
+    mutated = bytearray(base)
+    mutated[insert_at:insert_at] = stsz_whole
+    # grow every enclosing box length (stbl, minf, mdia, trak, moov)
+    grow = len(stsz_whole)
+    for payload_start in (ss, fs, ds, ts, ms):
+        hdr = payload_start - 8
+        size = struct.unpack_from(">I", mutated, hdr)[0]
+        struct.pack_into(">I", mutated, hdr, size + grow)
+    with pytest.raises(ValueError, match="duplicate stsz"):
+        M.parse_mp4_samples(bytes(mutated))
+
+
+def test_mp4_ops_total_on_null_media(spark):
+    import pyspark.sql.functions as F
+
+    docs = spark.range(3).selectExpr("id AS doc_id")
+    media = M.synthesize_mp4_table(docs).withColumn(
+        "media", F.when(F.col("doc_id") == 1, F.lit(None)).otherwise(F.col("media"))
+    )
+    meta = {r.doc_id: r.ok for r in M.mp4_container_meta(media).collect()}
+    stats = {r.doc_id: r.ok for r in M.mp4_sample_stats(media).collect()}
+    assert meta == {0: True, 1: False, 2: True}
+    assert stats == {0: True, 1: False, 2: True}

@@ -251,3 +251,45 @@ def test_gz_fuzz_totality():
             pass
 
     mutated()
+
+
+# ---------------------------------------------------------------------------
+# round-9 review fixes
+# ---------------------------------------------------------------------------
+
+
+def test_decode_totality_on_declared_pseudo_codecs():
+    # pages can DECLARE codecs that raise even with errors='replace'
+    for label in ("undefined", "idna", "punycode"):
+        text, cs, bom = decode_html_bytes_py(
+            f'<meta charset="{label}">caf\xe9'.encode("latin-1")
+        )
+        assert cs == label and "café" in text  # windows-1252 fallback
+
+
+def test_null_payloads_degrade_not_kill(spark):
+    import pyspark.sql.functions as F
+
+    docs = spark.range(4).selectExpr("id AS doc_id")
+    # warc_records / warc_gz_records: NULL -> single ok=false row
+    tab = synthesize_warc_table(docs).withColumn(
+        "warc", F.when(F.col("doc_id") == 1, F.lit(None)).otherwise(F.col("warc"))
+    )
+    rows = warc_records(tab).collect()
+    assert [r.ok for r in rows if r.doc_id == 1] == [False]
+    from spk_sl_validation_spark.ext.warc import (
+        synthesize_warc_gz_table,
+        warc_gz_records,
+    )
+
+    gz = synthesize_warc_gz_table(docs).withColumn(
+        "warc_gz", F.when(F.col("doc_id") == 2, F.lit(None)).otherwise(F.col("warc_gz"))
+    )
+    rows = warc_gz_records(gz).collect()
+    assert [r.ok for r in rows if r.doc_id == 2] == [False]
+    # decode_html_bytes: NULL -> null text/charset row
+    raw = synthesize_html_bytes_table(docs).withColumn(
+        "raw", F.when(F.col("doc_id") == 3, F.lit(None)).otherwise(F.col("raw"))
+    )
+    got = {r.doc_id: r for r in decode_html_bytes(raw).collect()}
+    assert got[3].text is None and got[3].charset is None and not got[3].had_bom

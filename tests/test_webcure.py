@@ -627,3 +627,24 @@ def test_politeness_window_is_salt_blocked(spark):
 
     specs = re.findall(r"windowspecdefinition\(([^)]*)\)", fmt)
     assert specs and all("__salt" in sp for sp in specs), specs
+
+
+def test_empty_href_is_not_an_outlink(spark):
+    # <a href=""> is a same-document reference (RFC 3986 §5.3): must
+    # not fabricate an edge to the base directory.
+    rows = [(0, "https://a.com/d/page", '<a href="">x</a><a href="/real">y</a>')]
+    df = spark.createDataFrame(rows, "doc_id long, url string, html string")
+    got = [r.dst_url for r in W.outlinks(df).collect()]
+    assert got == ["https://a.com/real"]
+
+
+def test_psl_branch_keeps_invalid_pseudo_domain(spark):
+    # the two _with_domain branches must stay interchangeable on
+    # unparseable URLs: both group garbage under __invalid__.
+    rows = [(i, "https://a.com/bad[bracket]") for i in range(3)] + [
+        (9, "https://good.example.com/x")
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    for psl in (False, True):
+        kept = sorted(r.doc_id for r in W.domain_cap(df, 1, psl=psl).collect())
+        assert kept == [0, 9], psl
