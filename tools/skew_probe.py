@@ -512,6 +512,96 @@ def run(spark, op: str, n: int) -> dict:
                 conf.set(k, v)
         return out
 
+    if op == "politeness_hot":
+        # Crawl politeness scheduling under a mega-domain (80% of the
+        # manifest on ONE host): the shipped salt-blocked enumeration
+        # (pmod(id, S) splits the domain across S window partitions)
+        # vs the naive per-domain window (every hot row in ONE
+        # unsplittable task). Both produce VALID schedules (<= rate
+        # per (domain, wave), every url scheduled once — asserted
+        # in-probe); they differ only in wave assignment, so the A/B
+        # compares validity + wall, not byte equality.
+        from pyspark.sql import Window as W_
+
+        from spk_sl_validation_spark.ext.webcure import (
+            _with_domain,
+            politeness_schedule,
+        )
+
+        rate = 100
+        crawl = (
+            spark.range(n)
+            .select(
+                F.col("id").alias("doc_id"),
+                F.when(
+                    F.col("id") % 5 < 4, F.lit("https://hot.example.com/p/")
+                )
+                .otherwise(
+                    F.concat(
+                        F.lit("https://cold"),
+                        (F.col("id") % 997).cast("string"),
+                        F.lit(".org/p"),
+                    )
+                )
+                .alias("url"),
+            )
+            .localCheckpoint(eager=True)
+        )
+
+        def naive(df):
+            dom = _with_domain(df, "url", False)
+            w = W_.partitionBy("__dom").orderBy("doc_id")
+            return (
+                dom.withColumn(
+                    "wave",
+                    ((F.row_number().over(w) - 1) / rate).cast("bigint"),
+                )
+                .withColumnRenamed("__dom", "domain")
+            )
+
+        def validity(df):
+            agg = df.groupBy("domain", "wave").count()
+            row = agg.agg(
+                F.max("count").alias("mx"), F.sum("count").alias("total")
+            ).first()
+            return int(row["mx"]), int(row["total"])
+
+        out = {"op": op, "docs": n, "hot_rows": n * 4 // 5, "rate": rate}
+        walls: dict[str, list] = {"salt_blocked": [], "naive_window": []}
+        checks: dict[str, tuple] = {}
+        for rep in range(3):
+            for shape in ("salt_blocked", "naive_window"):
+                res = (
+                    politeness_schedule(crawl, rate)
+                    if shape == "salt_blocked"
+                    else naive(crawl)
+                )
+                t0 = time.time()
+                checks[shape] = validity(res)
+                walls[shape].append(round(time.time() - t0, 1))
+        for shape, (mx, total) in checks.items():
+            assert mx <= rate, (shape, mx)
+            assert total == n, (shape, total)
+        out["max_per_domain_wave"] = {k: v[0] for k, v in checks.items()}
+        for shape in walls:
+            out[f"{shape}_walls_sec"] = walls[shape]
+            out[f"{shape}_median_sec"] = sorted(walls[shape])[1]
+            out[f"{shape}_min_sec"] = min(walls[shape])
+        out["speedup_salted_vs_naive"] = round(
+            out["naive_window_median_sec"] / max(out["salt_blocked_median_sec"], 1e-9), 2
+        )
+        # Structural half: the naive plan's window partitions by the
+        # domain alone (hot key -> one task, AQE cannot split window
+        # partitions); the shipped plan's window spec carries __salt.
+        for shape, df in (("salt_blocked", politeness_schedule(crawl, rate)),
+                          ("naive_window", naive(crawl))):
+            fmt = spark._jvm.PythonSQLUtils.explainString(
+                df._jdf.queryExecution(), "formatted"
+            )
+            specs = re.findall(r"windowspecdefinition\(([^)]*)\)", fmt)
+            out[f"{shape}_salted_window_specs"] = sum("__salt" in x for x in specs)
+        return out
+
     if op == "domain_cap_hot":
         # URL-curation skew probe: 80% of the crawl on ONE domain. The
         # shipped domain_cap is the PLAIN rank-limit window — Catalyst
