@@ -12,6 +12,8 @@ itself.
 
 from __future__ import annotations
 
+from collections.abc import Callable
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -32,6 +34,34 @@ _ORACLE_LAW = W.NORM_URL_ORACLE_LAW
 def _urls(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     return W.synthesize_url_table(docs)
+
+
+# Session-scoped fixture manifests for the COMPOSED pipeline: the
+# synthesized URL/robots expression trees are each fine alone, but
+# fused into one stage with the robots line-explode + hashAgg they
+# push the generated hashAgg method past the JVM's 64 KB limit —
+# janino spends seconds compiling, FAILS (`Code grows beyond 64 KB`),
+# and Spark silently falls back to interpreted mode. Measured at
+# sf0.1 (tools/webcure_wall_probe.py, interleaved): lazy-checkpoint
+# 13.6 s, eager 10.0 s, no-checkpoint 15.5 s, parquet-manifest 4.5 s
+# total (2.5 s one-time write + 2.0 s exec). Materializing once per
+# (session, sf, key) and planning over scans is also the production
+# shape — a crawler reads manifests, it doesn't synthesize them.
+_FIXTURE_CACHE: dict[tuple[str, str, str], str] = {}
+
+
+def _materialized(
+    spark: SparkSession, sf_dir: str, key: str, build: Callable[[], DataFrame]
+) -> DataFrame:
+    import tempfile
+
+    ck = (spark.sparkContext.applicationId, sf_dir, key)
+    path = _FIXTURE_CACHE.get(ck)
+    if path is None:
+        path = tempfile.mkdtemp(prefix=f"webcure_fixture_{key}_")
+        build().write.mode("overwrite").parquet(path)
+        _FIXTURE_CACHE[ck] = path
+    return spark.read.parquet(path)
 
 
 @register(
@@ -272,22 +302,28 @@ QUALIFY row_number() OVER (PARTITION BY domain ORDER BY doc_id) <= {DOMAIN_CAP_K
 """,
 )
 def web_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Composed URL-layer pass. Lazy localCheckpoints between layers
-    are the manifest-materialization points a production crawl writes
-    anyway — and they bound Catalyst's re-analysis of layered
-    self-joins: each curation layer references its input twice (rule
-    derivation + keep join), so an uncheckpointed 4-layer chain makes
-    the fixture-law expression tree explode combinatorially. Measured
-    at sf0.1: 15-23 s uncheckpointed vs ~12 s checkpointed, with
-    EXECUTION under 2 s either way — the wall is driver-side planning,
-    not data movement (SCALE.md §7 holds the 8M-URL throughput probe;
-    no job runs at construction, eager=False)."""
-    urls = _urls(spark, sf_dir)
-    robots = W.synthesize_robots_table(urls)
+    """Composed URL-layer pass over MATERIALIZED fixture manifests.
+
+    The layers plan over parquet scans, not the synthesized expression
+    trees: fusing the URL/robots synthesis into the robots hashAgg
+    stage pushed the generated method past the JVM's 64 KB codegen
+    limit — janino spent ~10 s failing to compile, then Spark ran the
+    stage interpreted. With manifests each stage's codegen is small
+    and compiles; no checkpoints needed. A/B at sf0.1
+    (tools/webcure_wall_probe.py): 13.6 s (r9's lazy-checkpoint
+    shape) → 4.5 s total, execution ~2 s unchanged. This is also the
+    production shape — a crawl curates manifests it read, it doesn't
+    synthesize them inline (SCALE.md §7 holds the 8M-URL probe)."""
+    urls = _materialized(spark, sf_dir, "urls", lambda: _urls(spark, sf_dir))
+    robots = _materialized(
+        # built FROM the urls manifest: synthesizing robots over the
+        # raw url expression tree re-creates the >64 KB codegen stage
+        spark, sf_dir, "robots", lambda: W.synthesize_robots_table(urls)
+    )
     blocked = spark.createDataFrame([(d,) for d in BLOCKED_DOMAINS], "domain string")
-    kept = W.robots_txt_filter(urls, robots).localCheckpoint(eager=False)
-    kept = W.blocklist_filter(kept, blocked).localCheckpoint(eager=False)
-    kept = W.url_dedup(kept).localCheckpoint(eager=False)
+    kept = W.robots_txt_filter(urls, robots)
+    kept = W.blocklist_filter(kept, blocked)
+    kept = W.url_dedup(kept)
     kept = W.domain_cap(kept, DOMAIN_CAP_K)
     nu = W.normalize_url("url")
     return kept.select("doc_id", nu.alias("norm_url"), W.extract_domain(nu).alias("domain"))

@@ -79,14 +79,17 @@ BUDGETS = {
     "multimodal_jpeg_pixel_stats": (0, 0),
     "multimodal_mp4_meta": (0, 0),
     # round-9 headline additions (verdict task 7): url_dedup = key
-    # groupBy + semi join; the composed curation pipeline's STATIC
-    # plan shows only its final segment (the cap window) — the lazy
-    # localCheckpoints between layers (production manifest
-    # materialization; see the builder docstring) turn each layer into
-    # its own execution, so the per-layer budgets live in
-    # NONHEADLINE_BUDGETS rows for the individual operators.
+    # groupBy + semi join. round-10: the composed curation pipeline
+    # plans over MATERIALIZED fixture manifests (parquet scans — the
+    # r9 localCheckpoint chain hid per-layer cost AND fused the
+    # synthesis trees into a >64 KB codegen stage; see the builder
+    # docstring), so its static plan now shows all four layers:
+    # robots parse (window+agg) + rules join both sides + blocklist
+    # anti both sides + dedup groupBy/semi + cap window — all skinny
+    # manifest relations, zero SMJ, AQE broadcasts small sides at
+    # runtime.
     "web_url_dedup": (3, 0),
-    "web_curation_pipeline": (1, 0),
+    "web_curation_pipeline": (12, 0),
 }
 
 
