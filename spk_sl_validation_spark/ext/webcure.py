@@ -568,15 +568,31 @@ def _robots_pattern_re(pattern: Column) -> Column:
 
 
 def parse_robots_rules(
-    robots: DataFrame, domain_col: str = "domain", txt_col: str = "robots_txt"
+    robots: DataFrame,
+    domain_col: str = "domain",
+    txt_col: str = "robots_txt",
+    crawler_token: str | None = None,
 ) -> DataFrame:
     """(domain, rtype 'allow'|'disallow', prefix, pattern_re) for the
-    ``*`` group. ``pattern_re`` is the RFC 9309 pattern compiled to an
-    anchored regex (:func:`_robots_pattern_re`); ``prefix`` keeps the
-    raw pattern for specificity ranking (most octets wins, per the
-    RFC). Field extraction uses ``F.get`` (0-based, null on
-    out-of-bounds) so colon-less noise lines are total under ANSI mode
-    regardless of predicate evaluation order."""
+    group a crawler must obey. ``pattern_re`` is the RFC 9309 pattern
+    compiled to an anchored regex (:func:`_robots_pattern_re`);
+    ``prefix`` keeps the raw pattern for specificity ranking (most
+    octets wins, per the RFC). Field extraction uses ``F.get``
+    (0-based, null on out-of-bounds) so colon-less noise lines are
+    total under ANSI mode regardless of predicate evaluation order.
+
+    Group selection (RFC 9309 §2.2.1): with ``crawler_token`` set,
+    a user-agent group matches when its value is a case-insensitive
+    PREFIX of the token (``Googlebot`` matches ``googlebot-news`` —
+    the practice Google/Bing document; an exact match is the
+    longest-possible prefix so RFC exact matching is subsumed); among
+    matching named groups the MOST SPECIFIC (longest value) wins, and
+    every group at that specificity merges (the RFC's merge rule for
+    repeated groups). The ``*`` group applies only when NO named
+    group matches. ``crawler_token=None`` keeps the ``*``-group-only
+    behavior. Documented simplification: consecutive ``User-agent:``
+    lines each start their own tag (a rule line belongs to the
+    nearest preceding UA line, not to every UA line of the block)."""
     lines = robots.select(
         F.col(domain_col).alias("domain"),
         F.posexplode(F.split(F.col(txt_col), "\n")).alias("__pos", "__line"),
@@ -588,11 +604,30 @@ def parse_robots_rules(
     )
     w = Window.partitionBy("domain").orderBy("__pos")
     grouped = lines.withColumn("__grp", F.last(ua, ignorenulls=True).over(w))
+    if crawler_token is None:
+        selected = grouped.filter(F.col("__grp") == "*")
+    else:
+        g = F.lower(F.col("__grp"))
+        cand = grouped.filter(
+            (g == "*") | F.lit(crawler_token.lower()).startswith(g)
+        )
+        # per-domain best named-group specificity — a window over the
+        # RULES relation (KB-sized per domain), never the URL frame
+        dw = Window.partitionBy("domain")
+        spec = F.col("__spec")
+        selected = (
+            cand.withColumn("__spec", F.max(F.when(g != "*", F.length(g))).over(dw))
+            .filter(
+                F.when(spec.isNull(), g == "*").otherwise(
+                    (g != "*") & (F.length(g) == spec)
+                )
+            )
+            .drop("__spec")
+        )
     rtype = F.lower(F.trim(F.get(F.split(line, ":", 2), 0)))
     prefix = F.trim(F.get(F.split(line, ":", 2), 1))
     return (
-        grouped.filter(F.col("__grp") == "*")
-        .select("domain", rtype.alias("rtype"), prefix.alias("prefix"))
+        selected.select("domain", rtype.alias("rtype"), prefix.alias("prefix"))
         .filter(F.col("rtype").isin("allow", "disallow") & (F.col("prefix") != ""))
         .withColumn("pattern_re", _robots_pattern_re(F.col("prefix")))
     )
@@ -603,10 +638,13 @@ def robots_txt_filter(
     robots: DataFrame,
     url_col: str = "url",
     keep_blocked: bool = False,
+    crawler_token: str | None = None,
 ) -> DataFrame:
     """Apply robots.txt decisions to a URL frame: adds ``allowed``
-    (most-specific-match over the ``*`` group of the URL's registrable
-    domain, RFC 9309: ``*`` wildcards and trailing-``$`` anchors
+    (most-specific-match over the crawler's selected user-agent group
+    of the URL's registrable domain — RFC 9309 group selection via
+    ``crawler_token``, see :func:`parse_robots_rules`; default the
+    ``*`` group — with ``*`` wildcards and trailing-``$`` anchors
     supported, specificity = pattern octet count, Allow wins ties)
     and drops blocked rows unless ``keep_blocked``.
 
@@ -623,7 +661,7 @@ def robots_txt_filter(
         "__path", F.regexp_extract(nu, r"^[a-z][a-z0-9+.-]*://[^/]*(/[^?#]*)", 1)
     )
     per_domain = (
-        parse_robots_rules(robots)
+        parse_robots_rules(robots, crawler_token=crawler_token)
         .groupBy("domain")
         .agg(
             F.collect_list(F.struct("rtype", "prefix", "pattern_re")).alias("__rules")
@@ -724,6 +762,63 @@ def synthesize_wildcard_robots_table(urls: DataFrame, url_col: str = "url") -> D
         extract_domain(normalize_url(url_col)).alias("domain")
     ).distinct()
     return doms.select("domain", F.lit(WILDCARD_ROBOTS_TXT).alias("robots_txt"))
+
+
+# RFC 9309 user-agent GROUP-SELECTION fixture law (the registered
+# query web_robots_ua_select replays it in closed form). The crawler
+# identifies as UA_CRAWLER_TOKEN; hosts are ua<d>.com with
+# d = doc_id % 6, paths a template of m = doc_id % 4
+# (0 '/m/1', 1 '/g/1', 2 '/s/1', 3 '/q/1'). Every domain carries a
+# DECOY group `MegaBotX: Disallow /` — "megabotx" is NOT a prefix of
+# "megabot-news", so selecting it would block everything. Groups by
+# domain class:
+#
+#   d%3==0  MegaBot(Disallow /m) + mega(Disallow /g) + a SECOND
+#           MegaBot group(Disallow /q) + *(Disallow /s)
+#           → "megabot" is the longest matching value; BOTH MegaBot
+#             groups merge (RFC merge rule) → blocked: /m, /q
+#   d%3==1  mega(Disallow /g) + *(Disallow /s)
+#           → "mega" matches → blocked: /g
+#   d%3==2  *(Disallow /s) only → fallback → blocked: /s
+#
+# so allowed == (d%3==0 → m ∉ {0,3}; d%3==1 → m ≠ 1; d%3==2 → m ≠ 2).
+
+UA_CRAWLER_TOKEN = "MegaBot-News"
+
+_UA_PATHS = ("/m/1", "/g/1", "/s/1", "/q/1")
+
+
+def synthesize_ua_url_table(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, url) under the UA group-selection fixture law above."""
+    m = F.col(id_col) % 4
+    path = F.element_at(F.array(*[F.lit(p) for p in _UA_PATHS]), (m + 1).cast("int"))
+    url = F.concat(
+        F.lit("https://ua"), (F.col(id_col) % 6).cast("string"), F.lit(".com"), path
+    )
+    return docs.select(F.col(id_col), url.alias("url"))
+
+
+def synthesize_ua_robots_table(urls: DataFrame, url_col: str = "url") -> DataFrame:
+    """(domain, robots_txt) under the UA group-selection law above."""
+    doms = urls.select(
+        extract_domain(normalize_url(url_col)).alias("domain")
+    ).distinct()
+    d = F.regexp_extract("domain", r"^ua(\d+)\.", 1).cast("int")
+    txt = F.concat(
+        F.lit("User-agent: MegaBotX\nDisallow: /\n\n"),
+        F.when(
+            d % 3 == 0,
+            F.lit(
+                "User-agent: MegaBot\nDisallow: /m\n\n"
+                "User-agent: mega\nDisallow: /g\n\n"
+                "User-agent: MegaBot\nDisallow: /q\n\n"
+            ),
+        )
+        .when(d % 3 == 1, F.lit("User-agent: mega\nDisallow: /g\n\n"))
+        .otherwise(F.lit("")),
+        F.lit("User-agent: *\nDisallow: /s\n"),
+    )
+    return doms.select("domain", txt.alias("robots_txt"))
 
 
 # ---------------------------------------------------------------------------

@@ -385,6 +385,45 @@ def web_robots_wildcard_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "web_robots_ua_select",
+    doc=(
+        "RFC 9309 user-agent GROUP SELECTION: the crawler token picks "
+        "the longest case-insensitively-matching user-agent group per "
+        "domain (prefix match, so exact is subsumed), groups at that "
+        "specificity MERGE (the RFC rule for repeated groups), and the "
+        "* group applies only when no named group matches. Fixture "
+        "domains carry a decoy group (MegaBotX, not a prefix of the "
+        "token — selecting it would block everything), a two-group "
+        "merge case, a shorter-named-group case, and a *-fallback "
+        "case; the oracle replays the 6x4 decision table in closed form"
+    ),
+    oracle="""
+WITH p AS (
+  SELECT doc_id, CAST(doc_id % 6 AS INTEGER) AS d,
+         CAST(doc_id % 4 AS INTEGER) AS m
+  FROM documents
+)
+SELECT doc_id,
+       'https://ua' || CAST(d AS VARCHAR) || '.com' ||
+       CASE m WHEN 0 THEN '/m/1' WHEN 1 THEN '/g/1'
+              WHEN 2 THEN '/s/1' ELSE '/q/1' END AS url,
+       CASE d % 3 WHEN 0 THEN m NOT IN (0, 3)
+                  WHEN 1 THEN m <> 1
+                  ELSE m <> 2 END AS allowed
+FROM p
+""",
+)
+def web_robots_ua_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    urls = W.synthesize_ua_url_table(docs)
+    robots = W.synthesize_ua_robots_table(urls)
+    out = W.robots_txt_filter(
+        urls, robots, keep_blocked=True, crawler_token=W.UA_CRAWLER_TOKEN
+    )
+    return out.select("doc_id", "url", "allowed")
+
+
+@register(
     "web_c4_clean",
     doc=(
         "C4 page cleaning (Raffel et al. 2020 §2.2): line filter — keep "

@@ -319,6 +319,71 @@ def test_robots_txt_filter_drops_blocked_by_default(spark):
     assert kept.columns == ["doc_id", "url"]
 
 
+# RFC 9309 group selection: one robots file exercising every rule —
+# a named group selected by case-insensitive PREFIX match of the
+# crawler token, longest value wins, same-token groups merge, * only
+# as fallback, and a longer-than-token decoy that must never match.
+UA_GROUPS_TXT = (
+    "User-agent: MegaBotX\nDisallow: /\n\n"      # decoy: not a prefix of token
+    "User-agent: MegaBot\nDisallow: /m\n\n"
+    "User-agent: mega\nDisallow: /g\n\n"
+    "User-agent: MegaBot\nDisallow: /q\n\n"      # merges with the first MegaBot
+    "User-agent: *\nDisallow: /s\n"
+)
+
+
+@pytest.mark.parametrize(
+    "token,path,want",
+    [
+        # longest match "megabot" selected: /m and /q merge-blocked,
+        # the shorter group's /g and the * group's /s do NOT apply
+        ("MegaBot-News", "/m/1", False),
+        ("MegaBot-News", "/q/1", False),
+        ("MegaBot-News", "/g/1", True),
+        ("MegaBot-News", "/s/1", True),
+        # exact token == group value is the longest possible prefix
+        ("megabot", "/m/1", False),
+        # only "mega" matches: its group alone applies
+        ("mega-crawler", "/g/1", False),
+        ("mega-crawler", "/m/1", True),
+        ("mega-crawler", "/s/1", True),
+        # nothing matches -> * fallback
+        ("otherbot", "/s/1", False),
+        ("otherbot", "/m/1", True),
+        # decoy is longer than the token -> never a prefix match
+        ("MegaBot", "/anything", True),
+    ],
+)
+def test_robots_ua_group_selection(spark, token, path, want):
+    urls = spark.createDataFrame(
+        [(0, f"https://g.com{path}")], "doc_id long, url string"
+    )
+    robots = spark.createDataFrame(
+        [("g.com", UA_GROUPS_TXT)], "domain string, robots_txt string"
+    )
+    out = W.robots_txt_filter(
+        urls, robots, keep_blocked=True, crawler_token=token
+    ).first()
+    assert out.allowed == want, (token, path)
+
+
+def test_robots_ua_default_token_keeps_star_only_behavior(spark):
+    # crawler_token=None must reproduce the r9 *-group behavior
+    # byte-for-byte (registered *-group query hashes depend on it)
+    urls = spark.createDataFrame(
+        [(0, "https://g.com/m/1"), (1, "https://g.com/s/1")],
+        "doc_id long, url string",
+    )
+    robots = spark.createDataFrame(
+        [("g.com", UA_GROUPS_TXT)], "domain string, robots_txt string"
+    )
+    got = {
+        r.doc_id: r.allowed
+        for r in W.robots_txt_filter(urls, robots, keep_blocked=True).collect()
+    }
+    assert got == {0: True, 1: False}
+
+
 @pytest.mark.parametrize(
     "raw,want",
     [
