@@ -846,8 +846,28 @@ def write_frontier(urls: DataFrame, frontier_dir: str, batch_id: int = -1) -> No
     )
 
 
+def _frontier_partition_dirs(spark: SparkSession, frontier_dir: str) -> list:
+    """Hadoop-FS listing of the frontier's ``batch_id=*`` partition
+    directories (a NAME listing — never reads data; works on any
+    scheme the session's Hadoop conf can reach, not just local)."""
+    jvm = spark._jvm
+    path = jvm.org.apache.hadoop.fs.Path(frontier_dir)
+    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(path):
+        return []
+    return [
+        s.getPath()
+        for s in fs.listStatus(path)
+        if s.isDirectory() and s.getPath().getName().startswith("batch_id=")
+    ]
+
+
 def _frontier_process_batch(
-    spark: SparkSession, batch_df: DataFrame, batch_id: int, frontier_dir: str
+    spark: SparkSession,
+    batch_df: DataFrame,
+    batch_id: int,
+    frontier_dir: str,
+    compact_threshold: int = 16,
 ) -> None:
     """One micro-batch of :func:`ingest_frontier_stream`: normalize
     the batch, reduce it to per-URL candidates, and append ONLY the
@@ -859,7 +879,19 @@ def _frontier_process_batch(
     groupBy-min (the filter only bounds write amplification).
     Idempotent for a fixed (batch contents, batch_id): the frontier
     read excludes ``batch_id >= current`` and the delta write
-    dynamically overwrites its own partition."""
+    dynamically overwrites its own partition.
+
+    Auto-compaction: when the delta-partition COUNT (a filesystem
+    name listing, no data read) exceeds ``compact_threshold``, all
+    partitions below the current batch fold (groupBy-min) into the
+    ``batch_id=-1`` bootstrap partition and the dominated delta dirs
+    are deleted — reads stay O(compacted + recent) instead of growing
+    one partition per trigger. Crash-safe at every step because the
+    read side is a min-fold and rows never invalidate: the staged
+    fold (``_compact_tmp``, underscore-prefixed so readers ignore
+    it), the rewritten ``batch_id=-1``, and any not-yet-deleted old
+    delta are all dominated-or-equal relations — a replay after a
+    crash at ANY point folds to the same frontier."""
     from spk_sl_validation_spark.ext.webcure import normalize_url
 
     batch_df = batch_df.localCheckpoint(eager=True)
@@ -888,11 +920,44 @@ def _frontier_process_batch(
         .parquet(frontier_dir)
     )
 
+    parts = _frontier_partition_dirs(spark, frontier_dir)
+    if len(parts) <= compact_threshold:
+        return
+    # Fold every partition below the current batch (incl. a previous
+    # -1 compact) and stage it OUTSIDE the partition namespace — the
+    # dynamic-overwrite of batch_id=-1 must not read the directory it
+    # rewrites. Deletion preserves -1 and the current batch's delta.
+    fs_path = spark._jvm.org.apache.hadoop.fs.Path
+    tmp = frontier_dir.rstrip("/") + "/_compact_tmp"
+    fold = (
+        spark.read.schema(FRONTIER_SCHEMA)
+        .parquet(frontier_dir)
+        .filter(F.col("batch_id") < batch_id)
+        .groupBy("norm_url")
+        .agg(F.min("doc_id").alias("doc_id"))
+    )
+    fold.write.mode("overwrite").parquet(tmp)
+    (
+        spark.read.parquet(tmp)
+        .withColumn("batch_id", F.lit(-1))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(frontier_dir)
+    )
+    fs = fs_path(frontier_dir).getFileSystem(spark._jsc.hadoopConfiguration())
+    keep = {"batch_id=-1", f"batch_id={batch_id}"}
+    for p in parts:
+        if p.getName() not in keep:
+            fs.delete(p, True)
+    fs.delete(fs_path(tmp), True)
+
 
 def read_frontier(spark: SparkSession, frontier_dir: str) -> DataFrame:
     """The current frontier: groupBy-min over all delta partitions
-    (LSM read-side merge; run :func:`write_frontier` with the result
-    to compact when the delta count grows)."""
+    (LSM read-side merge — O(compacted + recent) reads: the ingest
+    path auto-compacts once the delta count crosses its threshold,
+    see :func:`_frontier_process_batch`)."""
     return (
         spark.read.schema(FRONTIER_SCHEMA)
         .parquet(frontier_dir)
@@ -907,6 +972,7 @@ def ingest_frontier_stream(
     frontier_dir: str,
     checkpoint_dir: str,
     max_files_per_trigger: int = 1,
+    compact_threshold: int = 16,
 ):
     """The production crawl-frontier shape: a file stream of
     ``(doc_id, url)`` shards, each micro-batch canonicalized and
@@ -921,7 +987,9 @@ def ingest_frontier_stream(
     StreamingQuery (availableNow trigger)."""
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
-        _frontier_process_batch(spark, batch_df, batch_id, frontier_dir)
+        _frontier_process_batch(
+            spark, batch_df, batch_id, frontier_dir, compact_threshold
+        )
 
     stream = (
         spark.readStream.schema(URL_STREAM_SCHEMA)

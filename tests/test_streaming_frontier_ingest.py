@@ -101,6 +101,63 @@ def test_batch_replay_is_idempotent(spark, tmp_path):
     assert deltas.filter("batch_id = 0").count() == 1  # only the novel url
 
 
+def test_auto_compaction_bounds_partitions_and_preserves_fold(spark, tmp_path):
+    import os as _os
+
+    frontier_dir = str(tmp_path / "frontier")
+    write_frontier(
+        spark.createDataFrame([], "doc_id long, url string"), frontier_dir
+    )
+    # 12 batches, threshold 4: url u{j} first appears in batch j with
+    # doc_id 100+j, then every later batch offers a better id — the
+    # expected frontier is a pure function of the law, independent of
+    # when compaction fired.
+    expected = {}
+    for b in range(12):
+        rows = [(100 + b, f"https://a.com/u{b}")] + [
+            (100 + b - j, f"https://a.com/u{j}") for j in range(b)
+        ]
+        for did, url in rows:
+            key = url.replace("https://a.com", "https://a.com")
+            expected[key] = min(expected.get(key, 1 << 60), did)
+        batch = spark.createDataFrame(rows, "doc_id long, url string")
+        _frontier_process_batch(spark, batch, b, frontier_dir, compact_threshold=4)
+        n_parts = sum(
+            1 for d in _os.listdir(frontier_dir) if d.startswith("batch_id=")
+        )
+        # bounded: at most threshold+1 right after the trigger batch
+        assert n_parts <= 5, f"batch {b}: {n_parts} partitions"
+    got = {r.norm_url: r.doc_id for r in read_frontier(spark, frontier_dir).collect()}
+    assert got == expected
+    # compaction actually fired (without it there would be 13 dirs)
+    n_parts = sum(1 for d in _os.listdir(frontier_dir) if d.startswith("batch_id="))
+    assert n_parts < 13
+    # and the staging dir was cleaned up
+    assert not _os.path.exists(f"{frontier_dir}/_compact_tmp")
+
+
+def test_replay_after_compaction_is_idempotent(spark, tmp_path):
+    frontier_dir = str(tmp_path / "frontier")
+    write_frontier(
+        spark.createDataFrame([(1, "https://a.com/seed")], "doc_id long, url string"),
+        frontier_dir,
+    )
+    for b in range(6):
+        batch = spark.createDataFrame(
+            [(50 + b, f"https://a.com/v{b}")], "doc_id long, url string"
+        )
+        _frontier_process_batch(spark, batch, b, frontier_dir, compact_threshold=2)
+    once = sorted(tuple(r) for r in read_frontier(spark, frontier_dir).collect())
+    # replay the LAST batch (the crash-recovery path) — compaction may
+    # fire again; the min-fold must not change
+    batch = spark.createDataFrame(
+        [(55, "https://a.com/v5")], "doc_id long, url string"
+    )
+    _frontier_process_batch(spark, batch, 5, frontier_dir, compact_threshold=2)
+    twice = sorted(tuple(r) for r in read_frontier(spark, frontier_dir).collect())
+    assert once == twice
+
+
 def test_empty_bootstrap_reads_back_empty(spark, tmp_path):
     frontier_dir = str(tmp_path / "frontier")
     write_frontier(
