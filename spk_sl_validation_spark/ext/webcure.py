@@ -593,6 +593,27 @@ def parse_robots_rules(
     behavior. Documented simplification: consecutive ``User-agent:``
     lines each start their own tag (a rule line belongs to the
     nearest preceding UA line, not to every UA line of the block)."""
+    line = F.trim(F.col("__line"))
+    selected = _robots_group_lines(robots, domain_col, txt_col, crawler_token)
+    rtype = F.lower(F.trim(F.get(F.split(line, ":", 2), 0)))
+    prefix = F.trim(F.get(F.split(line, ":", 2), 1))
+    return (
+        selected.select("domain", rtype.alias("rtype"), prefix.alias("prefix"))
+        .filter(F.col("rtype").isin("allow", "disallow") & (F.col("prefix") != ""))
+        .withColumn("pattern_re", _robots_pattern_re(F.col("prefix")))
+    )
+
+
+def _robots_group_lines(
+    robots: DataFrame,
+    domain_col: str = "domain",
+    txt_col: str = "robots_txt",
+    crawler_token: str | None = None,
+) -> DataFrame:
+    """(domain, __pos, __line, __grp): the robots.txt lines of the
+    user-agent group the crawler must obey — RFC 9309 group selection
+    shared by :func:`parse_robots_rules` (Allow/Disallow) and
+    :func:`parse_crawl_delay` (Crawl-delay)."""
     lines = robots.select(
         F.col(domain_col).alias("domain"),
         F.posexplode(F.split(F.col(txt_col), "\n")).alias("__pos", "__line"),
@@ -605,31 +626,49 @@ def parse_robots_rules(
     w = Window.partitionBy("domain").orderBy("__pos")
     grouped = lines.withColumn("__grp", F.last(ua, ignorenulls=True).over(w))
     if crawler_token is None:
-        selected = grouped.filter(F.col("__grp") == "*")
-    else:
-        g = F.lower(F.col("__grp"))
-        cand = grouped.filter(
-            (g == "*") | F.lit(crawler_token.lower()).startswith(g)
-        )
-        # per-domain best named-group specificity — a window over the
-        # RULES relation (KB-sized per domain), never the URL frame
-        dw = Window.partitionBy("domain")
-        spec = F.col("__spec")
-        selected = (
-            cand.withColumn("__spec", F.max(F.when(g != "*", F.length(g))).over(dw))
-            .filter(
-                F.when(spec.isNull(), g == "*").otherwise(
-                    (g != "*") & (F.length(g) == spec)
-                )
-            )
-            .drop("__spec")
-        )
-    rtype = F.lower(F.trim(F.get(F.split(line, ":", 2), 0)))
-    prefix = F.trim(F.get(F.split(line, ":", 2), 1))
+        return grouped.filter(F.col("__grp") == "*")
+    g = F.lower(F.col("__grp"))
+    cand = grouped.filter((g == "*") | F.lit(crawler_token.lower()).startswith(g))
+    # per-domain best named-group specificity — a window over the
+    # RULES relation (KB-sized per domain), never the URL frame
+    dw = Window.partitionBy("domain")
+    spec = F.col("__spec")
     return (
-        selected.select("domain", rtype.alias("rtype"), prefix.alias("prefix"))
-        .filter(F.col("rtype").isin("allow", "disallow") & (F.col("prefix") != ""))
-        .withColumn("pattern_re", _robots_pattern_re(F.col("prefix")))
+        cand.withColumn("__spec", F.max(F.when(g != "*", F.length(g))).over(dw))
+        .filter(
+            F.when(spec.isNull(), g == "*").otherwise(
+                (g != "*") & (F.length(g) == spec)
+            )
+        )
+        .drop("__spec")
+    )
+
+
+def parse_crawl_delay(
+    robots: DataFrame,
+    domain_col: str = "domain",
+    txt_col: str = "robots_txt",
+    crawler_token: str | None = None,
+) -> DataFrame:
+    """(domain, crawl_delay double) from the selected user-agent group
+    — the de-facto-standard ``Crawl-delay`` directive (Bing/Yandex
+    honor it; RFC 9309 §2.2.4 reserves such "other records" for
+    exactly this use). Multiple directives in the selected group take
+    the MAX (a larger delay only ever slows the crawl — the safe
+    direction); non-numeric or non-positive values are ignored
+    (``try_cast`` totality, never a stage kill); domains without a
+    usable directive are ABSENT, so consumers left-join and fall back
+    to their global rate."""
+    line = F.trim(F.col("__line"))
+    key = F.lower(F.trim(F.get(F.split(line, ":", 2), 0)))
+    val = F.trim(F.get(F.split(line, ":", 2), 1)).try_cast("double")
+    return (
+        _robots_group_lines(robots, domain_col, txt_col, crawler_token)
+        .filter(key == "crawl-delay")
+        .select("domain", val.alias("__d"))
+        .filter(F.col("__d").isNotNull() & (F.col("__d") > 0))
+        .groupBy("domain")
+        .agg(F.max("__d").alias("crawl_delay"))
     )
 
 
@@ -817,6 +856,35 @@ def synthesize_ua_robots_table(urls: DataFrame, url_col: str = "url") -> DataFra
         .when(d % 3 == 1, F.lit("User-agent: mega\nDisallow: /g\n\n"))
         .otherwise(F.lit("")),
         F.lit("User-agent: *\nDisallow: /s\n"),
+    )
+    return doms.select("domain", txt.alias("robots_txt"))
+
+
+def synthesize_crawl_delay_robots_table(
+    urls: DataFrame, url_col: str = "url"
+) -> DataFrame:
+    """(domain, robots_txt) for the Crawl-delay fixture law: on the
+    standard URL-law domains (d = digit + 5·[tld == co.uk]) the ``*``
+    group declares ``Crawl-delay: 2`` when d%3==0, ``Crawl-delay:
+    0.5`` when d%3==1, and no directive otherwise; every file also
+    carries a decoy ``badbot`` group with ``Crawl-delay: 99`` that
+    the default (``*``-group) selection must ignore, plus a
+    non-numeric ``Crawl-delay: fast`` noise line the parser must
+    drop. With wave_seconds=2 and global rate=3 the per-domain
+    allowance is 1 / 4 / 3 respectively."""
+    doms = urls.select(
+        extract_domain(normalize_url(url_col)).alias("domain")
+    ).distinct()
+    d = (
+        F.regexp_extract("domain", r"^site(\d+)\.", 1).cast("int")
+        + F.when(F.col("domain").endswith(".co.uk"), F.lit(5)).otherwise(F.lit(0))
+    )
+    txt = F.concat(
+        F.lit("User-agent: badbot\nCrawl-delay: 99\n\nUser-agent: *\n"),
+        F.when(d % 3 == 0, F.lit("Crawl-delay: 2\n"))
+        .when(d % 3 == 1, F.lit("Crawl-delay: fast\nCrawl-delay: 0.5\n"))
+        .otherwise(F.lit("")),
+        F.lit("Disallow: /private\n"),
     )
     return doms.select("domain", txt.alias("robots_txt"))
 
@@ -1336,11 +1404,23 @@ def politeness_schedule(
     id_col: str = "doc_id",
     n_salts: int = 64,
     psl: bool = False,
+    delays: DataFrame | None = None,
+    wave_seconds: float = 1.0,
 ) -> DataFrame:
     """Assign each manifest row a fetch ``wave`` such that no
-    registrable domain receives more than ``rate`` URLs per wave —
-    the frontier-side politeness contract (robots Crawl-delay maps to
-    wave duration).
+    registrable domain receives more than its per-wave allowance —
+    the frontier-side politeness contract.
+
+    ``delays`` (a ``(domain, crawl_delay)`` frame, e.g. from
+    :func:`parse_crawl_delay`) overrides the global ``rate`` per
+    domain: with a wave lasting ``wave_seconds``, a domain declaring
+    ``Crawl-delay: d`` gets ``max(1, floor(wave_seconds / d))`` URLs
+    per wave (at least one — a delay longer than the wave stretches
+    to one fetch per wave, never zero forever); domains without a
+    directive keep ``rate``. The override rides the same
+    manifest-sized left join shape as the robots filter — the URL
+    frame is never re-keyed, and a hot domain concentrates on a JOIN
+    key (AQE-splittable), never a window.
 
     Scale shape: this op needs a per-domain ENUMERATION, not a top-k,
     so Catalyst's WindowGroupLimit cannot bound a mega-domain and a
@@ -1356,6 +1436,20 @@ def politeness_schedule(
     domain dominates. Deterministic (salt is id-derived, not a hash
     seed) and therefore oracle-replayable."""
     dom = _with_domain(df, url_col, psl)
+    if delays is None:
+        rate_col = F.lit(rate)
+    else:
+        d = delays.select(
+            F.col("domain").alias("__dom"), F.col("crawl_delay").alias("__delay")
+        )
+        dom = dom.join(d.hint("shuffle_hash"), "__dom", "left")
+        rate_col = F.when(
+            F.col("__delay").isNotNull(),
+            F.greatest(
+                F.lit(1).cast("bigint"),
+                F.floor(F.lit(float(wave_seconds)) / F.col("__delay")),
+            ),
+        ).otherwise(F.lit(rate).cast("bigint"))
     salt = F.pmod(F.col(id_col), F.lit(n_salts))
     w = Window.partitionBy("__dom", "__salt").orderBy(id_col)
     return (
@@ -1364,11 +1458,11 @@ def politeness_schedule(
             "wave",
             (
                 ((F.row_number().over(w) - 1) * n_salts + F.col("__salt"))
-                / rate
+                / rate_col
             ).cast("bigint"),
         )
         .withColumnRenamed("__dom", "domain")
-        .drop("__salt")
+        .drop("__salt", "__delay")
     )
 
 

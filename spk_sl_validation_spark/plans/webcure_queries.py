@@ -724,6 +724,44 @@ def web_politeness_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "web_politeness_crawl_delay",
+    doc=(
+        "politeness x robots composition: the de-facto-standard "
+        "Crawl-delay directive parsed per domain from the selected "
+        "user-agent group (max of multiple, try_cast totality on "
+        "garbage values, decoy named group ignored) overrides the "
+        "global per-wave rate as max(1, floor(wave_seconds/delay)) — "
+        "a manifest-sized left join feeding the same salt-blocked "
+        "enumeration; the oracle replays the per-domain-delay law in "
+        "closed form (allowance 1 / 4 / 3 by domain class)"
+    ),
+    oracle=_ORACLE_LAW.rstrip()
+    + """,
+r AS (
+  SELECT n.doc_id, n.domain,
+         (u.m % 5) + (CASE WHEN u.m % 4 >= 2 THEN 5 ELSE 0 END) AS di
+  FROM n JOIN u ON n.doc_id = u.doc_id
+)
+SELECT doc_id, domain,
+       CAST(((ROW_NUMBER() OVER (PARTITION BY domain, doc_id % 4
+                                 ORDER BY doc_id) - 1) * 4
+             + doc_id % 4)
+            // (CASE di % 3 WHEN 0 THEN 1 WHEN 1 THEN 4 ELSE 3 END)
+            AS BIGINT) AS wave
+FROM r
+""",
+)
+def web_politeness_crawl_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    urls = _urls(spark, sf_dir)
+    robots = W.synthesize_crawl_delay_robots_table(urls)
+    delays = W.parse_crawl_delay(robots)
+    out = W.politeness_schedule(
+        urls, rate=3, n_salts=4, delays=delays, wave_seconds=2.0
+    )
+    return out.select("doc_id", "domain", "wave")
+
+
+@register(
     "web_ingest_pipeline",
     doc=(
         "the crawl-ingest pass end-to-end, composed from this round's "

@@ -367,6 +367,57 @@ def test_robots_ua_group_selection(spark, token, path, want):
     assert out.allowed == want, (token, path)
 
 
+def test_parse_crawl_delay_semantics(spark):
+    robots = spark.createDataFrame(
+        [
+            # decoy named group ignored by default; * group: max of
+            # multiple directives; garbage + non-positive dropped
+            (
+                "a.com",
+                "User-agent: badbot\nCrawl-delay: 99\n\n"
+                "User-agent: *\nCrawl-delay: fast\nCrawl-delay: 1.5\n"
+                "Crawl-delay: 0\nCrawl-delay: 3\n",
+            ),
+            ("b.com", "User-agent: *\nDisallow: /x\n"),  # no directive
+            ("c.com", "User-agent: *\nCrawl-delay: nope\n"),  # unusable
+        ],
+        "domain string, robots_txt string",
+    )
+    got = {r.domain: r.crawl_delay for r in W.parse_crawl_delay(robots).collect()}
+    assert got == {"a.com": 3.0}
+    # named-group selection applies to Crawl-delay too
+    got99 = {
+        r.domain: r.crawl_delay
+        for r in W.parse_crawl_delay(robots, crawler_token="badbot-v2").collect()
+    }
+    assert got99["a.com"] == 99.0
+
+
+def test_politeness_crawl_delay_override_rate_guarantee(spark):
+    # slow.com declares Crawl-delay 5 (wave_seconds 2 -> allowance 1);
+    # fast.com declares 0.5 (-> 4); plain.com keeps the global 3.
+    urls = spark.createDataFrame(
+        [(i, f"https://{d}/p{i}") for d in ("slow.com", "fast.com", "plain.com")
+         for i in range(12)],
+        "doc_id long, url string",
+    )
+    delays = spark.createDataFrame(
+        [("slow.com", 5.0), ("fast.com", 0.5)], "domain string, crawl_delay double"
+    )
+    out = W.politeness_schedule(
+        urls, rate=3, n_salts=2, delays=delays, wave_seconds=2.0
+    ).collect()
+    per_wave: dict = {}
+    for r in out:
+        per_wave.setdefault((r.domain, r.wave), 0)
+        per_wave[(r.domain, r.wave)] += 1
+    allowance = {"slow.com": 1, "fast.com": 4, "plain.com": 3}
+    for (domain, wave), n in per_wave.items():
+        assert n <= allowance[domain], (domain, wave, n)
+    # every row scheduled exactly once
+    assert sum(per_wave.values()) == 36
+
+
 def test_robots_ua_default_token_keeps_star_only_behavior(spark):
     # crawler_token=None must reproduce the r9 *-group behavior
     # byte-for-byte (registered *-group query hashes depend on it)
