@@ -340,6 +340,43 @@ def lang_id(col: str | Column) -> Column:
     return expr
 
 
+# Gopher rule thresholds (Rae et al. 2021, "Scaling Language Models",
+# §A1.1 quality-filter heuristics — doc-level bounds). Single source of
+# truth for both the corpus-shaped aggregate (plans/text_queries.py
+# text_gopher_filters) and the per-row gate below.
+GOPHER_STOPS: tuple[str, ...] = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_doc_gate(col: str | Column) -> dict[str, Column]:
+    """Per-row Gopher document gate — the narrow-map twin of the
+    corpus-shaped ``text_gopher_filters`` aggregate (same thresholds,
+    same law), as pure array expressions over the page's own token
+    array: no explode, no shuffle, composable inside a pipeline
+    projection. Returns ``{n_words, mean_word_len, alpha_word_frac,
+    gopher_stop_hits, passes}``. Total on empty text (frac guards
+    divide by ``greatest(n, 1)``; an empty page simply fails the
+    word-count bound)."""
+    t = ws_tokens(col)
+    n = F.size(t)
+    nz = F.greatest(n, F.lit(1)).cast("double")
+    mean_len = F.aggregate(t, F.lit(0), lambda a, w: a + F.length(w)).cast("double") / nz
+    alpha = F.size(F.filter(t, lambda w: w.rlike("[a-z]"))).cast("double") / nz
+    stops = F.size(F.array_distinct(F.filter(t, lambda w: w.isin(*GOPHER_STOPS))))
+    passes = (
+        n.between(50, 100000)
+        & mean_len.between(3.0, 10.0)
+        & (alpha >= 0.8)
+        & (stops >= 1)
+    )
+    return {
+        "n_words": n,
+        "mean_word_len": mean_len,
+        "alpha_word_frac": alpha,
+        "gopher_stop_hits": stops,
+        "passes": passes,
+    }
+
+
 def normalized_text(col: str | Column) -> Column:
     """Canonical form for exact-dup hashing: lowercase, collapse
     whitespace, trim."""

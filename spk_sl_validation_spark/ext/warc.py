@@ -449,6 +449,102 @@ def synthesize_warc_html_table(docs: DataFrame, id_col: str = "doc_id") -> DataF
 
 
 # ---------------------------------------------------------------------------
+# Full crawl→corpus fixture (web_corpus_pipeline replays its law):
+# one response per archive, body quality class q = doc_id % 5, each
+# class dying at EXACTLY ONE gate of the composed pipeline:
+#
+#   q=0  six good English paragraphs            → survives everything
+#   q=1  six German paragraphs (de markers,
+#        zero lowercase en markers)             → dies at lang-id
+#   q=2  six digit-soup paragraphs seeded with
+#        en markers (alpha_word_frac = 0.5)     → dies at Gopher
+#   q=3  the q=0 paragraphs plus a repeat of
+#        paragraph 0 (paragraph dedup drops it)
+#        and a punctuation-less line (the C4
+#        line filter drops it)                  → survives, 2 drops
+#   q=4  HTTP 404                               → dies at ingest
+#
+# Every paragraph is >=40 visible chars with zero link density (the
+# main-content extractor keeps them all; the nav/h1/footer chrome
+# drops as usual). Good-class words: 16/paragraph × 6 = 96 (inside
+# Gopher's 50..100k), mean word length 3.875, alpha fraction 0.875.
+
+
+def _corpus_good_paragraph(c: int, i: int) -> str:
+    return (
+        f"Good article {c} section {i} talks about the state of things "
+        "and is of note here."
+    )
+
+
+def _corpus_paragraphs(q: int, c: int) -> list[str]:
+    if q in (0, 4):  # q=4's body never survives the 404 filter
+        return [_corpus_good_paragraph(c, i) for i in range(6)]
+    if q == 1:
+        return [
+            f"Die Sonne und der Mond ist am Himmel Nummer {i} Lauf {c} geblieben."
+            for i in range(6)
+        ]
+    if q == 2:
+        return [
+            f"the 1234{i} and 67890 of 13579 is 24680 a 99999." for i in range(6)
+        ]
+    good = [_corpus_good_paragraph(c, i) for i in range(6)]
+    return (
+        good[:2]
+        + [good[0]]  # duplicate → paragraph dedup drops it
+        + [good[2]]
+        + [f"trailing line {c} has no terminal punctuation at all"]  # C4 drops
+        + good[3:]
+    )
+
+
+def _make_warc_corpus(doc_id: int) -> bytes:
+    """Same WARC framing law as :func:`_make_warc` (version by
+    parity); one response whose body is the quality-class page."""
+    version = b"WARC/1.1" if doc_id % 2 else b"WARC/1.0"
+    q, c = doc_id % 5, doc_id % 7
+    body = (
+        "<html><body>"
+        '<nav><a href="/">Home</a> <a href="/a">News</a></nav>'
+        f"<h1>Corpus{c}</h1>"
+        + "".join(f"<p>{p}</p>" for p in _corpus_paragraphs(q, c))
+        + '<footer><a href="/about">(c) 2024 About</a></footer>'
+        "</body></html>"
+    ).encode("utf-8")
+    status = 404 if q == 4 else 200
+    http = (
+        b"HTTP/1.1 " + str(status).encode() + b" X\r\n"
+        b"Content-Type: text/html\r\n\r\n" + body
+    )
+    return _warc_record(
+        version, b"warcinfo",
+        [b"WARC-Date: 2024-01-01T00:00:00Z"], b"software: spk-sl-fixture",
+    ) + _warc_record(
+        version,
+        b"response",
+        [
+            b"WARC-Target-URI: https://site"
+            + str(doc_id % 3).encode()
+            + b".com/corpus/"
+            + str(doc_id).encode(),
+            b"WARC-Date: 2024-01-02T00:00:00Z",
+        ],
+        http,
+    )
+
+
+def synthesize_corpus_warc_table(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, warc binary) under the crawl→corpus law above."""
+
+    @F.pandas_udf(T.BinaryType())
+    def make(ids: pd.Series) -> pd.Series:
+        return ids.apply(lambda d: _make_warc_corpus(int(d)))
+
+    return docs.select(F.col(id_col), make(F.col(id_col)).alias("warc"))
+
+
+# ---------------------------------------------------------------------------
 # Member-gzip WARC (the framing Common Crawl actually ships: each
 # record is its own gzip member, concatenated — so a reader can seek
 # to a record without decompressing the file)

@@ -933,17 +933,21 @@ def c4_line_stats(text: Column | str) -> tuple[Column, Column, Column]:
 
 
 def c4_clean(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    carry: tuple[str, ...] = (),
 ) -> DataFrame:
     """C4 page cleaning: line filter (:func:`c4_line_stats`) plus the
     page-level gates — a page survives only if it kept at least 5
     lines AND contains neither "lorem ipsum" (any case) nor a literal
     '{' anywhere in its RAW text. Returns
-    ``(id, clean_text, n_lines_kept, n_lines_dropped, page_kept)``
-    for every input page (filter on ``page_kept`` for the corpus
-    view; keeping dropped pages visible is what a curation datasheet
-    wants). Pure narrow map — zero exchanges, embarrassingly
-    parallel at any corpus size."""
+    ``(id, *carry, clean_text, n_lines_kept, n_lines_dropped,
+    page_kept)`` for every input page (filter on ``page_kept`` for
+    the corpus view; keeping dropped pages visible is what a curation
+    datasheet wants; ``carry`` passes provenance columns through a
+    composed pipeline without a join-back). Pure narrow map — zero
+    exchanges, embarrassingly parallel at any corpus size."""
     clean, n_kept, n_dropped = c4_line_stats(text_col)
     raw_lower = F.lower(F.col(text_col))
     page_kept = (
@@ -953,6 +957,7 @@ def c4_clean(
     )
     return df.select(
         F.col(id_col),
+        *[F.col(c) for c in carry],
         clean.alias("clean_text"),
         n_kept.cast("bigint").alias("n_lines_kept"),
         n_dropped.cast("bigint").alias("n_lines_dropped"),
@@ -1521,7 +1526,11 @@ def domain_reputation_filter(
 
 
 def paragraph_dedup(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", sep: str = "\n"
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+    carry: tuple[str, ...] = (),
 ) -> DataFrame:
     """Drop repeated paragraphs WITHIN each document, keeping first
     occurrences in order. Pure array expression: a paragraph survives
@@ -1529,13 +1538,16 @@ def paragraph_dedup(
     1-based). Quadratic in the per-document paragraph count — pages
     have tens of paragraphs, so the constant is small and the map
     stays narrow; zero exchanges. Returns
-    ``(id, clean_text, n_paras_kept, n_paras_dropped)``."""
+    ``(id, *carry, clean_text, n_paras_kept, n_paras_dropped)`` —
+    ``carry`` passes provenance columns (URIs, batch ids) through a
+    composed pipeline without a join-back."""
     paras = F.split(F.col(text_col), sep)
     kept = F.filter(
         paras, lambda p, i: F.array_position(paras, p) == i + F.lit(1)
     )
     return df.select(
         F.col(id_col),
+        *[F.col(c) for c in carry],
         F.array_join(kept, sep).alias("clean_text"),
         F.size(kept).cast("bigint").alias("n_paras_kept"),
         (F.size(paras) - F.size(kept)).cast("bigint").alias("n_paras_dropped"),

@@ -191,3 +191,29 @@ def top_k_per_group(
         df.withColumn(rank_col, F.row_number().over(w))
         .filter(F.col(rank_col) <= k)
     )
+
+
+def evaluate_once(df: DataFrame, *cols: str) -> DataFrame:
+    """Force the named columns to evaluate ONCE per row before
+    downstream projections consume them many times.
+
+    Catalyst's CollapseProject re-inlines an aliased expression into
+    every downstream reference. For cheap codegen'd expressions that
+    is free; but a higher-order-function text expression (which is
+    CodegenFallback — the whole projection runs interpreted) that k
+    downstream expressions reference then evaluates k times per row —
+    measured 5x wall on the composed crawl→corpus pipeline. A
+    one-element ``explode(array(struct(...)))`` is a Generator, and
+    projections never collapse across generators, so the packed
+    struct evaluates exactly once per row; consumers re-extract cheap
+    struct fields. Everything stays JVM-side: zero exchanges, row
+    count unchanged, column order preserved."""
+    order = list(df.columns)
+    others = [c for c in order if c not in cols]
+    packed = df.select(
+        *others, F.explode(F.array(F.struct(*cols))).alias("__once")
+    )
+    out_cols = {c: F.col(f"__once.{c}").alias(c) for c in cols}
+    return packed.select(
+        *[out_cols.get(c, F.col(c)) for c in order]
+    )

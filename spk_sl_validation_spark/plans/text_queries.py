@@ -295,10 +295,12 @@ def text_bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return counts.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 20).select("pair", "n")
 
 
-# Gopher rule thresholds (Rae et al. 2021, "Scaling Language Models",
-# §A1.1 quality-filter heuristics — doc-level bounds, not the line
-# rules, which need newline structure the driver corpus lacks).
-GOPHER_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
+# Gopher rule thresholds (Rae et al. 2021 §A1.1) — the stopword
+# vocabulary now lives beside the per-row gate twin in ext/text.py
+# (single source of truth; doc-level bounds, not the line rules,
+# which need newline structure the driver corpus lacks).
+from spk_sl_validation_spark.ext.text import GOPHER_STOPS
+
 _GOPHER_IN = ", ".join(f"'{w}'" for w in GOPHER_STOPS)
 
 

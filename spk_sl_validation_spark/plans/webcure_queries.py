@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 
 from spk_sl_validation_spark.ext import psl as PSL
 from spk_sl_validation_spark.ext import webcure as W
+from spk_sl_validation_spark.operators.relational import evaluate_once
 from spk_sl_validation_spark.plans.registry import register
 from spk_sl_validation_spark.sources.readers import load_table
 
@@ -801,6 +802,94 @@ def web_ingest_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     text, _nk, _nd = W.main_content("body_text")
     return pages.select("doc_id", "target_uri", text.alias("main_text"))
+
+
+_CORPUS_GOOD_LINE = (
+    "'Good article ' || c || ' section {i} talks about the state of things "
+    "and is of note here.'"
+)
+_CORPUS_CLEAN_SQL = " || chr(10) || ".join(
+    _CORPUS_GOOD_LINE.format(i=i) for i in range(6)
+)
+
+
+@register(
+    "web_corpus_pipeline",
+    headline=True,
+    doc=(
+        "the FULL crawl→corpus pass a data team runs, composed from "
+        "the engine's own operators in production order: WARC parse → "
+        "HTTP-200 gate → main-content extraction → intra-doc paragraph "
+        "dedup → C4 line filter + page gates → language-ID gate (en) → "
+        "Gopher document-quality gate. One zero-exchange narrow map "
+        "chain (Arrow WARC parse feeding pure JVM array expressions — "
+        "no shuffle anywhere, no joins: provenance rides `carry` "
+        "columns through the operators). The fixture law gives each "
+        "quality class a page that dies at EXACTLY ONE gate (404 / "
+        "German / digit-soup alpha-frac / dedup+C4 paragraph drops); "
+        "the oracle replays survival and the cleaned text in closed "
+        "form"
+    ),
+    oracle=f"""
+WITH p AS (
+  SELECT doc_id, CAST(doc_id % 5 AS INTEGER) AS q,
+         CAST(doc_id % 7 AS VARCHAR) AS c
+  FROM documents
+)
+SELECT doc_id,
+       'https://site' || CAST(doc_id % 3 AS VARCHAR) || '.com/corpus/'
+         || CAST(doc_id AS VARCHAR) AS target_uri,
+       {_CORPUS_CLEAN_SQL} AS clean_text,
+       CAST(CASE WHEN q = 3 THEN 1 ELSE 0 END AS BIGINT) AS n_dedup_dropped,
+       CAST(CASE WHEN q = 3 THEN 1 ELSE 0 END AS BIGINT) AS n_c4_dropped,
+       'en' AS lang,
+       CAST(96 AS BIGINT) AS n_words
+FROM p WHERE q IN (0, 3)
+""",
+)
+def web_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return _corpus_pipeline_over(docs)
+
+
+def _corpus_pipeline_over(docs: DataFrame) -> DataFrame:
+    """The composed crawl→corpus pass over a ``doc_id`` frame —
+    shared by the registered query and the ≥2M-doc scale probe
+    (tools/scale_probe.py web_corpus)."""
+    from spk_sl_validation_spark.ext import text as TX
+    from spk_sl_validation_spark.ext import warc as WC
+    from spk_sl_validation_spark.ext.hashing import ws_tokens
+
+    recs = WC.warc_records(WC.synthesize_corpus_warc_table(docs))
+    pages = recs.filter(
+        F.col("ok") & (F.col("rec_type") == "response") & (F.col("http_status") == 200)
+    )
+    text, _nk, _nd = W.main_content("body_text")
+    pages = pages.select("doc_id", "target_uri", text.alias("main_text"))
+    # evaluate_once barriers between the text stages: each stage's
+    # output text is a non-codegen HOF expression its consumers would
+    # otherwise re-evaluate per reference (CollapseProject inlines
+    # aliases) — measured 27.4 s → see BENCH_HISTORY round 10
+    pages = evaluate_once(pages, "main_text")
+    deduped = W.paragraph_dedup(pages, text_col="main_text", carry=("target_uri",))
+    deduped = deduped.withColumnRenamed("n_paras_dropped", "n_dedup_dropped")
+    deduped = evaluate_once(deduped, "clean_text")
+    c4 = W.c4_clean(
+        deduped, text_col="clean_text", carry=("target_uri", "n_dedup_dropped")
+    ).filter(F.col("page_kept"))
+    c4 = evaluate_once(c4, "clean_text")
+    gate = TX.gopher_doc_gate("clean_text")
+    out = c4.select(
+        "doc_id",
+        "target_uri",
+        "clean_text",
+        "n_dedup_dropped",
+        F.col("n_lines_dropped").alias("n_c4_dropped"),
+        TX.lang_id("clean_text").alias("lang"),
+        F.size(ws_tokens("clean_text")).cast("bigint").alias("n_words"),
+        gate["passes"].alias("__passes"),
+    )
+    return out.filter((F.col("lang") == "en") & F.col("__passes")).drop("__passes")
 
 
 @register(

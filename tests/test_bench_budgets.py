@@ -61,13 +61,16 @@ RATIO_BUDGETS = {
     "multimodal_jpeg_pixel_stats": 28.0,
     "multimodal_mp4_meta": 3.0,
     # round-9 headline additions (verdict task 7): url_dedup measured
-    # 0.87 vs pricing_summary; the composed curation pipeline is
-    # driver-side PLANNING-bound at bench scale (execution <2 s of its
-    # ~12 s — see the builder docstring), so its ratio is large and
-    # stable-by-construction rather than data-proportional: measured
-    # ~11-20 depending on JIT warmth — x3 headroom on the high end.
+    # 0.87 vs pricing_summary. round-10: the curation pipeline now
+    # plans over materialized fixture manifests (the 64 KB-codegen
+    # planning wall is gone — see the builder docstring): warm runs
+    # measured 2.7-4.2 s, ratio ~4-6.5 — x3 headroom.
     "web_url_dedup": 3.0,
-    "web_curation_pipeline": 60.0,
+    "web_curation_pipeline": 20.0,
+    # round-10: the composed crawl→corpus pipeline is a zero-exchange
+    # interpreted-HOF narrow map (evaluate_once barriers keep each
+    # text stage single-evaluation); warm ~2.8 s, ratio ~4.3 — x3.
+    "web_corpus_pipeline": 15.0,
 }
 # catastrophic-only absolute cap for the calibrator itself (sf0.1)
 CALIBRATOR_MAX_SEC = 20.0

@@ -90,6 +90,10 @@ BUDGETS = {
     # runtime.
     "web_url_dedup": (3, 0),
     "web_curation_pipeline": (12, 0),
+    # round-10: the composed crawl→corpus pipeline is a pure narrow
+    # map chain (Arrow WARC parse + HOF text stages with
+    # evaluate_once generator barriers) — ANY exchange is a regression.
+    "web_corpus_pipeline": (0, 0),
 }
 
 

@@ -764,3 +764,44 @@ def test_psl_branch_keeps_invalid_pseudo_domain(spark):
     for psl in (False, True):
         kept = sorted(r.doc_id for r in W.domain_cap(df, 1, psl=psl).collect())
         assert kept == [0, 9], psl
+
+
+def test_evaluate_once_preserves_values_and_adds_generator(spark):
+    from spk_sl_validation_spark.operators.relational import evaluate_once
+
+    df = spark.createDataFrame(
+        [(1, "a b", 10), (2, "c d", 20)], "doc_id long, text string, x long"
+    )
+    expensive = df.select(
+        "doc_id", F.upper("text").alias("t"), "x"
+    )
+    once = evaluate_once(expensive, "t")
+    # identical rows and column order
+    assert once.columns == expensive.columns
+    assert sorted(map(tuple, once.collect())) == sorted(
+        map(tuple, expensive.collect())
+    )
+    # the barrier is a Generate node — CollapseProject cannot inline
+    # the packed expression into downstream references
+    fmt = spark._jvm.PythonSQLUtils.explainString(
+        once._jdf.queryExecution(), "formatted"
+    )
+    assert "Generate" in fmt
+
+
+def test_gopher_doc_gate_matches_aggregate_twin(spark):
+    from spk_sl_validation_spark.ext.text import gopher_doc_gate
+
+    good = " ".join(
+        f"word{i} the state of things and more here" for i in range(8)
+    )
+    junk = " ".join(f"the 1234{i} and 67890 of 13579 is 24680 a 9." for i in range(6))
+    short = "too short."
+    df = spark.createDataFrame(
+        [(0, good), (1, junk), (2, short)], "doc_id long, text string"
+    )
+    g = gopher_doc_gate("text")
+    rows = {r.doc_id: r for r in df.select("doc_id", *[v.alias(k) for k, v in g.items()]).collect()}
+    assert rows[0].passes  # 64 words, all alpha, stops present
+    assert not rows[1].passes and rows[1].alpha_word_frac < 0.8
+    assert not rows[2].passes and rows[2].n_words == 2

@@ -443,6 +443,18 @@ def run(op: str, docs, n: int) -> dict:
         pages = W.synthesize_main_content_table(docs.select("doc_id"))
         mc = W.main_content_extract(pages)
         out = W.c4_clean(mc, "doc_id", "main_text")
+    elif op == "web_corpus":
+        # The round-10 composed crawl→corpus pipeline end-to-end:
+        # WARC parse (Arrow map) → 200 gate → main content →
+        # paragraph dedup → C4 → lang-id + Gopher gates, all narrow
+        # (zero exchanges by construction; evaluate_once barriers keep
+        # each interpreted-HOF text stage single-evaluation). Pages/s
+        # here IS the cluster story divided by core count.
+        from spk_sl_validation_spark.plans.webcure_queries import (
+            _corpus_pipeline_over,
+        )
+
+        out = _corpus_pipeline_over(docs.select("doc_id"))
     elif op == "warc_parse":
         # WARC record explode at archive scale (Arrow-batched map):
         # fixture archives carry 1-3 response records each.
