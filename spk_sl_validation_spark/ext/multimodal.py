@@ -2158,3 +2158,176 @@ def mp4_sample_stats(df: DataFrame, media_col: str = "media") -> DataFrame:
             yield pd.DataFrame(out)
 
     return df.mapInPandas(run, MP4_SAMPLE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# WebP container metadata (RIFF chunk walk — the same container family
+# as WAV above; VP8 / VP8L / VP8X header parses from the format specs:
+# RFC 9649 for the container+lossless bitstream, RFC 6386 for the
+# lossy keyframe header). The second-most-common crawl image format
+# after JPEG; dims/lossless/alpha are the pre-decode filter fields.
+#
+# Fixture law (multimodal_webp_meta's oracle replays it), v = doc_id%3:
+#   v=0  simple lossy  (VP8):  w=160+doc_id%50, h=120+doc_id%40,
+#                              lossless=false, alpha=false, 1 chunk
+#   v=1  lossless (VP8L):      w=1+doc_id%300, h=1+doc_id%200,
+#                              lossless=true, alpha=doc_id%2==1, 1 chunk
+#   v=2  extended (VP8X):      canvas w=640+doc_id%100, h=480+doc_id%80,
+#                              alpha flag doc_id%2, inner VP8 chunk
+#                              (lossless=false) + odd-size EXIF noise
+#                              chunk (word-alignment exercise), 3 chunks
+# ---------------------------------------------------------------------------
+
+WEBP_META_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("format", T.StringType()),
+        T.StructField("lossless", T.BooleanType()),
+        T.StructField("has_alpha", T.BooleanType()),
+        T.StructField("n_chunks", T.IntegerType()),
+        T.StructField("ok", T.BooleanType()),
+    ]
+)
+
+
+def _vp8_chunk_body(w: int, h: int) -> bytes:
+    """A VP8 lossy KEYFRAME header (RFC 6386 §9.1): 3-byte frame tag,
+    the 9d 01 2a start code, then 14-bit width/height (2 scale bits
+    zero), plus a little opaque payload."""
+    import struct
+
+    return (
+        b"\x10\x00\x00" + b"\x9d\x01\x2a"
+        + struct.pack("<HH", w & 0x3FFF, h & 0x3FFF)
+        + b"\x00" * 8
+    )
+
+
+def _make_webp(doc_id: int) -> bytes:
+    """Build a real RIFF/WEBP binary under the generation law above."""
+    import struct
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        return cid + struct.pack("<I", len(body)) + body + (b"\x00" if len(body) & 1 else b"")
+
+    v = doc_id % 3
+    if v == 0:
+        w, h = 160 + doc_id % 50, 120 + doc_id % 40
+        payload = chunk(b"VP8 ", _vp8_chunk_body(w, h))
+    elif v == 1:
+        w, h = 1 + doc_id % 300, 1 + doc_id % 200
+        alpha = doc_id % 2 == 1
+        bits = (w - 1) | ((h - 1) << 14) | (int(alpha) << 28)
+        payload = chunk(b"VP8L", b"\x2f" + struct.pack("<I", bits))
+    else:
+        w, h = 640 + doc_id % 100, 480 + doc_id % 80
+        alpha = doc_id % 2 == 1
+        flags = 0x10 if alpha else 0x00
+        vp8x = (
+            bytes([flags]) + b"\x00\x00\x00"
+            + struct.pack("<I", w - 1)[:3] + struct.pack("<I", h - 1)[:3]
+        )
+        payload = (
+            chunk(b"VP8X", vp8x)
+            + chunk(b"EXIF", b"x" * (3 + doc_id % 2 * 2))  # odd sizes too
+            + chunk(b"VP8 ", _vp8_chunk_body(w, h))
+        )
+    return b"RIFF" + struct.pack("<I", 4 + len(payload)) + b"WEBP" + payload
+
+
+def parse_webp(data: bytes) -> tuple[int, int, str, bool, bool, int]:
+    """(width, height, format, lossless, has_alpha, n_chunks) from a
+    WebP container: generic RIFF walk (word-aligned chunk skip, the
+    same discipline as :func:`_parse_wav`), then the first of
+    VP8X (extended: canvas dims + alpha flag; lossless iff a VP8L
+    chunk is present) / VP8L (lossless bitstream header, alpha bit) /
+    VP8 (lossy keyframe: start-code check + 14-bit dims) decides the
+    metadata. Strict: truncated chunks, a bad VP8 start code, a bad
+    VP8L signature byte, a nonzero VP8L version, or no image chunk at
+    all raise ValueError."""
+    import struct
+
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WEBP":
+        raise ValueError("not a RIFF/WEBP payload")
+    pos, n_chunks = 12, 0
+    first: dict[str, bytes] = {}
+    while pos + 8 <= len(data):
+        cid = data[pos : pos + 4]
+        size = struct.unpack_from("<I", data, pos + 4)[0]
+        body = data[pos + 8 : pos + 8 + size]
+        if len(body) < size:
+            raise ValueError(f"truncated {cid!r} chunk: {len(body)} of {size} bytes")
+        n_chunks += 1
+        key = cid.decode("latin-1")
+        if key in ("VP8X", "VP8L", "VP8 ") and key not in first:
+            first[key] = body
+        pos += 8 + size + (size & 1)
+    if "VP8X" in first:
+        b = first["VP8X"]
+        if len(b) < 10:
+            raise ValueError("VP8X chunk too short")
+        w = 1 + int.from_bytes(b[4:7], "little")
+        h = 1 + int.from_bytes(b[7:10], "little")
+        return (w, h, "VP8X", "VP8L" in first, bool(b[0] & 0x10), n_chunks)
+    if "VP8L" in first:
+        b = first["VP8L"]
+        if len(b) < 5 or b[0] != 0x2F:
+            raise ValueError("bad VP8L signature")
+        bits = struct.unpack_from("<I", b, 1)[0]
+        if bits >> 29:
+            raise ValueError(f"unsupported VP8L version {bits >> 29}")
+        w = 1 + (bits & 0x3FFF)
+        h = 1 + ((bits >> 14) & 0x3FFF)
+        return (w, h, "VP8L", True, bool(bits & (1 << 28)), n_chunks)
+    if "VP8 " in first:
+        b = first["VP8 "]
+        if len(b) < 10:
+            raise ValueError("VP8 chunk too short")
+        if b[3:6] != b"\x9d\x01\x2a":
+            raise ValueError("bad VP8 keyframe start code")
+        w, h = struct.unpack_from("<HH", b, 6)
+        return (w & 0x3FFF, h & 0x3FFF, "VP8", False, False, n_chunks)
+    raise ValueError("WEBP contains no image chunk")
+
+
+def synthesize_webp_table(docs: DataFrame) -> DataFrame:
+    """(doc_id, media binary, media_type='image/webp') — Arrow-batched
+    synthesis from doc_id alone (the generation law above)."""
+
+    @F.pandas_udf(T.BinaryType())
+    def make(ids: pd.Series) -> pd.Series:
+        return ids.apply(lambda d: _make_webp(int(d)))
+
+    return docs.select(
+        "doc_id", make(F.col("doc_id")).alias("media"),
+        F.lit("image/webp").alias("media_type"),
+    )
+
+
+def webp_container_meta(df: DataFrame, media_col: str = "media") -> DataFrame:
+    """WebP container metadata (Arrow-batched pure map, zero
+    exchanges): dims, sub-format, lossless flag, alpha flag, chunk
+    count — the pre-decode filter fields of an image corpus. Same
+    totality contract as the other codecs: malformed payloads yield
+    ok=false, never a stage kill."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list[Any]] = {f.name: [] for f in WEBP_META_SCHEMA.fields}
+            for doc_id, data in zip(pdf["doc_id"], pdf[media_col]):
+                try:
+                    w, h, fmt, lossless, alpha, nc = parse_webp(bytes(data))
+                    row = (w, h, fmt, lossless, alpha, nc, True)
+                except (ValueError, IndexError, TypeError):
+                    row = (0, 0, "", False, False, 0, False)
+                out["doc_id"].append(doc_id)
+                for name, v in zip(
+                    ("width", "height", "format", "lossless", "has_alpha",
+                     "n_chunks", "ok"), row
+                ):
+                    out[name].append(v)
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(run, WEBP_META_SCHEMA)

@@ -425,3 +425,41 @@ FROM p JOIN tot t ON p.doc_id = t.doc_id
 def multimodal_mp4_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     return M.mp4_sample_stats(M.synthesize_mp4_table(docs))
+
+
+@register(
+    "multimodal_webp_meta",
+    doc=(
+        "REAL WebP container-metadata parse (RFC 9649 container + "
+        "lossless header, RFC 6386 lossy keyframe header): the RIFF "
+        "chunk walk shared in discipline with the WAV codec, then "
+        "VP8X (canvas dims + alpha flag, lossless iff a VP8L chunk is "
+        "present) / VP8L (14-bit dims + alpha bit + version check) / "
+        "VP8 (start-code check + 14-bit dims) — zero-exchange "
+        "Arrow-batched pure map, fuzz-total (ok=false, never a stage "
+        "kill). The fixture varies all three sub-formats plus an "
+        "odd-size EXIF noise chunk (word-alignment exercise); the "
+        "oracle recomputes every field from the generation law"
+    ),
+    oracle="""
+SELECT doc_id,
+       CAST(CASE CAST(doc_id % 3 AS INTEGER)
+         WHEN 0 THEN 160 + doc_id % 50
+         WHEN 1 THEN 1 + doc_id % 300
+         ELSE 640 + doc_id % 100 END AS INTEGER) AS width,
+       CAST(CASE CAST(doc_id % 3 AS INTEGER)
+         WHEN 0 THEN 120 + doc_id % 40
+         WHEN 1 THEN 1 + doc_id % 200
+         ELSE 480 + doc_id % 80 END AS INTEGER) AS height,
+       CASE CAST(doc_id % 3 AS INTEGER)
+         WHEN 0 THEN 'VP8' WHEN 1 THEN 'VP8L' ELSE 'VP8X' END AS format,
+       doc_id % 3 = 1 AS lossless,
+       doc_id % 3 >= 1 AND doc_id % 2 = 1 AS has_alpha,
+       CAST(CASE WHEN doc_id % 3 = 2 THEN 3 ELSE 1 END AS INTEGER) AS n_chunks,
+       true AS ok
+FROM documents
+""",
+)
+def multimodal_webp_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return M.webp_container_meta(M.synthesize_webp_table(docs))

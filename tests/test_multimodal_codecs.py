@@ -1120,3 +1120,101 @@ def test_mp4_ops_total_on_null_media(spark):
     stats = {r.doc_id: r.ok for r in M.mp4_sample_stats(media).collect()}
     assert meta == {0: True, 1: False, 2: True}
     assert stats == {0: True, 1: False, 2: True}
+
+
+# ---------------------------------------------------------------------------
+# WebP (round 10): RIFF container walk + VP8/VP8L/VP8X header parses
+# ---------------------------------------------------------------------------
+
+
+def test_webp_roundtrip_law():
+    # one doc per sub-format; fields must match the generation law
+    for doc_id, want in (
+        (3, (160 + 3, 120 + 3, "VP8", False, False, 1)),
+        (7, (1 + 7, 1 + 7, "VP8L", True, True, 1)),
+        (10, (1 + 10, 1 + 10, "VP8L", True, False, 1)),
+        (5, (640 + 5, 480 + 5, "VP8X", False, True, 3)),
+        (8, (640 + 8, 480 + 8, "VP8X", False, False, 3)),
+    ):
+        got = M.parse_webp(M._make_webp(doc_id))
+        assert got == want, (doc_id, got, want)
+
+
+def test_webp_vp8x_lossless_flag_tracks_inner_vp8l():
+    # a VP8X container whose image chunk is VP8L must report lossless
+    import struct
+
+    def chunk(cid, body):
+        return cid + struct.pack("<I", len(body)) + body + (b"\x00" if len(body) & 1 else b"")
+
+    vp8x = bytes([0x10]) + b"\x00\x00\x00" + (99).to_bytes(3, "little") + (49).to_bytes(3, "little")
+    bits = 99 | (49 << 14) | (1 << 28)
+    payload = chunk(b"VP8X", vp8x) + chunk(b"VP8L", b"\x2f" + struct.pack("<I", bits))
+    data = b"RIFF" + struct.pack("<I", 4 + len(payload)) + b"WEBP" + payload
+    assert M.parse_webp(data) == (100, 50, "VP8X", True, True, 2)
+
+
+@pytest.mark.parametrize(
+    "raw",
+    [
+        b"",
+        b"RIFF\x04\x00\x00\x00WAVE",                      # wrong form type
+        b"RIFF\x20\x00\x00\x00WEBP",                      # no image chunk
+        M._make_webp(0)[:20],                             # truncated chunk
+        # bad VP8 start code
+        b"RIFF\x16\x00\x00\x00WEBPVP8 \x0a\x00\x00\x00" + b"\x10\x00\x00\x00\x01\x2a\x00\x00\x00\x00",
+        # bad VP8L signature byte
+        b"RIFF\x11\x00\x00\x00WEBPVP8L\x05\x00\x00\x00" + b"\x2e\x00\x00\x00\x00" + b"\x00",
+        # nonzero VP8L version bits
+        b"RIFF\x11\x00\x00\x00WEBPVP8L\x05\x00\x00\x00" + b"\x2f\x00\x00\x00\xe0" + b"\x00",
+    ],
+)
+def test_webp_rejects_malformed(raw):
+    with pytest.raises(ValueError):
+        M.parse_webp(raw)
+
+
+def test_webp_parser_total_on_arbitrary_bytes():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.binary(max_size=256))
+    def run(raw):
+        try:
+            M.parse_webp(raw)
+        except ValueError:
+            pass
+
+    run()
+
+
+def test_webp_parser_total_on_mutated_valid_payloads():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    base = M._make_webp(5)  # VP8X variant (most structure to corrupt)
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.integers(min_value=0, max_value=len(base) - 1),
+        st.integers(min_value=0, max_value=255),
+        st.integers(min_value=0, max_value=len(base)),
+    )
+    def run(pos, byte, cut):
+        mutated = bytearray(base)
+        mutated[pos] = byte
+        raw = bytes(mutated[:cut])
+        try:
+            M.parse_webp(raw)
+        except ValueError:
+            pass
+
+    run()
+
+
+def test_webp_meta_flags_bad_rows(spark):
+    rows = [(0, M._make_webp(0)), (1, b"garbage"), (2, None)]
+    df = spark.createDataFrame(rows, "doc_id long, media binary")
+    got = {r.doc_id: r.ok for r in M.webp_container_meta(df).collect()}
+    assert got == {0: True, 1: False, 2: False}
