@@ -84,7 +84,20 @@ def load_psl_rules(include_private: bool = True) -> tuple:
             key, slot = line, 0
         flags = rules.setdefault(key.lower(), [False, False, False])
         flags[slot] = True
-    return tuple((k, f[0], f[1], f[2]) for k, f in sorted(rules.items()))
+    out = tuple((k, f[0], f[1], f[2]) for k, f in sorted(rules.items()))
+    # The join cascade in registrable_domain only probes suffixes up
+    # to the _MAX_DEPTH constants; a list refresh adding a deeper rule
+    # would otherwise silently under-match. Effective depth = key
+    # labels, +1 for a wildcard (it consumes one more host label).
+    max_eff = max(k.count(".") + 1 + (1 if wild else 0) for k, _n, wild, _e in out)
+    limit = _MAX_DEPTH_FULL if include_private else _MAX_DEPTH_ICANN
+    if max_eff > limit:
+        raise AssertionError(
+            f"public_suffix_list.dat contains a rule of effective depth "
+            f"{max_eff} > {limit}; raise _MAX_DEPTH_"
+            f"{'FULL' if include_private else 'ICANN'} to match"
+        )
+    return out
 
 
 def psl_rules_df(spark: SparkSession, include_private: bool = True) -> DataFrame:

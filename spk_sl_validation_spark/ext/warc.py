@@ -46,7 +46,11 @@ def parse_warc(data: bytes) -> list[dict]:
     ``WARC/1.1``, carry well-formed ``Name: value`` headers
     terminated by a blank line, a ``Content-Length`` that exactly
     covers the block, and the two-CRLF record terminator; trailing
-    bytes that are not a further record are malformation."""
+    bytes that are not a further record are malformation. Header
+    CONTINUATION lines (leading SP/HT folding, which ISO 28500
+    permits) are unfolded onto the previous header's value with a
+    single joining space — a continuation before any header is
+    malformation."""
     records: list[dict] = []
     pos = 0
     n = len(data)
@@ -61,11 +65,23 @@ def parse_warc(data: bytes) -> list[dict]:
         if version not in (b"WARC/1.0", b"WARC/1.1"):
             raise ValueError(f"bad WARC version line {version[:20]!r}")
         headers: dict[str, str] = {}
+        last_key: str | None = None
         for line in head[1:]:
+            if line[:1] in (b" ", b"\t"):
+                # ISO 28500 header folding: continuation extends the
+                # previous header's value
+                if last_key is None:
+                    raise ValueError(
+                        f"WARC continuation line before any header {line[:40]!r}"
+                    )
+                cont = line.strip().decode("latin-1")
+                headers[last_key] = (headers[last_key] + " " + cont).strip()
+                continue
             if b":" not in line:
                 raise ValueError(f"malformed WARC header line {line[:40]!r}")
             k, v = line.split(b":", 1)
-            headers[k.strip().decode("latin-1").lower()] = v.strip().decode("latin-1")
+            last_key = k.strip().decode("latin-1").lower()
+            headers[last_key] = v.strip().decode("latin-1")
         try:
             length = int(headers["content-length"])
         except KeyError:

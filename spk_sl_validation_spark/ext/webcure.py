@@ -1304,14 +1304,17 @@ def url_word_blocklist(
     compiled into ONE alternation regex literal, so the filter is a
     single codegen'd rlike per row — fine into the tens of thousands
     of words; beyond that, switch to the blocklist anti-join shape
-    (:func:`blocklist_filter`) on extracted tokens."""
+    (:func:`blocklist_filter`) on extracted tokens. NULL urls are
+    KEPT (module totality convention: invalid input degrades, it
+    never silently vanishes — ``~NULL.rlike`` is NULL and a bare
+    filter would drop the row)."""
     import re as _re
 
     if not words:
         return df
     pat = "(?i)(" + "|".join(_re.escape(w) for w in words) + ")"
     scan = F.coalesce(normalize_url(url_col), F.lower(F.col(url_col)))
-    return df.filter(~scan.rlike(pat))
+    return df.filter(F.coalesce(~scan.rlike(pat), F.lit(True)))
 
 
 # ---------------------------------------------------------------------------

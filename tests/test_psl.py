@@ -171,3 +171,21 @@ def test_idna_encode_and_psl_composition(spark):
         "ascii_host",
     ).first()
     assert comp.domain == "xn--bcher-kva.co.jp"
+
+
+def test_max_depth_constants_cover_vendored_list():
+    """A list refresh adding a deeper rule must fail loudly, not
+    silently under-match (ADVICE r9): load_psl_rules asserts the max
+    effective rule depth against the cascade's probe depth."""
+    from spk_sl_validation_spark.ext.psl import (
+        _MAX_DEPTH_FULL,
+        _MAX_DEPTH_ICANN,
+        load_psl_rules,
+    )
+
+    for include_private, limit in ((True, _MAX_DEPTH_FULL), (False, _MAX_DEPTH_ICANN)):
+        rules = load_psl_rules(include_private)
+        max_eff = max(
+            k.count(".") + 1 + (1 if wild else 0) for k, _n, wild, _e in rules
+        )
+        assert max_eff <= limit

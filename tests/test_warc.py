@@ -50,6 +50,34 @@ def test_parser_strictness():
         parse_warc(bad)
 
 
+def test_header_folding_unfolds_onto_previous_value():
+    """ISO 28500 permits header continuation lines (leading SP/HT);
+    they must extend the previous header's value, not parse as
+    malformed (ADVICE r9)."""
+    rec = (
+        b"WARC/1.0\r\n"
+        b"WARC-Type: resource\r\n"
+        b"WARC-Target-URI: https://a.com/\r\n"
+        b"\tfolded/part\r\n"
+        b"Content-Length: 0\r\n\r\n\r\n\r\n"
+    )
+    out = parse_warc(rec)
+    assert out[0]["target_uri"] == "https://a.com/ folded/part"
+    # SP folding too
+    out2 = parse_warc(rec.replace(b"\tfolded", b"  folded"))
+    assert out2[0]["target_uri"] == "https://a.com/ folded/part"
+
+
+def test_continuation_before_any_header_is_malformed():
+    rec = (
+        b"WARC/1.0\r\n"
+        b" orphan continuation\r\n"
+        b"WARC-Type: resource\r\nContent-Length: 0\r\n\r\n\r\n\r\n"
+    )
+    with pytest.raises(ValueError):
+        parse_warc(rec)
+
+
 def test_parser_total_on_arbitrary_and_mutated_bytes():
     from hypothesis import given, settings
     from hypothesis import strategies as st

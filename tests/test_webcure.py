@@ -805,3 +805,13 @@ def test_gopher_doc_gate_matches_aggregate_twin(spark):
     assert rows[0].passes  # 64 words, all alpha, stops present
     assert not rows[1].passes and rows[1].alpha_word_frac < 0.8
     assert not rows[2].passes and rows[2].n_words == 2
+
+
+def test_url_word_blocklist_keeps_null_urls(spark):
+    # totality convention: a NULL url degrades, it never vanishes
+    df = spark.createDataFrame(
+        [(0, "https://a.com/casino"), (1, None), (2, "https://a.com/ok")],
+        "doc_id long, url string",
+    )
+    kept = sorted(r.doc_id for r in W.url_word_blocklist(df, ["casino"]).collect())
+    assert kept == [1, 2]
