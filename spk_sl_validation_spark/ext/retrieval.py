@@ -481,3 +481,127 @@ def remove_from_bm25_index(
         return postings2, df2, stats2
     nd2 = nd_tbl.join(ids.hint("shuffle_hash"), id_col, "left_anti")
     return postings2, df2, stats2, nd2
+
+
+# ---------------------------------------------------------------------------
+# Exact phrase search (round 10): the grep-shaped retrieval primitive
+# a corpus team runs for targeted inspection and phrase-level
+# decontamination ("find every document containing this exact quote").
+# Two plan shapes for the same law:
+#   - phrase_search: ONE narrow scan — per row, match positions via an
+#     array HOF over the token array (O(n_tokens · phrase_len) per
+#     doc, embarrassingly parallel, zero exchanges besides the final
+#     nothing). Right for one-off sweeps: no index to build or store.
+#   - phrase_search_indexed: positional postings (term, doc, pos) +
+#     one adjacency join per extra phrase term, each keyed on
+#     (doc, anchor_pos) AFTER filtering postings to the phrase's own
+#     vocabulary — the repeated-query shape; a stopword anchor term
+#     concentrates on a join key (AQE-splittable), never a window.
+# ---------------------------------------------------------------------------
+
+
+def _phrase_positions(tokens, terms: Sequence[str]):
+    """1-based positions where ``terms`` matches ``tokens`` exactly
+    (overlapping matches all count). Empty array when the doc is
+    shorter than the phrase — sequence() would otherwise DESCEND."""
+    k = len(terms)
+    upper = F.size(tokens) - (k - 1)
+    seq = F.when(upper >= 1, F.sequence(F.lit(1), upper)).otherwise(
+        F.array().cast("array<int>")
+    )
+
+    def is_match(p):
+        cond = F.element_at(tokens, p) == terms[0]
+        for i, w in enumerate(terms[1:], 1):
+            cond = cond & (F.element_at(tokens, p + i) == w)
+        return cond
+
+    return F.filter(seq, is_match)
+
+
+def phrase_search(
+    docs: DataFrame,
+    phrases: Sequence[tuple[int, str]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(phrase_id, doc_id, n_matches, first_pos) for every document
+    containing each whitespace-tokenized phrase at least once. ONE
+    corpus scan for all phrases: per row an array of per-phrase match
+    structs is built and exploded (the explode doubles as the
+    evaluate-once barrier — each phrase's position array computes
+    once, not once per consuming expression)."""
+    if not phrases:
+        raise ValueError("phrases must be non-empty")
+    toks = ws_tokens(text_col)
+    arr = F.array(
+        *[
+            F.struct(
+                F.lit(int(pid)).alias("phrase_id"),
+                _phrase_positions(toks, phrase.split()).alias("pos"),
+            )
+            for pid, phrase in phrases
+        ]
+    )
+    m = (
+        docs.select(F.col(id_col), F.explode(arr).alias("__m"))
+        .select(id_col, "__m.phrase_id", "__m.pos")
+        .filter(F.size("pos") > 0)
+    )
+    return m.select(
+        "phrase_id",
+        F.col(id_col),
+        F.size("pos").cast("bigint").alias("n_matches"),
+        F.element_at("pos", 1).cast("int").alias("first_pos"),
+    )
+
+
+def phrase_index(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Positional postings (term, doc, pos 1-based) — the persistable
+    index relation :func:`phrase_search_indexed` queries. Same
+    explode shape as the BM25 postings build."""
+    return docs.select(
+        F.col(id_col), F.posexplode(ws_tokens(text_col)).alias("__p", "term")
+    ).select("term", id_col, (F.col("__p") + 1).cast("int").alias("pos"))
+
+
+def phrase_search_indexed(
+    postings: DataFrame,
+    phrases: Sequence[tuple[int, str]],
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The indexed twin of :func:`phrase_search` — same output law
+    (the registered query carries the direct path's oracle verbatim).
+    Per phrase: filter postings to each term, then one join per extra
+    term on (doc, anchor_pos + offset); matches groupBy-count per
+    doc. Joins are hinted shuffle_hash — posting lists for stopword
+    terms are too big to broadcast at corpus scale."""
+    if not phrases:
+        raise ValueError("phrases must be non-empty")
+    outs = []
+    for pid, phrase in phrases:
+        terms = phrase.split()
+        cur = (
+            postings.filter(F.col("term") == terms[0])
+            .select(id_col, "pos")
+        )
+        for i, w in enumerate(terms[1:], 1):
+            nxt = (
+                postings.filter(F.col("term") == w)
+                .select(id_col, (F.col("pos") - i).alias("pos"))
+            )
+            cur = cur.join(nxt.hint("shuffle_hash"), [id_col, "pos"], "left_semi")
+        outs.append(
+            cur.groupBy(id_col).agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_matches"),
+                F.min("pos").cast("int").alias("first_pos"),
+            ).select(
+                F.lit(int(pid)).alias("phrase_id"), id_col, "n_matches", "first_pos"
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionAll(o)
+    return out

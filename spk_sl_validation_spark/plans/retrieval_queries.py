@@ -366,3 +366,80 @@ def bm25_retrieval_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
 _REG["bm25_retrieval_churn"] = _dc.replace(
     _REG["bm25_retrieval_churn"], oracle=_BM25_ORACLE
 )
+
+
+# ---------------------------------------------------------------------------
+# Exact phrase search (round 10)
+# ---------------------------------------------------------------------------
+
+#: (phrase_id, phrase) — drawn from the testdata vocabulary so matches
+#: are plentiful; phrase 1 is a repeated-word phrase (overlapping
+#: matches must all count); phrase 2 is 3 terms (two adjacency steps).
+PHRASE_QUERIES: tuple[tuple[int, str], ...] = (
+    (0, "fast table"),
+    (1, "table table"),
+    (2, "part value fast"),
+)
+
+
+def _phrase_oracle_arm(pid: int, phrase: str) -> str:
+    terms = phrase.split()
+    k = len(terms)
+    conds = " AND ".join(f"t[i + {j}] = '{w}'" for j, w in enumerate(terms))
+    return f"""
+SELECT CAST({pid} AS INTEGER) AS phrase_id, doc_id,
+       count(*) AS n_matches, CAST(min(i) AS INTEGER) AS first_pos
+FROM (
+  SELECT doc_id, t, i
+  FROM (SELECT doc_id, {_TOKS} AS t FROM documents),
+       unnest(range(1, len(t) - {k - 1} + 1)) AS u(i)
+  WHERE {conds}
+)
+GROUP BY doc_id"""
+
+
+_PHRASE_ORACLE = "\nUNION ALL\n".join(
+    _phrase_oracle_arm(pid, ph) for pid, ph in PHRASE_QUERIES
+)
+
+
+@register(
+    "phrase_search",
+    doc=(
+        "exact phrase search, direct (grep-shaped): ONE corpus scan — "
+        "per row an array HOF enumerates 1-based match positions for "
+        "every phrase at once (overlapping matches count), an explode "
+        "over the per-phrase struct array doubles as the evaluate-once "
+        "barrier; zero joins, zero wide shuffles. The targeted-"
+        "inspection / phrase-decontamination primitive"
+    ),
+    oracle=_PHRASE_ORACLE,
+)
+def phrase_search_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spk_sl_validation_spark.ext.retrieval import phrase_search
+
+    docs = load_table(spark, sf_dir, "documents")
+    return phrase_search(docs, PHRASE_QUERIES)
+
+
+@register(
+    "phrase_search_indexed",
+    doc=(
+        "exact phrase search against POSITIONAL POSTINGS (term, doc, "
+        "pos): postings filter to the phrase's own vocabulary before "
+        "any shuffle, one (doc, anchor_pos+offset) semi join per extra "
+        "term (shuffle_hash — stopword posting lists don't broadcast "
+        "at corpus scale; a hot anchor term concentrates on a join "
+        "key, AQE-splittable), groupBy-count per doc. Same output law "
+        "as the direct path — the oracle is carried verbatim"
+    ),
+    oracle=_PHRASE_ORACLE,
+)
+def phrase_search_indexed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spk_sl_validation_spark.ext.retrieval import (
+        phrase_index,
+        phrase_search_indexed,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return phrase_search_indexed(phrase_index(docs), PHRASE_QUERIES)

@@ -385,3 +385,57 @@ def test_bm25_remove_empty_batch_is_identity(spark):
         assert ms == rs, f"{label} changed on empty remove: {ms[:3]} != {rs[:3]}"
         for row in ms:
             assert None not in row, f"{label} contains NULL after empty remove"
+
+
+# ---------------------------------------------------------------------------
+# Exact phrase search (round 10)
+# ---------------------------------------------------------------------------
+
+
+def _phrase_docs(spark):
+    rows = [
+        (0, "a b a b a"),        # "a b" at 1,3; "b a" at 2,4
+        (1, "x x x"),            # "x x" overlapping at 1,2
+        (2, "a"),                # shorter than any 2-term phrase
+        (3, "b a b"),            # "a b" at 2
+        (4, ""),                 # empty text
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_phrase_search_positions_and_overlaps(spark):
+    from spk_sl_validation_spark.ext.retrieval import phrase_search
+
+    out = phrase_search(_phrase_docs(spark), ((0, "a b"), (1, "x x"), (2, "a b a")))
+    got = {(r.phrase_id, r.doc_id): (r.n_matches, r.first_pos) for r in out.collect()}
+    assert got == {
+        (0, 0): (2, 1),
+        (0, 3): (1, 2),
+        (1, 1): (2, 1),   # overlapping matches both count
+        (2, 0): (2, 1),   # 3-term phrase, overlapping at 1 and 3
+    }
+
+
+def test_phrase_search_indexed_matches_direct(spark):
+    from spk_sl_validation_spark.ext.retrieval import (
+        phrase_index,
+        phrase_search,
+        phrase_search_indexed,
+    )
+
+    docs = _phrase_docs(spark)
+    phrases = ((0, "a b"), (1, "x x"), (2, "a b a"), (3, "b a b"))
+    direct = sorted(map(tuple, phrase_search(docs, phrases).collect()))
+    indexed = sorted(
+        map(tuple, phrase_search_indexed(phrase_index(docs), phrases).collect())
+    )
+    assert direct == indexed
+
+
+def test_phrase_search_rejects_empty_phrases(spark):
+    import pytest as _pytest
+
+    from spk_sl_validation_spark.ext.retrieval import phrase_search
+
+    with _pytest.raises(ValueError):
+        phrase_search(_phrase_docs(spark), ())
