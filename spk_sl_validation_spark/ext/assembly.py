@@ -644,3 +644,59 @@ SELECT s.{id_col}, s.{source_col},
             ELSE 'tail' END AS ppl_bucket
 FROM scored s JOIN cuts c ON c.{source_col} = s.{source_col}
 """
+
+
+# ---------------------------------------------------------------------------
+# Fill-in-the-middle (FIM) span-corruption shaping (round 10):
+# Bavarian et al. 2022, "Efficient Training of Language Models to
+# Fill in the Middle" — the batch transformation code-model pipelines
+# apply to a fraction of documents: split each document into
+# (prefix, middle, suffix) and re-serialize in PSM order
+# ([PRE] prefix [SUF] suffix [MID] middle) so the model learns to
+# infill. Deterministic splits (integer-ratio boundaries on the token
+# array) — a reproducible corpus build wants the split to be a pure
+# function of the document, not a runtime RNG; vary `lo`/`hi` ratios
+# per epoch for fresh splits. Pure narrow array expressions, zero
+# exchanges at any corpus size.
+# ---------------------------------------------------------------------------
+
+FIM_PRE = "<fim_prefix>"
+FIM_SUF = "<fim_suffix>"
+FIM_MID = "<fim_middle>"
+
+
+def fim_split(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lo: tuple[int, int] = (1, 3),
+    hi: tuple[int, int] = (2, 3),
+) -> DataFrame:
+    """(id, prefix, middle, suffix, psm_text, n_tokens): whitespace-
+    token split at integer-ratio boundaries — token index boundaries
+    ``lo_cut = n*lo_num // lo_den`` and ``hi_cut = n*hi_num //
+    hi_den`` (integer arithmetic on BOTH engines, so the oracle twin
+    is bit-exact; float fractions would round differently). Documents
+    shorter than 3 tokens degrade to empty middle/suffix, never an
+    error."""
+    (ln, ld), (hn, hd) = lo, hi
+    if not (0 < ln / ld <= hn / hd <= 1):
+        raise ValueError(f"bad split ratios lo={lo} hi={hi}")
+    t = ws_tokens(text_col)
+    n = F.size(t)
+    lo_cut = F.floor(n * ln / ld).cast("int")
+    hi_cut = F.floor(n * hn / hd).cast("int")
+    prefix = F.concat_ws(" ", F.slice(t, 1, lo_cut))
+    middle = F.concat_ws(" ", F.slice(t, lo_cut + 1, hi_cut - lo_cut))
+    suffix = F.concat_ws(" ", F.slice(t, hi_cut + 1, n - hi_cut))
+    psm = F.concat(
+        F.lit(FIM_PRE), prefix, F.lit(FIM_SUF), suffix, F.lit(FIM_MID), middle
+    )
+    return docs.select(
+        F.col(id_col),
+        prefix.alias("prefix"),
+        middle.alias("middle"),
+        suffix.alias("suffix"),
+        psm.alias("psm_text"),
+        n.cast("bigint").alias("n_tokens"),
+    )

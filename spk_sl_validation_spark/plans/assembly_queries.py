@@ -483,3 +483,45 @@ def mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
             (p_temp > p_raw).alias("upsampled"),
         )
     )
+
+
+@register(
+    "fim_transform",
+    doc=(
+        "fill-in-the-middle span-corruption shaping (Bavarian et al. "
+        "2022): each document splits at deterministic integer-ratio "
+        "token boundaries (n//3, 2n//3 — integer arithmetic on both "
+        "engines, bit-exact twin) into prefix/middle/suffix and "
+        "re-serializes in PSM order ([PRE] prefix [SUF] suffix [MID] "
+        "middle) for infill training. Pure narrow array expressions, "
+        "zero exchanges; short docs degrade to empty middle/suffix"
+    ),
+    oracle=r"""
+WITH s AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t,
+         len(string_split_regex(trim(text), '\s+')) AS n
+  FROM documents
+),
+cuts AS (
+  SELECT doc_id, t, n,
+         CAST(n // 3 AS INTEGER) AS lo_cut,
+         CAST((n * 2) // 3 AS INTEGER) AS hi_cut
+  FROM s
+)
+SELECT doc_id,
+       array_to_string(list_slice(t, 1, lo_cut), ' ') AS prefix,
+       array_to_string(list_slice(t, lo_cut + 1, hi_cut), ' ') AS middle,
+       array_to_string(list_slice(t, hi_cut + 1, n), ' ') AS suffix,
+       '<fim_prefix>' || array_to_string(list_slice(t, 1, lo_cut), ' ')
+       || '<fim_suffix>' || array_to_string(list_slice(t, hi_cut + 1, n), ' ')
+       || '<fim_middle>' || array_to_string(list_slice(t, lo_cut + 1, hi_cut), ' ')
+         AS psm_text,
+       CAST(n AS BIGINT) AS n_tokens
+FROM cuts
+""",
+)
+def fim_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spk_sl_validation_spark.ext.assembly import fim_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    return fim_split(docs)

@@ -107,3 +107,40 @@ def test_bigram_logprob_matches_python_reference(spark):
         )
         expected = round(float(s) / len(pairs), 6)
         assert got[doc_id] == (len(pairs), expected), doc_id
+
+
+def test_fim_split_boundaries_and_edges(spark):
+    from spk_sl_validation_spark.ext.assembly import fim_split
+
+    rows = [
+        (0, "a b c d e f g h i"),  # n=9: lo=3, hi=6
+        (1, "a b"),                # n=2: lo=0, hi=1 -> empty prefix
+        (2, "a"),                  # n=1: lo=0, hi=0 -> all in suffix
+        (3, ""),                   # split('') -> [''] (n=1, empty token)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in fim_split(df).collect()}
+    r0 = got[0]
+    assert (r0.prefix, r0.middle, r0.suffix) == ("a b c", "d e f", "g h i")
+    assert r0.psm_text == "<fim_prefix>a b c<fim_suffix>g h i<fim_middle>d e f"
+    assert r0.n_tokens == 9
+    r1 = got[1]
+    assert (r1.prefix, r1.middle, r1.suffix) == ("", "a", "b")
+    r2 = got[2]
+    assert (r2.prefix, r2.middle, r2.suffix) == ("", "", "a")
+    # reassembly invariant: tokens(prefix+middle+suffix) == tokens(text)
+    for r in got.values():
+        joined = " ".join(x for x in (r.prefix, r.middle, r.suffix) if x)
+        assert joined.split() == (rows[r.doc_id][1]).split()
+
+
+def test_fim_split_rejects_bad_ratios(spark):
+    import pytest as _pytest
+
+    from spk_sl_validation_spark.ext.assembly import fim_split
+
+    df = spark.createDataFrame([(0, "a b c")], "doc_id long, text string")
+    with _pytest.raises(ValueError):
+        fim_split(df, lo=(2, 3), hi=(1, 3))
+    with _pytest.raises(ValueError):
+        fim_split(df, lo=(0, 3), hi=(2, 3))
