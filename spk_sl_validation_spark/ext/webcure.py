@@ -1481,6 +1481,45 @@ def politeness_schedule(
 # ---------------------------------------------------------------------------
 
 
+def frontier_expand(
+    discovered: DataFrame,
+    frontier: DataFrame,
+    id_col: str = "doc_id",
+    url_col: str = "url",
+    norm_url_col: str = "norm_url",
+) -> DataFrame:
+    """The crawl's next-wave delta: collapse discovered URLs
+    (outlinks, sitemap entries, recrawled links — any union of
+    ``(id, url)`` discovery events) to ``(norm_url, first_doc_id,
+    n_discoveries)`` for URLs NOT already in the frontier.
+
+    Shape: normalize (idempotent — pre-normalized outlink/sitemap
+    feeds pay one no-op regexp pass, unparseable URLs key on their
+    raw string per the module convention), ONE anti join against the
+    frontier on the normalized key (shuffle_hash — a crawl frontier
+    is corpus-sized, never broadcastable), then a groupBy on the
+    skinny key. The discovery event frame never carries page text;
+    a hot URL (everyone links to it) concentrates on a join/agg key —
+    both AQE-splittable, never a window."""
+    keyed = discovered.select(
+        F.col(id_col),
+        F.coalesce(normalize_url(url_col), F.col(url_col)).alias("__nu"),
+    )
+    novel = keyed.join(
+        frontier.select(F.col(norm_url_col).alias("__nu")).hint("shuffle_hash"),
+        "__nu",
+        "left_anti",
+    )
+    return (
+        novel.groupBy("__nu")
+        .agg(
+            F.min(id_col).cast("bigint").alias("first_doc_id"),
+            F.count(F.lit(1)).cast("bigint").alias("n_discoveries"),
+        )
+        .withColumnRenamed("__nu", "norm_url")
+    )
+
+
 def domain_reputation(
     df: DataFrame, score_col: str, url_col: str = "url", psl: bool = False
 ) -> DataFrame:

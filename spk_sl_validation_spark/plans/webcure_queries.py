@@ -1011,6 +1011,76 @@ def web_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "web_frontier_expand",
+    doc=(
+        "crawl frontier expansion — the next-wave delta: outlink "
+        "edges + (non-index) sitemap entries + recrawled known links "
+        "union into one discovery-event frame, normalize, ONE "
+        "shuffle_hash anti join against the current frontier on the "
+        "normalized key (frontiers are corpus-sized, never "
+        "broadcast), then a skinny groupBy → (norm_url, "
+        "first_doc_id, n_discoveries). The recrawl arm feeds already-"
+        "frontier URLs on purpose: the anti join must drop every one "
+        "of them. Oracle replays all three discovery laws "
+        "generatively and the frontier-membership filter in SQL"
+    ),
+    oracle=_ORACLE_LAW.rstrip()
+    + """,
+out_links AS (
+  SELECT p.doc_id, t.dst_url AS u
+  FROM (SELECT doc_id, CAST(doc_id % 3 AS VARCHAR) AS k,
+               CAST(doc_id % 5 AS VARCHAR) AS c FROM documents) p,
+  unnest([
+    'https://ext.org/x',
+    'https://cdn.site' || k || '.com/lib',
+    'https://site' || k || '.com/top',
+    'https://site' || k || '.com/a/b/next' || c || '.html',
+    'https://site' || k || '.com/a/b/page' || c || '?p=2'
+  ]) AS t(dst_url)
+),
+maps AS (
+  SELECT p.doc_id,
+         'https://site' || p.k || '.com/s/' || CAST(g.i AS VARCHAR)
+           || '?a=1&b=2' AS u
+  FROM (SELECT doc_id, CAST(doc_id % 3 AS VARCHAR) AS k,
+               1 + doc_id % 3 AS r, doc_id % 2 = 1 AS is_index
+        FROM documents) p
+  JOIN range(0, 3) g(i) ON g.i < p.r
+  WHERE NOT p.is_index
+),
+recrawl AS (SELECT doc_id, norm_url AS u FROM n WHERE doc_id % 10 = 0),
+disc AS (
+  SELECT doc_id, u FROM out_links
+  UNION ALL SELECT doc_id, u FROM maps
+  UNION ALL SELECT doc_id, u FROM recrawl
+),
+novel AS (
+  SELECT doc_id, u FROM disc
+  WHERE u NOT IN (SELECT DISTINCT norm_url FROM n)
+)
+SELECT u AS norm_url, CAST(min(doc_id) AS BIGINT) AS first_doc_id,
+       CAST(count(*) AS BIGINT) AS n_discoveries
+FROM novel GROUP BY u
+""",
+)
+def web_frontier_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    urls = _urls(spark, sf_dir)
+    frontier = urls.select(W.normalize_url("url").alias("norm_url")).distinct()
+    out = W.outlinks(W.synthesize_outlink_page_table(docs)).select(
+        "doc_id", F.col("dst_url").alias("url")
+    )
+    sm = (
+        W.sitemap_entries(W.synthesize_sitemap_table(docs))
+        .filter(~F.col("is_index"))
+        .select("doc_id", F.col("loc").alias("url"))
+    )
+    recrawl = urls.filter(F.col("doc_id") % 10 == 0).select("doc_id", "url")
+    disc = out.unionAll(sm).unionAll(recrawl)
+    return W.frontier_expand(disc, frontier)
+
+
+@register(
     "web_warc_gz_records",
     doc=(
         "member-gzip WARC parsing — the framing Common Crawl actually "

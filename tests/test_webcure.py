@@ -815,3 +815,29 @@ def test_url_word_blocklist_keeps_null_urls(spark):
     )
     kept = sorted(r.doc_id for r in W.url_word_blocklist(df, ["casino"]).collect())
     assert kept == [1, 2]
+
+
+def test_frontier_expand_drops_known_and_counts_discoveries(spark):
+    frontier = spark.createDataFrame(
+        [("https://a.com/known",)], "norm_url string"
+    )
+    disc = spark.createDataFrame(
+        [
+            (0, "https://a.com/known"),         # already in frontier
+            (1, "https://WWW.A.com/known/"),    # normalizes into frontier
+            (2, "https://a.com/new"),
+            (5, "https://a.com/new?utm_source=x"),  # same after normalize
+            (3, "https://b.org/p"),
+            (4, None),                          # NULL url degrades, keys on raw
+        ],
+        "doc_id long, url string",
+    )
+    out = {
+        r.norm_url: (r.first_doc_id, r.n_discoveries)
+        for r in W.frontier_expand(disc, frontier).collect()
+    }
+    assert out == {
+        "https://a.com/new": (2, 2),
+        "https://b.org/p": (3, 1),
+        None: (4, 1),
+    }
