@@ -930,3 +930,72 @@ def bpe_encode_stats(
         n_bpe.alias("n_bpe_tokens"),
         F.round(n_bpe.cast("double") / n_words.cast("double"), 6).alias("bpe_fertility"),
     )
+
+
+def nfc_normalize_text(
+    df, id_col: str = "doc_id", text_col: str = "text"
+):
+    """Unicode NFC normalization — the canonical-composition pass a
+    corpus runs before any hashing/dedup/fingerprinting: visually
+    identical strings with decomposed combining marks (``e`` +
+    U+0301 vs ``é``) would otherwise carry different fingerprints and
+    silently never dedup. The module's one Arrow-batched Python
+    boundary by necessity: Spark has no built-in normalizer
+    expression and ``reflect()`` cannot pass the
+    ``java.text.Normalizer.Form`` enum. DuckDB twin:
+    ``nfc_normalize()`` — a genuinely independent implementation
+    (ICU) checking CPython's unicodedata. Returns ``(id, nfc_text,
+    changed, n_chars_before, n_chars_after)``; NULL text stays NULL
+    with changed=false."""
+    import pandas as pd  # noqa: F401  (pandas_udf signature)
+
+    @F.pandas_udf("string")
+    def _nfc(s):
+        import unicodedata
+
+        return s.map(
+            lambda x: unicodedata.normalize("NFC", x) if x is not None else None
+        )
+
+    out = df.select(
+        F.col(id_col), F.col(text_col).alias("__raw"), _nfc(text_col).alias("nfc_text")
+    )
+    return out.select(
+        id_col,
+        "nfc_text",
+        F.coalesce(F.col("nfc_text") != F.col("__raw"), F.lit(False)).alias("changed"),
+        F.coalesce(F.length("__raw"), F.lit(0)).cast("int").alias("n_chars_before"),
+        F.coalesce(F.length("nfc_text"), F.lit(0)).cast("int").alias("n_chars_after"),
+    )
+
+
+def winnowing_fingerprints(
+    df, id_col: str = "doc_id", text_col: str = "text", k: int = 3, w: int = 4
+):
+    """Winnowing document fingerprints (Schleimer et al. 2003, the
+    MOSS algorithm): hash every word ``k``-gram, slide a window of
+    ``w`` consecutive hashes, keep the MINIMUM of each window, dedupe
+    — the selected set is guaranteed to share a fingerprint with any
+    document sharing a run of ≥ ``w + k - 1`` words, at ~1/w the
+    storage of full shingling. Pure per-row array expressions
+    (O(shingles · w) HOF cost), one explode to the skinny
+    ``(id, fp)`` relation — cross-doc matching then joins/aggregates
+    on an 8-byte key, never text. Short docs (< k tokens) fingerprint
+    their whole text (one shingle, one window)."""
+    from spk_sl_validation_spark.ext.hashing import md5_long, word_shingles
+    from spk_sl_validation_spark.operators.relational import evaluate_once
+
+    sh = word_shingles(f"split(trim({text_col}), '\\\\s+')", k)
+    h = F.transform(sh, lambda s: md5_long(s))
+    # evaluate_once barrier: without it CollapseProject inlines the
+    # interpreted-HOF md5 array into EVERY window's slice — O(m²) md5
+    # evaluations per doc (measured 29 s → 2.5 s at sf0.01)
+    base = evaluate_once(df.select(F.col(id_col), h.alias("__h")), "__h")
+    hh = F.col("__h")
+    upper = F.greatest(F.size(hh) - (w - 1), F.lit(1))
+    fps = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), upper), lambda i: F.array_min(F.slice(hh, i, w))
+        )
+    )
+    return base.select(F.col(id_col), F.explode(fps).alias("fp"))

@@ -927,3 +927,117 @@ def vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("oov_rate"),
         F.countDistinct(F.when(F.col("in_vocab").isNull(), F.col("term"))).alias("n_oov_terms"),
     )
+
+
+@register(
+    "text_nfc_normalize",
+    doc=(
+        "Unicode NFC canonical composition — the normalization pass "
+        "that must run before any hashing/dedup (decomposed combining "
+        "marks would otherwise never dedup against their composed "
+        "twins): Arrow-batched unicodedata.normalize (Spark has no "
+        "built-in normalizer expression; reflect() cannot pass the "
+        "Form enum), hash-checked against DuckDB's ICU "
+        "nfc_normalize() — two independent Unicode implementations "
+        "agreeing on every byte. Fixture law covers decomposed, "
+        "multiply-decomposed, already-composed (idempotence), and "
+        "plain-ASCII classes"
+    ),
+    oracle="""
+WITH p AS (
+  SELECT doc_id, CAST(doc_id % 4 AS INTEGER) AS v,
+         CAST(doc_id % 5 AS VARCHAR) AS c
+  FROM documents
+),
+raw AS (
+  SELECT doc_id,
+         CASE v
+           WHEN 0 THEN 'plain' || c || ' text'
+           WHEN 1 THEN 'cafe' || chr(769) || ' numero ' || c
+           WHEN 2 THEN 'A' || chr(778) || 'ngstro' || chr(776) || 'm ' || c
+           ELSE 'caf' || chr(233) || ' ' || c
+         END AS t
+  FROM p
+)
+SELECT doc_id,
+       nfc_normalize(t) AS nfc_text,
+       nfc_normalize(t) <> t AS changed,
+       CAST(length(t) AS INTEGER) AS n_chars_before,
+       CAST(length(nfc_normalize(t)) AS INTEGER) AS n_chars_after
+FROM raw
+""",
+)
+def text_nfc_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spk_sl_validation_spark.ext.text import nfc_normalize_text
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    v = (F.col("doc_id") % 4).cast("int")
+    c = (F.col("doc_id") % 5).cast("string")
+    raw = (
+        F.when(v == 0, F.concat(F.lit("plain"), c, F.lit(" text")))
+        .when(v == 1, F.concat(F.lit("café numero "), c))
+        .when(v == 2, F.concat(F.lit("Ångström "), c))
+        .otherwise(F.concat(F.lit("café "), c))
+    )
+    return nfc_normalize_text(docs.select("doc_id", raw.alias("text")))
+
+
+_WINNOW_W = 4
+_WINNOW_FPS = f"""
+WITH l AS (
+  SELECT doc_id, list_transform({_SHINGLES}, s -> {md5_long_sql('s')}) AS h
+  FROM documents
+),
+f AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           range(1, greatest(len(h) - {_WINNOW_W} + 1, 1) + 1),
+           i -> list_min(h[i:i+{_WINNOW_W}-1])))) AS fp
+  FROM l
+)
+"""
+
+
+@register(
+    "text_winnowing_fingerprints",
+    doc=(
+        "winnowing fingerprints (Schleimer et al. 2003 / MOSS): min of "
+        "each w-window of word-3-gram hashes, deduped — guaranteed to "
+        "share a fingerprint with any doc sharing a >= w+k-1-word run, "
+        "at ~1/w the storage of full shingling. Pure per-row array "
+        "expressions + one explode; the (doc, fp) relation is the "
+        "8-byte-key substrate cross-doc matching joins on"
+    ),
+    oracle=_WINNOW_FPS + "SELECT doc_id, fp FROM f",
+)
+def text_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return X.winnowing_fingerprints(docs, k=3, w=_WINNOW_W)
+
+
+@register(
+    "text_winnowing_matches",
+    doc=(
+        "cross-document winnowing matches: fingerprints selected by "
+        ">= 2 documents, with the owning-doc count and first owner — "
+        "one groupBy on the 8-byte fp key (map-side combined), the "
+        "plagiarism/near-clone candidate generator"
+    ),
+    oracle=_WINNOW_FPS
+    + """
+SELECT fp, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(min(doc_id) AS BIGINT) AS first_doc
+FROM f GROUP BY fp HAVING count(*) >= 2
+""",
+)
+def text_winnowing_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    fps = X.winnowing_fingerprints(docs, k=3, w=_WINNOW_W)
+    return (
+        fps.groupBy("fp")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.min("doc_id").cast("bigint").alias("first_doc"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )

@@ -147,3 +147,52 @@ def test_token_counts(spark):
     assert row.ws == 4
     # BPE-ish: ab / cd / , / ef / ! / 12
     assert row.bpe == 6
+
+
+def test_nfc_normalize_text_semantics(spark):
+    from spk_sl_validation_spark.ext.text import nfc_normalize_text
+
+    rows = [
+        (0, "café"),        # decomposed -> composed, 1 fewer char
+        (1, "café"),          # already NFC -> unchanged
+        (2, "plain"),
+        (3, None),                 # NULL stays NULL, changed=false
+        (4, ""),                   # empty unchanged
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in nfc_normalize_text(df).collect()}
+    assert got[0].nfc_text == "café" and got[0].changed
+    assert got[0].n_chars_before == 5 and got[0].n_chars_after == 4
+    assert got[1].nfc_text == "café" and not got[1].changed
+    assert not got[2].changed
+    assert got[3].nfc_text is None and not got[3].changed
+    assert not got[4].changed and got[4].n_chars_after == 0
+    # idempotence: normalizing the output changes nothing
+    out = nfc_normalize_text(
+        spark.createDataFrame(
+            [(0, got[0].nfc_text)], "doc_id long, text string"
+        )
+    ).first()
+    assert not out.changed
+
+
+def test_winnowing_guarantee_and_short_docs(spark):
+    from spk_sl_validation_spark.ext.text import winnowing_fingerprints
+
+    k, w = 3, 4
+    shared = "alpha beta gamma delta epsilon zeta"  # 6 words = w+k-1
+    rows = [
+        (0, "one two " + shared + " three four five six seven"),
+        (1, shared + " eight nine ten eleven twelve"),
+        (2, "unrelated words only here nothing shared at all today"),
+        (3, "tiny"),  # < k tokens: whole-doc shingle, one window
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = winnowing_fingerprints(df, k=k, w=w).collect()
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r.doc_id, set()).add(r.fp)
+    # winnowing guarantee: a shared run of >= w+k-1 words shares >= 1 fp
+    assert by_doc[0] & by_doc[1]
+    assert not (by_doc[2] & by_doc[0])
+    assert len(by_doc[3]) == 1  # short doc: exactly one fingerprint
