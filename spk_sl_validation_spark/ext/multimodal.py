@@ -2331,3 +2331,69 @@ def webp_container_meta(df: DataFrame, media_col: str = "media") -> DataFrame:
             yield pd.DataFrame(out)
 
     return df.mapInPandas(run, WEBP_META_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Windowed audio features (round 10): per-window energy / zero-crossing
+# stats — the silence/clipping/energy gates an audio corpus applies
+# before paying for transcription. Channel 0 only (the fixture law
+# replicates one sample across channels; real stereo energy gating on
+# a reference channel is standard practice).
+# ---------------------------------------------------------------------------
+
+WAV_WINDOW_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("win_idx", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("sum_amp", T.LongType()),
+        T.StructField("sum_sq_amp", T.LongType()),
+        T.StructField("n_zero_cross", T.IntegerType()),
+        T.StructField("ok", T.BooleanType()),
+    ]
+)
+
+
+def wav_window_features(
+    df: DataFrame, media_col: str = "media", win: int = 64
+) -> DataFrame:
+    """Per-window PCM features over channel 0: frame count, integer-
+    exact amplitude sum and energy (sum of squares — int64-safe for
+    16-bit samples at any window size), and the zero-crossing count
+    (sign-bit changes between consecutive frames WITHIN the window;
+    the window's first frame has no predecessor). Arrow-batched,
+    numpy-vectorized per payload; malformed payloads yield ONE
+    ok=false row (win_idx -1) — the module's totality contract."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list[Any]] = {f.name: [] for f in WAV_WINDOW_SCHEMA.fields}
+
+            def emit(doc_id, wi, n, sa, sq, zc, ok):
+                for name, v in zip(
+                    ("doc_id", "win_idx", "n_frames", "sum_amp",
+                     "sum_sq_amp", "n_zero_cross", "ok"),
+                    (doc_id, wi, n, sa, sq, zc, ok),
+                ):
+                    out[name].append(v)
+
+            for doc_id, data in zip(pdf["doc_id"], pdf[media_col]):
+                try:
+                    _rate, channels, _bits, pcm = _parse_wav(bytes(data))
+                    mono = np.frombuffer(pcm, dtype="<i2")[::channels].astype("int64")
+                except (ValueError, IndexError, TypeError):
+                    emit(doc_id, -1, 0, 0, 0, 0, False)
+                    continue
+                nonneg = mono >= 0
+                for wi in range(0, (mono.size + win - 1) // win):
+                    s = mono[wi * win : (wi + 1) * win]
+                    nn = nonneg[wi * win : (wi + 1) * win]
+                    zc = int((nn[1:] != nn[:-1]).sum())
+                    emit(
+                        doc_id, wi, int(s.size), int(s.sum()),
+                        int((s * s).sum()), zc, True,
+                    )
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(run, WAV_WINDOW_SCHEMA)

@@ -463,3 +463,42 @@ FROM documents
 def multimodal_webp_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     return M.webp_container_meta(M.synthesize_webp_table(docs))
+
+
+@register(
+    "multimodal_wav_windows",
+    doc=(
+        "windowed audio features over decoded PCM (channel 0): per "
+        "64-frame window the integer-exact amplitude sum, energy "
+        "(sum of squares), and zero-crossing count — the silence/"
+        "clipping/energy gates an audio corpus applies before paying "
+        "for transcription. Arrow-batched numpy over the real RIFF "
+        "parse; the oracle replays every window stat from the PCM "
+        "generation law in closed-form integer arithmetic"
+    ),
+    oracle="""
+WITH f AS (
+  SELECT doc_id, CAST(g.i AS BIGINT) AS i,
+         ((doc_id * 7 + g.i * 13) % 4096) - 2048 AS s
+  FROM documents
+  JOIN range(0, 257) g(i) ON g.i < 200 + doc_id % 57
+),
+w AS (
+  SELECT doc_id, i, s, CAST(i // 64 AS INTEGER) AS win_idx,
+         lag(s) OVER (PARTITION BY doc_id, i // 64 ORDER BY i) AS prev
+  FROM f
+)
+SELECT doc_id, win_idx,
+       CAST(count(*) AS INTEGER) AS n_frames,
+       CAST(sum(s) AS BIGINT) AS sum_amp,
+       CAST(sum(s * s) AS BIGINT) AS sum_sq_amp,
+       CAST(count(*) FILTER (WHERE prev IS NOT NULL
+                             AND (s >= 0) <> (prev >= 0)) AS INTEGER)
+         AS n_zero_cross,
+       true AS ok
+FROM w GROUP BY doc_id, win_idx
+""",
+)
+def multimodal_wav_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return M.wav_window_features(M.synthesize_wav_table(docs))

@@ -1218,3 +1218,25 @@ def test_webp_meta_flags_bad_rows(spark):
     df = spark.createDataFrame(rows, "doc_id long, media binary")
     got = {r.doc_id: r.ok for r in M.webp_container_meta(df).collect()}
     assert got == {0: True, 1: False, 2: False}
+
+
+def test_wav_window_features_reference_and_totality(spark):
+    import numpy as np
+
+    doc_id, win = 11, 64
+    rows = [(doc_id, M._make_wav(doc_id)), (99, b"junk")]
+    df = spark.createDataFrame(rows, "doc_id long, media binary")
+    got = {(r.doc_id, r.win_idx): r for r in M.wav_window_features(df, win=win).collect()}
+    # python reference from the law
+    n = 200 + doc_id % 57
+    s = np.array([((doc_id * 7 + i * 13) % 4096) - 2048 for i in range(n)], dtype="int64")
+    for wi in range(0, (n + win - 1) // win):
+        seg = s[wi * win : (wi + 1) * win]
+        r = got[(doc_id, wi)]
+        assert r.n_frames == seg.size
+        assert r.sum_amp == int(seg.sum())
+        assert r.sum_sq_amp == int((seg * seg).sum())
+        nn = seg >= 0
+        assert r.n_zero_cross == int((nn[1:] != nn[:-1]).sum())
+        assert r.ok
+    assert got[(99, -1)].ok is False
