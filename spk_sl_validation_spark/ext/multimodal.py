@@ -2397,3 +2397,73 @@ def wav_window_features(
             yield pd.DataFrame(out)
 
     return df.mapInPandas(run, WAV_WINDOW_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Perceptual image fingerprint (round 10): dHash — the near-duplicate
+# key image corpora dedup on before any embedding model runs. Gradient
+# hash: downscale to a 9×8 grayscale grid, one bit per horizontal
+# neighbor comparison (64 bits). Downscale here is NEAREST-SAMPLE at
+# integer grid indices (y = i·h//8, x = j·w//9) — deterministic and
+# exactly SQL-replayable; production may swap box-average pooling via
+# the same UDF without changing the plan or the bit-packing contract.
+# ---------------------------------------------------------------------------
+
+IMAGE_DHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("dhash", T.LongType()),
+        T.StructField("ok", T.BooleanType()),
+    ]
+)
+
+
+def image_dhash(df: DataFrame, media_col: str = "media") -> DataFrame:
+    """dHash over decoded 24bpp BMP payloads: top-down pixel grid,
+    gray = (b0+b1+b2)//3 per pixel, 9×8 nearest-sample grid, bit p =
+    [gray(i,j) < gray(i,j+1)] with p = i·8+j and p=0 the MSB of a
+    SIGNED big-endian int64 (both engines assemble the identical
+    two's-complement value). Hamming distance between dhash values is
+    then the standard near-dup metric; exact-dup grouping is a plain
+    groupBy on the 8-byte key. Malformed payloads yield ok=false."""
+    import struct
+
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list[Any]] = {f.name: [] for f in IMAGE_DHASH_SCHEMA.fields}
+            for doc_id, data in zip(pdf["doc_id"], pdf[media_col]):
+                try:
+                    raw = bytes(data)
+                    width, height, chans = _decode_bmp(raw)
+                    if chans != 3:
+                        raise ValueError("dhash expects 24bpp")
+                    off = struct.unpack_from("<I", raw, 10)[0]
+                    raw_height = struct.unpack_from("<i", raw, 22)[0]
+                    stride = (width * 3 + 3) & ~3
+                    arr = np.frombuffer(
+                        raw, dtype=np.uint8, count=stride * height, offset=off
+                    )
+                    grid = arr.reshape(height, stride)[:, : width * 3]
+                    if raw_height > 0:
+                        grid = grid[::-1]
+                    px = grid.reshape(height, width, 3).astype("int64")
+                    gray = px.sum(axis=2) // 3
+                    ys = (np.arange(8) * height) // 8
+                    xs = (np.arange(9) * width) // 9
+                    small = gray[np.ix_(ys, xs)]
+                    bits = (small[:, :8] < small[:, 1:]).astype(np.uint8)
+                    packed = np.packbits(bits.reshape(-1)).tobytes()
+                    dh = int.from_bytes(packed, "big", signed=True)
+                    row = (width, height, dh, True)
+                except (ValueError, IndexError, TypeError):
+                    row = (0, 0, 0, False)
+                out["doc_id"].append(doc_id)
+                for name, v in zip(("width", "height", "dhash", "ok"), row):
+                    out[name].append(v)
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(run, IMAGE_DHASH_SCHEMA)

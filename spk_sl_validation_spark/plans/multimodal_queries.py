@@ -502,3 +502,52 @@ FROM w GROUP BY doc_id, win_idx
 def multimodal_wav_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     return M.wav_window_features(M.synthesize_wav_table(docs))
+
+
+@register(
+    "multimodal_image_dhash",
+    doc=(
+        "perceptual image fingerprint (dHash) over the real BMP "
+        "decode: 9x8 nearest-sample grayscale grid, one bit per "
+        "horizontal neighbor comparison, packed big-endian into a "
+        "SIGNED int64 (p=0 is the MSB) - the 8-byte near-dup key an "
+        "image corpus groups/Hamming-matches on before any embedding "
+        "model runs. The oracle replays grid sampling, integer gray, "
+        "every comparison bit, and the two's-complement packing from "
+        "the BMP pixel law (HUGEINT-safe bit assembly)"
+    ),
+    oracle="""
+WITH d AS (
+  SELECT doc_id, 1 + doc_id % 13 AS w, 1 + doc_id % 7 AS h FROM documents
+),
+g AS (
+  SELECT doc_id, w, h, gi.i AS i, gj.j AS j,
+         ((gi.i * h // 8) * w + (gj.j * w // 9)) * 3 AS k0
+  FROM d, range(0, 8) gi(i), range(0, 9) gj(j)
+),
+gray AS (
+  SELECT doc_id, i, j,
+         (((doc_id + k0) % 251) + ((doc_id + k0 + 1) % 251)
+          + ((doc_id + k0 + 2) % 251)) // 3 AS gv
+  FROM g
+),
+bits AS (
+  SELECT a.doc_id, a.i, a.j, CAST(a.gv < b.gv AS BIGINT) AS bit
+  FROM gray a
+  JOIN gray b ON b.doc_id = a.doc_id AND b.i = a.i AND b.j = a.j + 1
+  WHERE a.j < 8
+)
+SELECT bits.doc_id,
+       CAST(1 + bits.doc_id % 13 AS INTEGER) AS width,
+       CAST(1 + bits.doc_id % 7 AS INTEGER) AS height,
+       CAST(sum(CASE WHEN i = 0 AND j = 0
+                     THEN CAST(-9223372036854775808 AS HUGEINT) * bit
+                     ELSE CAST(bit << (63 - (i * 8 + j)) AS HUGEINT) END)
+            AS BIGINT) AS dhash,
+       true AS ok
+FROM bits GROUP BY bits.doc_id
+""",
+)
+def multimodal_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return M.image_dhash(M.synthesize_bmp_table(docs))

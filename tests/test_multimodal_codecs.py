@@ -1240,3 +1240,40 @@ def test_wav_window_features_reference_and_totality(spark):
         assert r.n_zero_cross == int((nn[1:] != nn[:-1]).sum())
         assert r.ok
     assert got[(99, -1)].ok is False
+
+
+def test_image_dhash_reference_and_properties(spark):
+    import numpy as np
+
+    # python reference straight from the operator contract
+    def ref_dhash(doc_id):
+        w, h = 1 + doc_id % 13, 1 + doc_id % 7
+        gray = np.zeros((h, w), dtype="int64")
+        for y in range(h):
+            for x in range(w):
+                k0 = (y * w + x) * 3
+                gray[y, x] = (
+                    (doc_id + k0) % 251 + (doc_id + k0 + 1) % 251 + (doc_id + k0 + 2) % 251
+                ) // 3
+        ys = (np.arange(8) * h) // 8
+        xs = (np.arange(9) * w) // 9
+        small = gray[np.ix_(ys, xs)]
+        bits = (small[:, :8] < small[:, 1:]).astype(np.uint8)
+        return int.from_bytes(np.packbits(bits.reshape(-1)).tobytes(), "big", signed=True)
+
+    ids = [0, 7, 13, 91, 250]
+    rows = [(d, M._make_bmp(d)) for d in ids] + [(999, b"nope")]
+    df = spark.createDataFrame(rows, "doc_id long, media binary")
+    got = {r.doc_id: r for r in M.image_dhash(df).collect()}
+    for d in ids:
+        assert got[d].dhash == ref_dhash(d), d
+        assert got[d].ok
+    assert not got[999].ok
+    # identical pixel content (same dims + same byte law) hashes equal:
+    # doc_ids congruent mod lcm(13,7)=91 AND mod 251 share pixels only
+    # if equal, so instead check determinism on a duplicate payload
+    dup = spark.createDataFrame(
+        [(1, M._make_bmp(42)), (2, M._make_bmp(42))], "doc_id long, media binary"
+    )
+    hs = [r.dhash for r in M.image_dhash(dup).collect()]
+    assert hs[0] == hs[1]
