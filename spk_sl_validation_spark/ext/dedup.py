@@ -704,17 +704,32 @@ def with_simhash(
 def simhash_near_dup_pairs(
     df: DataFrame, id_col: str, text_col: str = "text", bits: int = 32, max_hamming: int = 2
 ) -> DataFrame:
-    """Exact Hamming-≤k pairs on SimHash fingerprints via banding.
+    """Exact Hamming-≤k pairs on SimHash fingerprints — the text
+    front-end over :func:`hamming_near_dup_pairs`."""
+    fp_df = simhash_fingerprints(df, id_col, text_col, bits)
+    return hamming_near_dup_pairs(fp_df, id_col, "simhash", bits, max_hamming)
+
+
+def hamming_near_dup_pairs(
+    fp_df: DataFrame,
+    id_col: str = "doc_id",
+    fp_col: str = "fp",
+    bits: int = 32,
+    max_hamming: int = 2,
+) -> DataFrame:
+    """Exact Hamming-≤k pairs on ANY int64 fingerprint relation
+    (SimHash, image dHash, audio fingerprints …) via banding.
 
     The fingerprint is split into ``max_hamming + 1`` bit-bands; by
     pigeonhole any pair within Hamming distance k agrees exactly on
     ≥1 band, so a per-band equi-join followed by an exact popcount
     filter is *lossless* — identical results to the O(n²) scan the
-    oracle runs, but with join-shaped cost at scale.
-    """
+    oracle runs, but with join-shaped cost at scale. Band values for
+    the top band of a 64-bit fingerprint include arithmetic-shift
+    sign fill — still a pure function of the fingerprint bits, so
+    band equality is preserved."""
     n_bands = max_hamming + 1
     width = (bits + n_bands - 1) // n_bands
-    fp_df = simhash_fingerprints(df, id_col, text_col, bits)
 
     # Same groupBy-collect pair generation as lsh_candidate_pairs:
     # fingerprints are computed once (a self-join would evaluate the
@@ -724,14 +739,14 @@ def simhash_near_dup_pairs(
         *[
             F.struct(
                 F.lit(b).alias("band"),
-                F.shiftright(F.col("simhash"), b * width).bitwiseAND(F.lit((1 << width) - 1)).alias("bh"),
+                F.shiftright(F.col(fp_col), b * width).bitwiseAND(F.lit((1 << width) - 1)).alias("bh"),
             )
             for b in range(n_bands)
         ]
     )
-    exploded = fp_df.select(id_col, "simhash", F.explode(bands).alias("bk")).select(
-        id_col, "simhash", "bk.band", "bk.bh"
-    )
+    exploded = fp_df.select(
+        F.col(id_col), F.col(fp_col).alias("simhash"), F.explode(bands).alias("bk")
+    ).select(id_col, "simhash", "bk.band", "bk.bh")
     buckets = (
         exploded.groupBy("band", "bh")
         .agg(F.collect_list(F.struct(F.col(id_col).alias("id"), F.col("simhash").alias("fp"))).alias("members"))

@@ -2467,3 +2467,33 @@ def image_dhash(df: DataFrame, media_col: str = "media") -> DataFrame:
             yield pd.DataFrame(out)
 
     return df.mapInPandas(run, IMAGE_DHASH_SCHEMA)
+
+
+def _make_bmp_variant(doc_id: int) -> bytes:
+    """Near-duplicate image fixture for the dHash banding query: even
+    ids carry the plain law image of their own EVEN base; odd ids
+    carry the even partner's image with pixel (0,0)'s three bytes
+    shifted by +100 (mod 251) — a perturbation that can flip only the
+    comparison bits whose samples land on pixel (0,0), so each
+    (2m, 2m+1) pair sits within a small Hamming distance by
+    construction."""
+    base = doc_id - (doc_id % 2)
+    data = bytearray(_make_bmp(base))
+    if doc_id % 2:
+        width, height = 1 + base % 13, 1 + base % 7
+        stride = (width * 3 + 3) & ~3
+        # stored bottom-up: semantic row 0 is the LAST stored row
+        off = 54 + (height - 1) * stride
+        for t in range(3):
+            data[off + t] = (data[off + t] + 100) % 251
+    return bytes(data)
+
+
+def synthesize_bmp_variant_table(docs: DataFrame) -> DataFrame:
+    """(doc_id, media binary) under the near-duplicate-pair law."""
+
+    @F.pandas_udf(T.BinaryType())
+    def make(ids: pd.Series) -> pd.Series:
+        return ids.apply(lambda d: _make_bmp_variant(int(d)))
+
+    return docs.select("doc_id", make(F.col("doc_id")).alias("media"))

@@ -551,3 +551,67 @@ FROM bits GROUP BY bits.doc_id
 def multimodal_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     return M.image_dhash(M.synthesize_bmp_table(docs))
+
+
+@register(
+    "multimodal_image_near_dup",
+    doc=(
+        "image near-duplicate pairs: dHash fingerprints through the "
+        "GENERIC banded Hamming join (pigeonhole: max_hamming+1 "
+        "bit-bands, any pair within Hamming k agrees exactly on >= 1 "
+        "band - a lossless per-band equi-join + exact popcount "
+        "filter, never an O(n^2) scan). Fixture pairs each even image "
+        "with an odd variant whose pixel (0,0) is perturbed; the "
+        "oracle computes every dhash from the modified law and runs "
+        "the full quadratic scan the banding must reproduce exactly"
+    ),
+    oracle="""
+WITH d AS (
+  SELECT doc_id, doc_id - (doc_id % 2) AS base,
+         1 + (doc_id - (doc_id % 2)) % 13 AS w,
+         1 + (doc_id - (doc_id % 2)) % 7 AS h,
+         doc_id % 2 = 1 AS odd
+  FROM documents
+),
+g AS (
+  SELECT doc_id, base, odd, gi.i AS i, gj.j AS j,
+         (gi.i * h // 8) AS y, (gj.j * w // 9) AS x,
+         ((gi.i * h // 8) * w + (gj.j * w // 9)) * 3 AS k0
+  FROM d, range(0, 8) gi(i), range(0, 9) gj(j)
+),
+gray AS (
+  SELECT doc_id, i, j,
+         CASE WHEN odd AND y = 0 AND x = 0
+              THEN (((base + k0 + 100) % 251) + ((base + k0 + 101) % 251)
+                    + ((base + k0 + 102) % 251)) // 3
+              ELSE (((base + k0) % 251) + ((base + k0 + 1) % 251)
+                    + ((base + k0 + 2) % 251)) // 3 END AS gv
+  FROM g
+),
+bits AS (
+  SELECT a.doc_id, a.i, a.j, CAST(a.gv < b.gv AS BIGINT) AS bit
+  FROM gray a
+  JOIN gray b ON b.doc_id = a.doc_id AND b.i = a.i AND b.j = a.j + 1
+  WHERE a.j < 8
+),
+fp AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN i = 0 AND j = 0
+                       THEN CAST(-9223372036854775808 AS HUGEINT) * bit
+                       ELSE CAST(bit << (63 - (i * 8 + j)) AS HUGEINT) END)
+              AS BIGINT) AS dhash
+  FROM bits GROUP BY doc_id
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.dhash, b.dhash)) AS INTEGER) AS hamming
+FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.dhash, b.dhash)) <= 2
+""",
+)
+def multimodal_image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spk_sl_validation_spark.ext.dedup import hamming_near_dup_pairs
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    fps = M.image_dhash(M.synthesize_bmp_variant_table(docs)).select("doc_id", "dhash")
+    pairs = hamming_near_dup_pairs(fps, "doc_id", "dhash", bits=64, max_hamming=2)
+    return pairs.select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
