@@ -475,6 +475,28 @@ def run(op: str, docs, n: int) -> dict:
         from spk_sl_validation_spark.ext import webcure as W
 
         out = W.url_dedup(W.synthesize_url_table(docs.select("doc_id")))
+    elif op == "winnowing":
+        # Winnowing fingerprint selection + cross-doc match groupBy:
+        # per-row array HOFs (evaluate_once-barriered hash array) into
+        # one map-side-combined agg on the 8-byte fp key. The probe
+        # corpus's 15% dup mass yields real shared fingerprints.
+        from spk_sl_validation_spark.ext.text import winnowing_fingerprints
+
+        fps = winnowing_fingerprints(docs, k=3, w=4)
+        out = (
+            fps.groupBy("fp")
+            .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("first_doc"))
+            .filter(F.col("n_docs") >= 2)
+        )
+    elif op == "phrase":
+        # Direct phrase search: one corpus scan, per-row HOF position
+        # enumeration for 3 phrases at once — the grep shape.
+        from spk_sl_validation_spark.ext.retrieval import phrase_search
+
+        out = phrase_search(
+            docs,
+            ((0, "corpus shared header"), (1, "boilerplate span marker"), (2, "w1 w2")),
+        )
     elif op == "bpe_learn":
         # Iterative BPE training: the corpus collapses to its
         # DISTINCT-WORD frequency table before any iteration — probe
