@@ -115,6 +115,26 @@ NONHEADLINE_BUDGETS = {
     "embedding_mmr_select": (0, 0),
     "ngram_novelty": (5, 0),
     "ingest_novelty_batch": (4, 0),
+    # round-10 additions (audited at sf0.001, static plans): the
+    # narrow HOF/Arrow maps must stay exchange-FREE; the indexed
+    # phrase path pays per-term semi joins + the final agg; frontier
+    # expansion = union scans + anti join + groupBy; the winnowing
+    # match / image banding / robots-UA / crawl-delay shapes each
+    # carry their one or two skinny-key exchanges. Zero SMJ across
+    # the board — a sort-merge join anywhere is a broadcast/hint
+    # regression.
+    "phrase_search": (0, 0),
+    "phrase_search_indexed": (10, 0),
+    "web_frontier_expand": (6, 0),
+    "text_winnowing_fingerprints": (0, 0),
+    "text_winnowing_matches": (1, 0),
+    "multimodal_image_near_dup": (2, 0),
+    "fim_transform": (0, 0),
+    "text_nfc_normalize": (0, 0),
+    "multimodal_webp_meta": (0, 0),
+    "multimodal_wav_windows": (0, 0),
+    "web_robots_ua_select": (2, 0),
+    "web_politeness_crawl_delay": (2, 0),
     # round-8: +6 static exchanges — ngram_jaccard_pairs' doc-sizes
     # joins moved off forced F.broadcast (corpus-cardinality
     # standalone) onto shuffle_hash hints, and the sweep re-inlines
