@@ -700,3 +700,71 @@ def fim_split(
         psm.alias("psm_text"),
         n.cast("bigint").alias("n_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Chat-template rendering (round 10): the instruction-tuning batch
+# shape — a conversation (array of (role, content) turns) renders to
+# one training string, and the per-turn CHARACTER OFFSETS come out as
+# a relation so assistant-only loss masking can be applied downstream
+# without re-parsing the rendered text. Template (fixed, part of the
+# operator contract): "<|role|>\n" + content + "<|end|>\n" per turn,
+# concatenated in order.
+# ---------------------------------------------------------------------------
+
+CHAT_TURN_TEMPLATE = ("<|", "|>\n", "<|end|>\n")  # open+role, after-role, close
+
+
+def _render_turn(role: Column, content: Column) -> Column:
+    o, a, c = CHAT_TURN_TEMPLATE
+    return F.concat(F.lit(o), role, F.lit(a), content, F.lit(c))
+
+
+def render_chat_template(
+    df: DataFrame, id_col: str = "doc_id", turns_col: str = "turns"
+) -> DataFrame:
+    """(id, text, n_turns, n_chars): render a conversation column
+    (``array<struct<role string, content string>>``) to one training
+    string. Pure narrow array expressions, zero exchanges."""
+    t = F.col(turns_col)
+    text = F.array_join(
+        F.transform(t, lambda x: _render_turn(x["role"], x["content"])), ""
+    )
+    return df.select(
+        F.col(id_col),
+        text.alias("text"),
+        F.size(t).cast("int").alias("n_turns"),
+        F.length(text).cast("int").alias("n_chars"),
+    )
+
+
+def chat_turn_offsets(
+    df: DataFrame, id_col: str = "doc_id", turns_col: str = "turns"
+) -> DataFrame:
+    """(id, turn_idx, role, start_char, end_char): 0-based character
+    spans of each rendered turn inside :func:`render_chat_template`'s
+    output — the relation assistant-only loss masking consumes
+    (mask = spans where role = 'assistant'). One posexplode + a
+    per-document running-sum window (bounded by turns-per-doc, never
+    corpus-wide)."""
+    ex = df.select(
+        F.col(id_col), F.posexplode(F.col(turns_col)).alias("turn_idx", "t")
+    ).select(
+        id_col,
+        "turn_idx",
+        F.col("t.role").alias("role"),
+        F.length(_render_turn(F.col("t.role"), F.col("t.content"))).alias("__len"),
+    )
+    w = (
+        Window.partitionBy(id_col)
+        .orderBy("turn_idx")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    start = F.coalesce(F.sum("__len").over(w), F.lit(0)).cast("int")
+    return ex.select(
+        id_col,
+        F.col("turn_idx").cast("int").alias("turn_idx"),
+        "role",
+        start.alias("start_char"),
+        (start + F.col("__len")).cast("int").alias("end_char"),
+    )

@@ -6,6 +6,7 @@ operators after cleaning/dedup.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from spk_sl_validation_spark.ext import assembly as A
 from spk_sl_validation_spark.plans.registry import register
@@ -525,3 +526,119 @@ def fim_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return fim_split(docs)
+
+
+def _chat_turns_fixture(docs: DataFrame) -> DataFrame:
+    """Conversation fixture law: system turn + 1+doc_id%3 user/assistant
+    pairs, content keyed on c=doc_id%5 / m=doc_id%2."""
+    c = (F.col("doc_id") % 5).cast("string")
+    m = (F.col("doc_id") % 2).cast("string")
+    np_ = (1 + F.col("doc_id") % 3).cast("int")
+    sys_t = F.struct(
+        F.lit("system").alias("role"),
+        F.concat(F.lit("You are helpful assistant "), m, F.lit(".")).alias("content"),
+    )
+    pair = lambda i: F.array(  # noqa: E731
+        F.struct(
+            F.lit("user").alias("role"),
+            F.concat(
+                F.lit("Question "), c, F.lit(" part "), i.cast("string"), F.lit("?")
+            ).alias("content"),
+        ),
+        F.struct(
+            F.lit("assistant").alias("role"),
+            F.concat(
+                F.lit("Answer "), c, F.lit(" part "), i.cast("string"), F.lit(".")
+            ).alias("content"),
+        ),
+    )
+    turns = F.concat(
+        F.array(sys_t),
+        F.flatten(F.transform(F.sequence(F.lit(0), np_ - 1), pair)),
+    )
+    return docs.select("doc_id", turns.alias("turns"))
+
+
+_CHAT_TURNS_SQL = """
+WITH p AS (
+  SELECT doc_id, 1 + doc_id % 3 AS np,
+         CAST(doc_id % 5 AS VARCHAR) AS c, CAST(doc_id % 2 AS VARCHAR) AS m
+  FROM documents
+),
+turns AS (
+  SELECT doc_id, 0 AS turn_idx, 'system' AS role,
+         'You are helpful assistant ' || m || '.' AS content
+  FROM p
+  UNION ALL
+  SELECT p.doc_id, 1 + 2 * g.i, 'user',
+         'Question ' || c || ' part ' || CAST(g.i AS VARCHAR) || '?'
+  FROM p JOIN range(0, 3) g(i) ON g.i < np
+  UNION ALL
+  SELECT p.doc_id, 2 + 2 * g.i, 'assistant',
+         'Answer ' || c || ' part ' || CAST(g.i AS VARCHAR) || '.'
+  FROM p JOIN range(0, 3) g(i) ON g.i < np
+),
+r AS (
+  SELECT doc_id, turn_idx, role,
+         '<|' || role || '|>' || chr(10) || content || '<|end|>' || chr(10)
+           AS rt
+  FROM turns
+)
+"""
+
+
+@register(
+    "chat_template_render",
+    doc=(
+        "instruction-data shaping: render a conversation column "
+        "(array<struct<role,content>>) to ONE training string under "
+        "the fixed turn template <|role|>\\ncontent<|end|>\\n — pure "
+        "narrow array expressions, zero exchanges; the oracle rebuilds "
+        "the rendered string generatively from the conversation law"
+    ),
+    oracle=_CHAT_TURNS_SQL
+    + """
+SELECT doc_id, text, n_turns, CAST(length(text) AS INTEGER) AS n_chars
+FROM (
+  SELECT doc_id, string_agg(rt, '' ORDER BY turn_idx) AS text,
+         CAST(count(*) AS INTEGER) AS n_turns
+  FROM r GROUP BY doc_id
+)
+""",
+)
+def chat_template_render(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spk_sl_validation_spark.ext.assembly import render_chat_template
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return render_chat_template(_chat_turns_fixture(docs))
+
+
+@register(
+    "chat_turn_offsets",
+    doc=(
+        "loss-mask spans for instruction tuning: 0-based character "
+        "offsets of every rendered turn inside the chat-template "
+        "output (assistant-only loss masking filters role = "
+        "'assistant') — posexplode + a per-document running-sum "
+        "window (bounded by turns-per-doc, never corpus-wide); the "
+        "oracle replays lengths and the cumulative sum in SQL"
+    ),
+    oracle=_CHAT_TURNS_SQL
+    + """
+SELECT doc_id, CAST(turn_idx AS INTEGER) AS turn_idx, role,
+       CAST(coalesce(sum(length(rt)) OVER (
+              PARTITION BY doc_id ORDER BY turn_idx
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            AS INTEGER) AS start_char,
+       CAST(coalesce(sum(length(rt)) OVER (
+              PARTITION BY doc_id ORDER BY turn_idx
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            + length(rt) AS INTEGER) AS end_char
+FROM r
+""",
+)
+def chat_turn_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spk_sl_validation_spark.ext.assembly import chat_turn_offsets as _off
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return _off(_chat_turns_fixture(docs))

@@ -144,3 +144,36 @@ def test_fim_split_rejects_bad_ratios(spark):
         fim_split(df, lo=(2, 3), hi=(1, 3))
     with _pytest.raises(ValueError):
         fim_split(df, lo=(0, 3), hi=(2, 3))
+
+
+def test_chat_template_render_and_offsets_consistency(spark):
+    from spk_sl_validation_spark.ext.assembly import (
+        chat_turn_offsets,
+        render_chat_template,
+    )
+
+    turns = [
+        ("system", "Be brief."),
+        ("user", "Hi?"),
+        ("assistant", "Hello."),
+        ("user", "Bye?"),
+        ("assistant", "Bye."),
+    ]
+    df = spark.createDataFrame(
+        [(0, turns)],
+        "doc_id long, turns array<struct<role string, content string>>",
+    )
+    rendered = render_chat_template(df).first()
+    assert rendered.n_turns == 5
+    assert rendered.text.startswith("<|system|>\nBe brief.<|end|>\n<|user|>\nHi?")
+    offs = sorted(chat_turn_offsets(df).collect(), key=lambda r: r.turn_idx)
+    # spans tile the rendered text exactly, in order, with no gaps
+    assert offs[0].start_char == 0
+    for a, b in zip(offs, offs[1:]):
+        assert a.end_char == b.start_char
+    assert offs[-1].end_char == rendered.n_chars
+    # each span slices back to its own rendered turn
+    for o, (role, content) in zip(offs, turns):
+        frag = rendered.text[o.start_char : o.end_char]
+        assert frag == f"<|{role}|>\n{content}<|end|>\n"
+        assert o.role == role
