@@ -4,9 +4,13 @@ page metadata, meta-robots compliance gating; round 9 adds C4 line
 cleaning, main-content (link-density) extraction, outlink
 extraction/resolution, sitemap parsing, URL quality features + word
 blocklists, politeness scheduling, domain reputation gating, and
-intra-document paragraph dedup. Binary-side ingest (WARC, charset
-detection) lives in ext/warc.py; the real Public Suffix List in
-ext/psl.py.
+intra-document paragraph dedup; round 10 adds RFC 9309 user-agent
+group selection (crawler-token prefix match, longest value wins,
+same-token groups merge, * fallback), Crawl-delay parsing feeding a
+per-domain politeness rate override, and frontier expansion (novel
+discovered URLs vs the current frontier). Binary-side ingest (WARC,
+charset detection) lives in ext/warc.py; the real Public Suffix List
+in ext/psl.py.
 
 The standard pre-text curation layer of a web-scale training corpus
 (C4, RefinedWeb, FineWeb all start here): before any content-based
