@@ -2497,3 +2497,47 @@ def synthesize_bmp_variant_table(docs: DataFrame) -> DataFrame:
         return ids.apply(lambda d: _make_bmp_variant(int(d)))
 
     return docs.select("doc_id", make(F.col("doc_id")).alias("media"))
+
+
+def _make_bmp_group(doc_id: int) -> bytes:
+    """Duplicate-GROUP image fixture (higher-entropy than the tiny
+    stats-law images, whose dHashes collide so densely that group
+    structure degenerates into a few mega-components): 16..31 ×
+    16..23 images under pix(k) = (base·3 + k·7) % 247, odd ids again
+    perturbing pixel (0,0) of their even partner — so components are
+    (almost always) exactly the constructed pairs."""
+    import struct
+
+    base = doc_id - (doc_id % 2)
+    width, height = 16 + base % 16, 16 + base % 8
+    stride = (width * 3 + 3) & ~3
+    rows = []
+    for y in range(height):
+        row = bytearray()
+        for x in range(width * 3):
+            k = y * width * 3 + x
+            row.append((base * 3 + k * 7) % 247)
+        row += b"\xab" * (stride - width * 3)
+        rows.append(bytes(row))
+    if doc_id % 2:
+        r0 = bytearray(rows[0])
+        for t in range(3):
+            r0[t] = (r0[t] + 100) % 247
+        rows[0] = bytes(r0)
+    pixel_array = b"".join(reversed(rows))
+    off_bits = 14 + 40
+    header = b"BM" + struct.pack("<IHHI", off_bits + len(pixel_array), 0, 0, off_bits)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(pixel_array), 2835, 2835, 0, 0
+    )
+    return header + info + pixel_array
+
+
+def synthesize_bmp_group_table(docs: DataFrame) -> DataFrame:
+    """(doc_id, media binary) under the duplicate-group law."""
+
+    @F.pandas_udf(T.BinaryType())
+    def make(ids: pd.Series) -> pd.Series:
+        return ids.apply(lambda d: _make_bmp_group(int(d)))
+
+    return docs.select("doc_id", make(F.col("doc_id")).alias("media"))

@@ -615,3 +615,108 @@ def multimodal_image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     fps = M.image_dhash(M.synthesize_bmp_variant_table(docs)).select("doc_id", "dhash")
     pairs = hamming_near_dup_pairs(fps, "doc_id", "dhash", bits=64, max_hamming=2)
     return pairs.select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
+
+
+@register(
+    "multimodal_image_dup_groups",
+    doc=(
+        "image duplicate GROUPS: dHash near-dup pairs (the banded "
+        "Hamming join above) fed into until-converged large-star/"
+        "small-star connected components, singletons folded back, "
+        "per-group size attached - the canonical-selection view an "
+        "image dedup actually keeps (keep cluster_id == doc_id). Own "
+        "HIGHER-ENTROPY image law (16..31 x 16..23, pix = (base*3 + "
+        "k*7) % 247): the tiny stats-law images collide so densely "
+        "that groups degenerate into mega-components whose "
+        "transitive-closure oracle is quadratic; here components are "
+        "(almost always) the constructed even/odd pairs. The oracle "
+        "replays the pair law and labels components with a recursive "
+        "min-reachable-id CTE"
+    ),
+    oracle="""
+WITH RECURSIVE d AS (
+  SELECT doc_id, doc_id - (doc_id % 2) AS base,
+         16 + (doc_id - (doc_id % 2)) % 16 AS w,
+         16 + (doc_id - (doc_id % 2)) % 8 AS h,
+         doc_id % 2 = 1 AS odd
+  FROM documents
+),
+g AS (
+  SELECT doc_id, base, odd, gi.i AS i, gj.j AS j,
+         (gi.i * h // 8) AS y, (gj.j * w // 9) AS x,
+         ((gi.i * h // 8) * w + (gj.j * w // 9)) * 3 AS k0
+  FROM d, range(0, 8) gi(i), range(0, 9) gj(j)
+),
+gray AS (
+  SELECT doc_id, i, j,
+         CASE WHEN odd AND y = 0 AND x = 0
+              THEN (((base * 3 + (k0 + 0) * 7 + 100) % 247)
+                    + ((base * 3 + (k0 + 1) * 7 + 100) % 247)
+                    + ((base * 3 + (k0 + 2) * 7 + 100) % 247)) // 3
+              ELSE (((base * 3 + (k0 + 0) * 7) % 247)
+                    + ((base * 3 + (k0 + 1) * 7) % 247)
+                    + ((base * 3 + (k0 + 2) * 7) % 247)) // 3 END AS gv
+  FROM g
+),
+bits AS (
+  SELECT a.doc_id, a.i, a.j, CAST(a.gv < b.gv AS BIGINT) AS bit
+  FROM gray a
+  JOIN gray b ON b.doc_id = a.doc_id AND b.i = a.i AND b.j = a.j + 1
+  WHERE a.j < 8
+),
+fp AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN i = 0 AND j = 0
+                       THEN CAST(-9223372036854775808 AS HUGEINT) * bit
+                       ELSE CAST(bit << (63 - (i * 8 + j)) AS HUGEINT) END)
+              AS BIGINT) AS dhash
+  FROM bits GROUP BY doc_id
+),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.dhash, b.dhash)) <= 2
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+reach(id, r) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT re.id, e.dst FROM reach re JOIN edges e ON e.src = re.r
+),
+clusters AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id),
+sizes AS (SELECT cluster_id, count(*) AS n FROM clusters GROUP BY cluster_id)
+SELECT c.doc_id, CAST(c.cluster_id AS BIGINT) AS cluster_id,
+       CAST(s.n AS BIGINT) AS cluster_size,
+       c.doc_id = c.cluster_id AS is_canonical
+FROM clusters c JOIN sizes s USING (cluster_id)
+""",
+)
+def multimodal_image_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spk_sl_validation_spark.ext.dedup import hamming_near_dup_pairs
+    from spk_sl_validation_spark.ext.graph import connected_components_stars
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    fps = M.image_dhash(M.synthesize_bmp_group_table(docs)).select("doc_id", "dhash")
+    pairs = hamming_near_dup_pairs(fps, "doc_id", "dhash", bits=64, max_hamming=2)
+    labels, _rounds = connected_components_stars(
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    )
+    labeled = docs.join(
+        labels.withColumnRenamed("node", "doc_id"), "doc_id", "left"
+    ).select(
+        "doc_id",
+        F.coalesce(F.col("cluster_id"), F.col("doc_id")).cast("bigint").alias("cluster_id"),
+    )
+    sizes = labeled.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cluster_size")
+    )
+    return labeled.join(sizes, "cluster_id").select(
+        "doc_id",
+        "cluster_id",
+        "cluster_size",
+        (F.col("doc_id") == F.col("cluster_id")).alias("is_canonical"),
+    )

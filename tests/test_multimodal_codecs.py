@@ -1277,3 +1277,27 @@ def test_image_dhash_reference_and_properties(spark):
     )
     hs = [r.dhash for r in M.image_dhash(dup).collect()]
     assert hs[0] == hs[1]
+
+
+def test_image_dup_groups_pairs_are_components(spark):
+    from spk_sl_validation_spark.ext.dedup import hamming_near_dup_pairs
+    from spk_sl_validation_spark.ext.graph import connected_components_stars
+
+    # even/odd partners of the group law must land in one component
+    ids = list(range(8))
+    df = spark.createDataFrame(
+        [(d, M._make_bmp_group(d)) for d in ids], "doc_id long, media binary"
+    )
+    fps = M.image_dhash(df).select("doc_id", "dhash")
+    pairs = hamming_near_dup_pairs(fps, "doc_id", "dhash", bits=64, max_hamming=2)
+    got_pairs = {(r.id_a, r.id_b) for r in pairs.collect()}
+    for m in range(0, 8, 2):
+        assert (m, m + 1) in got_pairs, f"constructed pair ({m},{m+1}) missing"
+    from pyspark.sql import functions as SF
+
+    labels, _ = connected_components_stars(
+        pairs.select(SF.col("id_a").alias("src"), SF.col("id_b").alias("dst"))
+    )
+    lab = {r.node: r.cluster_id for r in labels.collect()}
+    for m in range(0, 8, 2):
+        assert lab.get(m, m) == lab.get(m + 1, m + 1)
