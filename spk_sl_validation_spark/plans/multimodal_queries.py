@@ -705,8 +705,13 @@ def multimodal_image_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels, _rounds = connected_components_stars(
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
     )
+    # labels/sizes come off a localCheckpoint (stats-blind) — without
+    # the hint the planner falls back to sort-merge; shuffle_hash is
+    # the scale-safe shape (labels is corpus-node-sized, no broadcast)
     labeled = docs.join(
-        labels.withColumnRenamed("node", "doc_id"), "doc_id", "left"
+        labels.withColumnRenamed("node", "doc_id").hint("shuffle_hash"),
+        "doc_id",
+        "left",
     ).select(
         "doc_id",
         F.coalesce(F.col("cluster_id"), F.col("doc_id")).cast("bigint").alias("cluster_id"),
@@ -714,7 +719,7 @@ def multimodal_image_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     sizes = labeled.groupBy("cluster_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("cluster_size")
     )
-    return labeled.join(sizes, "cluster_id").select(
+    return labeled.join(sizes.hint("shuffle_hash"), "cluster_id").select(
         "doc_id",
         "cluster_id",
         "cluster_size",

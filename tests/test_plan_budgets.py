@@ -135,6 +135,11 @@ NONHEADLINE_BUDGETS = {
     "multimodal_wav_windows": (0, 0),
     "web_robots_ua_select": (2, 0),
     "web_politeness_crawl_delay": (2, 0),
+    "chat_template_render": (0, 0),
+    "chat_turn_offsets": (1, 0),
+    # checkpoint-blinded labels/sizes joins are shuffle_hash-hinted —
+    # the static plan showed an SMJ before the hints (round-10 audit)
+    "multimodal_image_dup_groups": (8, 0),
     # round-8: +6 static exchanges — ngram_jaccard_pairs' doc-sizes
     # joins moved off forced F.broadcast (corpus-cardinality
     # standalone) onto shuffle_hash hints, and the sweep re-inlines
