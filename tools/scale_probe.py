@@ -497,6 +497,14 @@ def run(op: str, docs, n: int) -> dict:
             docs,
             ((0, "corpus shared header"), (1, "boilerplate span marker"), (2, "w1 w2")),
         )
+    elif op == "image_dhash":
+        # Perceptual-hash fingerprinting at image-corpus scale: Arrow
+        # synth of real BMPs (the group law, 16..31×16..23) → decode +
+        # dHash per payload → the 8-byte key relation. Pure map; the
+        # probe pins payloads/s/core for the pre-embedding dedup pass.
+        from spk_sl_validation_spark.ext import multimodal as M
+
+        out = M.image_dhash(M.synthesize_bmp_group_table(docs.select("doc_id")))
     elif op == "bpe_learn":
         # Iterative BPE training: the corpus collapses to its
         # DISTINCT-WORD frequency table before any iteration — probe
