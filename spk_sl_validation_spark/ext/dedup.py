@@ -710,6 +710,56 @@ def simhash_near_dup_pairs(
     return hamming_near_dup_pairs(fp_df, id_col, "simhash", bits, max_hamming)
 
 
+def _hamming_fp_pairs(
+    reps: DataFrame, bits: int, max_hamming: int
+) -> DataFrame:
+    """DISTINCT-fingerprint pairs within Hamming ≤ k via banding.
+
+    ``reps`` is one row per distinct fingerprint (column ``fp``).
+    The fingerprint is split into ``max_hamming + 1`` bit-bands; by
+    pigeonhole any pair within Hamming distance k agrees exactly on
+    ≥1 band, so per-band bucketing + an exact popcount filter is
+    *lossless*. Band values for the top band of a 64-bit fingerprint
+    include arithmetic-shift sign fill — still a pure function of the
+    fingerprint bits, so band equality is preserved.
+
+    Returns (fp_a, fp_b, hamming) with fp_a < fp_b (fingerprints in
+    a bucket are distinct by construction, so the order is total).
+    """
+    n_bands = max_hamming + 1
+    width = (bits + n_bands - 1) // n_bands
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright(F.col("fp"), b * width).bitwiseAND(F.lit((1 << width) - 1)).alias("bh"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    exploded = reps.select("fp", F.explode(bands).alias("bk")).select(
+        "fp", "bk.band", "bk.bh"
+    )
+    buckets = (
+        exploded.groupBy("band", "bh")
+        .agg(F.collect_list("fp").alias("members"))
+        .filter(F.size("members") > 1)
+    )
+    pair_expr = F.expr(
+        "flatten(transform(members, (m1, i) -> "
+        "filter(transform(members, (m2, j) -> IF(j > i AND m1 < m2, struct(m1 AS a, m2 AS b), "
+        "IF(j > i AND m2 < m1, struct(m2 AS a, m1 AS b), NULL))), p -> p IS NOT NULL)))"
+    )
+    hamming = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+    return (
+        buckets.select(F.explode(pair_expr).alias("p"))
+        .select(F.col("p.a").alias("fp_a"), F.col("p.b").alias("fp_b"))
+        .distinct()
+        .select("fp_a", "fp_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
 def hamming_near_dup_pairs(
     fp_df: DataFrame,
     id_col: str = "doc_id",
@@ -718,57 +768,126 @@ def hamming_near_dup_pairs(
     max_hamming: int = 2,
 ) -> DataFrame:
     """Exact Hamming-≤k pairs on ANY int64 fingerprint relation
-    (SimHash, image dHash, audio fingerprints …) via banding.
+    (SimHash, image dHash, audio fingerprints …) via banding, with an
+    exact-duplicate PRE-COLLAPSE so a dominant identical fingerprint
+    (the blank/logo-image flood of a real crawl) can never build an
+    uncapped single-row band bucket.
 
-    The fingerprint is split into ``max_hamming + 1`` bit-bands; by
-    pigeonhole any pair within Hamming distance k agrees exactly on
-    ≥1 band, so a per-band equi-join followed by an exact popcount
-    filter is *lossless* — identical results to the O(n²) scan the
-    oracle runs, but with join-shaped cost at scale. Band values for
-    the top band of a 64-bit fingerprint include arithmetic-shift
-    sign fill — still a pure function of the fingerprint bits, so
-    band equality is preserved."""
-    n_bands = max_hamming + 1
-    width = (bits + n_bands - 1) // n_bands
+    Shape: collapse identical fingerprints first (groupBy(fp) — one
+    row per DISTINCT fingerprint), band only the distinct
+    fingerprints (:func:`_hamming_fp_pairs`), then re-expand to id
+    pairs with JOINS: cross-group pairs via two member joins on the
+    fingerprint-pair relation, within-group (Hamming-0) pairs via a
+    member self-join restricted to fingerprints with >1 member. Joins
+    are AQE-skew-splittable, unlike a ``collect_list`` bucket row —
+    an m-copy flood costs one groupBy row plus a splittable join, not
+    an O(m²) in-bucket HOF expansion inside one task. Output is
+    IDENTICAL to the quadratic oracle scan (lossless).
+    """
+    # members feeds three consumers (the fp collapse + both expansion
+    # join sides); Spark shares no non-cached subtree, so materialize
+    # once — the fingerprint subtree (e.g. the image-decode dHash map)
+    # must not re-run per consumer. Same pattern as ngram_jaccard_pairs.
+    members = fp_df.select(
+        F.col(id_col).alias("id"), F.col(fp_col).alias("fp")
+    ).localCheckpoint(eager=True)
+    groups = members.groupBy("fp").agg(F.count(F.lit(1)).alias("m"))
 
-    # Same groupBy-collect pair generation as lsh_candidate_pairs:
-    # fingerprints are computed once (a self-join would evaluate the
-    # fingerprint subtree per side), buckets are (band, band-bits),
-    # pairs expand within buckets.
-    bands = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.shiftright(F.col(fp_col), b * width).bitwiseAND(F.lit((1 << width) - 1)).alias("bh"),
-            )
-            for b in range(n_bands)
-        ]
-    )
-    exploded = fp_df.select(
-        F.col(id_col), F.col(fp_col).alias("simhash"), F.explode(bands).alias("bk")
-    ).select(id_col, "simhash", "bk.band", "bk.bh")
-    buckets = (
-        exploded.groupBy("band", "bh")
-        .agg(F.collect_list(F.struct(F.col(id_col).alias("id"), F.col("simhash").alias("fp"))).alias("members"))
-        .filter(F.size("members") > 1)
-    )
-    pair_expr = F.expr(
-        "flatten(transform(members, (m1, i) -> "
-        "filter(transform(members, (m2, j) -> IF(j > i AND m1.id < m2.id, struct(m1 AS a, m2 AS b), "
-        "IF(j > i AND m2.id < m1.id, struct(m2 AS a, m1 AS b), NULL))), p -> p IS NOT NULL)))"
-    )
-    pairs = (
-        buckets.select(F.explode(pair_expr).alias("p"))
-        .select(
-            F.col("p.a.id").alias("id_a"),
-            F.col("p.b.id").alias("id_b"),
-            F.col("p.a.fp").alias("sh_a"),
-            F.col("p.b.fp").alias("sh_b"),
+    fp_pairs = _hamming_fp_pairs(groups.select("fp"), bits, max_hamming)
+
+    # Within-group (identical-fingerprint) pairs ride the SAME
+    # expansion joins as cross-group pairs: a multi-member fingerprint
+    # contributes an (fp, fp) row, whose m×m self-combination is cut
+    # to m(m−1)/2 by the ida < idb filter below.
+    fp_pairs_all = fp_pairs.select("fp_a", "fp_b").unionByName(
+        groups.filter(F.col("m") > 1).select(
+            F.col("fp").alias("fp_a"), F.col("fp").alias("fp_b")
         )
-        .distinct()
     )
-    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
-    return pairs.select("id_a", "id_b", hamming.alias("hamming")).filter(F.col("hamming") <= max_hamming)
+
+    # Expansion: every member of fp_a pairs with every member of fp_b.
+    # fp_pairs_all is the (small) near-dup fingerprint relation;
+    # members is corpus-sized — shuffle_hash by repo convention, AQE
+    # upgrades tiny cases to broadcast and splits skewed keys.
+    ma = members.select(F.col("fp").alias("fp_a"), F.col("id").alias("ida"))
+    mb = members.select(F.col("fp").alias("fp_b"), F.col("id").alias("idb"))
+    hamming = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+    return (
+        fp_pairs_all.join(ma.hint("shuffle_hash"), "fp_a")
+        .join(mb.hint("shuffle_hash"), "fp_b")
+        .filter((F.col("fp_a") != F.col("fp_b")) | (F.col("ida") < F.col("idb")))
+        .select(
+            F.least("ida", "idb").alias("id_a"),
+            F.greatest("ida", "idb").alias("id_b"),
+            hamming.alias("hamming"),
+        )
+    )
+
+
+def hamming_near_dup_edges(
+    fp_df: DataFrame,
+    id_col: str = "doc_id",
+    fp_col: str = "fp",
+    bits: int = 32,
+    max_hamming: int = 2,
+) -> DataFrame:
+    """CONNECTIVITY-PRESERVING edge set for Hamming-≤k components —
+    the bounded input for connected-components consumers.
+
+    Instead of the full (quadratic-in-group-size) pair relation,
+    emits: (a) one STAR edge per non-representative member of each
+    identical-fingerprint group (member → min-id representative,
+    Hamming 0, m−1 edges for an m-copy group), and (b) the
+    representative-level near-dup pairs between DISTINCT fingerprints
+    within Hamming ≤ k. The transitive closure over these edges is
+    identical to the closure over :func:`hamming_near_dup_pairs`
+    (members of one group are connected via the representative; two
+    near-dup groups are connected via their representatives), so
+    connected-components labels are unchanged — but an m-copy
+    exact-duplicate flood contributes m−1 edges instead of m(m−1)/2
+    pairs. Returns (src, dst, hamming).
+    """
+    # Same shared-subtree materialization rationale as
+    # hamming_near_dup_pairs: members feeds the star join and the fp
+    # collapse; groups feeds three consumers.
+    members = fp_df.select(
+        F.col(id_col).alias("id"), F.col(fp_col).alias("fp")
+    ).localCheckpoint(eager=True)
+    groups = members.groupBy("fp").agg(
+        F.min("id").alias("rep"), F.count(F.lit(1)).alias("m")
+    ).localCheckpoint(eager=True)
+
+    stars = (
+        members.join(groups.hint("shuffle_hash"), "fp")
+        .filter(F.col("id") != F.col("rep"))
+        .select(
+            F.col("rep").alias("src"),
+            F.col("id").alias("dst"),
+            F.lit(0).cast("int").alias("hamming"),
+        )
+    )
+
+    fp_pairs = _hamming_fp_pairs(groups.select("fp"), bits, max_hamming)
+    ra = groups.select(F.col("fp").alias("fp_a"), F.col("rep").alias("rep_a"))
+    rb = groups.select(F.col("fp").alias("fp_b"), F.col("rep").alias("rep_b"))
+    rep_edges = (
+        fp_pairs.join(ra.hint("shuffle_hash"), "fp_a")
+        .join(rb.hint("shuffle_hash"), "fp_b")
+        .select(
+            F.least("rep_a", "rep_b").alias("src"),
+            F.greatest("rep_a", "rep_b").alias("dst"),
+            "hamming",
+        )
+    )
+    # Materialize the union: the checkpointed `groups` relation
+    # appears in BOTH branches (4 instances total), and optimizing a
+    # COLUMN-PRUNED view of that union (the exact thing a CC consumer
+    # builds: select(src, dst) → distinct → localCheckpoint) hits a
+    # Spark constraint-rewrite NoSuchElementException on non-nullable
+    # inputs. A single LogicalRDD output is immune, and the edge
+    # relation is CC-round-sized (the per-round checkpoints inside
+    # connected_components_stars are the same magnitude).
+    return stars.unionByName(rep_edges).localCheckpoint(eager=True)
 
 
 # ---------------------------------------------------------------------------

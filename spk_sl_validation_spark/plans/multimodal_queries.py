@@ -696,15 +696,17 @@ FROM clusters c JOIN sizes s USING (cluster_id)
 """,
 )
 def multimodal_image_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from spk_sl_validation_spark.ext.dedup import hamming_near_dup_pairs
+    from spk_sl_validation_spark.ext.dedup import hamming_near_dup_edges
     from spk_sl_validation_spark.ext.graph import connected_components_stars
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     fps = M.image_dhash(M.synthesize_bmp_group_table(docs)).select("doc_id", "dhash")
-    pairs = hamming_near_dup_pairs(fps, "doc_id", "dhash", bits=64, max_hamming=2)
-    labels, _rounds = connected_components_stars(
-        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-    )
+    # Connectivity-preserving edges (star per exact-duplicate group +
+    # representative-level near-dup pairs): identical CC labels to the
+    # full pair relation, but an exact-copy image flood contributes
+    # m−1 edges instead of m(m−1)/2 pairs.
+    edges = hamming_near_dup_edges(fps, "doc_id", "dhash", bits=64, max_hamming=2)
+    labels, _rounds = connected_components_stars(edges.select("src", "dst"))
     # labels/sizes come off a localCheckpoint (stats-blind) — without
     # the hint the planner falls back to sort-merge; shuffle_hash is
     # the scale-safe shape (labels is corpus-node-sized, no broadcast)

@@ -128,7 +128,14 @@ NONHEADLINE_BUDGETS = {
     "web_frontier_expand": (6, 0),
     "text_winnowing_fingerprints": (0, 0),
     "text_winnowing_matches": (1, 0),
-    "multimodal_image_near_dup": (2, 0),
+    # round-11: 2 → 8 — exact-duplicate pre-collapse in
+    # hamming_near_dup_pairs trades +6 exchanges over SKINNY (id, fp)
+    # 16-byte relations (fp collapse groupBy, distinct-fp banding,
+    # two member-expansion joins) for boundedness under an
+    # exact-copy fingerprint flood: the old shape put every copy of
+    # a dominant fingerprint into ONE collect_list bucket row with an
+    # O(m²) in-bucket HOF expansion in a single task.
+    "multimodal_image_near_dup": (8, 0),
     "fim_transform": (0, 0),
     "text_nfc_normalize": (0, 0),
     "multimodal_webp_meta": (0, 0),

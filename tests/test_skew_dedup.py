@@ -158,3 +158,88 @@ def test_propagation_join_gets_aqe_skew_split(spark):
     finally:
         for k, v in saved.items():
             conf.set(k, v)
+
+
+# ---------------------------------------------------------------------------
+# Round-11: exact-duplicate pre-collapse in the banded Hamming join
+# ---------------------------------------------------------------------------
+
+
+def _flood_fps(spark, n: int, flood: int):
+    """(doc_id, fp): ids [0, flood) share one fingerprint; the rest
+    get xxhash64-mixed unique values. Built from spark.range — the
+    NON-NULLABLE input shape is itself the regression trigger for the
+    constraint-rewrite NoSuchElementException a CC consumer used to
+    hit on the un-materialized edge union (round 11)."""
+    base = spark.range(n).withColumnRenamed("id", "doc_id")
+    return base.select(
+        "doc_id",
+        F.when(F.col("doc_id") < flood, F.lit(42).cast("long"))
+        .otherwise(F.xxhash64("doc_id"))
+        .alias("fp"),
+    )
+
+
+def test_hamming_flood_pairs_lossless(spark):
+    """A 100-copy exact-duplicate flood yields exactly C(100, 2)
+    Hamming-0 pairs through the pre-collapsed join expansion."""
+    from spk_sl_validation_spark.ext.dedup import hamming_near_dup_pairs
+
+    fps = _flood_fps(spark, 1000, 100)
+    pairs = hamming_near_dup_pairs(fps, "doc_id", "fp", 64, 2)
+    zero = pairs.filter(F.col("hamming") == 0)
+    assert zero.count() == 100 * 99 // 2
+    # every zero-distance pair is inside the flood, ordered id_a < id_b
+    bad = zero.filter(
+        (F.col("id_a") >= F.col("id_b")) | (F.col("id_b") >= 100)
+    ).count()
+    assert bad == 0
+
+
+def test_hamming_flood_edges_bounded_and_cc_labels(spark):
+    """The edges variant emits m-1 star edges for an m-copy flood
+    (never m(m-1)/2), and stars-CC over it labels the flood as ONE
+    component — connectivity preserved."""
+    from spk_sl_validation_spark.ext.dedup import hamming_near_dup_edges
+    from spk_sl_validation_spark.ext.graph import connected_components_stars
+
+    fps = _flood_fps(spark, 2000, 1000)
+    edges = hamming_near_dup_edges(fps, "doc_id", "fp", 64, 2)
+    assert edges.filter(F.col("hamming") == 0).count() == 999
+    labels, _rounds = connected_components_stars(edges.select("src", "dst"))
+    top = (
+        labels.groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("sz"))
+        .orderBy(F.desc("sz"))
+        .limit(1)
+        .collect()[0]
+    )
+    assert top["sz"] == 1000 and top["cluster_id"] == 0
+
+
+def test_hamming_post_collapse_buckets_are_distinct_fp_sized(spark):
+    """After the fp collapse, band-bucket membership counts DISTINCT
+    fingerprints: the flood contributes ONE entry per band, so no
+    bucket can reach flood size."""
+    fps = _flood_fps(spark, 2000, 1000)
+    reps = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("m"))
+    width = (64 + 2) // 3
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright(F.col("fp"), b * width)
+                .bitwiseAND(F.lit((1 << width) - 1))
+                .alias("bh"),
+            )
+            for b in range(3)
+        ]
+    )
+    census = (
+        reps.select(F.explode(bands).alias("bk"))
+        .groupBy("bk.band", "bk.bh")
+        .agg(F.count(F.lit(1)).alias("sz"))
+        .agg(F.max("sz").alias("mx"))
+        .collect()[0]
+    )
+    assert census["mx"] < 100  # ~1001 distinct fps over 2^22 band values
