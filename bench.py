@@ -70,6 +70,53 @@ def _host_fingerprint() -> dict:
     }
 
 
+def _py_worker_calibrator(spark, runs: int) -> dict:
+    """Fixed-size Arrow/pandas_udf workload, sf-INDEPENDENT: 4M longs
+    through a numpy pipeline in 32 partitions, noop-written like every
+    query. pricing_summary calibrates JVM-side host drift, but a
+    JVM-only calibrator cannot see Python-WORKER contention (fork/
+    spawn latency, Arrow transfer, numpy throughput) — the r10 driver
+    bench moved the pandas_udf-bound family 1.2-1.4x while the JVM
+    calibrator moved 1.02x, and this number is what attributes that.
+    """
+    import pandas as pd  # noqa: F401 — resolved by get_type_hints below
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    def _mix_impl(v):
+        import numpy as np
+
+        x = v.to_numpy(dtype="float64")
+        for _ in range(8):
+            x = np.sqrt(x * 1.0000001 + 1.0)
+        return pd.Series(x)
+
+    # annotations set explicitly (not inline) because this module uses
+    # `from __future__ import annotations`: stringized inline hints
+    # fail pandas_udf's type inference for locally-imported pandas
+    _mix_impl.__annotations__ = {"v": pd.Series, "return": pd.Series}
+    _mix = pandas_udf(_mix_impl, "double")
+
+    samples: list[float] = []
+    for run in range(runs + 1):  # run 0 = unmeasured warm-up
+        t0 = time.time()
+        (
+            spark.range(0, 4_000_000, 1, 32)
+            .select(_mix(F.col("id")).alias("v"))
+            .selectExpr("sum(v) AS s")
+            .write.mode("overwrite")
+            .format("noop")
+            .save()
+        )
+        if run > 0:
+            samples.append(time.time() - t0)
+    return {
+        "median": round(statistics.median(samples), 3),
+        "min": round(min(samples), 3),
+        "max": round(max(samples), 3),
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -82,6 +129,10 @@ def main() -> None:
 
     # warm-up: JVM/codegen/filesystem caches
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    # Python-worker calibrator BEFORE the query loop (it also warms
+    # the Python worker pool the pandas_udf queries reuse).
+    py_cal = _py_worker_calibrator(spark, RUNS)
 
     import gc
 
@@ -124,6 +175,7 @@ def main() -> None:
             {
                 "metric": "headline_queries_detail",
                 "queries_detail": detail,
+                "py_worker_calibrator": py_cal,
                 "runs": RUNS,
                 "aggregation": "median",
                 "host": host,
@@ -138,6 +190,7 @@ def main() -> None:
                 "value": round(sum(medians.values()), 3),
                 "unit": "sec",
                 "queries": medians,
+                "py_worker_calibrator": py_cal["median"],
                 "sf": sf_val,
                 "git_rev": host.get("git_rev"),
                 "runs": RUNS,

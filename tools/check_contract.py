@@ -66,7 +66,16 @@ def main() -> int:
         args = args[:i] + args[i + 2:]
     only = set(args)
     results: dict[str, dict] = {}
+    # Codegen tripwire (round 11): with the default
+    # spark.sql.codegen.fallback=true a janino compile failure (the
+    # 64 KB "Code grows beyond" class that cost r10 three interpreted-
+    # HOF walls) silently runs the stage interpreted — correct
+    # results, 4-10x the wall. The sweep runs with fallback=false so
+    # any registered query whose whole-stage codegen fails to COMPILE
+    # turns red here instead of surfacing as unexplained bench drift.
+    # (tests/test_codegen_tripwire.py pins both behaviors.)
     spark = build_session(app_name="check-contract")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
 
     t0 = time.time()
     smoke = contract.entry(spark)
