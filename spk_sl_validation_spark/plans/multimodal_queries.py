@@ -727,3 +727,52 @@ def multimodal_image_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cluster_size",
         (F.col("doc_id") == F.col("cluster_id")).alias("is_canonical"),
     )
+
+
+@register(
+    "multimodal_pdf_text",
+    doc=(
+        "PDF text extraction over synthesized REAL multi-object PDFs "
+        "(header, xref table, trailer, pages tree, FlateDecode or raw "
+        "content streams, indirect /Length, Tj and TJ shows, escaped "
+        "parentheses, split /Contents arrays - ext/multimodal._make_pdf) "
+        "via the real access path: startxref -> xref -> /Root -> pages "
+        "tree -> content streams -> text operators. Arrow-batched pure "
+        "map, zero exchanges. The oracle recomputes the generation-law "
+        "text in closed form, byte-blind: page p of 1+doc_id%3 pages "
+        "has 3+(doc_id+p)%5 words; word i is 'w'||((doc_id*7+p*31+"
+        "i*13)%97), parenthesis-wrapped when (doc_id+p+i)%7=0; words "
+        "joined by space, pages by newline"
+    ),
+    oracle="""
+WITH d AS (SELECT doc_id, 1 + doc_id % 3 AS n_pages FROM documents),
+words AS (
+  SELECT d.doc_id, d.n_pages, pr.p, wr.i,
+         (d.doc_id * 7 + pr.p * 31 + wr.i * 13) % 97 AS base
+  FROM d, range(0, 3) pr(p), range(0, 8) wr(i)
+  WHERE pr.p < d.n_pages AND wr.i < 3 + (d.doc_id + pr.p) % 5
+),
+w2 AS (
+  SELECT doc_id, n_pages, p, i,
+         CASE WHEN (doc_id + p + i) % 7 = 0
+              THEN '(w' || base || ')' ELSE 'w' || base END AS word
+  FROM words
+),
+pages AS (
+  SELECT doc_id, n_pages, p, string_agg(word, ' ' ORDER BY i) AS page_text
+  FROM w2 GROUP BY doc_id, n_pages, p
+),
+docs AS (
+  SELECT doc_id, n_pages, string_agg(page_text, chr(10) ORDER BY p) AS text
+  FROM pages GROUP BY doc_id, n_pages
+)
+SELECT doc_id, CAST(n_pages AS INTEGER) AS n_pages,
+       CAST(length(text) AS INTEGER) AS n_chars, text, TRUE AS ok
+FROM docs
+""",
+)
+def multimodal_pdf_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return M.pdf_extract_text(M.synthesize_pdf_table(docs)).select(
+        "doc_id", "n_pages", "n_chars", "text", "ok"
+    )

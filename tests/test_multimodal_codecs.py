@@ -1301,3 +1301,102 @@ def test_image_dup_groups_pairs_are_components(spark):
     lab = {r.node: r.cluster_id for r in labels.collect()}
     for m in range(0, 8, 2):
         assert lab.get(m, m) == lab.get(m + 1, m + 1)
+
+
+# ---------------------------------------------------------------------------
+# PDF (round 11): xref walk + object parser + FlateDecode + text ops
+# ---------------------------------------------------------------------------
+
+
+def test_pdf_roundtrip_law():
+    """Writer and parser agree with the closed-form generation law
+    across every structural variant (flate/raw, direct/indirect
+    /Length, Tj vs TJ pages, single vs split /Contents)."""
+    for doc_id in range(90):
+        n_pages, texts = M._parse_pdf(M._make_pdf(doc_id))
+        assert n_pages == 1 + doc_id % 3
+        expected = [
+            " ".join(M._pdf_page_words(doc_id, p)) for p in range(n_pages)
+        ]
+        assert texts == expected
+
+
+def test_pdf_escapes_and_structure_coverage():
+    """The fixture family really exercises the hard paths: escaped
+    parens in string literals, indirect /Length, array /Contents."""
+    # doc 0: flate + indirect length + split contents (0%2==0%3==0%5==0)
+    raw0 = M._make_pdf(0)
+    assert b"/FlateDecode" in raw0 and b"0 R >>\nstream" in raw0
+    # doc 7: raw stream (7%2=1) with literal parens word at (7+p+i)%7==0
+    raw7 = M._make_pdf(7)
+    assert b"\\(" in raw7 and b"\\)" in raw7 and b"/FlateDecode" not in raw7
+    n_pages, texts = M._parse_pdf(raw7)
+    assert any("(" in t for t in texts)
+    # doc 5: split /Contents array (5%5==0)
+    raw5 = M._make_pdf(5)
+    assert b"/Contents [" in raw5
+
+
+def test_pdf_string_escape_set():
+    """Full PDF 32000-1 §7.3.4.2 escape handling, independent of the
+    fixture law: named escapes, octal (1-3 digits), line
+    continuation, balanced nested parens, unknown-escape literal."""
+    lx = M._PdfLexer(b"a\\n\\t\\(x\\)\\\\ \\101\\60(nested (p) q)\\\r\nz)", 0)
+    assert lx.read_string() == b"a\n\t(x)\\ A0(nested (p) q)z"
+
+
+def test_pdf_parser_total_on_arbitrary_bytes():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.binary(max_size=300))
+    def run(raw):
+        try:
+            M._parse_pdf(raw)
+        except (ValueError, IndexError, TypeError, RecursionError):
+            pass
+
+    run()
+
+
+def test_pdf_parser_total_on_mutated_valid_payloads():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    base = M._make_pdf(0)  # flate + indirect len + split contents
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.integers(min_value=0, max_value=len(base) - 1),
+        st.integers(min_value=0, max_value=255),
+        st.integers(min_value=0, max_value=len(base)),
+    )
+    def run(pos, byte, cut):
+        mutated = bytearray(base)
+        mutated[pos] = byte
+        raw = bytes(mutated[:cut])
+        try:
+            M._parse_pdf(raw)
+        except (ValueError, IndexError, TypeError, RecursionError):
+            pass
+
+    run()
+
+
+def test_pdf_extract_text_flags_bad_rows(spark):
+    import pandas as pd
+
+    good = M._make_pdf(3)
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3],
+                "media": [good, b"%PDF-1.4 garbage", None],
+            }
+        )
+    )
+    rows = {r["doc_id"]: r for r in M.pdf_extract_text(df).collect()}
+    assert rows[1]["ok"] and rows[1]["n_pages"] == 1 + 3 % 3
+    assert not rows[2]["ok"] and rows[2]["text"] == ""
+    assert not rows[3]["ok"]

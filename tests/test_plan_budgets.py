@@ -139,6 +139,7 @@ NONHEADLINE_BUDGETS = {
     "fim_transform": (0, 0),
     "text_nfc_normalize": (0, 0),
     "multimodal_webp_meta": (0, 0),
+    "multimodal_pdf_text": (0, 0),
     "multimodal_wav_windows": (0, 0),
     "web_robots_ua_select": (2, 0),
     "web_politeness_crawl_delay": (2, 0),
