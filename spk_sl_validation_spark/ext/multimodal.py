@@ -3085,3 +3085,94 @@ def pdf_extract_text(df: DataFrame, media_col: str = "media") -> DataFrame:
             yield pd.DataFrame(out)
 
     return df.mapInPandas(run, PDF_TEXT_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Audio fingerprint near-dup (round 11): the image-dHash idea on the
+# time-energy grid. Channel-0 PCM is cut into 65 equal nearest-sample
+# segments (same integer boundary law as the dHash pixel grid:
+# segment t covers [t*n//65, (t+1)*n//65)); e(t) = integer-exact
+# sum of squared samples; bit p (0..63) = [e(p) < e(p+1)], packed
+# big-endian into a SIGNED int64 with p=0 the MSB — byte-identical
+# packing to image_dhash, so the fingerprint feeds the same generic
+# hamming_near_dup_pairs/_edges banding. Loudness-profile deltas are
+# what survive re-encoding; a localized edit flips only the bits
+# whose segments cover it.
+# ---------------------------------------------------------------------------
+
+AUDIO_FP_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("afp", T.LongType()),
+        T.StructField("ok", T.BooleanType()),
+    ]
+)
+
+AUDIO_FP_SEGMENTS = 65  # 64 neighbor comparisons
+
+
+def audio_fingerprint(df: DataFrame, media_col: str = "media") -> DataFrame:
+    """64-bit audio fingerprint over the real RIFF/WAVE parse (Arrow-
+    batched numpy map, zero exchanges). Requires n_frames >=
+    AUDIO_FP_SEGMENTS so every segment is non-empty; shorter or
+    malformed payloads yield ok=false."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list[Any]] = {f.name: [] for f in AUDIO_FP_SCHEMA.fields}
+            for doc_id, data in zip(pdf["doc_id"], pdf[media_col]):
+                try:
+                    rate, channels, bits, pcm = _parse_wav(bytes(data))
+                    samples = np.frombuffer(pcm, dtype="<i2")
+                    ch0 = samples[::channels].astype("int64")
+                    n = ch0.size
+                    if n < AUDIO_FP_SEGMENTS:
+                        raise ValueError("too short for fingerprint")
+                    starts = (np.arange(AUDIO_FP_SEGMENTS) * n) // AUDIO_FP_SEGMENTS
+                    e = np.add.reduceat(ch0 * ch0, starts)
+                    fp_bits = (e[:-1] < e[1:]).astype(np.uint8)
+                    packed = np.packbits(fp_bits).tobytes()
+                    afp = int.from_bytes(packed, "big", signed=True)
+                    row = (n, afp, True)
+                except (ValueError, IndexError, TypeError):
+                    row = (0, 0, False)
+                out["doc_id"].append(doc_id)
+                for name, v in zip(("n_frames", "afp", "ok"), row):
+                    out[name].append(v)
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(run, AUDIO_FP_SCHEMA)
+
+
+def _make_wav_variant(doc_id: int) -> bytes:
+    """Near-duplicate audio fixture for the banded Hamming query: even
+    ids carry the plain law clip of their own EVEN base; odd ids carry
+    the even partner's clip with frame 0 (all channels) replaced by
+    s'(0) = ((base*7 + 500) % 4096) - 2048 — a perturbation confined
+    to segment 0, so it can flip only fingerprint bit 0 and each
+    (2m, 2m+1) pair sits within Hamming distance 1 by construction."""
+    import struct
+
+    base = doc_id - (doc_id % 2)
+    data = bytearray(_make_wav(base))
+    if doc_id % 2:
+        channels = 1 + base % 2
+        s0 = ((base * 7 + 500) % 4096) - 2048
+        # layout is fixed by _make_wav: RIFF(12) + fmt(8+16) +
+        # LIST(8+10) + data header(8) = 62
+        assert data[54:58] == b"data"
+        for c in range(channels):
+            struct.pack_into("<h", data, 62 + 2 * c, s0)
+    return bytes(data)
+
+
+def synthesize_wav_variant_table(docs: DataFrame) -> DataFrame:
+    """(doc_id, media binary) under the near-duplicate-pair law."""
+
+    @F.pandas_udf(T.BinaryType())
+    def make(ids: pd.Series) -> pd.Series:
+        return ids.apply(lambda d: _make_wav_variant(int(d)))
+
+    return docs.select("doc_id", make(F.col("doc_id")).alias("media"))

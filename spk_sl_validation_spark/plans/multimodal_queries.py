@@ -776,3 +776,69 @@ def multimodal_pdf_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.pdf_extract_text(M.synthesize_pdf_table(docs)).select(
         "doc_id", "n_pages", "n_chars", "text", "ok"
     )
+
+
+@register(
+    "multimodal_audio_near_dup",
+    doc=(
+        "audio near-dup pairs: 64-bit audio fingerprint (sign of "
+        "neighbor segment-energy deltas over 65 equal nearest-sample "
+        "segments of channel-0 PCM - the image-dHash idea on the "
+        "time-energy grid, identical signed big-endian packing) over "
+        "the REAL RIFF/WAVE parse, fed into the generic pre-collapsed "
+        "banded Hamming join. Fixture law: odd ids replay their even "
+        "partner's clip with frame 0 replaced - a segment-0-confined "
+        "perturbation, so constructed pairs sit within Hamming 1. The "
+        "oracle replays the PCM law, segment energies, every bit, the "
+        "two's-complement packing, and the FULL quadratic scan the "
+        "banding must reproduce exactly"
+    ),
+    oracle="""
+WITH dd AS (
+  SELECT doc_id, doc_id - (doc_id % 2) AS base,
+         200 + (doc_id - (doc_id % 2)) % 57 AS n,
+         doc_id % 2 = 1 AS odd
+  FROM documents
+),
+s AS (
+  SELECT doc_id, n, r.i AS i,
+         CASE WHEN odd AND r.i = 0 THEN ((base * 7 + 500) % 4096) - 2048
+              ELSE ((base * 7 + r.i * 13) % 4096) - 2048 END AS smp
+  FROM dd, range(0, 257) r(i) WHERE r.i < n
+),
+seg AS (
+  SELECT s.doc_id, t.t AS t, SUM(s.smp * s.smp) AS e
+  FROM s, range(0, 65) t(t)
+  WHERE s.i >= (t.t * s.n) // 65 AND s.i < ((t.t + 1) * s.n) // 65
+  GROUP BY s.doc_id, t.t
+),
+bits AS (
+  SELECT a.doc_id, a.t AS p, CAST(a.e < b.e AS BIGINT) AS bit
+  FROM seg a JOIN seg b ON b.doc_id = a.doc_id AND b.t = a.t + 1
+  WHERE a.t < 64
+),
+fp AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN p = 0
+                       THEN CAST(-9223372036854775808 AS HUGEINT) * bit
+                       ELSE CAST(bit << (63 - p) AS HUGEINT) END)
+              AS BIGINT) AS afp
+  FROM bits GROUP BY doc_id
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.afp, b.afp)) AS INTEGER) AS hamming
+FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.afp, b.afp)) <= 2
+""",
+)
+def multimodal_audio_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spk_sl_validation_spark.ext.dedup import hamming_near_dup_pairs
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    fps = M.audio_fingerprint(M.synthesize_wav_variant_table(docs)).select(
+        "doc_id", "afp"
+    )
+    pairs = hamming_near_dup_pairs(fps, "doc_id", "afp", bits=64, max_hamming=2)
+    return pairs.select(
+        "id_a", "id_b", F.col("hamming").cast("int").alias("hamming")
+    )

@@ -1400,3 +1400,64 @@ def test_pdf_extract_text_flags_bad_rows(spark):
     assert rows[1]["ok"] and rows[1]["n_pages"] == 1 + 3 % 3
     assert not rows[2]["ok"] and rows[2]["text"] == ""
     assert not rows[3]["ok"]
+
+
+# ---------------------------------------------------------------------------
+# Audio fingerprint (round 11): segment-energy dHash on channel-0 PCM
+# ---------------------------------------------------------------------------
+
+
+def _ref_audio_fp(doc_id: int) -> int:
+    """Independent pure-python replay of the fingerprint over the
+    variant-pair generation law."""
+    base = doc_id - doc_id % 2
+    n = 200 + base % 57
+    s = [((base * 7 + i * 13) % 4096) - 2048 for i in range(n)]
+    if doc_id % 2:
+        s[0] = ((base * 7 + 500) % 4096) - 2048
+    e = []
+    for t in range(65):
+        lo, hi = t * n // 65, (t + 1) * n // 65
+        e.append(sum(x * x for x in s[lo:hi]))
+    v = 0
+    for p in range(64):
+        v = (v << 1) | (1 if e[p] < e[p + 1] else 0)
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def test_audio_fingerprint_reference_and_pair_law(spark):
+    import pandas as pd
+
+    ids = list(range(24))
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": ids, "media": [M._make_wav_variant(i) for i in ids]})
+    )
+    rows = {r["doc_id"]: r for r in M.audio_fingerprint(df).collect()}
+    for i in ids:
+        assert rows[i]["ok"]
+        assert rows[i]["afp"] == _ref_audio_fp(i), i
+    # constructed (even, odd) pairs sit within Hamming 1 by law
+    for m in range(0, 24, 2):
+        h = bin((rows[m]["afp"] ^ rows[m + 1]["afp"]) & ((1 << 64) - 1)).count("1")
+        assert h <= 1, (m, h)
+
+
+def test_audio_fingerprint_total_on_bad_payloads(spark):
+    import pandas as pd
+    import struct
+
+    # a valid RIFF/WAVE that is TOO SHORT for 65 segments
+    frames = b"".join(struct.pack("<h", 100) for _ in range(10))
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    short = (
+        b"RIFF" + struct.pack("<I", 28 + len(frames)) + b"WAVE"
+        + b"fmt " + struct.pack("<I", 16) + fmt
+        + b"data" + struct.pack("<I", len(frames)) + frames
+    )
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {"doc_id": [1, 2, 3], "media": [b"not a wav", short, None]}
+        )
+    )
+    rows = {r["doc_id"]: r for r in M.audio_fingerprint(df).collect()}
+    assert not any(rows[i]["ok"] for i in (1, 2, 3))

@@ -136,6 +136,7 @@ NONHEADLINE_BUDGETS = {
     # a dominant fingerprint into ONE collect_list bucket row with an
     # O(m²) in-bucket HOF expansion in a single task.
     "multimodal_image_near_dup": (8, 0),
+    "multimodal_audio_near_dup": (8, 0),
     "fim_transform": (0, 0),
     "text_nfc_normalize": (0, 0),
     "multimodal_webp_meta": (0, 0),

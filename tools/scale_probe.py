@@ -505,6 +505,26 @@ def run(op: str, docs, n: int) -> dict:
         from spk_sl_validation_spark.ext import multimodal as M
 
         out = M.image_dhash(M.synthesize_bmp_group_table(docs.select("doc_id")))
+    elif op == "audio_fp":
+        # Audio fingerprinting at clip-corpus scale: Arrow synth of
+        # real RIFF/WAVE clips (the variant-pair law, 200-256 frames)
+        # → RIFF parse + 65-segment energy dHash per payload → the
+        # 8-byte near-dup key relation. Pure map; clips/s/core is the
+        # pre-transcription dedup constant.
+        from spk_sl_validation_spark.ext import multimodal as M
+
+        out = M.audio_fingerprint(M.synthesize_wav_variant_table(docs.select("doc_id")))
+    elif op == "audio_near_dup":
+        # End-to-end: fingerprints + the pre-collapsed banded Hamming
+        # join (round-11 shape) — pairs count is the corpus's
+        # constructed-pair mass plus random band collisions.
+        from spk_sl_validation_spark.ext import multimodal as M
+        from spk_sl_validation_spark.ext.dedup import hamming_near_dup_pairs
+
+        fps = M.audio_fingerprint(
+            M.synthesize_wav_variant_table(docs.select("doc_id"))
+        ).select("doc_id", "afp")
+        out = hamming_near_dup_pairs(fps, "doc_id", "afp", 64, 2)
     elif op == "bpe_learn":
         # Iterative BPE training: the corpus collapses to its
         # DISTINCT-WORD frequency table before any iteration — probe
