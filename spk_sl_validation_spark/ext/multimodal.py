@@ -1162,17 +1162,36 @@ def _jpeg_tables() -> tuple[list[int], list[int], list[int], list[int]]:
     return dc_bits, sorted(_JPEG_DC_SYMS), ac_bits, sorted(_JPEG_AC_SYMS)
 
 
+_DCT_MATRIX = None
+
+
 def _dct_matrix():
-    import math
+    # Constant 8x8 basis — built once per process (it was measured at
+    # ~5% of the whole JPEG codec path when rebuilt per encode/decode).
+    global _DCT_MATRIX
+    if _DCT_MATRIX is None:
+        import math
 
-    import numpy as np
+        import numpy as np
 
-    c = np.zeros((8, 8))
-    for u in range(8):
-        cu = (1 / math.sqrt(2)) if u == 0 else 1.0
-        for x in range(8):
-            c[u, x] = 0.5 * cu * math.cos((2 * x + 1) * u * math.pi / 16)
-    return c
+        c = np.zeros((8, 8))
+        for u in range(8):
+            cu = (1 / math.sqrt(2)) if u == 0 else 1.0
+            for x in range(8):
+                c[u, x] = 0.5 * cu * math.cos((2 * x + 1) * u * math.pi / 16)
+        _DCT_MATRIX = c
+    return _DCT_MATRIX
+
+
+#: zigzag index k -> raster flat position (yy * 8 + xx).
+_JPEG_ZZ_FLAT = None
+
+
+def _jpeg_zz_flat() -> list[int]:
+    global _JPEG_ZZ_FLAT
+    if _JPEG_ZZ_FLAT is None:
+        _JPEG_ZZ_FLAT = [yy * 8 + xx for yy, xx in _JPEG_ZIGZAG]
+    return _JPEG_ZZ_FLAT
 
 
 class _JpegBitWriter:
@@ -1182,15 +1201,21 @@ class _JpegBitWriter:
         self.nbits = 0
 
     def put(self, value: int, length: int) -> None:
-        for i in range(length - 1, -1, -1):
-            self.acc = (self.acc << 1) | ((value >> i) & 1)
-            self.nbits += 1
-            if self.nbits == 8:
-                self.out.append(self.acc)
-                if self.acc == 0xFF:
-                    self.out.append(0x00)  # byte stuffing
-                self.acc = 0
-                self.nbits = 0
+        # Bulk append: one shift per symbol instead of one per bit
+        # (the per-bit loop was the encoder's hottest line). Byte
+        # stuffing and MSB-first order are unchanged — the output
+        # bytes are identical.
+        acc = (self.acc << length) | (value & ((1 << length) - 1))
+        n = self.nbits + length
+        out = self.out
+        while n >= 8:
+            n -= 8
+            b = (acc >> n) & 0xFF
+            out.append(b)
+            if b == 0xFF:
+                out.append(0x00)  # byte stuffing
+        self.acc = acc & ((1 << n) - 1)
+        self.nbits = n
 
     def flush(self) -> bytes:
         if self.nbits:
@@ -1244,48 +1269,58 @@ def _encode_jpeg(pixels, quality_step: int = 16, scan_order: tuple = (0, 1, 2)) 
     dc_codes = _jpeg_canonical(dc_bits, dc_vals)
     ac_codes = _jpeg_canonical(ac_bits, ac_vals)
 
-    bw = _JpegBitWriter()
-    pred = [0, 0, 0]
     order = (0,) if gray else tuple(scan_order)
     if sorted(order) != list(range(len(planes))):
         raise ValueError(f"scan_order must permute {tuple(range(len(planes)))}")
-    for by in range(h // 8):
-        for bx in range(w // 8):
-            for ci in order:
-                plane = planes[ci]
-                block = plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
-                coef = C @ block @ C.T
-                q = np.rint(coef / qtab).astype(np.int64)
-                dc = int(q[0, 0])
-                size, code = _jpeg_mag(dc - pred[ci])
-                pred[ci] = dc
-                hc, hl = dc_codes[size]
-                bw.put(hc, hl)
-                if size:
-                    bw.put(code, size)
-                zz = [int(q[yy, xx]) for yy, xx in _JPEG_ZIGZAG[1:]]
+
+    # Batched FDCT + quantize + zigzag across ALL blocks of all
+    # components in one numpy pass (the per-block 8x8 matmul/listcomp
+    # loop was ~2/3 of encode time); the sequential entropy coder then
+    # walks plain Python int lists. Same math per block, same bytes.
+    nby, nbx = h // 8, w // 8
+    stacked = np.stack(
+        [p.reshape(nby, 8, nbx, 8).transpose(0, 2, 1, 3) for p in planes]
+    ) - 128.0  # (nc, nby, nbx, 8, 8)
+    coefs = C @ stacked @ C.T
+    quant = np.rint(coefs / qtab).astype(np.int64).reshape(len(planes), nby * nbx, 64)
+    zz_all = [comp.tolist() for comp in quant[:, :, _jpeg_zz_flat()]]
+
+    bw = _JpegBitWriter()
+    put = bw.put
+    pred = [0, 0, 0]
+    for bi in range(nby * nbx):
+        for ci in order:
+            zz = zz_all[ci][bi]
+            dc = zz[0]
+            size, code = _jpeg_mag(dc - pred[ci])
+            pred[ci] = dc
+            hc, hl = dc_codes[size]
+            put(hc, hl)
+            if size:
+                put(code, size)
+            last_nz = 0
+            for i in range(63, 0, -1):
+                if zz[i]:
+                    last_nz = i
+                    break
+            run = 0
+            for i in range(1, last_nz + 1):
+                v = zz[i]
+                if v == 0:
+                    run += 1
+                    continue
+                while run >= 16:
+                    hc, hl = ac_codes[0xF0]
+                    put(hc, hl)
+                    run -= 16
+                size, code = _jpeg_mag(v)
+                hc, hl = ac_codes[(run << 4) | size]
+                put(hc, hl)
+                put(code, size)
                 run = 0
-                last_nz = -1
-                for i, v in enumerate(zz):
-                    if v:
-                        last_nz = i
-                for i in range(last_nz + 1):
-                    v = zz[i]
-                    if v == 0:
-                        run += 1
-                        continue
-                    while run >= 16:
-                        hc, hl = ac_codes[0xF0]
-                        bw.put(hc, hl)
-                        run -= 16
-                    size, code = _jpeg_mag(v)
-                    hc, hl = ac_codes[(run << 4) | size]
-                    bw.put(hc, hl)
-                    bw.put(code, size)
-                    run = 0
-                if last_nz < 62:
-                    hc, hl = ac_codes[0x00]  # EOB
-                    bw.put(hc, hl)
+            if last_nz < 63:
+                hc, hl = ac_codes[0x00]  # EOB
+                put(hc, hl)
     entropy = bw.flush()
 
     def seg(marker: int, body: bytes) -> bytes:
@@ -1335,6 +1370,13 @@ class _JpegBitReader:
         self.acc = 0
         self.nbits = 0
         self.ended = False
+        #: First terminal condition hit while pre-buffering bits for a
+        #: LUT peek (truncation / EOI / stray marker). Sticky: once the
+        #: stream hits its barrier no further byte is consumed, and the
+        #: saved exception is raised exactly when a read actually NEEDS
+        #: a bit past it — the same lazy semantics as the old per-bit
+        #: reader, which only raised when the missing bit was consumed.
+        self.barrier: ValueError | None = None
 
     def _fill(self) -> None:
         if self.pos >= len(self.data):
@@ -1352,30 +1394,85 @@ class _JpegBitReader:
                 raise ValueError("JPEG entropy stream ended before all MCUs decoded")
             else:
                 raise ValueError(f"unexpected marker 0xff{nxt:02x} in entropy stream")
-        self.acc = (self.acc << 8) | b
+        # Mask to the live bit count so the accumulator stays a small
+        # int (the old reader let it grow without bound and masked on
+        # extraction — same values, slower arithmetic).
+        self.acc = ((self.acc & ((1 << self.nbits) - 1)) << 8) | b
         self.nbits += 8
 
     def bit(self) -> int:
-        if self.nbits == 0:
-            self._fill()
-        self.nbits -= 1
-        return (self.acc >> self.nbits) & 1
+        return self.bits(1)
 
     def bits(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.bit()
-        return v
+        while self.nbits < n:
+            if self.barrier is not None:
+                raise self.barrier
+            self._fill()
+        self.nbits -= n
+        return (self.acc >> self.nbits) & ((1 << n) - 1)
 
 
-def _jpeg_decode_huff(reader: _JpegBitReader, table: dict[tuple[int, int], int]) -> int:
+#: DHT-content -> packed 16-bit-window LUT: entry = (symbol << 5) | code
+#: length, 0 = no code matches this window prefix. Keyed on the table
+#: BYTES (BITS + HUFFVAL), so every image sharing tables (the universal
+#: case in a real corpus) reuses one build per worker process.
+_JPEG_LUT_CACHE: dict[bytes, list[int]] = {}
+
+
+def _jpeg_huff_lut(bits: bytes, vals: bytes) -> list[int]:
+    key = bits + vals
+    lut = _JPEG_LUT_CACHE.get(key)
+    if lut is not None:
+        return lut
+    lut = [0] * 65536
     code = 0
-    for length in range(1, 17):
-        code = (code << 1) | reader.bit()
-        sym = table.get((length, code))
-        if sym is not None:
-            return sym
-    raise ValueError("invalid JPEG Huffman code (16 bits without a match)")
+    k = 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            # A bogus table can push code >= 2^ln; such codes were
+            # unreachable in the old (length, code)-dict walk (an
+            # ln-bit read is always < 2^ln), so skipping them is
+            # behavior-identical.
+            if code < (1 << ln):
+                base = code << (16 - ln)
+                span = 1 << (16 - ln)
+                lut[base : base + span] = [(vals[k] << 5) | ln] * span
+            code += 1
+            k += 1
+        code <<= 1
+    if len(_JPEG_LUT_CACHE) >= 16:  # bound worker memory under DHT fuzz
+        _JPEG_LUT_CACHE.clear()
+    _JPEG_LUT_CACHE[key] = lut
+    return lut
+
+
+def _jpeg_decode_sym(reader: _JpegBitReader, lut: list[int]) -> int:
+    """One canonical-Huffman symbol via a single 16-bit-window LUT
+    probe (T.81 codes are <= 16 bits) — replaces the per-bit walk with
+    one peek + one list index. Raises exactly where the per-bit reader
+    did: the stream barrier fires only if the matched code would need
+    bits past it."""
+    nb = reader.nbits
+    if nb < 16 and reader.barrier is None:
+        while reader.nbits < 16:
+            try:
+                reader._fill()
+            except ValueError as e:
+                reader.barrier = e
+                break
+        nb = reader.nbits
+    if nb >= 16:
+        window = (reader.acc >> (nb - 16)) & 0xFFFF
+    else:
+        window = (reader.acc << (16 - nb)) & 0xFFFF
+    entry = lut[window]
+    ln = entry & 31
+    if ln == 0 or ln > nb:
+        if reader.barrier is not None:
+            raise reader.barrier
+        raise ValueError("invalid JPEG Huffman code (16 bits without a match)")
+    reader.nbits = nb - ln
+    return entry >> 5
 
 
 def _jpeg_extend(code: int, size: int) -> int:
@@ -1404,7 +1501,7 @@ def _parse_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
         raise ValueError("not a JPEG payload")
     pos = 2
     qtabs: dict[int, list[int]] = {}
-    huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    huff: dict[tuple[int, int], list[int]] = {}  # (class, id) -> window LUT
     sof = None
     comps: list[tuple[int, int]] = []  # (component id, quant table id)
     while True:
@@ -1468,18 +1565,9 @@ def _parse_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
                 nv = sum(bits)
                 if p + nv > len(body):
                     raise ValueError("truncated DHT values")
-                vals = list(body[p : p + nv])
+                vals = bytes(body[p : p + nv])
                 p += nv
-                table: dict[tuple[int, int], int] = {}
-                code = 0
-                k = 0
-                for ln in range(1, 17):
-                    for _ in range(bits[ln - 1]):
-                        table[(ln, code)] = vals[k]
-                        code += 1
-                        k += 1
-                    code <<= 1
-                huff[(tc, th)] = table
+                huff[(tc, th)] = _jpeg_huff_lut(bytes(bits), vals)
         elif marker == 0xDD:
             raise ValueError("JPEG restart intervals unsupported")
         elif marker == 0xDA:  # SOS
@@ -1521,26 +1609,29 @@ def _parse_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
             raise ValueError("JPEG scan references a missing DQT/DHT table")
 
     C = _dct_matrix()
-    zz = _JPEG_ZIGZAG
+    zzmap = _jpeg_zz_flat()
     bw_mcus, bh_mcus = (w + 7) // 8, (h + 7) // 8
-    planes = [np.zeros((bh_mcus * 8, bw_mcus * 8)) for _ in range(nc)]
+    # Entropy-decode into plain Python coefficient lists (dequantized,
+    # raster order) and run ONE batched IDCT per component at the end —
+    # per-block numpy allocation + 8x8 matmuls were most of decode time.
+    comp_blocks: list[list[list[float]]] = [[] for _ in range(nc)]
+    scan_luts = [(huff[(0, tdc)], huff[(1, tac)], qtabs[tq]) for _, tq, tdc, tac in scan]
     reader = _JpegBitReader(data, pos)
     pred = [0] * nc
-    for by in range(bh_mcus):
-        for bx in range(bw_mcus):
-            for ci, (sof_idx, tq, tdc, tac) in enumerate(scan):
-                dc_tab, ac_tab = huff[(0, tdc)], huff[(1, tac)]
-                q = qtabs[tq]
-                coef = np.zeros((8, 8))
-                size = _jpeg_decode_huff(reader, dc_tab)
+    for _by in range(bh_mcus):
+        for _bx in range(bw_mcus):
+            for ci, (sof_idx, _tq, _tdc, _tac) in enumerate(scan):
+                dc_tab, ac_tab, q = scan_luts[ci]
+                cof = [0.0] * 64
+                size = _jpeg_decode_sym(reader, dc_tab)
                 if size > 11:
                     raise ValueError(f"invalid JPEG DC size {size}")
                 diff = _jpeg_extend(reader.bits(size), size)
                 pred[ci] += diff
-                coef[0, 0] = pred[ci] * q[0]
+                cof[0] = pred[ci] * q[0]
                 k = 1
                 while k <= 63:
-                    sym = _jpeg_decode_huff(reader, ac_tab)
+                    sym = _jpeg_decode_sym(reader, ac_tab)
                     if sym == 0x00:  # EOB
                         break
                     if sym == 0xF0:  # ZRL
@@ -1553,11 +1644,14 @@ def _parse_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
                     if k > 63:
                         raise ValueError("JPEG AC run past block end")
                     v = _jpeg_extend(reader.bits(size), size)
-                    yy, xx = zz[k]
-                    coef[yy, xx] = v * q[k]
+                    cof[zzmap[k]] = v * q[k]
                     k += 1
-                block = C.T @ coef @ C + 128.0
-                planes[sof_idx][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = block
+                comp_blocks[sof_idx].append(cof)
+    planes = []
+    for idx in range(nc):
+        arr = np.array(comp_blocks[idx], dtype=np.float64).reshape(bh_mcus, bw_mcus, 8, 8)
+        blocks = C.T @ arr @ C + 128.0
+        planes.append(blocks.transpose(0, 2, 1, 3).reshape(bh_mcus * 8, bw_mcus * 8))
     out_planes = [np.clip(np.rint(p[:h, :w]), 0, 255) for p in planes]
     if nc == 1:
         return (w, h, 1, out_planes[0].astype(np.uint8).tobytes())

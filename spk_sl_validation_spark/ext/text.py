@@ -885,7 +885,16 @@ def learn_bpe_merges(df, text_col: str = "text", n_merges: int = 5):
         rep = f" {b.lhs}{b.rhs} "
         words = words.select(
             F.replace(F.col("s"), F.lit(pat), F.lit(rep)).alias("s"), "cnt"
-        ).localCheckpoint()
+        )
+        # Checkpoint every 8th iteration, not every one: each eager
+        # materialization is a full job (~0.15 s of scheduler latency
+        # at any scale), while an un-truncated plan merely re-applies
+        # <= 8 narrow literal replaces over the checkpointed vocab —
+        # no shuffle, no re-aggregation. Keeps plans codegen-small for
+        # production-sized merge tables and cuts 2x jobs per merge for
+        # small ones (r11, guide §1.2 per-task work).
+        if step % 8 == 0:
+            words = words.localCheckpoint()
     return spark.createDataFrame(
         merges, "step int, lhs string, rhs string, merged string, pair_count bigint"
     )

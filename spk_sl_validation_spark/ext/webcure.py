@@ -1089,17 +1089,29 @@ def outlinks(
     signal for weighted graphs — dedup downstream when unwanted).
     Fragment-only and non-http(s) hrefs resolve to NULL and are
     dropped here."""
+    from spk_sl_validation_spark.operators.relational import evaluate_once
+
     src = normalize_url(url_col)
     exploded = df.select(
         F.col(id_col),
         src.alias("src_url"),
         F.explode(extract_hrefs(html_col)).alias("__href"),
     )
-    dst = resolve_href("src_url", F.col("__href"))
+    # Generator barriers (r11): CollapseProject otherwise inlines
+    # src_url = normalize_url(url) into resolve_href, and that whole
+    # composition again into the dst normalize_url — one projection
+    # whose generated method exceeds the JVM 64 KB codegen limit
+    # (janino fails; interpreted at 4-10x the wall, and a hard red
+    # under the selfcheck's codegen.fallback=false). Each barrier
+    # pins one layer: src normalization, href resolution, dst
+    # normalization. Zero exchanges, row counts unchanged.
+    exploded = evaluate_once(exploded, "src_url")
+    resolved = exploded.withColumn("__dst_raw", resolve_href("src_url", F.col("__href")))
+    resolved = evaluate_once(resolved, "__dst_raw")
     return (
-        exploded.withColumn("dst_url", normalize_url(dst))
+        resolved.withColumn("dst_url", normalize_url(F.col("__dst_raw")))
         .filter(F.col("dst_url").isNotNull())
-        .drop("__href")
+        .drop("__href", "__dst_raw")
     )
 
 

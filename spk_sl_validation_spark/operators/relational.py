@@ -210,10 +210,20 @@ def evaluate_once(df: DataFrame, *cols: str) -> DataFrame:
     count unchanged, column order preserved."""
     order = list(df.columns)
     others = [c for c in order if c not in cols]
+    # Backtick-quoted references + positional struct-field aliases +
+    # getField (never bare name strings, which Spark parses as dotted
+    # paths) so SAP-style column names containing '.' or spaces
+    # ("Plant-sp.matl status") round-trip the barrier.
+    q = lambda c: F.col("`" + c.replace("`", "``") + "`")  # noqa: E731
     packed = df.select(
-        *others, F.explode(F.array(F.struct(*cols))).alias("__once")
+        *[q(c) for c in others],
+        F.explode(
+            F.array(F.struct(*[q(c).alias(f"__f{i}") for i, c in enumerate(cols)]))
+        ).alias("__once"),
     )
-    out_cols = {c: F.col(f"__once.{c}").alias(c) for c in cols}
+    out_cols = {
+        c: F.col("__once").getField(f"__f{i}").alias(c) for i, c in enumerate(cols)
+    }
     return packed.select(
-        *[out_cols.get(c, F.col(c)) for c in order]
+        *[out_cols[c] if c in out_cols else q(c) for c in order]
     )

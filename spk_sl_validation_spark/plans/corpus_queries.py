@@ -10,7 +10,7 @@ from pyspark.sql import functions as F
 
 from spk_sl_validation_spark.ext.hashing import ws_tokens
 from spk_sl_validation_spark.plans.registry import register
-from spk_sl_validation_spark.sources.readers import load_table
+from spk_sl_validation_spark.sources.readers import load_table, load_table_spread
 
 _TOKS = r"string_split_regex(trim(text), '\s+')"
 
@@ -395,7 +395,8 @@ def corpus_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from spk_sl_validation_spark.ext.text import substring_dedup
 
-    docs = load_table(spark, sf_dir, "documents")
+    # spread: window-fingerprint explode dominates; 3.28 -> 2.36 s (r11)
+    docs = load_table_spread(spark, sf_dir, "documents")
     return substring_dedup(docs, "doc_id", "text", SUBSTR_W, SUBSTR_MIN_LEN)
 
 

@@ -21,7 +21,7 @@ from spk_sl_validation_spark.plans.dedup_shared import (  # noqa: F401
     capped_bands_cte,
 )
 from spk_sl_validation_spark.plans.registry import register
-from spk_sl_validation_spark.sources.readers import load_table
+from spk_sl_validation_spark.sources.readers import load_table, load_table_spread
 
 _TOKS = r"string_split_regex(trim(text), '\s+')"
 
@@ -100,7 +100,10 @@ JOIN sig sb ON sb.doc_id = id_b
     oracle=None,  # set below — needs the generator
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    # spread: the 128-hash/shingle HOF stage is the dominant per-row
+    # cost and otherwise runs in the single scan task (guide §2.5);
+    # measured 4.47 -> 2.11 s at sf0.1 (r11 bench)
+    docs = load_table_spread(spark, sf_dir, "documents")
     return D.lsh_candidate_pairs(docs, "doc_id", "text", NUM_HASHES, BANDS)
 
 

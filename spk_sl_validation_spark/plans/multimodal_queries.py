@@ -16,7 +16,10 @@ from pyspark.sql import functions as F
 
 from spk_sl_validation_spark.ext import multimodal as M
 from spk_sl_validation_spark.plans.registry import register
-from spk_sl_validation_spark.sources.readers import load_table
+# Every builder in this module feeds a per-row-EXPENSIVE codec chain
+# (encode + full decode per doc_id); the spread variant repartitions a
+# tiny unsplittable scan so those chains use every core (guide §2.5).
+from spk_sl_validation_spark.sources.readers import load_table_spread as load_table
 
 FRAME_SIZE = 64
 STRIDE = 128

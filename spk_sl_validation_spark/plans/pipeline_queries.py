@@ -72,6 +72,18 @@ def pipeline_status_cleansing(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spk_sl_validation_spark.plans import status_cleansing
 
     tables = refdata.build_ref_tables(spark, sf_dir)
+    # r11: lineage barrier between the fixture DERIVATION (which
+    # carries a 1-row scalar fan-in — a BroadcastNestedLoopJoin) and
+    # the pipeline. Fused, the cascade-D projection lands inside
+    # bnlj_doConsume where Spark's expression splitter cannot split
+    # (inputs are method parameters) and the method blows the JVM
+    # 64 KB codegen limit — a hard red under the selfcheck's
+    # codegen.fallback=false, and a silent interpreted 4-10x wall
+    # before. Lazy checkpoints: nothing runs at build time, and each
+    # side compiles as its own (small) whole-stage unit. Production
+    # reads real SAP extracts from storage, so the scan boundary is
+    # the production shape anyway.
+    tables = {k: v.localCheckpoint(eager=False) for k, v in tables.items()}
     return _stringify_timestamps(status_cleansing.run(tables)["MARC"])
 
 

@@ -21,7 +21,7 @@ from spk_sl_validation_spark.ext import psl as PSL
 from spk_sl_validation_spark.ext import webcure as W
 from spk_sl_validation_spark.operators.relational import evaluate_once
 from spk_sl_validation_spark.plans.registry import register
-from spk_sl_validation_spark.sources.readers import load_table
+from spk_sl_validation_spark.sources.readers import load_table, load_table_spread
 
 DOMAIN_CAP_K = 3
 BLOCKED_DOMAINS = ("site0.com", "site3.co.uk")
@@ -258,8 +258,16 @@ FROM d
 """,
 )
 def web_robots_txt_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    urls = _urls(spark, sf_dir)
-    robots = W.synthesize_robots_table(urls)
+    # r11: plan over the SAME materialized manifests as
+    # web_curation_pipeline — parsing robots over the raw url
+    # expression tree fuses the synthesis into the rules hashAgg and
+    # blows the JVM 64 KB codegen limit (the sweep now runs with
+    # codegen.fallback=false, so that is a hard red, and with the
+    # default fallback it silently ran interpreted at 4-10x the wall).
+    urls = _materialized(spark, sf_dir, "urls", lambda: _urls(spark, sf_dir))
+    robots = _materialized(
+        spark, sf_dir, "robots", lambda: W.synthesize_robots_table(urls)
+    )
     out = W.robots_txt_filter(urls, robots, keep_blocked=True)
     return out.select("doc_id", "allowed")
 
@@ -378,9 +386,20 @@ FROM documents
 """,
 )
 def web_robots_wildcard_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    urls = W.synthesize_wildcard_url_table(docs)
-    robots = W.synthesize_wildcard_robots_table(urls)
+    # r11: manifests for the same 64 KB-codegen reason as
+    # web_robots_txt_filter (see its builder comment).
+    urls = _materialized(
+        spark,
+        sf_dir,
+        "wildcard_urls",
+        lambda: W.synthesize_wildcard_url_table(
+            load_table(spark, sf_dir, "documents").select("doc_id")
+        ),
+    )
+    robots = _materialized(
+        spark, sf_dir, "wildcard_robots",
+        lambda: W.synthesize_wildcard_robots_table(urls),
+    )
     out = W.robots_txt_filter(urls, robots, keep_blocked=True)
     return out.select("doc_id", "url", "allowed")
 
@@ -415,9 +434,19 @@ FROM p
 """,
 )
 def web_robots_ua_select(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    urls = W.synthesize_ua_url_table(docs)
-    robots = W.synthesize_ua_robots_table(urls)
+    # r11: manifests for the same 64 KB-codegen reason as
+    # web_robots_txt_filter (see its builder comment).
+    urls = _materialized(
+        spark,
+        sf_dir,
+        "ua_urls",
+        lambda: W.synthesize_ua_url_table(
+            load_table(spark, sf_dir, "documents").select("doc_id")
+        ),
+    )
+    robots = _materialized(
+        spark, sf_dir, "ua_robots", lambda: W.synthesize_ua_robots_table(urls)
+    )
     out = W.robots_txt_filter(
         urls, robots, keep_blocked=True, crawler_token=W.UA_CRAWLER_TOKEN
     )
@@ -502,8 +531,18 @@ FROM p, unnest([
 """,
 )
 def web_outlinks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    pages = W.synthesize_outlink_page_table(docs)
+    # r11: manifest — fusing the HTML fixture synthesis into outlinks'
+    # href-explode/resolve projection blows the 64 KB codegen limit
+    # (hard red under the sweep's codegen.fallback=false; silently
+    # interpreted before).
+    pages = _materialized(
+        spark,
+        sf_dir,
+        "outlink_pages",
+        lambda: W.synthesize_outlink_page_table(
+            load_table(spark, sf_dir, "documents").select("doc_id")
+        ),
+    )
     return W.outlinks(pages)
 
 
@@ -753,8 +792,13 @@ FROM r
 """,
 )
 def web_politeness_crawl_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
-    urls = _urls(spark, sf_dir)
-    robots = W.synthesize_crawl_delay_robots_table(urls)
+    # r11: manifests for the same 64 KB-codegen reason as
+    # web_robots_txt_filter (see its builder comment).
+    urls = _materialized(spark, sf_dir, "urls", lambda: _urls(spark, sf_dir))
+    robots = _materialized(
+        spark, sf_dir, "crawl_delay_robots",
+        lambda: W.synthesize_crawl_delay_robots_table(urls),
+    )
     delays = W.parse_crawl_delay(robots)
     out = W.politeness_schedule(
         urls, rate=3, n_salts=4, delays=delays, wave_seconds=2.0
@@ -848,7 +892,9 @@ FROM p WHERE q IN (0, 3)
 """,
 )
 def web_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    # spread: the WARC-synthesize + parse + HOF text chain is a pure
+    # narrow map that otherwise runs in ONE task; 2.91 -> 1.70 s (r11)
+    docs = load_table_spread(spark, sf_dir, "documents").select("doc_id")
     return _corpus_pipeline_over(docs)
 
 
@@ -1064,14 +1110,24 @@ FROM novel GROUP BY u
 """,
 )
 def web_frontier_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r11: all three discovery arms plan over materialized manifests —
+    # the outlink/sitemap/url fixture syntheses each fused into their
+    # consumer stages past the 64 KB codegen limit (see
+    # web_robots_txt_filter). The url and outlink manifests are shared
+    # with the other webcure queries via the per-session cache.
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    urls = _urls(spark, sf_dir)
-    frontier = urls.select(W.normalize_url("url").alias("norm_url")).distinct()
-    out = W.outlinks(W.synthesize_outlink_page_table(docs)).select(
-        "doc_id", F.col("dst_url").alias("url")
+    urls = _materialized(spark, sf_dir, "urls", lambda: _urls(spark, sf_dir))
+    pages = _materialized(
+        spark, sf_dir, "outlink_pages",
+        lambda: W.synthesize_outlink_page_table(docs),
     )
+    sitemaps = _materialized(
+        spark, sf_dir, "sitemaps", lambda: W.synthesize_sitemap_table(docs)
+    )
+    frontier = urls.select(W.normalize_url("url").alias("norm_url")).distinct()
+    out = W.outlinks(pages).select("doc_id", F.col("dst_url").alias("url"))
     sm = (
-        W.sitemap_entries(W.synthesize_sitemap_table(docs))
+        W.sitemap_entries(sitemaps)
         .filter(~F.col("is_index"))
         .select("doc_id", F.col("loc").alias("url"))
     )

@@ -37,9 +37,9 @@ BUDGETS = {
     "revenue_by_nation": (2, 0),
     "text_quality": (0, 0),
     "text_repetition": (4, 0),
-    "dedup_minhash_lsh": (3, 0),
-    "dedup_pipeline": (9, 0),
-    "similarity_topk_bruteforce": (1, 0),
+    "dedup_minhash_lsh": (4, 0),  # r11: +1 spread_for_compute exchange (guide §2.5)
+    "dedup_pipeline": (2, 0),  # r11: tightened 9 -> 2 (stale pin; actual static plan)
+    "similarity_topk_bruteforce": (3, 0),  # r11: +2 spread (embeddings read twice)
     "range_join_clicks_before_purchase": (1, 0),
     "scd2_intervals": (1, 0),
     # round-9 rewrite: span ownership = skinny groupBy(h) + gated
@@ -73,11 +73,14 @@ BUDGETS = {
     # internal eager jobs; the 14 broadcasts are 1-row weight fan-ins);
     # serving/codec queries are pure narrow maps — any exchange is a
     # regression.
-    "corpus_substring_dedup": (4, 0),
+    "corpus_substring_dedup": (6, 0),  # r11: +2 spread (fingerprint + reassembly branches)
     "text_quality_train": (7, 0),
     "text_bpe_encode": (0, 0),
-    "multimodal_jpeg_pixel_stats": (0, 0),
-    "multimodal_mp4_meta": (0, 0),
+    # r11: the codec chains repartition their tiny unsplittable scan to
+    # P/2 before the per-row-expensive Arrow stages (spread_for_compute,
+    # guide §2.5) — ONE round-robin exchange of doc_ids, never payloads.
+    "multimodal_jpeg_pixel_stats": (1, 0),
+    "multimodal_mp4_meta": (1, 0),
     # round-9 headline additions (verdict task 7): url_dedup = key
     # groupBy + semi join. round-10: the composed curation pipeline
     # plans over MATERIALIZED fixture manifests (parquet scans — the
@@ -93,7 +96,7 @@ BUDGETS = {
     # round-10: the composed crawl→corpus pipeline is a pure narrow
     # map chain (Arrow WARC parse + HOF text stages with
     # evaluate_once generator barriers) — ANY exchange is a regression.
-    "web_corpus_pipeline": (0, 0),
+    "web_corpus_pipeline": (1, 0),  # r11: +1 spread before the narrow parse/HOF chain
 }
 
 
@@ -139,16 +142,16 @@ NONHEADLINE_BUDGETS = {
     "multimodal_audio_near_dup": (8, 0),
     "fim_transform": (0, 0),
     "text_nfc_normalize": (0, 0),
-    "multimodal_webp_meta": (0, 0),
-    "multimodal_pdf_text": (0, 0),
-    "multimodal_wav_windows": (0, 0),
+    "multimodal_webp_meta": (1, 0),  # r11: +1 spread
+    "multimodal_pdf_text": (1, 0),  # r11: +1 spread
+    "multimodal_wav_windows": (1, 0),  # r11: +1 spread
     "web_robots_ua_select": (2, 0),
     "web_politeness_crawl_delay": (2, 0),
     "chat_template_render": (0, 0),
     "chat_turn_offsets": (1, 0),
     # checkpoint-blinded labels/sizes joins are shuffle_hash-hinted —
     # the static plan showed an SMJ before the hints (round-10 audit)
-    "multimodal_image_dup_groups": (8, 0),
+    "multimodal_image_dup_groups": (10, 0),  # r11: +2 spread (dhash input + member fold-back)
     # round-8: +6 static exchanges — ngram_jaccard_pairs' doc-sizes
     # joins moved off forced F.broadcast (corpus-cardinality
     # standalone) onto shuffle_hash hints, and the sweep re-inlines
@@ -198,8 +201,8 @@ NONHEADLINE_BUDGETS = {
     # round-6: the real codecs are pure map pipelines (synthesize →
     # mapInPandas decode → no shuffle at all — the shape that scales
     # embarrassingly); any exchange appearing here is a regression.
-    "multimodal_wav_stats": (0, 0),
-    "multimodal_bmp_pixel_stats": (0, 0),
+    "multimodal_wav_stats": (1, 0),  # r11: +1 spread (see headline codec note)
+    "multimodal_bmp_pixel_stats": (1, 0),  # r11: +1 spread
     # BM25 churn = build (3) + removed-slice semi/anti + df subtract +
     # stats delta + merged-df re-agg + rank tail; lifecycle op, runs
     # once per recrawl batch.
@@ -218,7 +221,7 @@ NONHEADLINE_BUDGETS = {
     # multimodal_jpeg_pixel_stats moved to the headline BUDGETS table
     # in round 8.)
     "pack_incremental": (3, 0),
-    "multimodal_gif_pixel_stats": (0, 0),  # pure map pipeline, like wav/bmp/png
+    "multimodal_gif_pixel_stats": (1, 0),  # r11: +1 spread before the pure map pipeline
     # round-8 URL curation layer: normalize is a pure narrow map (any
     # exchange is a regression); dedup = key groupBy + semi join;
     # cap = ONE rank-limit window shuffle (Catalyst's WindowGroupLimit
