@@ -189,12 +189,14 @@ def python_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "python_datasource_stream",
     doc=(
-        "custom Python DataSource ON A STREAM (Spark 4 "
-        "SimpleDataSourceStreamReader): the same deterministic generator "
-        "served through the streaming offset protocol (one availableNow "
-        "microbatch; readBetweenOffsets replays committed spans for "
-        "recovery), aggregated per shard — stream == the batch connector "
-        "== the generator-replay oracle"
+        "custom Python DataSource ON A STREAM (Spark 4 partitioned "
+        "DataSourceStreamReader): the same deterministic generator served "
+        "through the streaming offset protocol (one availableNow "
+        "microbatch; the driver only plans offset spans + per-shard range "
+        "partitions, rows generate EXECUTOR-side; recovery re-plans "
+        "committed spans via partitions(start, end)), aggregated per "
+        "shard — stream == the batch connector == the generator-replay "
+        "oracle"
     ),
     oracle=None,
 )

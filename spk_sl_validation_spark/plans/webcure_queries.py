@@ -103,7 +103,10 @@ QUALIFY doc_id = min(doc_id) OVER (PARTITION BY norm_url)
 """,
 )
 def web_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    urls = _urls(spark, sf_dir)
+    # r11: the shared urls manifest (see web_robots_txt_filter) — the
+    # dedup groupBy/semi then plans over a parquet scan instead of
+    # re-deriving the synthesis tree in the scan stage each run.
+    urls = _materialized(spark, sf_dir, "urls", lambda: _urls(spark, sf_dir))
     kept = W.url_dedup(urls)
     return kept.select("doc_id", W.normalize_url("url").alias("norm_url"))
 

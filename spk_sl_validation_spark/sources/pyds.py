@@ -25,9 +25,9 @@ from __future__ import annotations
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     DataSourceWriter,
     InputPartition,
-    SimpleDataSourceStreamReader,
     WriterCommitMessage,
 )
 
@@ -63,14 +63,20 @@ class SyntheticEventsReader(DataSourceReader):
             yield (event_id, event_id % shards, bucket / 1000.0)
 
 
-class SyntheticEventsStreamReader(SimpleDataSourceStreamReader):
-    """Streaming twin of the batch reader. Spark's Python microbatch
-    stream does not support Trigger.AvailableNow (it falls back to a
-    single batch — the engine logs the fallback), so the reader serves
-    the WHOLE generator range as one deterministic microbatch: offset
-    {pos: 0} -> {pos: n}. readBetweenOffsets replays any committed
-    span exactly (same arithmetic), which is what failure recovery
-    invokes."""
+class SyntheticEventsStreamReader(DataSourceStreamReader):
+    """Streaming twin of the batch reader, on the PARTITIONED stream
+    protocol (``DataSourceStreamReader``): the driver only plans
+    offset spans and per-shard range partitions; every row is
+    generated EXECUTOR-side, in parallel, exactly like the batch
+    reader. (The previous ``SimpleDataSourceStreamReader`` prefetched
+    the whole microbatch on the DRIVER and pickled it row-wise to the
+    JVM — measured 10.7 s warm for 60k rows at sf0.01 vs ~1 s on this
+    protocol, and a driver bottleneck by construction at scale —
+    guide §5.) Spark's Python microbatch stream does not support
+    Trigger.AvailableNow (it falls back to a single batch — the
+    engine logs the fallback), so offsets advance {pos: 0} -> {pos: n}
+    in one deterministic microbatch; recovery re-plans the committed
+    span through ``partitions(start, end)`` with the same arithmetic."""
 
     def __init__(self, options):
         self.n = int(options.get("n", "1000"))
@@ -79,22 +85,28 @@ class SyntheticEventsStreamReader(SimpleDataSourceStreamReader):
     def initialOffset(self):
         return {"pos": 0}
 
-    def _rows(self, start: int, end: int):
-        # a LIST, not a generator: the prefetched batch is pickled to
-        # the JVM by the streaming runner
-        return [
-            (i, i % self.shards, ((i * KNUTH) % MOD) / 1000.0)
-            for i in range(start, end)
-        ]
+    def latestOffset(self):
+        return {"pos": self.n}
 
-    def read(self, start):
-        pos = start["pos"]
-        if pos >= self.n:
-            return [], {"pos": pos}
-        return self._rows(pos, self.n), {"pos": self.n}
+    def partitions(self, start, end):
+        s, e = start["pos"], end["pos"]
+        per = max(1, (e - s) // self.shards) if e > s else 1
+        parts = []
+        pos = s
+        while pos < e:
+            parts.append(_RangePartition(pos, min(pos + per, e)))
+            pos += per
+        # an empty span still needs one (empty) partition for the plan
+        return parts or [_RangePartition(s, s)]
 
-    def readBetweenOffsets(self, start, end):
-        return self._rows(start["pos"], end["pos"])
+    def read(self, partition):
+        shards = self.shards
+        for event_id in range(partition.start, partition.end):
+            bucket = (event_id * KNUTH) % MOD
+            yield (event_id, event_id % shards, bucket / 1000.0)
+
+    def commit(self, end):
+        pass
 
 
 class SyntheticEventsDataSource(DataSource):
@@ -108,7 +120,7 @@ class SyntheticEventsDataSource(DataSource):
     def reader(self, schema):
         return SyntheticEventsReader(self.options)
 
-    def simpleStreamReader(self, schema):
+    def streamReader(self, schema):
         return SyntheticEventsStreamReader(self.options)
 
     def writer(self, schema, overwrite):

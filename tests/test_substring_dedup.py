@@ -188,7 +188,11 @@ def test_substring_dedup_plan_shape(spark, sf_dir):
     qe = df._jdf.queryExecution()
     formatted = spark._jvm.PythonSQLUtils.explainString(qe, "formatted")
     st_ = plan_stats(formatted)
-    assert st_["shuffle_exchanges"] <= 4, st_
+    # r11: 4 -> 6 — spread_for_compute round-robins the tiny
+    # unsplittable documents scan before the fingerprint and
+    # reassembly branches (guide §2.5; structural no-op at production
+    # scale). Measured 3.28 -> 1.93 s at sf0.1.
+    assert st_["shuffle_exchanges"] <= 6, st_
     assert st_["sort_merge_joins"] == 0, st_
     assert "CartesianProduct" not in formatted, "cartesian product in plan"
     n_scans = len(re.findall(r"\(\d+\) Scan parquet", formatted))
