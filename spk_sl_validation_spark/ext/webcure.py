@@ -68,6 +68,30 @@ TRACKING_PARAM_RE = r"(utm_[A-Za-z0-9_]*|fbclid|gclid|msclkid)"
 _SLD_SUFFIXES = ("co", "ac", "gov", "org", "net")
 
 
+# Memoized EXPRESSION trees (never data): normalize_url is ~40 Column-
+# builder calls, each a py4j round trip (~2.5 ms measured), and the
+# curation operators build it several times per query — ~0.5 s of pure
+# DRIVER time per composed-pipeline run. The unresolved Column is
+# immutable and not bound to any DataFrame, so reusing one object per
+# (application, source column) is safe; keyed on applicationId so a
+# fresh JVM/session never sees a stale py4j reference.
+_EXPR_CACHE: dict[tuple[str, str, str], Column] = {}
+
+
+def _cached_expr(kind: str, name: str, build) -> Column:
+    from pyspark import SparkContext
+
+    sc = SparkContext._active_spark_context
+    if sc is None:
+        return build()
+    key = (sc.applicationId, kind, name)
+    col = _EXPR_CACHE.get(key)
+    if col is None:
+        col = build()
+        _EXPR_CACHE[key] = col
+    return col
+
+
 def _strip_tracking(query: Column) -> Column:
     """Remove tracking k=v pairs from a query string, preserving the
     relative order of survivors. Pure regexp surgery (JVM-side):
@@ -86,7 +110,12 @@ def normalize_url(url: Column | str) -> Column:
     than killing the stage; every consumer in this module falls back
     to the raw string for such rows (dedup keys on it, blocklists
     scan it, caps group them under one pseudo-domain)."""
-    u = F.col(url) if isinstance(url, str) else url
+    if isinstance(url, str):
+        return _cached_expr("norm_url", url, lambda: _normalize_url(F.col(url)))
+    return _normalize_url(url)
+
+
+def _normalize_url(u: Column) -> Column:
     scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
     hostport = F.lower(F.try_parse_url(u, F.lit("HOST")))
     # parse_url(HOST) excludes the port; extract it from the authority
@@ -126,7 +155,14 @@ def extract_domain(norm_url: Column | str) -> Column:
     approximation (see ``_SLD_SUFFIXES``); the real-list path is
     ``ext.psl.registrable_domain`` (wrong on e.g. ``example.com.au``
     here — every ``.com.au`` site collapses to one domain)."""
-    u = F.col(norm_url) if isinstance(norm_url, str) else norm_url
+    if isinstance(norm_url, str):
+        return _cached_expr(
+            "extract_domain", norm_url, lambda: _extract_domain(F.col(norm_url))
+        )
+    return _extract_domain(norm_url)
+
+
+def _extract_domain(u: Column) -> Column:
     host = F.regexp_extract(u, r"^[a-z][a-z0-9+.-]*://([^/:?#]*)", 1)
     parts = F.split(host, r"\.")
     n = F.size(parts)
@@ -144,17 +180,38 @@ def url_dedup(
     df: DataFrame, url_col: str = "url", id_col: str = "doc_id"
 ) -> DataFrame:
     """Keep one document per normalized URL (lowest ``id_col`` wins —
-    deterministic, oracle-replayable). The corpus frame never shuffles
-    on the URL: owners are a groupBy-min over (norm_url, id) pairs and
-    the keep decision rides a semi join on ``id_col``."""
+    deterministic, oracle-replayable), as a rank-limit window over the
+    normalized key: Catalyst rewrites ``rank() <= 1`` into a
+    WindowGroupLimit PAIR, so every map partition drops all but its
+    min-id row per URL *before* the exchange — shuffle mass for a hot
+    URL is bounded at one row per input partition, and losers' payload
+    bytes never move at all.
+
+    r12 rewrite (guide §2.4): the previous groupBy-min + id-keyed semi
+    join shuffled the ENTIRE frame (payloads included) on ``id_col``
+    and — worse — re-evaluated ``df``'s whole lineage a second time as
+    the owners side (Spark shares no uncached subtree across join
+    sides), which doubled the upstream robots/blocklist stages inside
+    the composed curation pipeline. One window, one partial-limited
+    exchange, upstream evaluated once."""
+    from pyspark.sql import Window
+
     # invalid URLs (normalize -> NULL) dedup on their raw string: an
     # all-null key would collapse every unparseable URL into one winner.
-    keyed = df.select(
-        F.col(id_col),
-        F.coalesce(normalize_url(url_col), F.col(url_col)).alias("__nu"),
+    nu = _cached_expr(
+        "dedup_key",
+        url_col,
+        lambda: F.coalesce(normalize_url(url_col), F.col(url_col)),
     )
-    owners = keyed.groupBy("__nu").agg(F.min(id_col).alias(id_col))
-    return df.join(owners.select(id_col).hint("shuffle_hash"), id_col, "left_semi")
+    keyed = df.withColumn("__nu", nu)
+    # rank(), not row_number(): under a duplicated id every min-id row
+    # survives — identical keep SET to the old semi join shape.
+    w = Window.partitionBy("__nu").orderBy(id_col)
+    return (
+        keyed.withColumn("__rk", F.rank().over(w))
+        .filter(F.col("__rk") <= 1)
+        .drop("__rk", "__nu")
+    )
 
 
 def domain_cap(
@@ -198,12 +255,14 @@ def _with_domain(df: DataFrame, url_col: str, psl: bool) -> DataFrame:
     if not psl:
         # unparseable URLs group under one pseudo-domain: a cap then
         # throttles crawl garbage collectively instead of erroring.
-        return df.withColumn(
-            "__dom",
-            F.coalesce(
+        dom = _cached_expr(
+            "domain_of_url",
+            url_col,
+            lambda: F.coalesce(
                 extract_domain(normalize_url(url_col)), F.lit("__invalid__")
             ),
         )
+        return df.withColumn("__dom", dom)
     from spk_sl_validation_spark.ext import psl as P
 
     out = P.registrable_domain(
@@ -226,10 +285,15 @@ def blocklist_filter(
     dim-sized so the planner may broadcast, but nothing forces it —
     a million-domain blocklist still works. ``psl=True`` as in
     :func:`domain_cap`."""
+    # r12: no join-strategy hint — blocklists come from real scans or
+    # local relations with usable size stats, so the planner broadcasts
+    # dim-sized ones statically (zero exchange on the corpus side; the
+    # forced shuffle_hash cost 2 exchanges of pure AQE stage latency per
+    # use) and falls back to a shuffle join for a million-domain list.
     dom = _with_domain(df, url_col, psl)
     return (
         dom.join(
-            blocked.select(F.col("domain").alias("__dom")).hint("shuffle_hash"),
+            blocked.select(F.col("domain").alias("__dom")),
             "__dom",
             "left_anti",
         ).drop("__dom")
@@ -571,6 +635,97 @@ def _robots_pattern_re(pattern: Column) -> Column:
     return F.concat(F.lit("^"), esc)
 
 
+def _selected_group_lines(txt: Column, crawler_token: str | None) -> Column:
+    """array<struct<grp,line>>: the trimmed lines of the user-agent
+    group the crawler must obey, computed as ONE narrow per-row array
+    expression — a robots.txt is a single KB-sized cell, so its group
+    selection never needs the explode → window → Exchange round-trip
+    the r11 shape paid (one full AQE stage per robots-family query
+    locally; a shuffle of the whole rules relation at corpus scale).
+    HOFs are interpreted, but the arrays are rule-count sized.
+
+    Selection semantics are identical to the old window version (RFC
+    9309 §2.2.1): a line's group is the nearest preceding User-agent
+    value; with ``crawler_token`` the longest case-insensitively
+    prefix-matching named group wins, groups at that specificity
+    merge, ``*`` applies only when no named group matches; without a
+    token, only the literal ``*`` group is obeyed."""
+    entries = F.transform(
+        F.split(txt, "\n"), lambda line, i: F.struct(i.alias("pos"), F.trim(line).alias("line"))
+    )
+    # the nearest preceding User-agent value per line: a left-to-right
+    # fold that threads the current group while appending tagged lines.
+    init = F.struct(
+        F.lit(None).cast("string").alias("g"),
+        F.array().cast("array<struct<grp:string,line:string>>").alias("out"),
+    )
+
+    def _step(acc, e):
+        is_ua = F.lower(e["line"]).startswith("user-agent:")
+        newg = F.when(
+            is_ua, F.trim(F.get(F.split(e["line"], ":", 2), 1))
+        ).otherwise(acc["g"])
+        return F.struct(
+            newg.alias("g"),
+            F.concat(
+                acc["out"],
+                F.array(F.struct(newg.alias("grp"), e["line"].alias("line"))),
+            ).alias("out"),
+        )
+
+    tagged = F.aggregate(entries, init, _step, lambda acc: acc["out"])
+    if crawler_token is None:
+        return F.filter(tagged, lambda x: x["grp"] == "*")
+    tok = F.lit(crawler_token.lower())
+    cand = F.filter(
+        tagged,
+        lambda x: x["grp"].isNotNull()
+        & ((F.lower(x["grp"]) == "*") | tok.startswith(F.lower(x["grp"]))),
+    )
+    # per-domain best named-group specificity, then keep every group at
+    # that length ('*' only when no named group matched).
+    spec = F.array_max(
+        F.transform(
+            F.filter(cand, lambda x: F.lower(x["grp"]) != "*"),
+            lambda x: F.length(x["grp"]),
+        )
+    )
+
+    def _sel(spec_col):
+        return F.filter(
+            cand,
+            lambda x: F.when(spec_col.isNull(), F.lower(x["grp"]) == "*").otherwise(
+                (F.lower(x["grp"]) != "*") & (F.length(x["grp"]) == spec_col)
+            ),
+        )
+
+    # bind spec once via a single-element transform so the O(n) max is
+    # not re-evaluated per filtered element.
+    return F.get(F.transform(F.array(spec), _sel), 0)
+
+
+def robots_rules_array(txt: Column, crawler_token: str | None = None) -> Column:
+    """array<struct<rtype,prefix,pattern_re,is_lit>>: the Allow/
+    Disallow rules of the selected group, as one narrow per-row
+    expression (see :func:`_selected_group_lines`)."""
+    def _rule(x):
+        parts = F.split(x["line"], ":", 2)
+        rt = F.lower(F.trim(F.get(parts, 0)))
+        pf = F.trim(F.get(parts, 1))
+        return F.struct(
+            rt.alias("rtype"),
+            pf.alias("prefix"),
+            _robots_pattern_re(pf).alias("pattern_re"),
+            (~pf.contains("*") & ~pf.endswith("$")).alias("is_lit"),
+        )
+
+    rules = F.transform(_selected_group_lines(txt, crawler_token), _rule)
+    return F.filter(
+        rules,
+        lambda r: r["rtype"].isin("allow", "disallow") & (r["prefix"] != ""),
+    )
+
+
 def parse_robots_rules(
     robots: DataFrame,
     domain_col: str = "domain",
@@ -597,55 +752,19 @@ def parse_robots_rules(
     behavior. Documented simplification: consecutive ``User-agent:``
     lines each start their own tag (a rule line belongs to the
     nearest preceding UA line, not to every UA line of the block)."""
-    line = F.trim(F.col("__line"))
-    selected = _robots_group_lines(robots, domain_col, txt_col, crawler_token)
-    rtype = F.lower(F.trim(F.get(F.split(line, ":", 2), 0)))
-    prefix = F.trim(F.get(F.split(line, ":", 2), 1))
-    return (
-        selected.select("domain", rtype.alias("rtype"), prefix.alias("prefix"))
-        .filter(F.col("rtype").isin("allow", "disallow") & (F.col("prefix") != ""))
-        .withColumn("pattern_re", _robots_pattern_re(F.col("prefix")))
-    )
-
-
-def _robots_group_lines(
-    robots: DataFrame,
-    domain_col: str = "domain",
-    txt_col: str = "robots_txt",
-    crawler_token: str | None = None,
-) -> DataFrame:
-    """(domain, __pos, __line, __grp): the robots.txt lines of the
-    user-agent group the crawler must obey — RFC 9309 group selection
-    shared by :func:`parse_robots_rules` (Allow/Disallow) and
-    :func:`parse_crawl_delay` (Crawl-delay)."""
-    lines = robots.select(
+    # r12: per-row array parse (see robots_rules_array) + explode —
+    # same rows as the old explode/window shape, zero exchanges.
+    # `is_lit` marks plain-prefix patterns (no '*', no trailing '$')
+    # so consumers can match with startswith instead of regexp_like
+    # (regexp_like with per-rule non-foldable patterns recompiles the
+    # regex per evaluation once rules alternate — the JVM caches only
+    # the LAST pattern per expression instance).
+    return robots.select(
         F.col(domain_col).alias("domain"),
-        F.posexplode(F.split(F.col(txt_col), "\n")).alias("__pos", "__line"),
-    )
-    line = F.trim(F.col("__line"))
-    ua = F.when(
-        F.lower(line).startswith("user-agent:"),
-        F.trim(F.get(F.split(line, ":", 2), 1)),
-    )
-    w = Window.partitionBy("domain").orderBy("__pos")
-    grouped = lines.withColumn("__grp", F.last(ua, ignorenulls=True).over(w))
-    if crawler_token is None:
-        return grouped.filter(F.col("__grp") == "*")
-    g = F.lower(F.col("__grp"))
-    cand = grouped.filter((g == "*") | F.lit(crawler_token.lower()).startswith(g))
-    # per-domain best named-group specificity — a window over the
-    # RULES relation (KB-sized per domain), never the URL frame
-    dw = Window.partitionBy("domain")
-    spec = F.col("__spec")
-    return (
-        cand.withColumn("__spec", F.max(F.when(g != "*", F.length(g))).over(dw))
-        .filter(
-            F.when(spec.isNull(), g == "*").otherwise(
-                (g != "*") & (F.length(g) == spec)
-            )
-        )
-        .drop("__spec")
-    )
+        F.explode(
+            robots_rules_array(F.col(txt_col), crawler_token)
+        ).alias("__r"),
+    ).select("domain", "__r.rtype", "__r.prefix", "__r.pattern_re", "__r.is_lit")
 
 
 def parse_crawl_delay(
@@ -663,16 +782,24 @@ def parse_crawl_delay(
     (``try_cast`` totality, never a stage kill); domains without a
     usable directive are ABSENT, so consumers left-join and fall back
     to their global rate."""
-    line = F.trim(F.col("__line"))
-    key = F.lower(F.trim(F.get(F.split(line, ":", 2), 0)))
-    val = F.trim(F.get(F.split(line, ":", 2), 1)).try_cast("double")
+    # r12: per-row array fold (see _selected_group_lines) — the max
+    # over the selected group's usable directives needs no explode,
+    # window, or groupBy: zero exchanges. Contract: one robots_txt row
+    # per domain (duplicate domain rows are no longer max-merged).
+    def _delay(x):
+        parts = F.split(x["line"], ":", 2)
+        key = F.lower(F.trim(F.get(parts, 0)))
+        val = F.trim(F.get(parts, 1)).try_cast("double")
+        return F.when((key == "crawl-delay") & (val > 0), val)
+
+    delay = F.array_max(
+        F.transform(
+            _selected_group_lines(F.col(txt_col), crawler_token), _delay
+        )
+    )
     return (
-        _robots_group_lines(robots, domain_col, txt_col, crawler_token)
-        .filter(key == "crawl-delay")
-        .select("domain", val.alias("__d"))
-        .filter(F.col("__d").isNotNull() & (F.col("__d") > 0))
-        .groupBy("domain")
-        .agg(F.max("__d").alias("crawl_delay"))
+        robots.select(F.col(domain_col).alias("domain"), delay.alias("crawl_delay"))
+        .filter(F.col("crawl_delay").isNotNull())
     )
 
 
@@ -700,31 +827,53 @@ def robots_txt_filter(
     caveat (SCALE.md §5) doesn't bite here: the array is rule-count
     sized, not data sized."""
     nu = normalize_url(url_col)
-    keyed = df.withColumn("__dom", extract_domain(nu)).withColumn(
-        "__path", F.regexp_extract(nu, r"^[a-z][a-z0-9+.-]*://[^/]*(/[^?#]*)", 1)
+    robots_dom = _cached_expr("robots_dom", url_col, lambda: extract_domain(nu))
+    robots_path = _cached_expr(
+        "robots_path",
+        url_col,
+        lambda: F.regexp_extract(nu, r"^[a-z][a-z0-9+.-]*://[^/]*(/[^?#]*)", 1),
     )
-    per_domain = (
-        parse_robots_rules(robots, crawler_token=crawler_token)
-        .groupBy("domain")
-        .agg(
-            F.collect_list(F.struct("rtype", "prefix", "pattern_re")).alias("__rules")
-        )
-        .withColumnRenamed("domain", "__dom")
+    keyed = df.withColumn("__dom", robots_dom).withColumn("__path", robots_path)
+    # r12: the per-domain rule array is ONE narrow map over the robots
+    # frame (robots files are single KB-sized cells — group selection
+    # and rule extraction never need the old explode → window →
+    # Exchange → collect_list round-trip, which cost a full AQE stage
+    # locally and shuffled the whole rules relation at corpus scale).
+    # Contract: one robots_txt row per domain (what a crawl stores);
+    # duplicate domain rows would join multiplicatively here where the
+    # old groupBy merged them.
+    per_domain = robots.select(
+        F.col("domain").alias("__dom"),
+        robots_rules_array(F.col("robots_txt"), crawler_token).alias("__rules"),
     )
-    cand = keyed.join(per_domain.hint("shuffle_hash"), "__dom", "left")
+    # No join-strategy hint — the rules side carries real scan stats,
+    # so the planner broadcasts it statically when it fits (the forced
+    # shuffle_hash added an Exchange on BOTH sides — pure serialized
+    # AQE stage latency on KB manifests) and shuffles only when a
+    # 100M-domain rules table genuinely exceeds the threshold.
+    cand = keyed.join(per_domain, "__dom", "left")
 
     def best(rtype: str):
         # regexp_like with a per-rule (non-foldable) pattern: fine here
         # — the array is rule-count sized, and Spark caches the last
-        # compiled pattern per expression instance.
-        hits = F.filter(
-            F.coalesce(F.col("__rules"), F.array()),
-            lambda r: (r["rtype"] == rtype)
-            & F.regexp_like(F.col("__path"), r["pattern_re"]),
-        )
-        return F.aggregate(
-            hits, F.lit(-1), lambda acc, r: F.greatest(acc, F.length(r["prefix"]))
-        )
+        # compiled pattern per expression instance. The fold reads only
+        # the fixed __rules/__path columns, so the built Column is
+        # memoized per application (HOF lambdas are py4j-chatty).
+        def _build():
+            # literal rules match via startswith (no regex compile);
+            # only genuine wildcard/$-anchor rules pay regexp_like.
+            hits = F.filter(
+                F.coalesce(F.col("__rules"), F.array()),
+                lambda r: (r["rtype"] == rtype)
+                & F.when(
+                    r["is_lit"], F.col("__path").startswith(r["prefix"])
+                ).otherwise(F.regexp_like(F.col("__path"), r["pattern_re"])),
+            )
+            return F.aggregate(
+                hits, F.lit(-1), lambda acc, r: F.greatest(acc, F.length(r["prefix"]))
+            )
+
+        return _cached_expr("robots_best", rtype, _build)
 
     out = cand.withColumn("allowed", best("allow") >= best("disallow")).drop(
         "__rules", "__dom", "__path"

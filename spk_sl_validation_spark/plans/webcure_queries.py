@@ -37,6 +37,25 @@ def _urls(spark: SparkSession, sf_dir: str) -> DataFrame:
     return W.synthesize_url_table(docs)
 
 
+# The 2-row blocklist relation, one per application: createDataFrame
+# costs ~0.1 s of py4j/driver latency per call. F.broadcast because a
+# Python-built local relation scans as ExistingRDD with UNKNOWN size
+# stats — without the hint the planner assumes it is huge and
+# sort-merges; the call site knows it is 2 rows.
+_BLOCKED_CACHE: dict[str, DataFrame] = {}
+
+
+def _blocked_df(spark: SparkSession) -> DataFrame:
+    app = spark.sparkContext.applicationId
+    df = _BLOCKED_CACHE.get(app)
+    if df is None:
+        df = F.broadcast(
+            spark.createDataFrame([(d,) for d in BLOCKED_DOMAINS], "domain string")
+        )
+        _BLOCKED_CACHE[app] = df
+    return df
+
+
 # Session-scoped fixture manifests for the COMPOSED pipeline: the
 # synthesized URL/robots expression trees are each fine alone, but
 # fused into one stage with the robots line-explode + hashAgg they
@@ -48,7 +67,7 @@ def _urls(spark: SparkSession, sf_dir: str) -> DataFrame:
 # total (2.5 s one-time write + 2.0 s exec). Materializing once per
 # (session, sf, key) and planning over scans is also the production
 # shape — a crawler reads manifests, it doesn't synthesize them.
-_FIXTURE_CACHE: dict[tuple[str, str, str], str] = {}
+_FIXTURE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 
 
 def _materialized(
@@ -57,12 +76,19 @@ def _materialized(
     import tempfile
 
     ck = (spark.sparkContext.applicationId, sf_dir, key)
-    path = _FIXTURE_CACHE.get(ck)
-    if path is None:
+    df = _FIXTURE_CACHE.get(ck)
+    if df is None:
         path = tempfile.mkdtemp(prefix=f"webcure_fixture_{key}_")
         build().write.mode("overwrite").parquet(path)
-        _FIXTURE_CACHE[ck] = path
-    return spark.read.parquet(path)
+        # cache the scan DataFrame, not just the path: re-running
+        # spark.read.parquet per build re-lists the directory and
+        # re-infers the footer schema through ~40 py4j round trips
+        # (~0.1 s of pure driver latency per read on this host). The
+        # DataFrame is an immutable logical plan over a write-once
+        # manifest — nothing data-dependent is memoized.
+        df = spark.read.parquet(path)
+        _FIXTURE_CACHE[ck] = df
+    return df
 
 
 @register(
@@ -149,10 +175,7 @@ def web_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def web_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     urls = _urls(spark, sf_dir)
-    blocked = spark.createDataFrame(
-        [(d,) for d in BLOCKED_DOMAINS], "domain string"
-    )
-    kept = W.blocklist_filter(urls, blocked)
+    kept = W.blocklist_filter(urls, _blocked_df(spark))
     return kept.select(
         "doc_id", W.extract_domain(W.normalize_url("url")).alias("domain")
     )
@@ -332,7 +355,7 @@ def web_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         # raw url expression tree re-creates the >64 KB codegen stage
         spark, sf_dir, "robots", lambda: W.synthesize_robots_table(urls)
     )
-    blocked = spark.createDataFrame([(d,) for d in BLOCKED_DOMAINS], "domain string")
+    blocked = _blocked_df(spark)
     kept = W.robots_txt_filter(urls, robots)
     kept = W.blocklist_filter(kept, blocked)
     kept = W.url_dedup(kept)
@@ -896,8 +919,14 @@ FROM p WHERE q IN (0, 3)
 )
 def web_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # spread: the WARC-synthesize + parse + HOF text chain is a pure
-    # narrow map that otherwise runs in ONE task; 2.91 -> 1.70 s (r11)
-    docs = load_table_spread(spark, sf_dir, "documents").select("doc_id")
+    # narrow map that otherwise runs in ONE task; 2.91 -> 1.70 s (r11).
+    # r12: min_rows_per_task=512 — this chain is JVM HOF/regexp work
+    # (~0.1-0.2 ms/row), and the r11 P/2 fan-out (16 tasks of ~300
+    # rows) overshot: the 8-core driver run beat the 32-core run
+    # (1.72 vs 2.49 s). Larger tasks keep fan-out ≤ ceil(rows/512).
+    docs = load_table_spread(
+        spark, sf_dir, "documents", min_rows_per_task=512
+    ).select("doc_id")
     return _corpus_pipeline_over(docs)
 
 

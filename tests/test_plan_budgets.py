@@ -91,8 +91,16 @@ BUDGETS = {
     # anti both sides + dedup groupBy/semi + cap window — all skinny
     # manifest relations, zero SMJ, AQE broadcasts small sides at
     # runtime.
-    "web_url_dedup": (3, 0),
-    "web_curation_pipeline": (12, 0),
+    # r12: url_dedup rewritten as a rank-limit window (WindowGroupLimit
+    # pair — map-side partial drops losers before the exchange), so the
+    # groupBy-min + semi-join pair is gone: 3 → 1. The composed
+    # pipeline additionally gets (a) robots rules parsed as a narrow
+    # per-row array expression (no explode/window/collect_list — the
+    # rules relation never shuffles) and (b) broadcast joins on the
+    # rules + blocklist sides (the forced shuffle_hash exchanged both
+    # sides): 12 → 2 (the two window exchanges), 2 BroadcastHashJoins.
+    "web_url_dedup": (1, 0),
+    "web_curation_pipeline": (2, 0),
     # round-10: the composed crawl→corpus pipeline is a pure narrow
     # map chain (Arrow WARC parse + HOF text stages with
     # evaluate_once generator barriers) — ANY exchange is a regression.
