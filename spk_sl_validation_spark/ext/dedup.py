@@ -283,6 +283,7 @@ def ngram_jaccard_for_pairs(
     id_col: str,
     text_col: str = "text",
     n: int = 3,
+    carry: tuple[str, ...] = (),
 ) -> DataFrame:
     """Exact Jaccard computed ONLY for the given (id_a, id_b) pairs —
     the verification stage of the LSH pipeline.
@@ -302,11 +303,17 @@ def ngram_jaccard_for_pairs(
     shingle strings changes the count only on an intra-pair hash
     collision (~|A|·|B|/2^60 per pair — vanishing), which the oracle's
     string-set replay would surface as a hash mismatch.
+
+    ``carry`` names extra ``pairs`` columns to pass through to the
+    output, so a caller that needs (pair → metadata) after the verify
+    can read it off the verified rows directly instead of re-joining
+    the pair relation (r12: saved dedup_incremental a shuffle-hash
+    semi join and one consumer of the candidate checkpoint).
     """
-    joined = _pair_doc_sets(df, pairs, id_col, text_col, n)
+    joined = _pair_doc_sets(df, pairs, id_col, text_col, n, carry=carry)
     inter = F.size(F.array_intersect("__ha", "__hb"))
     jac = inter.cast("double") / (F.size("__ha") + F.size("__hb") - inter).cast("double")
-    return joined.select("id_a", "id_b", jac.alias("jaccard"))
+    return joined.select("id_a", "id_b", *carry, jac.alias("jaccard"))
 
 
 def _pair_doc_sets(
@@ -315,6 +322,7 @@ def _pair_doc_sets(
     id_col: str,
     text_col: str = "text",
     n: int = 3,
+    carry: tuple[str, ...] = (),
 ) -> DataFrame:
     """(id_a, id_b, __ha, __hb): each candidate pair joined with both
     documents' sorted distinct shingle-HASH arrays — the shared
@@ -343,11 +351,13 @@ def _pair_doc_sets(
         sh.select(id_col, md5_long("s").alias("h"))
         .groupBy(id_col)
         .agg(F.array_sort(F.array_distinct(F.collect_list("h"))).alias("hs"))
-        .localCheckpoint(eager=True)
+        # lazy (r12): compute-once persistence without the serialized
+        # eager job — materializes inside the consumer's own job.
+        .localCheckpoint(eager=False)
     )
     a = doc_sets.select(F.col(id_col).alias("id_a"), F.col("hs").alias("__ha"))
     b = doc_sets.select(F.col(id_col).alias("id_b"), F.col("hs").alias("__hb"))
-    return pairs.select("id_a", "id_b").join(a, "id_a").join(b, "id_b")
+    return pairs.select("id_a", "id_b", *carry).join(a, "id_a").join(b, "id_b")
 
 
 def containment_for_pairs(
@@ -457,10 +467,11 @@ def dedup_corpus(
     # the LSH subtree runs exactly once and every consumer reads a
     # handful of (long, long) rows (3.4s vs 3.8s uncached at sf0.1).
     # At 100 TB the same holds: candidates ≪ corpus, so materializing
-    # them is the cheap side of the trade.
+    # them is the cheap side of the trade. Lazy (r12): same
+    # compute-once persistence, no serialized eager job per run.
     candidates = lsh_candidate_pairs(
         df, id_col, text_col, num_hashes, bands, shingle_n, with_estimate=False
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     verified = ngram_jaccard_for_pairs(df, candidates, id_col, text_col, shingle_n).filter(
         F.col("jaccard") >= jaccard_threshold
     )
@@ -986,18 +997,23 @@ def dedup_incremental(
     # shares no non-cached subtree across join sides, so without
     # materialization the whole signature pipeline (the dominant cost)
     # evaluates twice. One row per (doc, band): skinny relation,
-    # measured 44% off the full operator at sf0.1.
+    # measured 44% off the full operator at sf0.1. r12: LAZY
+    # localCheckpoint — same compute-once persistence (MEMORY_AND_DISK)
+    # and lineage truncation, but materialized inside the main job
+    # instead of as its own serialized eager job per run (guide §5:
+    # each eager checkpoint paid a full job's AQE stage-latency chain
+    # before the query proper could start).
     capped = (
         capped_band_rows(sig_df, id_col, rows_per_band, bands, max_bucket_size)
         .join(new_flags, id_col)
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     hcols = [f"h{r}" for r in range(rows_per_band)]
     lhs = capped.filter(F.col("__new")).select(F.col(id_col).alias("__nid"), "band", *hcols)
     rhs = capped.filter(~F.col("__new")).select(F.col(id_col).alias("__iid"), "band", *hcols)
-    # cand feeds both the verify stage and the final semi join; without
-    # materialization the banding subtree runs twice (same trade as
-    # dedup_corpus — candidates ≪ corpus, three longs per row).
+    # cand feeds the verify stage's three pair consumers; without
+    # materialization the banding subtree runs three times (same trade
+    # as dedup_corpus — candidates ≪ corpus, three longs per row).
     cand = (
         lhs.join(rhs, ["band", *hcols])
         .select(
@@ -1006,21 +1022,18 @@ def dedup_incremental(
             F.col("__nid").alias("new_id"),
         )
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
+    # r12: new_id rides THROUGH the verify (carry) — near hits read off
+    # the verified rows directly, where the old shape re-joined cand
+    # against verified with a shuffle-hash semi join (2 exchanges + one
+    # more consumer of the checkpoint). A candidate pair determines its
+    # new_id uniquely (lhs is new-only, rhs index-only), so the row set
+    # is identical.
     verified = ngram_jaccard_for_pairs(
-        df, cand.select("id_a", "id_b"), id_col, text_col, shingle_n
+        df, cand, id_col, text_col, shingle_n, carry=("new_id",)
     ).filter(F.col("jaccard") >= jaccard_threshold)
-    # cand's checkpoint erased size stats, so the planner would default
-    # these two joins to sort-merge. Neither side is broadcastable at
-    # scale (a dup-heavy batch verifies most candidates), so pin
-    # shuffle-HASH — sort-merge's exchanges minus both sorts; AQE still
-    # upgrades to broadcast at runtime when the side turns out small.
-    near_hits = (
-        cand.join(verified.hint("shuffle_hash"), ["id_a", "id_b"], "left_semi")
-        .select(F.col("new_id").alias(id_col))
-        .distinct()
-    )
+    near_hits = verified.select(F.col("new_id").alias(id_col)).distinct()
 
     new_docs = tagged.filter(F.col("__new")).select(id_col)
     out = (
