@@ -254,15 +254,32 @@ def hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     qterm = rrf_query_terms_df(docs, BM25_QUERIES)
     query_terms = sorted({t for _, text in BM25_QUERIES for t in text.split(" ")})
-    dterm = (
-        docs.select("doc_id", F.explode(ws_tokens("text")).alias("term")).distinct()
+    # r12 (guide §2.3/§2.4): the old cosine arm materialized the FULL
+    # distinct (doc, term) relation — a corpus-vocabulary shuffle — just
+    # to (a) count distinct terms per doc (nd) and (b) find query-term
+    # matches, then re-keyed nd against ov with a shuffle-hash join
+    # (2 more exchanges). Both are per-ROW facts: nd is
+    # size(array_distinct(tokens)) and the matched terms are
+    # array_intersect(tokens, query_terms) — already a set, so the
+    # explode needs no distinct. The only exchanges left in this arm
+    # are the per-(query, doc) aggregate and the pool window; the
+    # corpus-wide shuffle is gone entirely.
+    toks = ws_tokens("text")
+    matched = docs.select(
+        "doc_id",
+        F.size(F.array_distinct(toks)).alias("nd"),
+        F.explode(
+            F.array_intersect(toks, F.array(*[F.lit(t) for t in query_terms]))
+        ).alias("term"),
     )
-    nd = dterm.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nd"))
     ov = (
-        dterm.filter(F.col("term").isin(query_terms))
-        .join(F.broadcast(qterm), "term")
+        matched.join(F.broadcast(qterm), "term")
         .groupBy("query_id", "doc_id")
-        .agg(F.max("nq").alias("nq"), F.count(F.lit(1)).alias("ov"))
+        .agg(
+            F.max("nq").alias("nq"),
+            F.count(F.lit(1)).alias("ov"),
+            F.max("nd").alias("nd"),  # constant per doc_id
+        )
     )
     cos_score = F.round(
         F.col("ov").cast("double")
@@ -270,15 +287,8 @@ def hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         6,
     )
     w_cos = Window.partitionBy("query_id").orderBy(cos_score.desc(), F.col("doc_id").asc())
-    # `ov` is one row per (query, doc sharing ≥1 query term) — bounded
-    # by df(term), NOT by pool; a stopword-like term makes it approach
-    # corpus size, so broadcasting it would OOM at scale. shuffle_hash
-    # keeps the plan sort-free and AQE still upgrades to broadcast when
-    # runtime stats measure it small (same rationale as the
-    # dedup_incremental verify joins, ext/dedup.py).
     cos_pool = (
-        nd.join(ov.hint("shuffle_hash"), "doc_id")
-        .withColumn("rnk", F.row_number().over(w_cos))
+        ov.withColumn("rnk", F.row_number().over(w_cos))
         .filter(F.col("rnk") <= RRF_POOL)
         .select("query_id", "doc_id", "rnk")
     )
