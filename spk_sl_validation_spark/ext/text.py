@@ -860,44 +860,57 @@ def learn_bpe_merges(df, text_col: str = "text", n_merges: int = 5):
     hash-exact across engines; the oracle unrolls the same loop in
     SQL CTEs.
     """
-    spark = df.sparkSession
+    # r12 (guide §5 — the sequential collect()s serialized the learn
+    # loop on the driver): the whole loop now unrolls into ONE lazy
+    # plan. Each step's argmax is a 1-row relation that rides a
+    # broadcast cross join back onto the vocab and is applied with a
+    # NON-literal F.replace — no driver round trip per merge. Lazy
+    # localCheckpoints truncate every step's plan at build time and
+    # persist each intermediate (MEMORY_AND_DISK) so the chained
+    # references compute once, inside the single job the caller's one
+    # action triggers (jobs per learned merge: ~1/K plus the internal
+    # per-step broadcast materializations, vs 1 collect + checkpoint
+    # jobs before). Empty-corpus/exhaustion semantics unchanged: an
+    # exhausted step's argmax is an EMPTY relation, the cross join
+    # empties every later vocab, and the union simply carries no row
+    # for those steps — exactly the old early `break`.
+    if n_merges < 1:
+        return df.sparkSession.createDataFrame(
+            [], "step int, lhs string, rhs string, merged string, pair_count bigint"
+        )
     words = (
         df.select(F.explode(ws_tokens(text_col)).alias("w"))
         .where(F.length("w") >= 2)
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .select(_bpe_spaced("w").alias("s"), "cnt")
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
-    merges: list[tuple] = []
+    out = None
     for step in range(1, n_merges + 1):
         best = (
             _bpe_pair_counts(words)
             .orderBy(F.col("n").desc(), F.col("lhs").asc(), F.col("rhs").asc())
             .limit(1)
-            .collect()
+            .select(
+                F.lit(step).alias("step"),
+                "lhs",
+                "rhs",
+                F.concat("lhs", "rhs").alias("merged"),
+                F.col("n").alias("pair_count"),
+            )
+            .localCheckpoint(eager=False)
         )
-        if not best:
-            break
-        b = best[0]
-        merges.append((step, b.lhs, b.rhs, b.lhs + b.rhs, b.n))
-        pat = f" {b.lhs}  {b.rhs} "
-        rep = f" {b.lhs}{b.rhs} "
-        words = words.select(
-            F.replace(F.col("s"), F.lit(pat), F.lit(rep)).alias("s"), "cnt"
-        )
-        # Checkpoint every 8th iteration, not every one: each eager
-        # materialization is a full job (~0.15 s of scheduler latency
-        # at any scale), while an un-truncated plan merely re-applies
-        # <= 8 narrow literal replaces over the checkpointed vocab —
-        # no shuffle, no re-aggregation. Keeps plans codegen-small for
-        # production-sized merge tables and cuts 2x jobs per merge for
-        # small ones (r11, guide §1.2 per-task work).
-        if step % 8 == 0:
-            words = words.localCheckpoint()
-    return spark.createDataFrame(
-        merges, "step int, lhs string, rhs string, merged string, pair_count bigint"
-    )
+        out = best if out is None else out.unionAll(best)
+        if step < n_merges:
+            pat = F.concat(F.lit(" "), F.col("lhs"), F.lit("  "), F.col("rhs"), F.lit(" "))
+            rep = F.concat(F.lit(" "), F.col("merged"), F.lit(" "))
+            words = (
+                words.crossJoin(F.broadcast(best.select("lhs", "rhs", "merged")))
+                .select(F.replace(F.col("s"), pat, rep).alias("s"), "cnt")
+                .localCheckpoint(eager=False)
+            )
+    return out
 
 
 def bpe_segment(col: str | Column, merges: list[tuple]) -> Column:
