@@ -148,12 +148,15 @@ def main() -> None:
     detail: dict[str, dict] = {}
     for name, spec in specs.items():
         samples: list[float] = []
+        warmup_s = 0.0
         for run in range(RUNS + 1):  # run 0 = unmeasured warm-up
             t0 = time.time()
             spec.builder(spark, sf_dir).write.mode("overwrite").format("noop").save()
             dt = time.time() - t0
             if run > 0:
                 samples.append(dt)
+            else:
+                warmup_s = dt
             _cleanup()
         med = statistics.median(samples)
         medians[name] = round(med, 3)
@@ -162,6 +165,12 @@ def main() -> None:
             "min": round(min(samples), 3),
             "max": round(max(samples), 3),
             "stdev": round(statistics.stdev(samples), 3) if len(samples) > 1 else 0.0,
+            # honesty field (r12, verdict item 8): run 0's wall. Any
+            # one-time session-scoped cost a query amortizes — JVM/
+            # codegen warm-up, per-session fixture-manifest builds
+            # (webcure_queries._materialized) — lands HERE, visibly,
+            # instead of silently vanishing from the medians.
+            "warmup_s": round(warmup_s, 3),
         }
 
     host = _host_fingerprint()

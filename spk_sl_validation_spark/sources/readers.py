@@ -42,7 +42,12 @@ def _parquet_rows_and_row_groups(path: str) -> tuple[int, int]:
     return _PARQUET_META[key]
 
 
-def spread_for_compute(df: DataFrame, spark: SparkSession, path: str) -> DataFrame:
+def spread_for_compute(
+    df: DataFrame,
+    spark: SparkSession,
+    path: str,
+    min_rows_per_task: int = _SPREAD_MIN_ROWS_PER_TASK,
+) -> DataFrame:
     """Input-skew fix (spark_optimization_guide §2.5): a corpus table
     that arrives as one small parquet file yields ONE scan split (a
     parquet file parallelizes at row-group granularity), which
@@ -75,7 +80,11 @@ def spread_for_compute(df: DataFrame, spark: SparkSession, path: str) -> DataFra
     try:
         rows, row_groups = _parquet_rows_and_row_groups(path)
         total_bytes = os.stat(path).st_size
-    except OSError:
+    except Exception:
+        # ADVICE r11: pyarrow raises ArrowInvalid (not OSError) on
+        # footers it cannot parse (newer parquet features, encryption)
+        # that Spark itself may read fine — the probe must degrade to
+        # a no-op, never fail a query at plan-build time.
         return df
     if row_groups >= p or total_bytes > (64 << 20) * p:
         return df
@@ -85,7 +94,16 @@ def spread_for_compute(df: DataFrame, spark: SparkSession, path: str) -> DataFra
     # cores, and per-task Python runner setup is ~30-50 ms per stage.
     # Measured on the JPEG codec chain (5k docs, 32 cores): 1 part
     # 2.9 s, 8 -> 0.95, 16 -> 0.72, 32 -> 1.1, 64 -> 1.6.
-    target = min(max(p // 2, 1), math.ceil(rows / _SPREAD_MIN_ROWS_PER_TASK)) if rows else 0
+    #
+    # min_rows_per_task derives the fan-out cap from the DOWNSTREAM
+    # stage type (r11 verdict item 9): Python codec chains cost
+    # ~1 ms/row, so 32 rows already outweigh per-task overhead; JVM
+    # HOF/regexp chains cost ~0.1-0.2 ms/row, so a task needs ~512
+    # rows before fan-out beats scheduling — the r11 constant (32 for
+    # every site) made 8-core runs beat 32-core on the HOF sites.
+    target = (
+        min(max(p // 2, 1), math.ceil(rows / min_rows_per_task)) if rows else 0
+    )
     if target <= row_groups:
         return df
     return df.repartition(target)
@@ -156,11 +174,23 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return reader.parquet(f"{sf_dir}/{name}.parquet")
 
 
-def load_table_spread(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def load_table_spread(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    min_rows_per_task: int = _SPREAD_MIN_ROWS_PER_TASK,
+) -> DataFrame:
     """:func:`load_table` + :func:`spread_for_compute` — for the
-    call sites whose downstream per-row work is the dominant cost."""
+    call sites whose downstream per-row work is the dominant cost.
+    ``min_rows_per_task`` scales the fan-out to that work: keep the
+    default for Python codec chains (~1 ms/row), pass ~512 for JVM
+    HOF/regexp chains (~0.1-0.2 ms/row) so tasks stay large enough to
+    outweigh scheduling overhead at high core counts."""
     return spread_for_compute(
-        load_table(spark, sf_dir, name), spark, f"{sf_dir}/{name}.parquet"
+        load_table(spark, sf_dir, name),
+        spark,
+        f"{sf_dir}/{name}.parquet",
+        min_rows_per_task=min_rows_per_task,
     )
 
 

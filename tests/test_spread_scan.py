@@ -17,11 +17,18 @@ SF_DIR = "/root/testdata/sf0.001"
 
 
 def test_spread_increases_partitions_to_half_parallelism(spark):
+    import pytest
+
     plain = R.load_table(spark, SF_DIR, "documents")
     spread = R.load_table_spread(spark, SF_DIR, "documents")
     p = spark.sparkContext.defaultParallelism
     rows, groups = R._parquet_rows_and_row_groups(f"{SF_DIR}/documents.parquet")
     expect = min(max(p // 2, 1), math.ceil(rows / R._SPREAD_MIN_ROWS_PER_TASK))
+    if expect <= groups:
+        # ADVICE r11: on hosts with defaultParallelism <= 2 the spread
+        # is a DESIGNED no-op (target <= row groups) and the "plain has
+        # fewer partitions" assertion becomes unsatisfiable.
+        pytest.skip(f"spread is a designed no-op here (target {expect} <= row groups {groups})")
     assert plain.rdd.getNumPartitions() < expect
     assert spread.rdd.getNumPartitions() == expect
 
